@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Bit-exact HALF_UP rounding shared between the Spark queries and the
+  * DuckDB oracle SQL.
+  *
+  * Why not builtin `round`: Spark rounds via BigDecimal on the exact
+  * binary value, DuckDB via C-library double math — on values that land
+  * within an ulp of a .5 boundary the two can disagree, which breaks the
+  * driver's hash compare. Instead both sides evaluate the *same* IEEE
+  * double expression
+  *   (CASE WHEN x < 0 THEN -floor((-x)*f + 0.5) ELSE floor(x*f + 0.5) END) / f + 0.0
+  * so results are bit-identical by construction. The trailing `+ 0.0`
+  * canonicalizes -0.0 to +0.0 on both engines.
+  *
+  * Matches the reference's ROUND(x::numeric, n) semantics (HALF_UP,
+  * reference: etl_project/assets/sql/transform/stock_bars_analysis.sql:21).
+  */
+object Rounding {
+  def roundHalfUp(c: Column, n: Int): Column = {
+    val f = lit(math.pow(10, n))
+    val scaled = when(c < 0, -floor((-c) * f + lit(0.5)))
+      .otherwise(floor(c * f + lit(0.5)))
+    scaled / f + lit(0.0)
+  }
+
+  /** The same expression as SQL text, for `SparkEntry.oracleSql`. */
+  def sqlRound(expr: String, n: Int): String = {
+    val f = s"${math.pow(10, n).toLong}.0"
+    s"((CASE WHEN ($expr) < 0 THEN -floor((-($expr))*$f + 0.5) " +
+      s"ELSE floor(($expr)*$f + 0.5) END) / $f + 0.0)"
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.roundHalfUp
+
+/** The reference's analytical surface — LAG, framed AVG, framed STDDEV
+  * over per-key time-ordered partitions — as reusable window specs
+  * (reference: etl_project/assets/sql/transform/stock_bars_analysis.sql:4-35).
+  *
+  * Scale notes:
+  *  - All window ops here hash-partition on the series key (`stock` /
+  *    `event_type`) and sort within partitions: ONE exchange feeds every
+  *    window column because all specs share the same partitioning +
+  *    ordering — Catalyst collapses them into a single `WindowExec`
+  *    (verify: one Exchange in the formatted plan, not three).
+  *  - Frames are ROWS-bounded (4 PRECEDING..CURRENT ROW): constant-memory
+  *    streaming frame evaluation per partition; no unbounded state.
+  *  - At 100 TB the only skew risk is a hot series key; the key space is
+  *    the partition strategy, so pre-bucketing the fact table by the
+  *    series key removes even this single exchange.
+  *  - Ordering carries a unique tie-breaker column so results are
+  *    deterministic for the oracle hash-compare (SURVEY §2.5 caveat).
+  */
+object Windows {
+
+  /** PARTITION BY part ORDER BY (order, tie) — the canonical series spec. */
+  def series(part: Column, order: Column, tie: Column): WindowSpec =
+    Window.partitionBy(part).orderBy(order, tie)
+
+  /** 5-row trailing frame on the same series spec. */
+  def trailing5(part: Column, order: Column, tie: Column): WindowSpec =
+    series(part, order, tie).rowsBetween(-4, Window.currentRow)
+
+  /** W1: previous value per series (reference: stock_bars_analysis.sql:10). */
+  def withPrev(df: DataFrame, part: String, order: String, tie: String,
+               value: String, out: String = "prev_value"): DataFrame =
+    df.withColumn(out, lag(col(value), 1).over(series(col(part), col(order), col(tie))))
+
+  /** W2: round(((v - prev) / nullif(prev, 0)), 3)
+    * (reference: stock_bars_analysis.sql:21). */
+  def dailyReturn(value: Column, prev: Column): Column =
+    roundHalfUp((value - prev) / nullif(prev, lit(0.0)), 3)
+
+  /** Full analysis pipeline = the reference's stock_bars_analysis CTAS body
+    * transplanted onto a generic (part, order, tie, value) series.
+    * Output schema mirrors stock_bars_analysis.sql:25-33.
+    */
+  def barAnalysis(df: DataFrame, part: String, order: String, tie: String,
+                  value: String): DataFrame = {
+    val w = series(col(part), col(order), col(tie))
+    val w5 = trailing5(col(part), col(order), col(tie))
+    df
+      .withColumn("dt", to_date(col(order)))
+      .withColumn("prev_value", lag(col(value), 1).over(w))
+      .withColumn("daily_return", dailyReturn(col(value), col("prev_value")))
+      // pct derives from the already-rounded return — the reference
+      // double-rounds (sql:21 then :31); preserved for hash parity.
+      .withColumn("daily_return_pct", roundHalfUp(col("daily_return") * 100, 1))
+      .withColumn("moving_avg_5", roundHalfUp(avg(col(value)).over(w5), 2))
+      .withColumn("stddev_5", roundHalfUp(stddev_samp(col("daily_return")).over(w5), 2))
+      .select(col(part), col(tie), col("dt"), col(value), col("prev_value"),
+        col("daily_return"), col("daily_return_pct"), col("moving_avg_5"),
+        col("stddev_5"), col(order))
+      .orderBy(col(part), col(order), col(tie))
+      .drop(order)
+  }
+}
