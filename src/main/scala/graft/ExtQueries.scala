@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import graft.functions.Rounding.sqlRound
+
+/** Training-data-pipeline query keys (north-star extensions, SURVEY
+  * §7.4): dedup, similarity search, text analysis. Keys with DuckDB-
+  * expressible semantics carry oracle SQL; the approximate operators
+  * (MinHash/SimHash/LSH) are rows-only here and verified against exact
+  * ground truth in ScalaTest.
+  *
+  * Derived integer columns are cast to long so the dumped parquet dtype
+  * matches DuckDB's BIGINT outputs byte-for-byte.
+  */
+object ExtQueries {
+  import CoreQueries.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  /** documents + a deterministic near-duplicate of each (doc_id+1e6,
+    * text truncated to the first 4/5 of its tokens) — guarantees the
+    * approximate-dedup keys have non-empty, data-independent output. */
+  private def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val mutated = d.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        greatest(floor((size(toks) * 4) / 5).cast("int"), lit(3)))).as("text"))
+    d.unionByName(mutated)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Text statistics (chars/tokens/avg token length).
+    "q_text_stats" -> ((s, dir) =>
+      TextOps.textStats(docs(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_chars_calc").cast("long"), col("n_tokens").cast("long"),
+          col("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace regex + BPE-ish pre-tokenizer segmentation.
+    "q_token_count" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_ws_tokens").cast("long"),
+          col("n_bpe_tokens").cast("long"))
+        .orderBy("doc_id")),
+
+    // Quality scoring (length/stopword/punctuation heuristic).
+    "q_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long"),
+          col("stop_hits").cast("long"), col("punct_count").cast("long"),
+          col("quality"))
+        .orderBy("doc_id")),
+
+    // Language ID by marker-token hits.
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir), "text")
+        .select(col("doc_id") +: col("lang") +:
+          (TextOps.langMarkers.map { case (l, _) => col(s"hits_$l").cast("long") } :+
+            col("predicted")): _*)
+        .orderBy("doc_id")),
+
+    // Exact dedup: digest-grouped duplicate groups.
+    "q_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDupGroups(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard over a bounded candidate set (ground truth).
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 60)
+      DedupOps.ngramJaccard(d, d, "text", "doc_id")
+        .select(col("id_a"), col("id_b"), col("inter").cast("long"),
+          col("uni").cast("long"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash+LSH near-dup pairs over docs+mutants (rows-only; exactness
+    // validated in DedupOpsSpec against ngramJaccard ground truth).
+    "q_dedup_minhash" -> ((s, dir) =>
+      DedupOps.minhashDupPairs(docsWithMutants(s, dir), "text", "doc_id",
+        threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs over docs+mutants (rows-only).
+    "q_dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhashDupPairs(docsWithMutants(s, dir), "text", "doc_id",
+        maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")),
+
+    // Winnowing fingerprints (rows-only; native Catalyst expression).
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_fp").cast("long"), col("fp_min"),
+          col("fp_max"))
+        .orderBy("doc_id")),
+
+    // Brute-force cosine top-k (exact ANN baseline; codegen'd CosineSim).
+    "q_similarity_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only, recall tested vs brute).
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.lshTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+    })
+  )
+
+  private val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id, lang, n_chars, length(text) AS n_chars_calc,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  ${sqlRound("(length(text) - (len(string_split(text, ' ')) - 1)) / nullif(len(string_split(text, ' ')), 0)", 4)} AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nch,
+         |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+         |         punct, nch
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stop_hits, punct AS punct_count,
+         |  ${sqlRound("least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + (stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5)", 4)} AS quality
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val hitExprs = TextOps.langMarkers.map { case (l, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ",", "]")
+        s"len(list_filter(toks, x -> list_contains($arr, x))) AS hits_$l"
+      }.mkString(",\n  ")
+      val hitCols = TextOps.langMarkers.map { case (l, _) => s"hits_$l" }
+      val caseExpr = TextOps.langMarkers.init.map { case (l, _) =>
+        s"WHEN hits_$l = m THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  $hitExprs
+         |FROM t),
+         |g AS (SELECT *, greatest(${hitCols.mkString(",")}) AS m FROM h)
+         |SELECT doc_id, lang, ${hitCols.mkString(", ")},
+         |  CASE $caseExpr ELSE '${TextOps.langMarkers.last._1}' END AS predicted
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 60),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM d)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_distinct(list_intersect(a.s, b.s))) AS inter,
+         |  len(list_distinct(a.s || b.s)) AS uni,
+         |  ${sqlRound("len(list_distinct(list_intersect(a.s, b.s))) / nullif(len(list_distinct(a.s || b.s)), 0)", 6)} AS jaccard
+         |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_similarity_cosine" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nvec FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${sqlRound(s"${dot("qvec", "nvec")} / (sqrt(${dot("qvec", "qvec")}) * sqrt(${dot("nvec", "nvec")}))", 6)} AS sim
+         |  FROM c, q)
+         |SELECT query_id, neighbor_id, sim,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |FROM s QUALIFY rk <= 10
+         |ORDER BY query_id, rk""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.roundHalfUp
+import graft.functions.Expressions.simhash64
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram
+  * Jaccard (north-star extensions, SURVEY §7.4).
+  *
+  * Scale design:
+  *  - Exact dedup shuffles a 32-byte digest, never the document text.
+  *  - MinHash: signatures are computed map-side (k passes over a
+  *    per-row shingle array — embarrassingly parallel); LSH banding
+  *    turns the all-pairs O(n^2) problem into a groupBy on (band, key)
+  *    whose buckets are capped (`maxBucket`) so one degenerate cluster
+  *    cannot quadratically explode a task. Dropped giant buckets are
+  *    near-certain duplicate clusters — route those through exact dedup.
+  *  - Candidate pairs are generated inside the bucket aggregate (array
+  *    combinatorics on a capped `collect_list`), avoiding a second
+  *    self-join shuffle of the full banded table.
+  *  - Similarity is then *estimated from the signatures* already being
+  *    shuffled — the raw texts are never joined back, which at 100 TB
+  *    is the difference between shuffling 64 longs and shuffling pages.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups: group by content digest, keep the smallest
+    * id as the canonical representative. */
+  def exactDupGroups(df: DataFrame, text: String, id: String): DataFrame =
+    df.groupBy(sha2(col(text), 256).as("digest"))
+      .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
+      .select(id, "n_copies")
+
+  /** Word w-gram shingles of a single-space-tokenized text column.
+    * Empty array when the text has fewer than `w` tokens. */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature (k hash functions over xxhash64'd shingles,
+    * universal-hash family (a*h+b) mod p with p = 2^31-1). */
+  private val P = 2147483647L // Mersenne prime 2^31-1
+  private def hashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    array(hashParams(k).map { case (a, b) =>
+      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
+    * Jaccard. bands*rowsPerBand must equal the signature length.
+    * Returns (idA, idB, est_jaccard) with idA < idB, est >= threshold.
+    */
+  def minhashDupPairs(df: DataFrame, text: String, id: String,
+                      shingleWidth: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    require(k % bands == 0, "bands must divide signature length")
+    val r = k / bands
+    val sigs = df
+      .select(col(id), minhashSignature(shingles(col(text), shingleWidth), k).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val banded = sigs.select(
+      col(id), col("sig"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), concat_ws(",", slice(col("sig"), j * r + 1, r))).as("bkey"))
+      }: _*)).as("b"))
+      .select(col(id), col("sig"), col("b.band"), col("b.bkey"))
+    // bucket aggregate: capped member list -> in-bucket pair generation
+    val buckets = banded
+      .groupBy("band", "bkey")
+      .agg(collect_list(struct(col(id), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = buckets.select(explode(
+      flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.as("a"), y.as("b"))))))
+      .as("p"))
+      .select(
+        least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
+        greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"),
+        when(col(s"p.a.$id") < col(s"p.b.$id"), col("p.a.sig")).otherwise(col("p.b.sig")).as("sig_a"),
+        when(col(s"p.a.$id") < col(s"p.b.$id"), col("p.b.sig")).otherwise(col("p.a.sig")).as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("est_jaccard", roundHalfUp(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / lit(k.toDouble), 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, banded into
+    * `chunks` 16-bit chunks (pigeonhole: hamming <= chunks-1 implies one
+    * equal chunk), verified with bit_count on the XOR. */
+  def simhashDupPairs(df: DataFrame, text: String, id: String,
+                      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val chunks = 4
+    val sigs = df.select(col(id),
+      simhash64(split(col(text), " ")).as("sig"))
+    val banded = sigs.select(col(id), col("sig"),
+      explode(array((0 until chunks).map { j =>
+        struct(lit(j).as("chunk"),
+          shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL)).as("ckey"))
+      }: _*)).as("c"))
+      .select(col(id), col("sig"), col("c.chunk"), col("c.ckey"))
+    val buckets = banded.groupBy("chunk", "ckey")
+      .agg(collect_list(struct(col(id), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(
+      flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.as("a"), y.as("b"))))))
+      .as("p"))
+      .select(
+        least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
+        greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for a bounded candidate set —
+    * the ground-truth near-dup measure (and the verifier for the
+    * approximate paths in tests). */
+  def ngramJaccard(a: DataFrame, b: DataFrame, text: String, id: String,
+                   w: Int = 3): DataFrame = {
+    val sa = a.select(col(id).as("id_a"), shingles(col(text), w).as("sh_a"))
+    val sb = b.select(col(id).as("id_b"), shingles(col(text), w).as("sh_b"))
+    sa.crossJoin(sb).filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_distinct(array_intersect(col("sh_a"), col("sh_b")))))
+      .withColumn("uni", size(array_distinct(concat(col("sh_a"), col("sh_b")))))
+      .withColumn("jaccard", roundHalfUp(col("inter") / nullif(col("uni"), lit(0)), 6))
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.roundHalfUp
+import graft.functions.Expressions.winnow_fingerprint
+
+/** Text-analysis operators for the training-data pipeline: token/char
+  * statistics, quality scoring, n-gram-heuristic language ID, and
+  * winnowing fingerprints (north-star extensions, SURVEY §7.4).
+  *
+  * All are narrow per-row transforms — map-side, codegen'd, no shuffle.
+  * At 100 TB they are bounded purely by scan throughput; every function
+  * here composes from `org.apache.spark.sql.functions` HOFs except the
+  * fingerprint, which is a native Catalyst expression.
+  */
+object TextOps {
+
+  /** Whitespace tokens (single-space split — deterministic, locale-free). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Char/token/shape statistics per document. */
+  def textStats(df: DataFrame, text: String): DataFrame = {
+    val toks = tokens(col(text))
+    df.withColumn("n_chars_calc", length(col(text)))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        roundHalfUp((length(col(text)) - (size(toks) - lit(1))) /
+          nullif(size(toks), lit(0)), 4))
+  }
+
+  /** Token counting two ways: whitespace-regex tokens and a BPE-ish
+    * word/digit/symbol segmentation (the classic pre-tokenizer shape). */
+  def tokenCounts(df: DataFrame, text: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(split(col(text), "\\s+")))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col(text),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Quality score: length saturation + stopword density - punctuation
+    * density, clamped to [0,1]. Heuristic mirrors common LLM-corpus
+    * quality filters (length/punct/stopword ratios). */
+  def qualityScore(df: DataFrame, text: String): DataFrame = {
+    val toks = tokens(col(text))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => array_contains(stopArr, t)))
+    val punct = length(col(text)) -
+      length(regexp_replace(col(text), "[.,!?;]", ""))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("punct_count", punct)
+      .withColumn("quality",
+        roundHalfUp(
+          least(lit(1.0),
+            least(lit(1.0), nTok / lit(100.0)) * lit(0.5) +
+              (stopHits / nullif(nTok, lit(0))) * lit(2.0) -
+              (punct / nullif(length(col(text)), lit(0))) * lit(0.5)), 4))
+  }
+
+  /** Marker tokens per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — the point is the distributed shape
+    * (pure map-side scoring), not lexicon quality. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language ID: count marker-token hits per language, predict the
+    * alphabetically-first language achieving the max hit count. */
+  def langId(df: DataFrame, text: String): DataFrame = {
+    val toks = tokens(lower(col(text)))
+    val withHits = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      val markArr = array(markers.map(lit): _*)
+      d.withColumn(s"hits_$lang",
+        size(filter(toks, t => array_contains(markArr, t))))
+    }
+    val hitCols = langMarkers.map { case (l, _) => col(s"hits_$l") }
+    val m = greatest(hitCols: _*)
+    val predicted = langMarkers.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, _)) => when(col(s"hits_$lang") === m, lit(lang)).otherwise(acc)
+    }
+    withHits.withColumn("predicted", predicted)
+  }
+
+  /** Winnowing fingerprint summary per document (k-gram 8, window 4). */
+  def fingerprints(df: DataFrame, text: String): DataFrame =
+    df.withColumn("fp", winnow_fingerprint(col(text), 8, 4))
+      .withColumn("n_fp", size(col("fp")))
+      .withColumn("fp_min", array_min(col("fp")))
+      .withColumn("fp_max", array_max(col("fp")))
+}
