@@ -114,6 +114,20 @@ object ExtQueries {
         .orderBy("query_id", "rk")
     }),
 
+    // Multimodal plumbing: text bytes stand in for media payloads;
+    // decode is the deterministic stub (rows-only; see Multimodal docs).
+    "q_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.fromBinaryColumn(
+        docs(s, dir), "doc_id", "text", "image")
+        .as[graft.ops.Multimodal.MediaRow]
+      graft.ops.Multimodal.extractMeta(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width").cast("long"), col("height").cast("long"),
+          col("n_frames").cast("long"))
+        .orderBy("media_id")
+    }),
+
     // LSH-bucketed ANN (scale path; rows-only, recall tested vs brute).
     "q_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)

@@ -30,31 +30,16 @@ object Expressions {
       extends BinaryExpression {
     // inputs: two array<float> columns
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData].toFloatArray()
-      val y = b.asInstanceOf[ArrayData].toFloatArray()
-      CosineSim.cosine(x, y)
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosine(a.asInstanceOf[ArrayData].toFloatArray(),
+        b.asInstanceOf[ArrayData].toFloatArray())
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => {
-        val cls = CosineSim.getClass.getName.stripSuffix("$")
-        s"${ev.value} = $cls.cosine($a.toFloatArray(), $b.toFloatArray());"
-      })
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Kernels.cosine(" +
+          s"$a.toFloatArray(), $b.toFloatArray());")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
-  }
-
-  object CosineSim {
-    def cosine(x: Array[Float], y: Array[Float]): Double = {
-      val n = math.min(x.length, y.length)
-      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-      while (i < n) {
-        val xi = x(i).toDouble; val yi = y(i).toDouble
-        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
-      }
-      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
-    }
   }
 
   /** 64-bit SimHash over a token array: each token hashed with FNV-1a 64,
@@ -108,42 +93,15 @@ object Expressions {
       extends UnaryExpression {
     // input: string column
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      new GenericArrayData(WinnowFingerprint.fingerprints(s, k, w))
-    }
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(
+        Kernels.fingerprints(input.asInstanceOf[UTF8String].toString, k, w))
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, a => {
-        val cls = WinnowFingerprint.getClass.getName.stripSuffix("$")
+      nullSafeCodeGen(ctx, ev, a =>
         s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-          s"$cls.fingerprints($a.toString(), $k, $w));"
-      })
-  }
-
-  object WinnowFingerprint {
-    def fingerprints(s: String, k: Int, w: Int): Array[Long] = {
-      if (s.length < k) return Array.empty
-      val n = s.length - k + 1
-      val grams = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        var h = 0xcbf29ce484222325L
-        var j = 0
-        while (j < k) { h ^= (s.charAt(i + j) & 0xffffL); h *= 0x100000001b3L; j += 1 }
-        grams(i) = h; i += 1
-      }
-      if (n <= w) return Array(grams.min)
-      val out = scala.collection.mutable.TreeSet.empty[Long]
-      i = 0
-      while (i + w <= n) {
-        var m = Long.MaxValue; var j = i
-        while (j < i + w) { if (grams(j) < m) m = grams(j); j += 1 }
-        out += m; i += 1
-      }
-      out.toArray
-    }
+          s"graft.functions.Kernels.fingerprints($a.toString(), $k, $w));")
   }
 
   /** Random-hyperplane LSH bucket id for a float vector (Charikar, STOC'02):

@@ -103,17 +103,23 @@ object DedupOps {
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, banded into
-    * `chunks` 16-bit chunks (pigeonhole: hamming <= chunks-1 implies one
-    * equal chunk), verified with bit_count on the XOR. */
+    * maxHamming+1 chunks (pigeonhole: hamming <= chunks-1 implies at
+    * least one chunk is equal, so banding recall is exact for the
+    * requested radius), verified with bit_count on the XOR. */
   def simhashDupPairs(df: DataFrame, text: String, id: String,
                       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    val chunks = 4
+    require(maxHamming < 16, "maxHamming must leave chunks of >= 4 bits")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
     val sigs = df.select(col(id),
       simhash64(split(col(text), " ")).as("sig"))
     val banded = sigs.select(col(id), col("sig"),
       explode(array((0 until chunks).map { j =>
+        // last chunk absorbs the remainder bits
+        val w = if (j == chunks - 1) 64 - j * width else width
+        val mask = if (w == 64) -1L else (1L << w) - 1L
         struct(lit(j).as("chunk"),
-          shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL)).as("ckey"))
+          shiftrightunsigned(col("sig"), j * width).bitwiseAND(lit(mask)).as("ckey"))
       }: _*)).as("c"))
       .select(col(id), col("sig"), col("c.chunk"), col("c.ckey"))
     val buckets = banded.groupBy("chunk", "ckey")

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the training-data pipeline: media
+  * (image/audio/video) ride through the engine as opaque `binary`
+  * columns with typed metadata structs; decode / feature-extract /
+  * resize / frame-sample run per-partition over the typed Dataset —
+  * the Scala analogue of a batched `mapInPandas` stage: one
+  * decoder-library initialization per partition (not per row), rows
+  * streamed through it in batch.
+  *
+  * The codec step itself is STUBBED (this container ships no media
+  * libraries): `decodeStub` derives deterministic fake dimensions /
+  * features from the payload bytes. Everything around it — schema,
+  * encoders, partitioning, batch shape, the feature pipeline — is real
+  * and tested; swapping the stub for javacpp-ffmpeg/ImageIO is a
+  * one-function change inside the partition loop.
+  *
+  * Scale: payloads never shuffle — decode is map-side, features (small)
+  * are what downstream joins/aggregations move. `repartition` before
+  * decode controls task granularity so one task holds a bounded number
+  * of payloads in memory.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                       width: Int, height: Int, n_frames: Int)
+  case class MediaFeature(media_id: Long, frame_id: Int,
+                          feature: Array[Float])
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
+    * Replace the body with a real codec call; the signature — bytes in,
+    * (width, height, frames) out — is the real decode contract. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < math.min(payload.length, 256)) {
+      h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    val w = 64 + (math.abs(h) % 1024).toInt
+    val ht = 64 + (math.abs(h >> 10) % 1024).toInt
+    val frames = 1 + (math.abs(h >> 20) % 16).toInt
+    (w, ht, frames)
+  }
+
+  /** Decode metadata for every payload, one decoder init per partition. */
+  def extractMeta(rows: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // real impl: initialize the codec once here, per partition
+      it.map { r =>
+        val (w, h, f) = decodeStub(r.payload)
+        MediaMeta(r.media_id, r.kind, r.payload.length.toLong, w, h, f)
+      }
+    }
+  }
+
+  /** Frame-sample a "video" payload: every `stride`-th frame, features
+    * extracted per frame (stub: 8-dim hash-derived vector). */
+  def frameFeatures(rows: Dataset[MediaRow], stride: Int): Dataset[MediaFeature] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val (_, _, frames) = decodeStub(r.payload)
+        (0 until frames by stride).map { fi =>
+          val feat = new Array[Float](8)
+          var h = 0x100000001b3L * (fi + 1)
+          var i = 0
+          while (i < 8) {
+            h ^= r.media_id + i; h *= 0x100000001b3L
+            feat(i) = ((h % 1000L).toFloat) / 1000.0f
+            i += 1
+          }
+          MediaFeature(r.media_id, fi, feat)
+        }
+      }
+    }
+  }
+
+  /** Build a media table from any binary-able column (for tests and the
+    * demo query: text bytes stand in for media payloads). */
+  def fromBinaryColumn(df: DataFrame, id: String, bin: String,
+                       kind: String): DataFrame =
+    df.select(col(id).cast("long").as("media_id"), lit(kind).as("kind"),
+      col(bin).cast("binary").as("payload"))
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming variant of the reference's incremental model
+  * (SURVEY §2.8): the hand-rolled batch watermark loop
+  * (reference: etl_project/pipelines/stock_bars.py:36-66) becomes
+  * `withWatermark` + windowed aggregation, and the per-key running
+  * analytics become `mapGroupsWithState`.
+  *
+  * Both transforms are expressed on unbounded inputs — in production the
+  * source is `spark.readStream` (kafka/files); tests drive them with a
+  * `MemoryStream`. State is bounded: the windowed agg drops state past
+  * the watermark; the stateful map keeps O(1) per key.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class TypeStats(event_type: String, lastValue: Double, n: Long,
+                       total: Double)
+
+  /** Tumbling-window per-type aggregation with a 10-minute watermark —
+    * late events beyond the watermark are dropped, exactly the
+    * idempotent-overlap contract of the reference's checkpoint loop. */
+  def windowedAgg(events: DataFrame, window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Per-key running stats via mapGroupsWithState: the streaming analogue
+    * of the LAG/running analysis (last value, count, running total). */
+  def runningStats(events: Dataset[Event]): Dataset[TypeStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[TypeStats, TypeStats](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[TypeStats]) =>
+          val prev = state.getOption.getOrElse(TypeStats(key, 0.0, 0L, 0.0))
+          val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            TypeStats(key, e.value, s.n + 1, s.total + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps
+
+/** Approximate-dedup correctness against exact ground truth: MinHash
+  * estimates track exact Jaccard; SimHash separates near-dups from
+  * unrelated docs; LSH banding finds planted duplicates. */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base + "extra tail tokens appended here"),          // near-dup of 0
+    (2L, "completely different words about spark engines " * 10),
+    (3L, "completely different words about spark engines " * 10 + "slightly changed"),
+    (4L, "an unrelated short document")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val dup = corpus.unionByName(corpus.filter($"doc_id" === 0)
+      .withColumn("doc_id", lit(10L)))
+    val out = DedupOps.exactDupGroups(dup, "text", "doc_id")
+    assert(out.count() == 5) // 5 distinct texts
+    assert(out.filter($"doc_id" === 0).select("n_copies").as[Long].head() == 2)
+  }
+
+  test("minhash est_jaccard tracks exact jaccard within 0.15") {
+    val pairs = DedupOps.minhashDupPairs(corpus, "text", "doc_id",
+      bands = 32, threshold = 0.2).collect()
+    val exact = DedupOps.ngramJaccard(corpus, corpus, "text", "doc_id")
+      .filter($"jaccard" >= 0.2)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"minhash found non-near-dup pair $key")
+      assert(math.abs(r.getDouble(2) - exact(key)) < 0.15,
+        s"estimate ${r.getDouble(2)} far from exact ${exact(key)} for $key")
+    }
+    // both planted near-dup pairs found
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 1L)) && found.contains((2L, 3L)))
+  }
+
+  test("simhash: near-dups at small hamming, unrelated docs not paired") {
+    val pairs = DedupOps.simhashDupPairs(corpus, "text", "doc_id",
+      maxHamming = 12)  // adaptive banding: recall exact up to hamming 12
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 4L)))
+  }
+
+  test("shingles: fewer tokens than width -> empty array, no crash") {
+    val out = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(DedupOps.shingles($"text", 3).as("sh"))
+    assert(out.select(size($"sh")).as[Int].head() == 0)
+  }
+
+  test("giant buckets are capped (quadratic-blowup guard)") {
+    // 300 identical docs -> one bucket of 300 > maxBucket=200 -> dropped
+    val many = (0L until 300L).map(i => (i, base)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashDupPairs(many, "text", "doc_id", maxBucket = 200)
+    assert(pairs.count() == 0)
+  }
+}

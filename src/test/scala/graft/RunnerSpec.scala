@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.meta.AuditLog
+import graft.pipeline.Runner
+import graft.state.Checkpoint
+
+/** End-to-end incremental pipeline semantics, mirroring the reference's
+  * full-vs-incremental branch (reference: etl_project/pipelines/
+  * stock_bars.py:36-89): full load, overlapping incremental re-extract,
+  * idempotent dedup, watermark advance, audit trail, stage isolation. */
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full load then overlapping incremental: no dups, watermark advances") {
+    val dir = tmpDir()
+    val cp = new Checkpoint(spark, s"$dir/checkpoints")
+    val audit = new AuditLog(spark, s"$dir/audit")
+    val runner = new Runner(spark, cp, audit)
+    val target = s"$dir/bars"
+
+    val day1 = Seq(
+      ("TSLA", "2025-10-01T10:00:00Z", 252.0),
+      ("AAPL", "2025-10-01T10:00:00Z", 177.0)
+    ).toDF("stock", "timestamp", "close")
+
+    assert(runner.loadIncremental(day1, target, "bars",
+      Seq("stock", "timestamp"), "timestamp") == 2)
+    assert(cp.get("bars").contains("2025-10-01T10:00:00Z"))
+
+    // incremental batch: re-delivers day1 TSLA (modified) + adds day2
+    val day2 = Seq(
+      ("TSLA", "2025-10-01T10:00:00Z", 260.0), // overlap, updated close
+      ("TSLA", "2025-10-02T10:00:00Z", 262.0),
+      ("AAPL", "2025-10-02T10:00:00Z", 178.0)
+    ).toDF("stock", "timestamp", "close")
+
+    assert(runner.loadIncremental(day2, target, "bars",
+      Seq("stock", "timestamp"), "timestamp") == 4)
+    val out = spark.read.parquet(target)
+    assert(out.filter($"stock" === "TSLA" && $"timestamp".startsWith("2025-10-01"))
+      .select("close").as[Double].head() == 260.0)
+    assert(cp.get("bars").contains("2025-10-02T10:00:00Z"))
+
+    // re-applying the same batch is a no-op (idempotence)
+    assert(runner.loadIncremental(day2, target, "bars",
+      Seq("stock", "timestamp"), "timestamp") == 4)
+
+    // audit trail recorded every stage
+    assert(audit.read().filter($"log_message".contains("load complete")).count() == 3)
+  }
+
+  test("analysis stage is isolated: failure logs but does not throw") {
+    val dir = tmpDir()
+    val audit = new AuditLog(spark, s"$dir/audit")
+    val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"), audit)
+    val ok = runner.runAnalysis("boom", s"$dir/out") {
+      spark.read.parquet("/nonexistent/path")
+    }
+    assert(!ok)
+    assert(audit.read().filter($"log_message".contains("FAILED")).count() == 1)
+  }
+
+  test("checkpoint: per-table isolation and lexicographic (ISO) watermark") {
+    val cp = new Checkpoint(spark, tmpDir() + "/cp")
+    cp.save("t1", "2025-10-01T10:00:00Z")
+    cp.save("t2", "2024-01-01T00:00:00Z")
+    cp.save("t1", "2025-10-05T10:00:00Z") // upsert overwrites t1 only
+    assert(cp.get("t1").contains("2025-10-05T10:00:00Z"))
+    assert(cp.get("t2").contains("2024-01-01T00:00:00Z"))
+    assert(cp.get("missing").isEmpty)
+  }
+}

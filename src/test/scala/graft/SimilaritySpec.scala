@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions
+import graft.ops.SimilarityOps
+
+/** Cosine expression correctness + ANN behavior: brute force is exact;
+  * LSH achieves full recall on planted near-identical vectors. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSim matches a scalar reference implementation") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(4.0f, 5.0f, 6.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Expressions.cosine_sim($"a", $"b")).as[Double].head()
+    val expected = (4.0 + 10.0 + 18.0) /
+      (math.sqrt(1 + 4 + 9) * math.sqrt(16 + 25 + 36))
+    assert(math.abs(got - expected) < 1e-12)
+    // orthogonal and identical
+    val o = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+      .select(Expressions.cosine_sim($"a", $"b")).as[Double].head()
+    assert(o == 0.0)
+    val i = Seq((a, a)).toDF("a", "b")
+      .select(Expressions.cosine_sim($"a", $"b")).as[Double].head()
+    assert(math.abs(i - 1.0) < 1e-12)
+    // zero vector -> defined 0.0, not NaN
+    val z = Seq((Array(0.0f, 0.0f), a.take(2))).toDF("a", "b")
+      .select(Expressions.cosine_sim($"a", $"b")).as[Double].head()
+    assert(z == 0.0)
+  }
+
+  private def planted = {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val bases = Seq.fill(5)(vec())
+    // ids 0-4: queries; 100-104: near-identical partners; 200+: noise
+    (bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      bases.zipWithIndex.map { case (v, i) => (100L + i, jitter(v)) } ++
+      (0 until 50).map(i => (200L + i, vec()))).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: self first, planted partner second") {
+    val df = planted
+    val out = SimilarityOps.bruteForceTopK(df, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", 3).collect()
+    for (q <- 0L until 5L) {
+      val rows = out.filter(_.getLong(0) == q).sortBy(_.getInt(3))
+      assert(rows(0).getLong(1) == q)          // self at rank 1
+      assert(rows(1).getLong(1) == 100L + q)   // planted partner at rank 2
+    }
+  }
+
+  test("LSH ANN: full recall of near-identical partners; subset of brute scores") {
+    val df = planted
+    val out = SimilarityOps.lshTopK(df, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", 3, bits = 8).collect()
+    for (q <- 0L until 5L) {
+      val rows = out.filter(_.getLong(0) == q).sortBy(_.getInt(3))
+      assert(rows.nonEmpty && rows(0).getLong(1) == q)
+      // jittered partner lands in the same (or 1-bit-probed) bucket
+      assert(rows.exists(_.getLong(1) == 100L + q),
+        s"query $q lost its planted near-duplicate")
+    }
+  }
+}

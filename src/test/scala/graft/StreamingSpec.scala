@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import java.sql.Timestamp
+
+/** Structured Streaming transforms driven synchronously by MemoryStream:
+  * windowed agg with watermark + per-key running state. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("windowed aggregation groups by 5-minute tumbling windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "click", 2.0),
+      Event(3, ts(6), 3, "click", 4.0),
+      Event(4, ts(1), 4, "view", 8.0))
+    val q = EventStream.windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    val out = spark.table("agg_out")
+      .select("event_type", "n", "total").as[(String, Long, Double)]
+      .collect().toSet
+    q.stop()
+    assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
+  }
+
+  test("mapGroupsWithState keeps running per-key stats across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.runningStats(mem.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(2), 1, "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("state_out").as[EventStream.TypeStats].collect()
+    q.stop()
+    val last = rows.filter(_.n == 3)
+    assert(last.length == 1 && last(0).total == 7.0 && last(0).lastValue == 4.0)
+  }
+}

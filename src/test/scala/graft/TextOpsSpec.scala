@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text stats: token and char math") {
+    val out = TextOps.textStats(Seq((1L, "one two three")).toDF("id", "text"), "text")
+      .select("n_chars_calc", "n_tokens", "avg_token_len").collect()(0)
+    assert(out.getInt(0) == 13)
+    assert(out.getInt(1) == 3)
+    assert(out.getDouble(2) == math.rint((13.0 - 2) / 3 * 10000) / 10000)
+  }
+
+  test("token counts: whitespace vs BPE-ish segmentation") {
+    val out = TextOps.tokenCounts(
+      Seq((1L, "Hello, world! x2  done")).toDF("id", "text"), "text")
+      .select("n_ws_tokens", "n_bpe_tokens").collect()(0)
+    assert(out.getInt(0) == 4) // "Hello,", "world!", "x2", "done"
+    // Hello , world ! x 2 done -> 7
+    assert(out.getInt(1) == 7)
+  }
+
+  test("language ID: real sentences classify correctly") {
+    val docs = Seq(
+      (1L, "the cat and the dog sat of the mat", "en"),
+      (2L, "el perro y la casa de que los gatos", "es"),
+      (3L, "der hund und die katze und das haus", "de"),
+      (4L, "le chien et la maison et les chats des", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.langId(docs, "text")
+      .select("lang", "predicted").as[(String, String)].collect()
+    out.foreach { case (truth, pred) => assert(truth == pred,
+      s"expected $truth got $pred") }
+  }
+
+  test("quality: longer stopword-rich text scores higher than fragment") {
+    val docs = Seq(
+      (1L, ("the report and the analysis of the data in the study " * 10).trim),
+      (2L, "x; y. z!")).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(docs, "text")
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(q(1L) > q(2L))
+    assert(q(1L) <= 1.0)
+  }
+
+  test("winnow fingerprints: shared long substring -> shared fingerprint") {
+    val shared = "a long common passage of text that both documents contain verbatim"
+    val df = Seq(
+      (1L, "prefix one " + shared + " suffix one"),
+      (2L, "totally different start " + shared + " other ending"),
+      (3L, "qqq www eee rrr ttt yyy uuu iii ooo ppp zzz")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Expressions.winnow_fingerprint($"text", 8, 4).as("fp"))
+    val fps = df.as[(Long, Array[Long])].collect().toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+  }
+
+  test("fingerprint edge: text shorter than k") {
+    val out = Seq((1L, "tiny")).toDF("id", "text")
+      .select(Expressions.winnow_fingerprint($"text", 8, 4).as("fp"))
+      .select(size($"fp")).as[Int].head()
+    assert(out == 0)
+  }
+
+  test("simhash: permutation-insensitive (bag of words), content-sensitive") {
+    def sig(s: String): Long =
+      Seq(s).toDF("t").select(Expressions.simhash64(split($"t", " ")))
+        .as[Long].head()
+    val a = sig("alpha beta gamma delta epsilon")
+    val b = sig("epsilon delta gamma beta alpha")
+    assert(a == b) // order-free
+    val c = sig("totally different tokens here now")
+    assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+}

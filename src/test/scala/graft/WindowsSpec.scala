@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Windows
+
+/** Window-analysis edge cases the reference never tested (SURVEY §5):
+  * first-row NULL propagation, NULLIF zero-guard, short frames, and a
+  * hand-computed golden fixture for the full analysis chain
+  * (reference: etl_project/assets/sql/transform/stock_bars_analysis.sql). */
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series = Seq(
+    // (stock, tie, ts, close)
+    ("A", 1L, "2025-01-01", 100.0),
+    ("A", 2L, "2025-01-02", 110.0),
+    ("A", 3L, "2025-01-03", 0.0),
+    ("A", 4L, "2025-01-04", 50.0),
+    ("B", 5L, "2025-01-01", 10.0)
+  ).toDF("stock", "event_id", "ts", "value")
+
+  test("lag: first row per partition is NULL") {
+    val out = Windows.withPrev(series, "stock", "ts", "event_id", "value")
+      .orderBy("stock", "ts")
+    val rows = out.collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("prev_value"))) // A first
+    assert(rows(4).isNullAt(rows(4).fieldIndex("prev_value"))) // B first
+    assert(rows(1).getDouble(rows(1).fieldIndex("prev_value")) == 100.0)
+  }
+
+  test("daily return: nullif guards division by zero prev_close") {
+    val out = Windows.withPrev(series, "stock", "ts", "event_id", "value")
+      .withColumn("r", Windows.dailyReturn($"value", $"prev_value"))
+      .orderBy("stock", "ts").collect()
+    // row 3 (A, 2025-01-04): prev = 0.0 -> nullif -> NULL, no error (ANSI mode!)
+    assert(out(3).isNullAt(out(3).fieldIndex("r")))
+    // row 1: (110-100)/100 = 0.1
+    assert(out(1).getDouble(out(1).fieldIndex("r")) == 0.1)
+  }
+
+  test("full analysis: golden values on hand-computed fixture") {
+    val out = Windows.barAnalysis(series, "stock", "ts", "event_id", "value")
+    val a = out.filter($"stock" === "A").orderBy("event_id").collect()
+    // daily_return: null, 0.1, (0-110)/110=-1.0, null(prev=0)
+    assert(a(0).isNullAt(a(0).fieldIndex("daily_return")))
+    assert(a(1).getDouble(a(1).fieldIndex("daily_return")) == 0.1)
+    assert(a(2).getDouble(a(2).fieldIndex("daily_return")) == -1.0)
+    assert(a(3).isNullAt(a(3).fieldIndex("daily_return")))
+    // moving_avg_5 row2 = avg(100,110,0) = 70
+    assert(a(2).getDouble(a(2).fieldIndex("moving_avg_5")) == 70.0)
+    // stddev_5: 1-value frame -> NULL (sample stddev)
+    assert(a(0).isNullAt(a(0).fieldIndex("stddev_5")))
+    // stddev of (0.1, -1.0) sample = sqrt(((0.55)^2)*2/1) ~ 0.7778.. round2 = 0.78
+    assert(a(2).getDouble(a(2).fieldIndex("stddev_5")) == 0.78)
+    // single-row partition B: everything except value/mavg NULL
+    val b = out.filter($"stock" === "B").collect()(0)
+    assert(b.isNullAt(b.fieldIndex("daily_return")))
+    assert(b.getDouble(b.fieldIndex("moving_avg_5")) == 10.0)
+  }
+
+  test("short partitions (<5 rows) never throw and frames shrink") {
+    val out = Windows.barAnalysis(series, "stock", "ts", "event_id", "value")
+    assert(out.count() == 5)
+  }
+}
