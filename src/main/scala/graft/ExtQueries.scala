@@ -93,7 +93,7 @@ object ExtQueries {
     // SimHash near-dup pairs over docs+mutants (rows-only).
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashDupPairs(docsWithMutants(s, dir), "text", "doc_id",
-        maxHamming = 8)
+        maxHamming = 4, maxBucket = 64)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
         .orderBy("id_a", "id_b")),
 

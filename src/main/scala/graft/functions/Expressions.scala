@@ -47,40 +47,16 @@ object Expressions {
     * yield signatures at small Hamming distance. Deterministic; no seed.
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     // input: array<string> token column
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val h = SimHash64.fnv1a64(arr.getUTF8String(i))
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var sig = 0L; var b = 0
-      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-      sig
-    }
+    override def nullSafeEval(input: Any): Any =
+      Kernels.simhashFromArrayData(input.asInstanceOf[ArrayData])
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
-  }
-
-  object SimHash64 {
-    def fnv1a64(s: UTF8String): Long = {
-      val bytes = s.getBytes
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-      h
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.simhashFromArrayData($a);")
   }
 
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
@@ -102,6 +78,62 @@ object Expressions {
       nullSafeCodeGen(ctx, ev, a =>
         s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
           s"graft.functions.Kernels.fingerprints($a.toString(), $k, $w));")
+  }
+
+  /** One-pass MinHash signature from a token array (see
+    * [[Kernels.minhashFromTokenHashes]]). Stays in whole-stage codegen.
+    */
+  case class MinHashSig(child: Expression, shingleWidth: Int, k: Int)
+      extends UnaryExpression {
+    // input: array<string> token column
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val hashes = new Array[Long](arr.numElements())
+      var i = 0
+      while (i < hashes.length) {
+        hashes(i) =
+          if (arr.isNullAt(i)) 0L
+          else Kernels.fnv1a64Bytes(arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      new GenericArrayData(
+        Kernels.minhashFromTokenHashes(hashes, shingleWidth, k))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.minhashSigFromArrayData(" +
+          s"$a, $shingleWidth, $k);")
+  }
+
+  /** Band keys for MinHash LSH (child = signature array, evaluated once —
+    * building the keys inside one expression sidesteps the optimizer
+    * duplicating the signature computation per band reference). */
+  case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
+    // input: array<long> minhash signature
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bandKeys(input.asInstanceOf[ArrayData], bands)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.bandKeys($a, $bands);")
+  }
+
+  /** Chunk keys for SimHash banding (same single-evaluation rationale). */
+  case class ChunkKeys(child: Expression, chunks: Int) extends UnaryExpression {
+    // input: long simhash signature
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.chunkKeys(input.asInstanceOf[Long], chunks)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.chunkKeys($a, $chunks);")
   }
 
   /** Random-hyperplane LSH bucket id for a float vector (Charikar, STOC'02):
@@ -151,4 +183,10 @@ object Expressions {
     column(WinnowFingerprint(expression(text), k, w))
   def hyperplane_lsh(vec: Column, bits: Int): Column =
     column(HyperplaneLsh(expression(vec), bits))
+  def minhash_sig(tokens: Column, shingleWidth: Int, k: Int): Column =
+    column(MinHashSig(expression(tokens), shingleWidth, k))
+  def band_keys(sig: Column, bands: Int): Column =
+    column(BandKeys(expression(sig), bands))
+  def chunk_keys(sig: Column, chunks: Int): Column =
+    column(ChunkKeys(expression(sig), chunks))
 }

@@ -21,6 +21,123 @@ object Kernels {
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Universal-hash parameters for MinHash, fixed seed. Cached per k. */
+  private val P = 2147483647L // 2^31-1
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def minhashParams(k: Int): (Array[Long], Array[Long]) =
+    paramCache.computeIfAbsent(k, _ => {
+      val rnd = new scala.util.Random(42)
+      (Array.fill(k)(rnd.nextInt(Int.MaxValue - 1).toLong + 1),
+        Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong))
+    })
+
+  def fnv1a64Bytes(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** One-pass MinHash signature straight from a token array: token FNV
+    * hashes -> rolling combine over `w`-token shingles -> all k universal
+    * hashes min'd in a single loop. No shingle strings are materialized
+    * and the token array is traversed once — O(tokens * k) long ops,
+    * versus the naive HOF formulation's O(k) *re-generations* of the
+    * shingle strings. Returns null-length-0 array for < w tokens.
+    */
+  def minhashFromTokenHashes(tokenHashes: Array[Long], w: Int, k: Int): Array[Long] = {
+    val n = tokenHashes.length - w + 1
+    if (n <= 0) return Array.empty
+    val (as, bs) = minhashParams(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      // combine w consecutive token hashes into one shingle hash
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < w) { h ^= tokenHashes(i + j); h *= 0x100000001b3L; j += 1 }
+      val hp = ((h % P) + P) % P
+      var t = 0
+      while (t < k) {
+        val v = (as(t) * hp + bs(t)) % P
+        if (v < sig(t)) sig(t) = v
+        t += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys from a MinHash signature: one FNV key per band of
+    * r consecutive signature values, band index mixed in. One pass. */
+  def bandKeys(sig: org.apache.spark.sql.catalyst.util.ArrayData,
+      bands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = 0xcbf29ce484222325L
+      h ^= j; h *= 0x100000001b3L
+      var t = 0
+      while (t < r) { h ^= sig.getLong(j * r + t); h *= 0x100000001b3L; t += 1 }
+      out(j) = h; j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** SimHash chunk keys: the 64-bit signature split into `chunks` bit
+    * ranges (last chunk absorbs the remainder), chunk index NOT mixed in
+    * (the pair (pos, key) is the bucket id downstream). */
+  def chunkKeys(sig: Long, chunks: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val width = 64 / chunks
+    val out = new Array[Long](chunks)
+    var j = 0
+    while (j < chunks) {
+      val w = if (j == chunks - 1) 64 - j * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      out(j) = (sig >>> (j * width)) & mask
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Codegen entry point: token ArrayData -> SimHash64 signature. */
+  def simhashFromArrayData(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a64Bytes(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Codegen entry point: token ArrayData -> MinHash signature. */
+  def minhashSigFromArrayData(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hashes = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < hashes.length) {
+      hashes(i) =
+        if (arr.isNullAt(i)) 0L else fnv1a64Bytes(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      minhashFromTokenHashes(hashes, w, k))
+  }
+
   /** Winnowing fingerprints: rolling FNV over char k-grams, min per
     * window of w, distinct sorted. */
   def fingerprints(s: String, k: Int, w: Int): Array[Long] = {

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding.roundHalfUp
-import graft.functions.Expressions.simhash64
+import graft.functions.Expressions.{band_keys, chunk_keys, minhash_sig, simhash64}
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram
@@ -43,21 +43,6 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature (k hash functions over xxhash64'd shingles,
-    * universal-hash family (a*h+b) mod p with p = 2^31-1). */
-  private val P = 2147483647L // Mersenne prime 2^31-1
-  private def hashParams(k: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
-    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    array(hashParams(k).map { case (a, b) =>
-      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P)))
-    }: _*)
-  }
-
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * Jaccard. bands*rowsPerBand must equal the signature length.
     * Returns (idA, idB, est_jaccard) with idA < idB, est >= threshold.
@@ -66,17 +51,16 @@ object DedupOps {
                       shingleWidth: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "bands must divide signature length")
-    val r = k / bands
+    // signature is a single-pass native expression (Kernels): the naive
+    // HOF formulation (k array_min(transform(...)) over shingle strings)
+    // re-materializes the shingles k times per row — 20x+ slower.
     val sigs = df
-      .select(col(id), minhashSignature(shingles(col(text), shingleWidth), k).as("sig"))
+      .select(col(id), minhash_sig(split(col(text), " "), shingleWidth, k).as("sig"))
       .filter(size(col("sig")) > 0)
-    val banded = sigs.select(
-      col(id), col("sig"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          xxhash64(lit(j), concat_ws(",", slice(col("sig"), j * r + 1, r))).as("bkey"))
-      }: _*)).as("b"))
-      .select(col(id), col("sig"), col("b.band"), col("b.bkey"))
+    // posexplode over a single-pass BandKeys expression: the signature
+    // child is evaluated exactly once per row, never per band
+    val banded = sigs.select(col(id), col("sig"),
+      posexplode(band_keys(col("sig"), bands)).as(Seq("band", "bkey")))
     // bucket aggregate: capped member list -> in-bucket pair generation
     val buckets = banded
       .groupBy("band", "bkey")
@@ -105,23 +89,21 @@ object DedupOps {
   /** SimHash near-duplicate pairs: 64-bit signature, banded into
     * maxHamming+1 chunks (pigeonhole: hamming <= chunks-1 implies at
     * least one chunk is equal, so banding recall is exact for the
-    * requested radius), verified with bit_count on the XOR. */
+    * requested radius), verified with bit_count on the XOR.
+    *
+    * Selectivity: each chunk key has 64/(maxHamming+1) bits, so the
+    * per-chunk keyspace must comfortably exceed the corpus size or
+    * buckets saturate and candidate generation goes quadratic —
+    * radius 3-4 (16/12-bit keys) is the scale-sane regime; for larger
+    * radii at large corpus sizes use repeated permuted tables instead. */
   def simhashDupPairs(df: DataFrame, text: String, id: String,
                       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
     require(maxHamming < 16, "maxHamming must leave chunks of >= 4 bits")
     val chunks = maxHamming + 1
-    val width = 64 / chunks
     val sigs = df.select(col(id),
       simhash64(split(col(text), " ")).as("sig"))
     val banded = sigs.select(col(id), col("sig"),
-      explode(array((0 until chunks).map { j =>
-        // last chunk absorbs the remainder bits
-        val w = if (j == chunks - 1) 64 - j * width else width
-        val mask = if (w == 64) -1L else (1L << w) - 1L
-        struct(lit(j).as("chunk"),
-          shiftrightunsigned(col("sig"), j * width).bitwiseAND(lit(mask)).as("ckey"))
-      }: _*)).as("c"))
-      .select(col(id), col("sig"), col("c.chunk"), col("c.ckey"))
+      posexplode(chunk_keys(col("sig"), chunks)).as(Seq("chunk", "ckey")))
     val buckets = banded.groupBy("chunk", "ckey")
       .agg(collect_list(struct(col(id), col("sig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
