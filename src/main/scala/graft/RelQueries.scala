@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.Rounding.sqlRound
+
+/** Relational-completeness query keys beyond the reference's literal
+  * surface (SURVEY §2.3/§2.8 build-plan generalizations): outer/semi/
+  * anti joins, set ops, DISTINCT, ranking windows, sessionization,
+  * pivot, rollup, JSON extraction, and the literal-SQL (S4) path.
+  * All oracle-checked.
+  */
+object RelQueries {
+  import CoreQueries.Q
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  private val evTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, Q] = Map(
+    // LEFT OUTER: orders against a truncated customer dim -> null company
+    // columns for unmatched orders.
+    "q_join_left" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 500)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .orderBy("o_orderkey")
+    }),
+
+    // LEFT SEMI (EXISTS): orders having at least one max-quantity line.
+    "q_join_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // LEFT ANTI (NOT EXISTS).
+    "q_join_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // DISTINCT over a projection.
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select("event_type", "user_id").distinct()
+        .orderBy("event_type", "user_id")),
+
+    // UNION (set semantics) of two overlapping slices == the whole table.
+    "q_union_distinct" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "event_type", "value")
+      e.filter(col("event_id") < 600)
+        .union(e.filter(col("event_id") >= 400)).distinct()
+        .orderBy("event_id")
+    }),
+
+    // Exact COUNT(DISTINCT) per group (expand + two-phase agg in Spark).
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // Ranking windows: row_number / rank / dense_rank per group.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .filter(col("rn") <= 20)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Gap-based sessionization: new session when idle > 30 min.
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull, 1L)
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              lit(1800L * 1000000L), 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // PIVOT: per-user-bucket sums by event type (decimal-exact sums).
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", evTypes)
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .orderBy("bucket")),
+
+    // ROLLUP with grouping indicators (decimal-exact sums).
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Semi-structured: JSON field extraction from the props column.
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // S4: the flagship analysis as literal SQL through spark.sql over a
+    // temp view — same semantics, same oracle as q_full_analysis.
+    "q_full_analysis_sql" -> ((s, dir) => {
+      t(s, dir, "events").select("event_type", "event_id", "ts", "value")
+        .createOrReplaceTempView("ev_sql")
+      def r(expr: String, n: Int): String = {
+        val f = s"${math.pow(10, n).toLong}.0"
+        s"((CAST(CASE WHEN ($expr) < 0 THEN -floor((-($expr))*$f + 0.5) " +
+          s"ELSE floor(($expr)*$f + 0.5) END AS DOUBLE) / $f + 0.0))"
+      }
+      val ret = r("(value - prev_value) / nullif(prev_value, 0.0)", 3)
+      s.sql(
+        s"""WITH prev AS (
+           |  SELECT event_type, event_id, ts, CAST(ts AS DATE) AS dt, value,
+           |         LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_value
+           |  FROM ev_sql),
+           |ret AS (
+           |  SELECT *, $ret AS daily_return FROM prev)
+           |SELECT event_type, event_id, dt, value, prev_value, daily_return,
+           |       ${r("daily_return * 100", 1)} AS daily_return_pct,
+           |       ${r("AVG(value) OVER w", 2)} AS moving_avg_5,
+           |       ${r("STDDEV_SAMP(daily_return) OVER w", 2)} AS stddev_5
+           |FROM ret
+           |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+           |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_type, ts, event_id""".stripMargin)
+        .drop("ts")
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val evCte =
+    """ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_join_left" ->
+      """SELECT o_orderkey, o_totalprice, c_name
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT event_type, user_id FROM events
+        |ORDER BY event_type, user_id""".stripMargin,
+
+    "q_union_distinct" ->
+      s"""WITH $evCte
+         |SELECT event_id, event_type, value FROM ev WHERE event_id < 600
+         |UNION
+         |SELECT event_id, event_type, value FROM ev WHERE event_id >= 400
+         |ORDER BY event_id""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk,
+        |    dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 20 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH $evCte,
+         |p AS (
+         |  SELECT user_id, event_id, ts,
+         |         LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev),
+         |f AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN prev_ts IS NULL THEN 1
+         |              WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1
+         |              ELSE 0 END AS is_new
+         |  FROM p)
+         |SELECT user_id, event_id,
+         |       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                         ROWS UNBOUNDED PRECEDING) AS session_id
+         |FROM f ORDER BY user_id, event_id""".stripMargin,
+
+    "q_pivot" -> {
+      val cells = evTypes.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS \"$t\"")
+        .mkString(",\n  ")
+      s"""SELECT user_id % 10 AS bucket,
+         |  $cells
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_full_analysis_sql" -> CoreQueries.oracle("q_full_analysis")
+  )
+}

@@ -19,9 +19,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ExtQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries ++ RelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CoreQueries.oracle ++ ExtQueries.oracle
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracle ++ ExtQueries.oracle ++ RelQueries.oracle
 }
