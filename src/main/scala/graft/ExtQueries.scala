@@ -128,6 +128,57 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Embedding-cosine near-duplicate detection: original vectors vs a
+    // deterministic affine mutant (x*1.1 + 0.05) -- high-cosine pairs.
+    "q_dedup_embed" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val mutants = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
+      val corpus = e.unionByName(mutants)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .crossJoin(broadcast(q))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", graft.functions.Rounding.roundHalfUp(
+          graft.functions.Expressions.cosine_sim(col("va"), col("vb")), 6))
+        .filter(col("sim") >= 0.95)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact interpolated percentiles per group (sort-based, oracle-able).
+    "q_percentiles" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("p_raw"))
+        .select(col("l_returnflag"),
+          transform(col("p_raw"),
+            x => graft.functions.Rounding.roundHalfUp(x, 4)).as("price_quartiles"))
+        .orderBy("l_returnflag")),
+
+    // HLL approximate distinct vs exact (sketch aggregate; rows-only --
+    // HLL implementations differ across engines by design).
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
+    // IVF (k-means inverted file) ANN -- the billion-scale layout
+    // (rows-only; recall vs brute force tested in SimilaritySpec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+    }),
+
     // LSH-bucketed ANN (scale path; rows-only, recall tested vs brute).
     "q_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -207,6 +258,30 @@ object ExtQueries {
          |  ${sqlRound("len(list_distinct(list_intersect(a.s, b.s))) / nullif(len(list_distinct(a.s || b.s)), 0)", 6)} AS jaccard
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embed" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |         list_transform(embedding, x -> CAST(x * 1.1 + 0.01 AS REAL))
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id < 50),
+         |p AS (
+         |  SELECT id_a, c.vec_id AS id_b,
+         |    ${sqlRound(s"${dot("q.va", "c.embedding")} / (sqrt(${dot("q.va", "q.va")}) * sqrt(${dot("c.embedding", "c.embedding")}))", 6)} AS sim
+         |  FROM corpus c, q WHERE id_a < c.vec_id)
+         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_percentiles" ->
+      s"""SELECT l_returnflag,
+         |  list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+         |                 x -> ${sqlRound("x", 4)}) AS price_quartiles
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_similarity_cosine" -> {
       def dot(x: String, y: String) =

@@ -38,6 +38,47 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim", "rk")
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus;
+    * a query searches only the `nprobe` clusters whose centroids are
+    * nearest. The standard billion-scale ANN layout (FAISS IVF-Flat):
+    * at 100 TB the cluster assignment is a one-off batch job and each
+    * query touches corpus_size * nprobe / nlist vectors. Deterministic
+    * via fixed k-means seed.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vec: String,
+              id: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("nvec"))
+      .withColumn("fvec", array_to_vector(col("nvec")))
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fvec").setPredictionCol("cluster")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select(col("neighbor_id"), col("nvec"),
+      col("cluster"))
+    // centroids -> a small broadcast table of (cluster, centroid array<float>)
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cluster", "centroid")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qvec"))
+    // nprobe nearest centroids per query
+    val qProbes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine_sim(col("qvec"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "qvec", "cluster")
+    val scored = assigned.join(broadcast(qProbes), Seq("cluster"))
+      .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rk")
+  }
+
   /** LSH-bucketed ANN: compare only within matching hyperplane buckets
     * (plus one-bit-flip multi-probe on the query side for recall). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vec: String,
