@@ -149,14 +149,17 @@ object ExtQueries {
     }),
 
     // Exact interpolated percentiles per group (sort-based, oracle-able).
+    // Scalar p25/p50/p75 columns: the driver's pandas-side hash gate
+    // cannot sort array cells, so the quartiles are unnested.
     "q_percentiles" -> ((s, dir) =>
       Tables.read(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(percentile(col("l_extendedprice"),
           array(lit(0.25), lit(0.5), lit(0.75))).as("p_raw"))
         .select(col("l_returnflag"),
-          transform(col("p_raw"),
-            x => graft.functions.Rounding.roundHalfUp(x, 4)).as("price_quartiles"))
+          graft.functions.Rounding.roundHalfUp(col("p_raw")(0), 4).as("p25"),
+          graft.functions.Rounding.roundHalfUp(col("p_raw")(1), 4).as("p50"),
+          graft.functions.Rounding.roundHalfUp(col("p_raw")(2), 4).as("p75"))
         .orderBy("l_returnflag")),
 
     // HLL approximate distinct vs exact (sketch aggregate; rows-only --
@@ -279,8 +282,9 @@ object ExtQueries {
 
     "q_percentiles" ->
       s"""SELECT l_returnflag,
-         |  list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-         |                 x -> ${sqlRound("x", 4)}) AS price_quartiles
+         |  ${sqlRound("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,
+         |  ${sqlRound("quantile_cont(l_extendedprice, 0.50)", 4)} AS p50,
+         |  ${sqlRound("quantile_cont(l_extendedprice, 0.75)", 4)} AS p75
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_similarity_cosine" -> {

@@ -219,8 +219,8 @@ object RelQueries {
          |              ELSE 0 END AS is_new
          |  FROM p)
          |SELECT user_id, event_id,
-         |       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                         ROWS UNBOUNDED PRECEDING) AS session_id
+         |       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     "q_pivot" -> {
