@@ -23,13 +23,23 @@ object Upsert {
     existing.unionByName(incoming)
 
   /** L3: upsert: rows from `incoming` replace same-key rows in `existing`.
-    * Key = PK columns; priority column is synthesized internally. */
+    * Key = PK columns; priority column is synthesized internally.
+    *
+    * Determinism: after source priority, ties (duplicate PK rows within
+    * one side) are broken by the full non-key row value (struct compare,
+    * descending), never by physical row order — so the output is a pure
+    * function of the input *sets*, stable across partitionings and
+    * re-runs. (The reference's ON CONFLICT applies rows in statement
+    * order; DataFrames have no statement order to inherit.) */
   def upsert(existing: DataFrame, incoming: DataFrame,
              keys: Seq[String]): DataFrame = {
     val cols = existing.columns.toSeq
+    val rest = cols.filterNot(keys.contains)
     val unioned = existing.withColumn("_src", lit(0))
       .unionByName(incoming.select(cols.map(col): _*).withColumn("_src", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)
+    val tie = if (rest.nonEmpty) Seq(struct(rest.map(col): _*).desc) else Nil
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_src").desc +: tie: _*)
     unioned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(cols.map(col): _*)

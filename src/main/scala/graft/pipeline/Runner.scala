@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.meta.AuditLog
@@ -22,11 +23,44 @@ import graft.state.Checkpoint
   * log, mirroring the reference's two try/except domains. Operators stay
   * pure `DataFrame => DataFrame`; only this runner touches storage.
   *
-  * Scale: the incremental path reads only `orderCol >= watermark` — with
-  * the target partitioned/sorted on the order column that predicate
-  * prunes files, so a daily run touches one day of data, not 100 TB.
+  * Scale design (the part the reference's row-store never had to solve):
+  *  - The target is **partitioned by `dt`** (the date of the order
+  *    column). An incremental run reads only the partitions at/after the
+  *    watermark date (partition pruning), upserts the batch into that
+  *    overlap slice, and writes back with **dynamic partition
+  *    overwrite** — only the partitions present in the merged batch are
+  *    replaced. A daily run against a 100 TB target therefore touches
+  *    one or two date partitions, never the full table.
+  *  - All storage access goes through the Hadoop `FileSystem` API, so
+  *    the same runner works on local FS, HDFS, and S3A.
+  *  - The merged overlap is staged to a side directory before the
+  *    overwrite (Spark refuses, correctly, to overwrite a path it is
+  *    reading), and partition replacement is done by Spark's committer —
+  *    there is no delete-then-rename window that could lose the target.
+  *
+  * Contract: the PK `keys` must functionally determine the order column
+  * (in the reference, `timestamp` IS part of the PK,
+  * assets/assets.py:150-164), so a key can never move between date
+  * partitions and per-partition overwrite preserves upsert semantics.
   */
 class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
+
+  private def fs(path: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Derived date partition column: first 10 chars of the ISO order
+    * column (string or timestamp), as a DATE so it round-trips through
+    * partition-directory type inference unchanged. */
+  private def withDt(df: DataFrame, orderCol: String): DataFrame =
+    df.withColumn("dt", to_date(substring(col(orderCol).cast("string"), 1, 10)))
+
+  private def writePartitioned(df: DataFrame, targetPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt")
+      .parquet(targetPath)
 
   /** One incremental load round. `source` is the already-extracted batch
     * (the reference's API extract); returns rows now in the target. */
@@ -34,26 +68,35 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
                       keys: Seq[String], orderCol: String): Long = {
     try {
       audit.log(s"$table: load starting")
-      val exists = new java.io.File(targetPath).exists()
-      val batch = checkpoint.get(table) match {
+      val (hfs, tpath) = fs(targetPath)
+      val exists = hfs.exists(tpath)
+      val batchWm = checkpoint.get(table) match {
         case Some(wm) if exists =>
           // inclusive re-extraction from the watermark's date, like the
           // reference's start=checkpoint_date[:10] slice
           val fromDate = wm.substring(0, 10)
-          source.filter(col(orderCol) >= lit(fromDate))
-        case _ => source
+          val batch = withDt(source.filter(col(orderCol) >= lit(fromDate)), orderCol)
+          // only the overlap partitions of the target are read (pruned
+          // on the dt partition column) and only they are rewritten
+          val overlap = spark.read.parquet(targetPath)
+            .filter(col("dt") >= to_date(lit(fromDate)))
+          val merged = Upsert.upsert(overlap, batch, keys)
+          // stage the merged overlap, then dynamically overwrite just
+          // those partitions from the staged copy
+          val stage = targetPath + ".stage"
+          merged.write.mode(SaveMode.Overwrite).parquet(stage)
+          writePartitioned(spark.read.parquet(stage), targetPath)
+          val (sfs, spath) = fs(stage)
+          sfs.delete(spath, true)
+          batch.agg(max(col(orderCol).cast("string"))).collect()(0).getString(0)
+        case _ =>
+          val batch = withDt(source, orderCol)
+          writePartitioned(batch, targetPath)
+          batch.agg(max(col(orderCol).cast("string"))).collect()(0).getString(0)
       }
-      val merged =
-        if (exists) Upsert.upsert(spark.read.parquet(targetPath), batch, keys)
-        else batch
-      // write via temp + swap so the overwrite never reads its own input
-      val tmp = targetPath + ".tmp"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val target = new java.io.File(targetPath)
-      if (target.exists()) scala.reflect.io.Directory(target).deleteRecursively()
-      new java.io.File(tmp).renameTo(target)
-      val wm = spark.read.parquet(targetPath)
-        .agg(max(col(orderCol).cast("string"))).collect()(0).getString(0)
+      // watermark advances monotonically; an empty batch leaves it alone
+      val wm = (checkpoint.get(table).toSeq ++ Option(batchWm).toSeq)
+        .sorted.lastOption.orNull
       if (wm != null) checkpoint.save(table, wm)
       val n = spark.read.parquet(targetPath).count()
       audit.log(s"$table: load complete, $n rows, watermark $wm")

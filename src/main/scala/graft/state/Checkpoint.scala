@@ -18,10 +18,13 @@ class Checkpoint(spark: SparkSession, dir: String) {
   private def path(table: String) = s"$dir/table_name=$table"
 
   /** Latest watermark for `table`, if any
-    * (reference: utilities/utilities.py:8-22). */
+    * (reference: utilities/utilities.py:8-22). Existence is probed via
+    * the Hadoop FileSystem API so the state store works on any
+    * supported storage (local, HDFS, S3A), not just the local FS. */
   def get(table: String): Option[String] = {
-    val p = new java.io.File(path(table))
-    if (!p.exists()) None
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
     else spark.read.parquet(p.toString)
       .agg(max(col("latest_timestamp"))).collect()(0).getString(0) match {
       case null => None

@@ -50,6 +50,43 @@ class RunnerSpec extends SparkSpec {
     assert(audit.read().filter($"log_message".contains("load complete")).count() == 3)
   }
 
+  test("incremental run rewrites only overlap partitions (dynamic overwrite)") {
+    val dir = tmpDir()
+    val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"),
+      new AuditLog(spark, s"$dir/audit"))
+    val target = s"$dir/bars"
+    val keys = Seq("stock", "timestamp")
+
+    runner.loadIncremental(
+      Seq(("TSLA", "2025-10-01T10:00:00Z", 252.0),
+          ("TSLA", "2025-10-02T10:00:00Z", 262.0))
+        .toDF("stock", "timestamp", "close"),
+      target, "bars", keys, "timestamp")
+
+    // the target is date-partitioned
+    val p1 = new java.io.File(s"$target/dt=2025-10-01")
+    assert(p1.isDirectory, "target must be partitioned by dt")
+    def files(d: java.io.File): Map[String, Long] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = files(p1)
+    assert(before.nonEmpty)
+
+    // watermark is 2025-10-02: this batch overlaps day 2 and adds day 3,
+    // so the day-1 partition must not be rewritten
+    runner.loadIncremental(
+      Seq(("TSLA", "2025-10-02T10:00:00Z", 263.0),
+          ("TSLA", "2025-10-03T10:00:00Z", 270.0))
+        .toDF("stock", "timestamp", "close"),
+      target, "bars", keys, "timestamp")
+
+    assert(files(p1) == before, "day-1 partition files were rewritten")
+    val out = spark.read.parquet(target)
+    assert(out.count() == 3)
+    assert(out.filter($"timestamp".startsWith("2025-10-02"))
+      .select("close").as[Double].head() == 263.0)
+  }
+
   test("analysis stage is isolated: failure logs but does not throw") {
     val dir = tmpDir()
     val audit = new AuditLog(spark, s"$dir/audit")
