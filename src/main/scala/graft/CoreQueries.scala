@@ -53,6 +53,35 @@ object CoreQueries {
     "q_scan_csv_project" -> ((s, dir) =>
       t(s, dir, "nation").select("n_name").orderBy("n_name")),
 
+    // S1: the JSON bars-payload scan — events are shaped into the
+    // reference's raw API payload {"bars": {sym: [bar...]}} and landed as
+    // a JSON file, then read back through the real source path
+    // (schema-pinned json scan -> map explode -> rename;
+    // reference: alpaca_api.py:25-38 + assets.py:54-91). The oracle
+    // recomputes the same rows straight from events, so the whole JSON
+    // round-trip is value-checked without the oracle seeing the file.
+    "q_scan_json_bars" -> ((s, dir) => {
+      val bar = struct(
+        (col("value") + lit(1.0)).as("c"),
+        (col("value") * lit(2.0)).as("h"),
+        (col("value") / lit(2.0)).as("l"),
+        col("event_id").as("n"),
+        col("value").as("o"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("t"),
+        col("user_id").as("v"),
+        col("value").as("vw"))
+      val payload = t(s, dir, "events")
+        .groupBy(col("event_type")).agg(collect_list(bar).as("arr"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("arr"))))
+          .as("bars"))
+        .select(to_json(struct(col("bars"))).as("payload"))
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_bars_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      payload.coalesce(1).write.mode("overwrite").text(path)
+      graft.io.JsonSource.readBars(s, path)
+        .orderBy("stock", "number_of_trades")
+    }),
+
     // F2/F6: bulk rename + canonical projection.
     "q_project_rename" -> ((s, dir) =>
       Restructure.project(
@@ -227,6 +256,16 @@ object CoreQueries {
 
     "q_scan_csv_project" ->
       "SELECT n_name FROM nation ORDER BY n_name",
+
+    "q_scan_json_bars" ->
+      s"""WITH $evCte
+         |SELECT event_type AS stock,
+         |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS "timestamp",
+         |  value AS open, value * 2.0 AS high, value / 2.0 AS low,
+         |  value + 1.0 AS close, user_id AS volume,
+         |  value AS volume_weighted_avg_price,
+         |  event_id AS number_of_trades
+         |FROM ev ORDER BY stock, number_of_trades""".stripMargin,
 
     "q_project_rename" ->
       """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
