@@ -129,28 +129,7 @@ object RelQueries {
     "q_full_analysis_sql" -> ((s, dir) => {
       t(s, dir, "events").select("event_type", "event_id", "ts", "value")
         .createOrReplaceTempView("ev_sql")
-      def r(expr: String, n: Int): String = {
-        val f = s"${math.pow(10, n).toLong}.0"
-        s"((CAST(CASE WHEN ($expr) < 0 THEN -floor((-($expr))*$f + 0.5) " +
-          s"ELSE floor(($expr)*$f + 0.5) END AS DOUBLE) / $f + 0.0))"
-      }
-      val ret = r("(value - prev_value) / nullif(prev_value, 0.0)", 3)
-      s.sql(
-        s"""WITH prev AS (
-           |  SELECT event_type, event_id, ts, CAST(ts AS DATE) AS dt, value,
-           |         LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_value
-           |  FROM ev_sql),
-           |ret AS (
-           |  SELECT *, $ret AS daily_return FROM prev)
-           |SELECT event_type, event_id, dt, value, prev_value, daily_return,
-           |       ${r("daily_return * 100", 1)} AS daily_return_pct,
-           |       ${r("AVG(value) OVER w", 2)} AS moving_avg_5,
-           |       ${r("STDDEV_SAMP(daily_return) OVER w", 2)} AS stddev_5
-           |FROM ret
-           |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-           |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-           |ORDER BY event_type, ts, event_id""".stripMargin)
-        .drop("ts")
+      s.sql(AnalysisSql.flagshipSql("ev_sql")).drop("ts")
     })
   )
 

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S5: the templated-SQL directory runner — the reference's analysis
+  * extensibility mechanism: every `.sql` template in a directory is
+  * rendered and executed against the engine, in order
+  * (reference: etl_project/assets/assets.py:166-170, wired at
+  * pipelines/stock_bars.py:127-129 over assets/sql/transform/).
+  *
+  * Spark-first shape: files are listed and read through the Hadoop
+  * `FileSystem` API (local/HDFS/S3A alike), rendered with simple
+  * `{{ var }}` substitution (the subset of Jinja the reference's
+  * templates actually use — its only template renders with no
+  * variables), split into statements, and run through `spark.sql` —
+  * so a script's CTAS/INSERT goes through Catalyst like any other
+  * plan, with pushdown and AQE intact.
+  */
+object SqlScripts {
+
+  /** `.sql` files under `dir` in filename order (the reference relies on
+    * Jinja's sorted `list_templates()` ordering). */
+  def listScripts(spark: SparkSession, dir: String): Seq[Path] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(d).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".sql"))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath)
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private val Var = raw"\{\{\s*([A-Za-z0-9_]+)\s*\}\}".r
+
+  /** Render `{{ name }}` placeholders; unknown names fail fast. */
+  def render(template: String, vars: Map[String, String]): String =
+    Var.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        vars.getOrElse(m.group(1),
+          sys.error(s"unbound template variable: ${m.group(1)}"))))
+
+  /** Split a script into statements on top-level `;` (quote-aware; `--`
+    * line comments are stripped first so a quoted or commented semicolon
+    * never splits). */
+  def splitStatements(sql: String): Seq[String] = {
+    val noComments = sql.linesIterator
+      .map { line =>
+        // strip -- comments, but not inside a single-quoted literal
+        var inQ = false
+        val cut = line.indices.find { i =>
+          if (line(i) == '\'') { inQ = !inQ; false }
+          else !inQ && line(i) == '-' && i + 1 < line.length && line(i + 1) == '-'
+        }
+        cut.map(line.substring(0, _)).getOrElse(line)
+      }
+      .mkString("\n")
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    noComments.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ';' if !inQ => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Run every script in `dir` in filename order; returns the result of
+    * the last statement of each file, keyed by filename. */
+  def run(spark: SparkSession, dir: String,
+          vars: Map[String, String] = Map.empty): Seq[(String, DataFrame)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    listScripts(spark, dir).map { p =>
+      val fs = p.getFileSystem(conf)
+      val stmts = splitStatements(render(readFully(fs, p), vars))
+      require(stmts.nonEmpty, s"empty sql script: $p")
+      p.getName -> stmts.map(spark.sql).last
+    }
+  }
+}
