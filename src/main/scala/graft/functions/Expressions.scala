@@ -136,6 +136,44 @@ object Expressions {
         s"${ev.value} = graft.functions.Kernels.chunkKeys($a, $chunks);")
   }
 
+  /** IVF cluster assignment: index of the max-cosine centroid for a
+    * float vector, against a centroid matrix carried in the expression
+    * (driver-trained, ~sqrt(corpus) rows — small enough to ship with the
+    * plan). One kernel pass per row; building an array of per-centroid
+    * cosines in the plan instead would be re-evaluated per reference
+    * (argmax = array_position + array_max reads it twice). */
+  case class ArgMaxCosine(child: Expression, cents: Array[Array[Float]])
+      extends UnaryExpression {
+    // input: array<float> vector
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.argmaxCosine(input.asInstanceOf[ArrayData].toFloatArray(), cents)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.argmaxCosine(" +
+          s"$a.toFloatArray(), $centsRef);")
+    }
+  }
+
+  /** Permuted-block table keys for SimHash banding at radius >= 4 (see
+    * [[Kernels.permTableKeys]]): C(m, keep) keys per signature, exact
+    * recall for Hamming <= m - keep with a keep*64/m-bit keyspace. */
+  case class PermTableKeys(child: Expression, m: Int, keep: Int)
+      extends UnaryExpression {
+    // input: long simhash signature
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.permTableKeys(input.asInstanceOf[Long], m, keep)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.permTableKeys($a, $m, $keep);")
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector (Charikar, STOC'02):
     * `bits` pseudo-random Rademacher (+/-1) hyperplanes, weights derived
     * deterministically from (plane, dim) via FNV mixing — no stored
@@ -189,4 +227,8 @@ object Expressions {
     column(BandKeys(expression(sig), bands))
   def chunk_keys(sig: Column, chunks: Int): Column =
     column(ChunkKeys(expression(sig), chunks))
+  def perm_table_keys(sig: Column, m: Int, keep: Int): Column =
+    column(PermTableKeys(expression(sig), m, keep))
+  def argmax_cosine(vec: Column, cents: Array[Array[Float]]): Column =
+    column(ArgMaxCosine(expression(vec), cents))
 }

@@ -103,6 +103,61 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Index of the max-cosine centroid for `v` (first max wins). One pass
+    * over the centroid matrix — the IVF assignment hot loop. */
+  def argmaxCosine(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val s = cosine(v, cents(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** All `keep`-element subsets of 0..m-1 in lexicographic order
+    * (cached): the block-combination tables for SimHash banding. */
+  private val subsetCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Int]]]()
+  def blockSubsets(m: Int, keep: Int): Array[Array[Int]] =
+    subsetCache.computeIfAbsent(m << 8 | keep, _ =>
+      (0 until m).combinations(keep).map(_.toArray).toArray)
+
+  /** Permuted-block SimHash table keys (Manku/Jain/Sarma, WWW'07 shape):
+    * the signature is split into `m` blocks; for every `keep`-subset of
+    * block positions one table key is emitted (FNV mix of the subset id
+    * and the selected blocks' bits). A pair within Hamming distance
+    * m - keep corrupts at most m - keep blocks, so at least `keep`
+    * blocks survive intact and SOME table key matches — banding recall
+    * is exact for that radius, with a `keep * 64/m`-bit keyspace per
+    * table instead of the single-chunk scheme's `64/(h+1)` bits. */
+  def permTableKeys(sig: Long, m: Int,
+      keep: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val width = 64 / m
+    val blocks = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val w = if (j == m - 1) 64 - j * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      blocks(j) = (sig >>> (j * width)) & mask
+      j += 1
+    }
+    val subsets = blockSubsets(m, keep)
+    val out = new Array[Long](subsets.length)
+    var t = 0
+    while (t < subsets.length) {
+      var h = 0xcbf29ce484222325L
+      h ^= t; h *= 0x100000001b3L
+      val s = subsets(t)
+      var i = 0
+      while (i < s.length) { h ^= blocks(s(i)); h *= 0x100000001b3L; i += 1 }
+      out(t) = h
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Codegen entry point: token ArrayData -> SimHash64 signature. */
   def simhashFromArrayData(
       arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {

@@ -24,6 +24,12 @@ object Tables {
     // to a microsecond timestamp with integer arithmetic (the data is
     // µs-precision, so `div 1000` is lossless; double math would not be,
     // ns epochs exceed 2^53). The DuckDB oracle casts ns -> µs the same way.
+    //
+    // The nanosAsLong conf is set session-wide ON PURPOSE and not
+    // restored: the physical scan consults it at planning/execution, not
+    // at DataFrame creation, so save-and-restore here would break the
+    // deferred read. Engine-wide contract: ns-precision parquet columns
+    // surface as Long and callers convert explicitly (as done here).
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding.roundHalfUp
-import graft.functions.Expressions.{band_keys, chunk_keys, minhash_sig, simhash64}
+import graft.functions.Expressions.{band_keys, chunk_keys, minhash_sig, perm_table_keys, simhash64}
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram
@@ -86,24 +86,34 @@ object DedupOps {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** SimHash near-duplicate pairs: 64-bit signature, banded into
-    * maxHamming+1 chunks (pigeonhole: hamming <= chunks-1 implies at
-    * least one chunk is equal, so banding recall is exact for the
-    * requested radius), verified with bit_count on the XOR.
+  /** SimHash near-duplicate pairs: 64-bit signature, LSH-banded with
+    * exact recall for the requested radius, verified with bit_count on
+    * the XOR of candidate signatures.
     *
-    * Selectivity: each chunk key has 64/(maxHamming+1) bits, so the
-    * per-chunk keyspace must comfortably exceed the corpus size or
-    * buckets saturate and candidate generation goes quadratic —
-    * radius 3-4 (16/12-bit keys) is the scale-sane regime; for larger
-    * radii at large corpus sizes use repeated permuted tables instead. */
+    * Banding scheme by radius (both are pigeonhole-exact):
+    *  - radius <= 3: the signature split into maxHamming+1 chunks —
+    *    hamming <= chunks-1 implies at least one equal chunk. Chunk keys
+    *    carry 64/(h+1) >= 16 bits: keyspace comfortably exceeds even
+    *    billion-doc corpora, so buckets stay small.
+    *  - radius >= 4: single-chunk keys would shrink to <= 12.8 bits —
+    *    at large corpus sizes every bucket saturates, the cap drops
+    *    them, and recall silently collapses. Instead: permuted-block
+    *    tables (Manku/Jain/Sarma, WWW'07) — m = h+2 blocks, one table
+    *    per 2-subset of blocks (C(h+2,2) tables), key = the two intact
+    *    blocks (2*64/(h+2) bits, e.g. 21 bits at h=4). Any pair within
+    *    radius h leaves >= 2 blocks intact, so some table matches.
+    *    Table count grows quadratically in h — radius <= 6 is the
+    *    scale-sane regime at billions of docs. */
   def simhashDupPairs(df: DataFrame, text: String, id: String,
                       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    require(maxHamming < 16, "maxHamming must leave chunks of >= 4 bits")
-    val chunks = maxHamming + 1
+    require(maxHamming < 16, "maxHamming must leave blocks of >= 3 bits")
+    val keys =
+      if (maxHamming <= 3) chunk_keys(col("sig"), maxHamming + 1)
+      else perm_table_keys(col("sig"), maxHamming + 2, 2)
     val sigs = df.select(col(id),
       simhash64(split(col(text), " ")).as("sig"))
     val banded = sigs.select(col(id), col("sig"),
-      posexplode(chunk_keys(col("sig"), chunks)).as(Seq("chunk", "ckey")))
+      posexplode(keys).as(Seq("chunk", "ckey")))
     val buckets = banded.groupBy("chunk", "ckey")
       .agg(collect_list(struct(col(id), col("sig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))

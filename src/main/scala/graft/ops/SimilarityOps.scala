@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Expressions.{cosine_sim, hyperplane_lsh}
@@ -9,16 +9,25 @@ import graft.functions.Rounding.roundHalfUp
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star extension, SURVEY §7.4).
   *
-  * Two paths:
+  * Three paths:
   *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
   *    the full corpus; one map-side pass, per-query top-k via window
   *    rank. The corpus is never shuffled; at 100 TB the cost is one scan.
   *    Cosine is a native codegen'd Catalyst expression
   *    ([[graft.functions.Expressions.CosineSim]]) — primitive float loop,
   *    no HOF boxing.
-  *  - [[lshTopK]]: the scale path — random-hyperplane LSH buckets both
-  *    sides; queries only compare against same-bucket candidates
-  *    (expected corpus_fraction ~ 2^-bits per bucket). Recall < 1 by
+  *  - [[ivfTopK]]: IVF-Flat (the FAISS billion-scale layout) — spherical
+  *    k-means centroids partition the corpus; a query scans only the
+  *    `nprobe` nearest clusters. Centroid training is a separate,
+  *    cacheable step ([[buildIvfIndex]]): a deterministic sample is
+  *    collected and Lloyd-iterated on the driver (the standard practice —
+  *    FAISS trains on a sample too), so no distributed iteration and no
+  *    per-query training cost; `nlist` defaults to ~sqrt(corpus).
+  *  - [[lshTopK]]: random-hyperplane LSH buckets both sides; queries only
+  *    compare against same-bucket candidates. `bits` defaults to
+  *    log2(corpus / targetBucket): the keyspace scales with the corpus,
+  *    so buckets stay ~targetBucket-sized at any scale instead of a
+  *    fixed 2^8 keyspace turning into straggler buckets. Recall < 1 by
   *    construction; verified against brute force in tests. Multi-probe
   *    (flipping one bit) widens recall at 1+bits probes per query.
   */
@@ -38,39 +47,89 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim", "rk")
   }
 
-  /** IVF (inverted-file) ANN: k-means centroids partition the corpus;
-    * a query searches only the `nprobe` clusters whose centroids are
-    * nearest. The standard billion-scale ANN layout (FAISS IVF-Flat):
-    * at 100 TB the cluster assignment is a one-off batch job and each
-    * query touches corpus_size * nprobe / nlist vectors. Deterministic
-    * via fixed k-means seed.
-    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, vec: String,
-              id: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  /** A built IVF index: the corpus with cluster assignments, plus the
+    * (tiny) centroid table. Build once, search many times; `assigned`
+    * can be persisted/bucketed by `cluster` for repeated serving. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
+                            nlist: Int)
+
+  /** Deterministic spherical k-means on a driver-collected sample.
+    * Init = first nlist sample points; assignment by max cosine;
+    * centroids re-normalized each iteration. Sample order is pinned by
+    * hashing ids, so the index is identical across runs/partitionings. */
+  private def trainCentroids(corpus: DataFrame, vec: String, id: String,
+                             nlist: Int, sampleSize: Int,
+                             iters: Int): Array[Array[Float]] = {
+    val sample = corpus
+      .select(col(vec), xxhash64(col(id).cast("string")).as("_h"))
+      .orderBy(col("_h"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= nlist,
+      s"sample (${sample.length}) smaller than nlist ($nlist)")
+    def normalize(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v.map(_.toFloat) else v.map(x => (x / n).toFloat)
+    }
+    var cents = sample.take(nlist).map(v => normalize(v.map(_.toDouble)))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue
+        var c = 0
+        while (c < nlist) {
+          val sim = graft.functions.Kernels.cosine(v, cents(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c)))
+    }
+    cents
+  }
+
+  /** Build the IVF index: train centroids on a sample, then assign every
+    * corpus vector to its max-cosine centroid in one codegen'd map pass
+    * (no shuffle — at 100 TB this is a single scan; persist/bucket the
+    * result by `cluster` to serve queries repeatedly). */
+  def buildIvfIndex(corpus: DataFrame, vec: String, id: String,
+                    nlist: Int = 0, sampleSize: Int = 4096,
+                    iters: Int = 8): IvfIndex = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("nvec"))
-      .withColumn("fvec", array_to_vector(col("nvec")))
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fvec").setPredictionCol("cluster")
-    val model = km.fit(c)
-    val assigned = model.transform(c).select(col("neighbor_id"), col("nvec"),
-      col("cluster"))
-    // centroids -> a small broadcast table of (cluster, centroid array<float>)
     import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("nvec"))
+    val n = if (nlist > 0) nlist
+      else math.max(4, math.min(1024, math.sqrt(corpus.count()).toInt))
+    val cents = trainCentroids(corpus, vec, id, n, math.max(sampleSize, n * 8), iters)
+    val centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }
       .toSeq.toDF("cluster", "centroid")
+    // one-pass native argmax over the centroid matrix (first max wins —
+    // deterministic); a plan-level array-of-cosines argmax would
+    // re-evaluate all nlist cosines per column reference
+    val assigned = c.withColumn("cluster",
+      graft.functions.Expressions.argmax_cosine(col("nvec"), cents))
+    IvfIndex(assigned, centDf, n)
+  }
+
+  /** Search a built index: route each query to its `nprobe` max-cosine
+    * centroids (broadcast centroid table), then brute-force only those
+    * clusters' members. Cost per query ~ corpus * nprobe / nlist. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, vec: String,
+                id: String, k: Int, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("qvec"))
-    // nprobe nearest centroids per query
-    val qProbes = q.crossJoin(broadcast(cents))
+    val qProbes = q.crossJoin(broadcast(index.centroids))
       .withColumn("csim", cosine_sim(col("qvec"), col("centroid")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster"))))
       .filter(col("crk") <= nprobe)
       .select("query_id", "qvec", "cluster")
-    val scored = assigned.join(broadcast(qProbes), Seq("cluster"))
+    val scored = index.assigned.join(broadcast(qProbes), Seq("cluster"))
       .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -79,14 +138,27 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim", "rk")
   }
 
+  /** Convenience: build + search in one call. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vec: String,
+              id: String, k: Int, nlist: Int = 0, nprobe: Int = 4): DataFrame =
+    ivfSearch(buildIvfIndex(corpus, vec, id, nlist), queries, vec, id, k, nprobe)
+
+  /** Keyspace sized to the corpus: ~targetBucket vectors per bucket. */
+  private def autoBits(n: Long, targetBucket: Long = 128L): Int =
+    math.max(8, math.min(24,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+
   /** LSH-bucketed ANN: compare only within matching hyperplane buckets
-    * (plus one-bit-flip multi-probe on the query side for recall). */
+    * (plus one-bit-flip multi-probe on the query side for recall).
+    * `bits = 0` (default) derives the keyspace from the corpus size. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vec: String,
-              id: String, k: Int, bits: Int = 8): DataFrame = {
+              id: String, k: Int, bits: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(corpus.count())
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("nvec"),
-      hyperplane_lsh(col(vec), bits).as("bucket"))
-    val base = hyperplane_lsh(col("qvec"), bits)
-    val probes = array((0 to bits).map { j =>
+      hyperplane_lsh(col(vec), b).as("bucket"))
+    val base = hyperplane_lsh(col("qvec"), b)
+    val probes = array((0 to b).map { j =>
       if (j == 0) base else base.bitwiseXOR(lit(1 << (j - 1)))
     }: _*)
     val q = queries.select(col(id).as("query_id"), col(vec).as("qvec"))

@@ -22,6 +22,15 @@ object Upsert {
   def insert(existing: DataFrame, incoming: DataFrame): DataFrame =
     existing.unionByName(incoming)
 
+  /** L2: OVERWRITE — the target's new contents are exactly `incoming`
+    * (reference: connectors/postgresql.py:75-77, drop-and-recreate,
+    * tested at test_postgresql.py:86-108). As a set operator this is the
+    * identity on `incoming`; at the storage layer it is
+    * `SaveMode.Overwrite` (all-partition replace) — see UpsertSpec for
+    * the storage-level semantics test. */
+  def overwrite(existing: DataFrame, incoming: DataFrame): DataFrame =
+    incoming
+
   /** L3: upsert: rows from `incoming` replace same-key rows in `existing`.
     * Key = PK columns; priority column is synthesized internally.
     *

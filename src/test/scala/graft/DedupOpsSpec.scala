@@ -54,6 +54,45 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 4L)))
   }
 
+  test("permuted-block keys: any pair within radius shares a table key") {
+    // pigeonhole property of the Manku-style tables, checked exhaustively
+    // over seeded random signatures and bit-flip sets
+    val rnd = new scala.util.Random(7)
+    for (h <- Seq(4, 6, 12)) {
+      val m = h + 2
+      for (_ <- 0 until 200) {
+        val sig = rnd.nextLong()
+        val flipped = (0 until 64).toArray
+        val nFlips = 1 + rnd.nextInt(h)
+        var mutated = sig
+        rnd.shuffle(flipped.toSeq).take(nFlips)
+          .foreach(b => mutated ^= (1L << b))
+        val ka = graft.functions.Kernels.permTableKeys(sig, m, 2).toLongArray()
+        val kb = graft.functions.Kernels.permTableKeys(mutated, m, 2).toLongArray()
+        assert(ka.indices.exists(i => ka(i) == kb(i)),
+          s"radius-$h pair with $nFlips flips shares no table key")
+      }
+    }
+  }
+
+  test("simhash radius>=4 recall survives a 10x larger corpus") {
+    // the planted near-dup pairs must still surface when the corpus is
+    // padded with 10x unrelated docs (the regime where narrow chunk
+    // keyspaces saturate buckets and silently drop recall)
+    val rnd = new scala.util.Random(13)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val noise = (0 until 50).map { i =>
+      (1000L + i, Seq.fill(60)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val big = corpus.unionByName(noise.toDF("doc_id", "text"))
+    val pairs = DedupOps.simhashDupPairs(big, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
   test("shingles: fewer tokens than width -> empty array, no crash") {
     val out = Seq((1L, "one two")).toDF("doc_id", "text")
       .select(DedupOps.shingles($"text", 3).as("sh"))

@@ -1,0 +1,76 @@
+package graft
+
+/** Plan-shape regression tests: the physical plans the scale story
+  * depends on, asserted so a refactor cannot silently trade them away.
+  * (Formatted explain is used because AQE wraps executed plans.)
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(key: String): String =
+    SparkEntry.queries(key)(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  /** Count physical nodes by their formatted-detail header "(n) Name" —
+    * the tree section repeats each node, so substring counts double. */
+  private def count(plan: String, node: String): Int =
+    plan.linesIterator.count(_.matches(raw"\(\d+\) $node( .*)?"))
+
+  test("flagship: all window columns share ONE exchange") {
+    val p = planOf("q_full_analysis")
+    // one shuffle for the series key; the final orderBy adds range
+    // partitioning — nothing else may shuffle
+    assert(count(p, "Exchange") <= 2, s"flagship grew extra exchanges:\n$p")
+    assert(count(p, "Window") >= 1)
+  }
+
+  test("q_join_enrich: dimension join broadcasts, never sort-merges") {
+    val p = planOf("q_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), s"broadcast join lost:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join sort-merges:\n$p")
+  }
+
+  test("filters push into the parquet scan") {
+    val p = planOf("q_filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("projection prunes the scan schema") {
+    val p = planOf("q_project_rename")
+    // lineitem has 16 columns; the scan must read only the 5 projected
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$p"))
+    val cols = read.count(_ == ':') - 1 // "ReadSchema: struct<a:t,b:t,...>"
+    assert(cols == 5, s"scan reads $cols columns, want 5: $read")
+  }
+
+  test("top-k is TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"topk plans a full sort:\n$p")
+  }
+
+  test("exact dedup shuffles the digest, not the text") {
+    val p = planOf("q_dedup_exact")
+    // the exchange key is the 32-byte sha2 digest; document text must
+    // not appear in any exchange's output schema
+    assert(p.contains("sha2"), p)
+    assert(count(p, "Exchange") <= 3, s"dedup grew extra exchanges:\n$p")
+  }
+
+  test("incremental watermark filter prunes with pushdown") {
+    // on a natively-typed order column the watermark predicate reaches
+    // the scan (events.ts is a ns->µs conversion, so its filter runs
+    // post-scan by construction — the Runner target contract instead
+    // prunes on the dt partition column)
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = graft.ops.Restructure.filterFrom(
+      graft.io.Tables.read(spark, sf, "lineitem"), "l_shipdate",
+      lit("1995-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual"),
+      s"watermark filter not pushed:\n$p")
+  }
+}

@@ -52,6 +52,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: planted partners recalled; index reusable across queries") {
+    val df = planted
+    val idx = SimilarityOps.buildIvfIndex(df, "embedding", "vec_id", nlist = 8)
+    assert(idx.centroids.count() == 8)
+    // every corpus vector is assigned to exactly one cluster
+    assert(idx.assigned.count() == df.count())
+    val out = SimilarityOps.ivfSearch(idx, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3, nprobe = 4).collect()
+    for (q <- 0L until 5L) {
+      val rows = out.filter(_.getLong(0) == q).sortBy(_.getInt(3))
+      assert(rows.nonEmpty && rows(0).getLong(1) == q, s"query $q lost itself")
+      assert(rows.exists(_.getLong(1) == 100L + q),
+        s"query $q lost its planted near-duplicate")
+    }
+    // the same index serves a second query set without retraining
+    val out2 = SimilarityOps.ivfSearch(idx,
+      df.filter($"vec_id" >= 100 && $"vec_id" < 105),
+      "embedding", "vec_id", k = 1, nprobe = 2)
+    assert(out2.count() == 5)
+  }
+
+  test("IVF index is deterministic across builds") {
+    val df = planted
+    val a = SimilarityOps.buildIvfIndex(df, "embedding", "vec_id", nlist = 8)
+      .assigned.select("neighbor_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = SimilarityOps.buildIvfIndex(df.repartition(7), "embedding", "vec_id",
+      nlist = 8)
+      .assigned.select("neighbor_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
   test("LSH ANN: full recall of near-identical partners; subset of brute scores") {
     val df = planted
     val out = SimilarityOps.lshTopK(df, df.filter($"vec_id" < 5),

@@ -37,6 +37,36 @@ class UpsertSpec extends SparkSpec {
     assert(tsla == 260.0)
   }
 
+  test("overwrite: target holds exactly the new rows (test_postgresql.py:86-108)") {
+    val dir = tmpDir() + "/bars"
+    bars.write.mode("overwrite").parquet(dir)
+    val newData = Seq(
+      ("GOOG", "Alphabet Inc", "2025-10-01T10:00:00Z", 2800.0, 2820.0, 2780.0,
+        2810.0, 600000L, 2805.0, 3000L)
+    ).toDF(bars.columns: _*)
+    Upsert.overwrite(spark.read.parquet(dir), newData)
+      .write.mode("overwrite").parquet(dir + ".new")
+    // (write to a sibling then swap stands in for the committer's
+    // atomic replace; writing over a path being read is illegal)
+    val out = spark.read.parquet(dir + ".new")
+    assert(out.count() == 1)
+    assert(out.select("stock").as[String].head() == "GOOG")
+  }
+
+  test("upsert within-batch duplicates resolve deterministically (value order, not row order)") {
+    val dupBatch = Seq(
+      ("TSLA", "Tesla Inc", "2025-10-02T10:00:00Z", 1.0, 1.0, 1.0, 111.0, 1L, 1.0, 1L),
+      ("TSLA", "Tesla Inc", "2025-10-02T10:00:00Z", 1.0, 1.0, 1.0, 999.0, 1L, 1.0, 1L)
+    ).toDF(bars.columns: _*)
+    val a = Upsert.upsert(bars, dupBatch, Seq("stock", "timestamp"))
+      .filter($"timestamp" === "2025-10-02T10:00:00Z")
+      .select("close").as[Double].head()
+    val b = Upsert.upsert(bars, dupBatch.repartition(5), Seq("stock", "timestamp"))
+      .filter($"timestamp" === "2025-10-02T10:00:00Z")
+      .select("close").as[Double].head()
+    assert(a == b)
+  }
+
   test("upsert idempotence: applying the same batch twice == once") {
     val incoming = bars.withColumn("close", $"close" + 1.0)
     val once = Upsert.upsert(bars, incoming, Seq("stock", "timestamp"))
