@@ -124,6 +124,78 @@ object RelQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // §2.7 scalar-function breadth: string / conditional / date scalar
+    // functions over the part+orders tables, every one oracle-matched.
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          coalesce(nullif(col("p_type"), lit("ECONOMY")), lit("OTHER"))
+            .as("type_or_other"),
+          when(col("p_size") >= 25, "big")
+            .when(col("p_size") >= 10, "mid")
+            .otherwise("small").as("size_class"),
+          (col("p_retailprice") * 2).as("price_x2"))
+        .orderBy("p_partkey")),
+
+    // Date/interval arithmetic (cast chain + add/diff/extract).
+    "q_date_arith" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+          datediff(lit("1998-12-31").cast("date"), to_date(col("o_orderdate")))
+            .cast("long").as("days_to_end"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy("o_orderkey")),
+
+    // RANGE-framed window: rolling 1-hour event sum per user — the
+    // time-based frame the ROWS-framed analysis chain can't express.
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("hour_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("hour_n", count(lit(1)).over(w))
+        .select("user_id", "event_id", "hour_sum", "hour_n")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // LEAD / FIRST_VALUE / LAST_VALUE / NTH_VALUE with explicit frames.
+    "q_lead_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first_value(col("value")).over(wf).as("first_v"),
+          last_value(col("value")).over(wf).as("last_v"),
+          nth_value(col("value"), 2).over(wf).as("second_v"))
+        .drop("ts")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Correlated scalar subquery (decorrelated by Catalyst into a join).
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("ssq_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("ssq_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT max(l_quantity) FROM ssq_lineitem
+          |   WHERE l_orderkey = o_orderkey) AS max_qty
+          |FROM ssq_orders ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // S4: the flagship analysis as literal SQL through spark.sql over a
     // temp view — same semantics, same oracle as q_full_analysis.
     "q_full_analysis_sql" -> ((s, dir) => {
@@ -224,6 +296,64 @@ object RelQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  lower(p_type) AS type_l,
+        |  substring(p_name, 1, 8) AS name_pfx,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  coalesce(nullif(p_type, 'ECONOMY'), 'OTHER') AS type_or_other,
+        |  CASE WHEN p_size >= 25 THEN 'big'
+        |       WHEN p_size >= 10 THEN 'mid'
+        |       ELSE 'small' END AS size_class,
+        |  p_retailprice * 2 AS price_x2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d_plus30,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_range_frame" ->
+      s"""WITH $evCte,
+         |b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |             CAST(value AS DECIMAL(18,2)) AS dv
+         |      FROM ev)
+         |SELECT user_id, event_id,
+         |  CAST(sum(dv) OVER w AS DOUBLE) AS hour_sum,
+         |  CAST(count(*) OVER w AS BIGINT) AS hour_n
+         |FROM b
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_lead_first_last" ->
+      s"""WITH $evCte
+         |SELECT event_type, event_id, value,
+         |  lead(value, 1) OVER w AS next_value,
+         |  first_value(value) OVER wf AS first_v,
+         |  last_value(value) OVER wf AS last_v,
+         |  nth_value(value, 2) OVER wf AS second_v
+         |FROM ev
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+         |       wf AS (PARTITION BY event_type ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, event_id""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT max(l_quantity) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_qty
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_full_analysis_sql" -> CoreQueries.oracle("q_full_analysis")
   )

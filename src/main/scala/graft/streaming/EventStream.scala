@@ -34,6 +34,20 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Gap-based sessionization on an unbounded stream: the streaming twin
+    * of the batch `q_sessionize` key, expressed with Spark's native
+    * `session_window` (state closes when the watermark passes a
+    * session's gap — bounded memory, exactly the semantics of the batch
+    * 30-minute-idle rule). Emits one row per closed session. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total"))
+
   /** Per-key running stats via mapGroupsWithState: the streaming analogue
     * of the LAG/running analysis (last value, count, running total). */
   def runningStats(events: Dataset[Event]): Dataset[TypeStats] = {

@@ -32,6 +32,36 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
   }
 
+  test("session windows close on gap + watermark (streaming sessionization)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionWindows(mem.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: two events 5 min apart -> one session; user 2: one event
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(0), 2, "view", 8.0))
+    q.processAllAvailable()
+    // an event far in the future advances the watermark past the gap,
+    // closing all three sessions above
+    mem.addData(Event(4, Timestamp.valueOf("2024-01-01 02:00:00"), 3, "click", 0.0))
+    q.processAllAvailable()
+    val out = spark.table("sess_out")
+      .select("user_id", "n_events", "total").as[(Long, Long, Double)]
+      .collect().toSet
+    q.stop()
+    assert(out.contains((1L, 2L, 3.0)), s"user 1 session wrong: $out")
+    assert(out.contains((2L, 1L, 8.0)), s"user 2 session wrong: $out")
+    // and the session bounds honor the gap: start at first event,
+    // end = last event + gap
+    val u1 = spark.table("sess_out").filter($"user_id" === 1).head()
+    assert(u1.getAs[Timestamp]("session_start") == ts(0))
+    assert(u1.getAs[Timestamp]("session_end") == ts(35))
+  }
+
   test("mapGroupsWithState keeps running per-key stats across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
