@@ -162,6 +162,28 @@ object ExtQueries {
           graft.functions.Rounding.roundHalfUp(col("p_raw")(2), 4).as("p75"))
         .orderBy("l_returnflag")),
 
+    // Deterministic hash sampling: a stable ~10% subset selected by pure
+    // integer arithmetic on the key — the reproducible train/eval split
+    // primitive (engine-portable, unlike rand() or engine hash functions).
+    "q_sample_hash" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) < 10)
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long")
+          .as("n_chars"))
+        .orderBy("doc_id")),
+
+    // Text cleaning: lowercase, strip punctuation, collapse whitespace —
+    // the standard pre-tokenization normalization pass (map-side only).
+    "q_text_clean" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("cleaned",
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[.,!?;:'\"()]", ""),
+            "\\s+", " ")))
+        .select(col("doc_id"), col("cleaned"),
+          (col("cleaned") =!= lower(col("text"))).as("changed"))
+        .orderBy("doc_id")),
+
     // HLL approximate distinct vs exact (sketch aggregate; rows-only --
     // HLL implementations differ across engines by design).
     "q_approx_distinct" -> ((s, dir) =>
@@ -279,6 +301,22 @@ object ExtQueries {
          |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[.,!?;:''"()]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS cleaned,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[.,!?;:''"()]', '', 'g'),
+        |    '\s+', ' ', 'g')) != lower(text) AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_percentiles" ->
       s"""SELECT l_returnflag,
