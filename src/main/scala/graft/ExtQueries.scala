@@ -162,6 +162,33 @@ object ExtQueries {
           graft.functions.Rounding.roundHalfUp(col("p_raw")(2), 4).as("p75"))
         .orderBy("l_returnflag")),
 
+    // Near-dup clustering: exact-Jaccard pairs (threshold as an integer
+    // comparison, no float edge cases) -> connected components -> every
+    // doc labeled with its component's smallest id. The full dedup
+    // pipeline shape: candidates -> pairs -> groups -> representatives.
+    "q_dedup_components" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 60)
+      val pairs = DedupOps.ngramJaccard(d, d, "text", "doc_id")
+        .filter(col("inter") * 10 >= col("uni") * 3) // jaccard >= 0.3, exact
+      DedupOps.connectedComponents(pairs).orderBy("id")
+    }),
+
+    // Token-window chunking: fixed-width overlapping windows (width 32,
+    // stride 24) — the context-window packing primitive. Map-side only:
+    // one Generate per doc, no shuffle.
+    "q_chunk_tokens" -> ((s, dir) => {
+      val width = 32; val stride = 24
+      val toks = split(col("text"), " ")
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0), floor((size(toks) - 1) / stride).cast("int")),
+            i => concat_ws(" ", slice(toks, i * stride + 1, lit(width))))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Deterministic hash sampling: a stable ~10% subset selected by pure
     // integer arithmetic on the key — the reproducible train/eval split
     // primitive (engine-portable, unlike rand() or engine hash functions).
@@ -301,6 +328,40 @@ object ExtQueries {
          |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_dedup_components" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 60),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
+        |        >= len(list_distinct(a.s || b.s)) * 3),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |v AS (SELECT DISTINCT s AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s)
+        |SELECT a AS id, min(b) AS component
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_chunk_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, i AS chunk_id,
+        |       array_to_string(toks[(i*24+1):(i*24+32)], ' ') AS chunk
+        |FROM d, UNNEST(range(0, (len(toks)-1)//24 + 1)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars

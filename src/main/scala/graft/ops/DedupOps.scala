@@ -130,6 +130,43 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair set: every doc is
+    * labeled with the smallest doc id reachable through dup pairs — the
+    * clustering step that turns pairwise candidates into dedup groups
+    * (keep one representative per component). Iterative min-label
+    * propagation: each round is one shuffle (join on the edge source +
+    * min-aggregate), converging in O(component diameter) rounds; lineage
+    * is cut with localCheckpoint per round so the plan stays flat. For
+    * pathological chain-shaped components at extreme scale the
+    * large-star/small-star refinement (Kiveris et al., SoCC'14) halves
+    * the rounds; dup clusters are near-cliques, so plain propagation
+    * converges in 2-3 rounds in practice.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
+      .unionByName(pairs.select(col(idB).as("s"), col(idA).as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaEdges = edges.join(labels, edges("s") === labels("id"))
+        .select(col("t").as("id"), col("label"))
+      val next = labels.select("id", "label").unionByName(viaEdges)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Exact n-gram Jaccard similarity for a bounded candidate set —
     * the ground-truth near-dup measure (and the verifier for the
     * approximate paths in tests). */

@@ -93,6 +93,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("connected components: chain + triangle + isolated pair label by min id") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("shingles: fewer tokens than width -> empty array, no crash") {
     val out = Seq((1L, "one two")).toDF("doc_id", "text")
       .select(DedupOps.shingles($"text", 3).as("sh"))
