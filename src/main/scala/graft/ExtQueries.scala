@@ -220,6 +220,29 @@ object ExtQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // Symmetric int8 embedding quantization: per-vector absmax scale,
+    // q_i = round(x_i/amax*127); emitted as the integer checksum plus the
+    // max reconstruction error -- the storage-shrink primitive for
+    // embedding tables (4x smaller, error bounded by amax/254).
+    "q_embed_quantize" -> ((s, dir) => {
+      import graft.functions.Rounding.roundHalfUp
+      val d = (x: org.apache.spark.sql.Column) => x.cast("double")
+      val amaxCol = aggregate(col("embedding"), lit(0.0),
+        (a, x) => greatest(a, abs(d(x))))
+      val qi = (x: org.apache.spark.sql.Column) =>
+        roundHalfUp(d(x) / nullif(col("amax"), lit(0.0)) * 127, 0)
+      emb(s, dir)
+        .withColumn("amax", amaxCol)
+        .withColumn("q_sum",
+          aggregate(col("embedding"), lit(0.0), (a, x) => a + qi(x)).cast("long"))
+        .withColumn("max_err", roundHalfUp(
+          aggregate(col("embedding"), lit(0.0),
+            (a, x) => greatest(a, abs(d(x) - qi(x) * col("amax") / 127))), 6))
+        .select(col("vec_id"), roundHalfUp(col("amax"), 6).as("amax"),
+          col("q_sum"), col("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // IVF (k-means inverted file) ANN -- the billion-scale layout
     // (rows-only; recall vs brute force tested in SimilaritySpec).
     "q_ann_ivf" -> ((s, dir) => {
@@ -378,6 +401,19 @@ object ExtQueries {
         |    regexp_replace(lower(text), '[.,!?;:''"()]', '', 'g'),
         |    '\s+', ' ', 'g')) != lower(text) AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_quantize" -> {
+      val q = sqlRound("CAST(x AS DOUBLE) / nullif(amax, 0.0) * 127", 0)
+      s"""WITH a AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  ${sqlRound("amax", 6)} AS amax,
+         |  CAST(list_sum(list_transform(embedding, x -> $q)) AS BIGINT) AS q_sum,
+         |  ${sqlRound(s"list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - $q * amax / 127)))", 6)} AS max_err
+         |FROM a ORDER BY vec_id""".stripMargin
+    },
 
     "q_percentiles" ->
       s"""SELECT l_returnflag,

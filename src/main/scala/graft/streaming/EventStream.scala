@@ -34,6 +34,39 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming ingest: the batch Runner's incremental loop as a file
+    * stream — new files landing in `srcDir` are read incrementally
+    * (Spark's file source tracks processed files in the checkpoint, the
+    * streaming analogue of the watermark re-extract), deduped against
+    * the target per micro-batch with the SAME [[graft.ops.Upsert]]
+    * operator, and written atomically. `foreachBatch` is the canonical
+    * shape for merge-style sinks; exactly-once comes from the source
+    * checkpoint + idempotent upsert.
+    */
+  def fileIngest(spark: SparkSession, srcDir: String, schema:
+                 org.apache.spark.sql.types.StructType, targetPath: String,
+                 checkpointDir: String, keys: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark2 = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(targetPath)
+          .getFileSystem(spark2.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
+            graft.ops.Upsert.upsert(
+              spark2.read.parquet(targetPath), batch.toDF(), keys)
+          else batch.toDF()
+        val stage = targetPath + ".stage"
+        merged.write.mode("overwrite").parquet(stage)
+        spark2.read.parquet(stage).write.mode("overwrite").parquet(targetPath)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        ()
+      }
+      .start()
+
   /** Gap-based sessionization on an unbounded stream: the streaming twin
     * of the batch `q_sessionize` key, expressed with Spark's native
     * `session_window` (state closes when the watermark passes a

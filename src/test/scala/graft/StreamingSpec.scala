@@ -32,6 +32,47 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
   }
 
+  test("file-stream ingest upserts each micro-batch into the target") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val src = s"$dir/landing"; new java.io.File(src).mkdirs()
+    val target = s"$dir/target"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("stock",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("close",
+        org.apache.spark.sql.types.DoubleType)))
+
+    // land a single parquet FILE (the streaming file source does not
+    // recurse into write-created directories)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+
+    land(Seq(("TSLA", "2025-10-01", 252.0), ("AAPL", "2025-10-01", 177.0))
+      .toDF("stock", "ts", "close"), "batch1")
+    val q = EventStream.fileIngest(spark, src, schema, target,
+      s"$dir/cp", Seq("stock", "ts"))
+    q.processAllAvailable()
+    assert(spark.read.parquet(target).count() == 2)
+
+    // second file: one update (TSLA close), one new row
+    land(Seq(("TSLA", "2025-10-01", 260.0), ("MSFT", "2025-10-01", 303.0))
+      .toDF("stock", "ts", "close"), "batch2")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target)
+    assert(out.count() == 3)
+    assert(out.filter($"stock" === "TSLA").select("close").as[Double].head() == 260.0)
+  }
+
   test("session windows close on gap + watermark (streaming sessionization)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
