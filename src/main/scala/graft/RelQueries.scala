@@ -124,6 +124,21 @@ object RelQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // As-of join: each purchase matched with the user's latest click at
+    // or before it (single-shuffle carry-forward composition; DuckDB's
+    // native ASOF JOIN is the oracle).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.ops.AsofJoin.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+        Seq("click_value"))
+        .select(col("user_id"), col("event_id"), col("asof_click_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // §2.7 scalar-function breadth: string / conditional / date scalar
     // functions over the part+orders tables, every one oracle-matched.
     "q_scalar_funcs" -> ((s, dir) =>
@@ -296,6 +311,16 @@ object RelQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH $evCte,
+         |p AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, max(value) AS click_value FROM ev
+         |      WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT p.user_id, p.event_id, c.click_value AS asof_click_value
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey,

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.AsofJoin
+
+/** As-of join semantics: latest-at-or-before match per key, inclusive at
+  * equal timestamps, null when no prior right row, and left rows pass
+  * through unchanged. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latest-at-or-before, inclusive ties, null when none prior") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)
+    ).toDF("sym", "ts", "px")
+    val trades = Seq(
+      ("A", 5L, 100L),   // before any quote -> null
+      ("A", 20L, 101L),  // exactly at a quote -> inclusive (2.0)
+      ("A", 25L, 102L),  // between -> 2.0
+      ("A", 99L, 103L),  // after all -> 3.0
+      ("B", 14L, 104L),  // before B's quote -> null
+      ("B", 16L, 105L)   // -> 9.0
+    ).toDF("sym", "ts", "trade_id")
+
+    val out = AsofJoin.asofJoin(trades, quotes, "sym", "ts", "ts", Seq("px"))
+      .select("trade_id", "asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out == Map(
+      100L -> None, 101L -> Some(2.0), 102L -> Some(2.0),
+      103L -> Some(3.0), 104L -> None, 105L -> Some(9.0)))
+  }
+
+  test("plans one exchange for both sides (no range cross-product)") {
+    val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "ts", "px")
+    val trades = Seq(("A", 5L, 100L)).toDF("sym", "ts", "trade_id")
+    val plan = AsofJoin.asofJoin(trades, quotes, "sym", "ts", "ts", Seq("px"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = plan.linesIterator.count(_.matches(raw"\(\d+\) Exchange( .*)?"))
+    assert(exchanges == 1, s"asof join should shuffle once:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
