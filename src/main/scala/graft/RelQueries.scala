@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
@@ -137,6 +137,39 @@ object RelQueries {
         Seq("click_value"))
         .select(col("user_id"), col("event_id"), col("asof_click_value"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Skew-salted join: orders (skewed side) joined to customer with the
+    // key salted across 8 reducers, then rolled up by market segment.
+    // Salt never escapes, so the oracle is the plain join.
+    "q_join_salted" -> ((s, dir) =>
+      graft.ops.Skew.saltedJoin(
+          t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+          t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+            .select("o_custkey", "c_mktsegment"),
+          Seq("o_custkey"), salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("c_mktsegment")),
+
+    // Range (interval) join with no equi-key: lineitems shipped within
+    // 7 days of a sampled order's date, counted per interval. The naive
+    // inequality join is a nested-loop; RangeJoin bucketizes to an
+    // equi-join (oracle: DuckDB's native inequality join).
+    "q_range_join" -> ((s, dir) => {
+      val epoch = (c: Column) => datediff(to_date(c), lit("1970-01-01")).cast("long")
+      val intervals = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), epoch(col("o_orderdate")).as("iv_start"),
+          (epoch(col("o_orderdate")) + 7).as("iv_end"))
+      val points = t(s, dir, "lineitem")
+        .select(epoch(col("l_shipdate")).as("ship_day"))
+      graft.ops.RangeJoin.rangeJoin(points, intervals,
+          "ship_day", "iv_start", "iv_end", bucketSize = 7L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+        .orderBy("o_orderkey")
     }),
 
     // §2.7 scalar-function breadth: string / conditional / date scalar
@@ -321,6 +354,25 @@ object RelQueries {
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS iv_start,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS iv_end
+        |  FROM orders WHERE o_orderkey % 997 = 0),
+        |p AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day
+        |  FROM lineitem)
+        |SELECT iv.o_orderkey, count(*) AS n_shipped
+        |FROM p JOIN iv ON p.ship_day >= iv.iv_start AND p.ship_day < iv.iv_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey,

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Write-side data layout for read-side skipping. At 100 TB the fastest
+  * scan is the one that never happens: parquet keeps min/max stats per
+  * row group and per file, and Spark's scan prunes row groups whose
+  * stats exclude the pushed-down predicate — but only if the data is
+  * clustered so the stats are tight. A table written in arrival order
+  * has every file spanning the whole key domain (min≈global min,
+  * max≈global max) and nothing ever skips.
+  *
+  * `writeRangeClustered` produces the layout that makes skipping real:
+  * a range repartition on the cluster keys (one contiguous key slice
+  * per output file — Spark samples the distribution, so skewed keys
+  * still split evenly) plus an in-file sort (tight per-row-group stats
+  * and run-length/dictionary-friendly pages). A point or range filter
+  * on the leading cluster key then touches `1/numFiles` of the data.
+  * LayoutSpec asserts the contract: per-file key ranges are pairwise
+  * disjoint, so any key predicate selects at most one file per slice.
+  */
+object Layout {
+
+  /** @param clusterCols leading column(s) queries filter on
+    * @param numFiles    target file count (≈ table_bytes / 1 GB at scale) */
+  def writeRangeClustered(df: DataFrame, path: String,
+                          clusterCols: Seq[String], numFiles: Int,
+                          mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(clusterCols.nonEmpty && numFiles > 0)
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: match each point row to every interval row whose
+  * half-open range `[start, end)` contains the point — with NO equi-key to
+  * save the plan. Naively expressed (`p.pt >= i.start AND p.pt < i.end`)
+  * Spark can only pick BroadcastNestedLoopJoin / cartesian: O(|P|·|I|)
+  * comparisons and a broadcast of a whole side, which dies at 100 TB.
+  *
+  * The scalable composition bucketizes the domain:
+  *
+  *   - every interval is exploded to the buckets it overlaps
+  *     (`sequence(start/B, (end-1)/B)` — `ceil(span/B)` rows each);
+  *   - every point belongs to exactly ONE bucket (`pt/B`);
+  *   - equi-join on the bucket id (hash exchange, AQE-skew-splittable),
+  *     then the exact residual predicate filters false bucket-mates.
+  *
+  * Because a point has one bucket, no dedup is needed. Replication factor
+  * is `avg(span)/B + 1` per interval — pick `bucketSize` near the median
+  * interval length so each interval lands in ~2 buckets. This is the
+  * standard binning rewrite range-join optimizers apply (Databricks range
+  * join hints, postgres GiST time joins) expressed as a plain Catalyst
+  * plan, so AQE and codegen apply untouched.
+  */
+object RangeJoin {
+
+  /** @param points    side with a single numeric coordinate `ptCol`
+    * @param intervals side with numeric `[startCol, endCol)` ranges
+    * @param bucketSize domain width per bucket (same unit as the cols)
+    * Output: every (point × containing interval) pair, all columns of
+    * both inputs (names must be disjoint). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                ptCol: String, startCol: String, endCol: String,
+                bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val b = lit(bucketSize)
+    val iv = intervals
+      .filter(col(endCol) > col(startCol)) // empty ranges match nothing
+      .withColumn("_bucket",
+        explode(sequence(floor(col(startCol) / b).cast("long"),
+                         floor((col(endCol) - lit(1)) / b).cast("long"))))
+    val pt = points.withColumn("_bucket", floor(col(ptCol) / b).cast("long"))
+    pt.join(iv, Seq("_bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("_bucket")
+  }
+}

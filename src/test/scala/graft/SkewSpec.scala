@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+/** Salted join = plain join row-for-row; the salt reaches the shuffle
+  * key so a hot key fans out across reducers. */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewed() = {
+    // 900 rows on one hot key, a few on others — the classic skew shape.
+    val big = (Seq.fill(900)(1) ++ Seq(2, 2, 3)).zipWithIndex
+      .toDF("k", "row_id")
+    val small = Seq((1, "hot"), (2, "warm"), (4, "unmatched")).toDF("k", "v")
+    (big, small)
+  }
+
+  test("inner and left salted joins match the unsalted results exactly") {
+    val (big, small) = skewed()
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .select("k", "row_id", "v").as[(Int, Int, Option[String])]
+        .collect().sorted.toSeq
+      val salted = Skew.saltedJoin(big, small, Seq("k"), salt = 7, jt)
+        .select("k", "row_id", "v").as[(Int, Int, Option[String])]
+        .collect().sorted.toSeq
+      assert(salted == plain, s"join type $jt diverged")
+    }
+  }
+
+  test("salt participates in the shuffle partitioning") {
+    val (big, small) = skewed()
+    val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Skew.saltedJoin(big, small, Seq("k"), salt = 7)
+        .queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("_salt"), plan)
+    assert(plan.contains("hashpartitioning(k"), plan)
+  }
+
+  private def withConf[T](kv: (String, String))(f: => T): T = {
+    val prev = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
+  }
+}
