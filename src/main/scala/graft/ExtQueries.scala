@@ -199,6 +199,20 @@ object ExtQueries {
           .as("n_chars"))
         .orderBy("doc_id")),
 
+    // Stratified sampling: a fixed per-language quota chosen by a
+    // portable multiplicative hash — the balanced-corpus draw (one
+    // shuffle on the stratum key; quota applied reducer-side).
+    "q_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(h, col("doc_id"))).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy("lang", "rn")
+    }),
+
     // Text cleaning: lowercase, strip punctuation, collapse whitespace —
     // the standard pre-tokenization normalization pass (map-side only).
     "q_text_clean" -> ((s, dir) =>
@@ -210,6 +224,25 @@ object ExtQueries {
         .select(col("doc_id"), col("cleaned"),
           (col("cleaned") =!= lower(col("text"))).as("changed"))
         .orderBy("doc_id")),
+
+    // Gopher-style repetition quality: duplicated-token and duplicated-
+    // bigram fractions per document (map-side array ops).
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(docs(s, dir), "text")
+        .select("doc_id", "n_tokens", "dup_token_frac", "dup_bigram_frac")
+        .orderBy("doc_id")),
+
+    // PII redaction: plant a deterministic email+phone per doc, then
+    // scrub both with typed tags and count the hits.
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example or 555-010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      TextOps.redactPii(planted, "text")
+        .select("doc_id", "n_pii", "redacted")
+        .orderBy("doc_id")
+    }),
 
     // HLL approximate distinct vs exact (sketch aggregate; rows-only --
     // HLL implementations differ across engines by design).
@@ -392,6 +425,15 @@ object ExtQueries {
         |WHERE (doc_id * 2654435761) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
+    "q_sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, rn FROM ranked
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
     "q_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(
@@ -401,6 +443,37 @@ object ExtQueries {
         |    regexp_replace(lower(text), '[.,!?;:''"()]', '', 'g'),
         |    '\s+', ' ', 'g')) != lower(text) AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  ${sqlRound("1.0 - len(list_distinct(toks)) / CAST(nullif(n, 0) AS DOUBLE)", 4)} AS dup_token_frac,
+         |  CASE WHEN n > 1 THEN ${sqlRound("1.0 - len(list_distinct(bigrams)) / CAST(n - 1 AS DOUBLE)", 4)}
+         |       ELSE 0.0 END AS dup_bigram_frac
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example or 555-010-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |       len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_pii,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_embed_quantize" -> {
       val q = sqlRound("CAST(x AS DOUBLE) / nullif(amax, 0.0) * 127", 0)

@@ -88,6 +88,42 @@ object TextOps {
     withHits.withColumn("predicted", predicted)
   }
 
+  /** Gopher-style repetition signals: the fraction of duplicated tokens
+    * and duplicated bigrams per document. High values flag the boiler-
+    * plate / template / keyword-stuffed pages LLM-corpus filters drop.
+    * Pure map-side array ops — scan-bound at any scale. */
+  def repetitionStats(df: DataFrame, text: String): DataFrame = {
+    val toks = split(lower(trim(col(text))), "\\s+")
+    val n = size(toks)
+    val nb = greatest(n - 1, lit(0))
+    val bigrams = slice(
+      zip_with(toks, slice(toks, lit(2), nb), (a, b) => concat(a, lit(" "), b)),
+      lit(1), nb)
+    df.withColumn("n_tokens", n.cast("long"))
+      .withColumn("dup_token_frac",
+        roundHalfUp(lit(1.0) - size(array_distinct(toks)) /
+          nullif(n, lit(0)).cast("double"), 4))
+      .withColumn("dup_bigram_frac",
+        when(nb > 0, roundHalfUp(lit(1.0) - size(array_distinct(bigrams)) /
+          nb.cast("double"), 4)).otherwise(lit(0.0)))
+  }
+
+  /** Email pattern shared by Spark and the DuckDB oracle — kept to the
+    * RE2/Java-regex common subset (no lookaround, no backrefs). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NNN-NNN-NNNN / NNN.NNN.NNNN phone shape. */
+  val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII redaction: replace emails/phones with typed placeholder tags
+    * and count the hits — the standard pre-training scrub pass. */
+  def redactPii(df: DataFrame, text: String): DataFrame =
+    df.withColumn("n_pii",
+        (size(regexp_extract_all(col(text), lit(emailRe), lit(0))) +
+          size(regexp_extract_all(col(text), lit(phoneRe), lit(0)))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(text), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+
   /** Winnowing fingerprint summary per document (k-gram 8, window 4). */
   def fingerprints(df: DataFrame, text: String): DataFrame =
     df.withColumn("fp", winnow_fingerprint(col(text), 8, 4))

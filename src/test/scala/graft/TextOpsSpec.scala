@@ -77,4 +77,29 @@ class TextOpsSpec extends SparkSpec {
     val c = sig("totally different tokens here now")
     assert(java.lang.Long.bitCount(a ^ c) > 10)
   }
+
+  test("repetition stats: duplicated token/bigram fractions") {
+    val out = TextOps.repetitionStats(Seq(
+      (1L, "a b a b a b"),   // 6 tokens, 2 distinct; 5 bigrams, 2 distinct
+      (2L, "all words here differ"),
+      (3L, "solo")           // one token: no bigrams -> 0.0
+    ).toDF("id", "text"), "text")
+      .select("id", "n_tokens", "dup_token_frac", "dup_bigram_frac")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6L, math.rint((1 - 2.0 / 6) * 1e4) / 1e4,
+      math.rint((1 - 2.0 / 5) * 1e4) / 1e4)))
+    assert(out(1) == ((2L, 4L, 0.0, 0.0)))
+    assert(out(2) == ((3L, 1L, 0.0, 0.0)))
+  }
+
+  test("PII redaction: emails and phones become typed tags") {
+    val out = TextOps.redactPii(Seq(
+      (1L, "mail a.b+c@x-corp.io or call 555-010-1234, maybe 555.010.9999"),
+      (2L, "nothing to scrub @ here 12-34")
+    ).toDF("id", "text"), "text")
+      .select("id", "n_pii", "redacted").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 3L, "mail <EMAIL> or call <PHONE>, maybe <PHONE>")))
+    assert(out(1) == ((2L, 0L, "nothing to scrub @ here 12-34")))
+  }
 }
