@@ -81,6 +81,17 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total"))
 
+  /** Streaming exact dedup: the unbounded twin of the batch
+    * `DedupOps.exactDupGroups`/`Upsert` pair. State is keyed on
+    * `keyCols` and dropped once the event-time watermark passes, so
+    * memory stays bounded while duplicates arriving within the
+    * watermark horizon (the at-least-once redelivery window of any
+    * real source) are suppressed exactly once. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Per-key running stats via mapGroupsWithState: the streaming analogue
     * of the LAG/running analysis (last value, count, running total). */
   def runningStats(events: Dataset[Event]): Dataset[TypeStats] = {

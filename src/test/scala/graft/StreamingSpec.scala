@@ -119,4 +119,22 @@ class StreamingSpec extends SparkSpec {
     val last = rows.filter(_.n == 3)
     assert(last.length == 1 && last(0).total == 7.0 && last(0).lastValue == 4.0)
   }
+
+  test("streaming dedup suppresses redelivered keys across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    // same event_id redelivered in a later micro-batch (within watermark)
+    mem.addData(Event(1, ts(2), 1, "click", 1.0), Event(3, ts(3), 3, "click", 4.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
 }
