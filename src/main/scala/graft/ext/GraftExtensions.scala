@@ -19,8 +19,10 @@ import graft.functions.Expressions._
   * functions with static arguments.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RangeJoinRule)
+  }
 }
 
 object GraftExtensions {
