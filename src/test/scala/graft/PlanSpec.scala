@@ -59,6 +59,27 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange") <= 3, s"dedup grew extra exchanges:\n$p")
   }
 
+  test("NO query key plans a cartesian or nested-loop join") {
+    // Whitelisted dense-scoring steps, each deliberate:
+    //  - q_similarity_cosine / q_dedup_embed: brute-force oracle baseline
+    //    (tiny broadcast query set × corpus — the documented ground truth);
+    //  - q_ngram_jaccard: exact all-pairs Jaccard over a bounded candidate
+    //    set, the ground truth the approximate dedup keys are tested against;
+    //  - q_ann_ivf: the IVF probe step scores every centroid per query
+    //    (broadcast of nlist centroid rows) — the same dense centroid scan
+    //    FAISS IVF performs; corpus-side scoring is hash-partitioned.
+    val bruteForce = Set("q_similarity_cosine", "q_dedup_embed",
+      "q_ngram_jaccard", "q_ann_ivf")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(bruteForce)
+      .filter { key =>
+        val p = planOf(key)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty,
+      s"nested-loop plans in: ${offenders.mkString(", ")}")
+  }
+
   test("incremental watermark filter prunes with pushdown") {
     // on a natively-typed order column the watermark predicate reaches
     // the scan (events.ts is a ns->µs conversion, so its filter runs
