@@ -69,7 +69,11 @@ object GraftExtensions {
       info("graft_hyperplane_lsh",
         "graft_hyperplane_lsh(vec, bits) - random-hyperplane LSH bucket of a float vector"),
       (es: Seq[Expression]) => HyperplaneLsh(es(0),
-        intArg(es(1), "graft_hyperplane_lsh", 2)))
+        intArg(es(1), "graft_hyperplane_lsh", 2))),
+    (FunctionIdentifier("graft_zorder"),
+      info("graft_zorder",
+        "graft_zorder(a, b) - Morton interleave of two non-negative longs"),
+      (es: Seq[Expression]) => ZOrderKey(es(0), es(1)))
   )
 
   /** Register the functions on a live session (same descriptors the

@@ -212,6 +212,24 @@ object Expressions {
     }
   }
 
+  /** Morton (z-order) interleave of two long columns — the multi-
+    * dimensional clustering key for [[graft.ops.Layout]]: range-
+    * partition + sort by this and BOTH dimensions get tight per-file
+    * min/max stats. Codegen'd primitive bit-twiddling. */
+  case class ZOrderKey(left: Expression, right: Expression)
+      extends BinaryExpression {
+    // inputs: two non-negative long columns
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.zorder(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Kernels.zorder($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -231,4 +249,6 @@ object Expressions {
     column(PermTableKeys(expression(sig), m, keep))
   def argmax_cosine(vec: Column, cents: Array[Array[Float]]): Column =
     column(ArgMaxCosine(expression(vec), cents))
+  def z_order(a: Column, b: Column): Column =
+    column(ZOrderKey(expression(a.cast("long")), expression(b.cast("long"))))
 }

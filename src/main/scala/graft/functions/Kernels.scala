@@ -193,6 +193,24 @@ object Kernels {
       minhashFromTokenHashes(hashes, w, k))
   }
 
+  /** Spread the low 32 bits of v into the even bit positions. */
+  private def spreadBits(v0: Long): Long = {
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** Morton (z-order) key: interleave the low 32 bits of a and b —
+    * a gets the even positions, b the odd. Sorting by the key yields
+    * the space-filling z-curve, so both dimensions cluster at once.
+    * Inputs must be non-negative (callers offset/bucket first). */
+  def zorder(a: Long, b: Long): Long =
+    spreadBits(a) | (spreadBits(b) << 1)
+
   /** Winnowing fingerprints: rolling FNV over char k-grams, min per
     * window of w, distinct sorted. */
   def fingerprints(s: String, k: Int, w: Int): Array[Long] = {

@@ -32,4 +32,22 @@ object Layout {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(mode).parquet(path)
   }
+
+  /** Two-dimensional clustering via the Morton curve: range-partition +
+    * sort on `z_order(a, b)` so per-file min/max stats are tight on
+    * BOTH columns — a lexicographic sort on (a, b) leaves b spanning
+    * its whole domain in every file, so only filters on `a` ever skip.
+    * Columns must be non-negative integers (bucket/offset first); the
+    * z key is dropped before writing. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    colA: String, colB: String, numFiles: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numFiles > 0)
+    val z = graft.functions.Expressions.z_order(col(colA), col(colB))
+    df.withColumn("_graft_z", z)
+      .repartitionByRange(numFiles, col("_graft_z"))
+      .sortWithinPartitions(col("_graft_z"))
+      .drop("_graft_z")
+      .write.mode(mode).parquet(path)
+  }
 }

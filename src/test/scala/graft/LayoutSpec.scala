@@ -30,4 +30,51 @@ class LayoutSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,"), scan)
   }
+
+  test("z-order key: known interleavings, SQL parity") {
+    import graft.functions.Expressions.z_order
+    graft.ext.GraftExtensions.register(spark)
+    assert(graft.functions.Kernels.zorder(3L, 5L) == 39L)
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (63L, 63L))
+      .toDF("a", "b")
+      .select(z_order(col("a"), col("b")).as("z"),
+        expr("graft_zorder(a, b)").as("z_sql"))
+      .as[(Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 39L, 4095L))
+    assert(out.forall(p => p._1 == p._2)) // SQL surface agrees
+  }
+
+  test("z-curve quadrants give BOTH dimensions tight file stats") {
+    import graft.functions.Expressions.z_order
+    // complete 64x64 grid: z is a bijection onto [0, 4096); slicing z
+    // into 4 equal ranges yields exactly the four 32x32 quadrants, so a
+    // point filter on EITHER dimension skips half the slices. A
+    // lexicographic sort on a would leave b spanning 0..63 in every
+    // slice — filters on b could never skip.
+    val grid = spark.range(64).select(col("id").as("a"))
+      .crossJoin(spark.range(64).select(col("id").as("b")))
+    val boxes = grid
+      .withColumn("slice", (z_order(col("a"), col("b")) / 1024).cast("int"))
+      .groupBy("slice")
+      .agg(min("a").as("a_lo"), max("a").as("a_hi"),
+        min("b").as("b_lo"), max("b").as("b_hi"))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(boxes.length == 4)
+    boxes.foreach { case (_, aLo, aHi, bLo, bHi) =>
+      assert(aHi - aLo == 31 && bHi - bLo == 31, s"not a quadrant: $boxes")
+    }
+    val hitB = boxes.count { case (_, _, _, bLo, bHi) => bLo <= 17 && 17 <= bHi }
+    assert(hitB == 2, s"b=17 should hit 2 of 4 slices, hit $hitB")
+  }
+
+  test("writeZOrdered: preserves rows across the requested file count") {
+    val dir = Files.createTempDirectory("zlayout").toString + "/t"
+    val grid = spark.range(64).select(col("id").as("a"))
+      .crossJoin(spark.range(64).select(col("id").as("b")))
+    Layout.writeZOrdered(grid, dir, "a", "b", numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4096)
+    assert(back.columns.toSeq.sorted == Seq("a", "b")) // z key dropped
+    assert(back.select(input_file_name()).distinct().count() == 4)
+  }
 }
