@@ -225,6 +225,12 @@ object ExtQueries {
           (col("cleaned") =!= lower(col("text"))).as("changed"))
         .orderBy("doc_id")),
 
+    // TF-IDF keyword extraction: top-5 terms per document (explode ->
+    // partial-agg'd term counts -> df join -> per-doc window).
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(docs(s, dir), "text", "doc_id", k = 5)
+        .orderBy("doc_id", "rk")),
+
     // Gopher-style repetition quality: duplicated-token and duplicated-
     // bigram fractions per document (map-side array ops).
     "q_repetition" -> ((s, dir) =>
@@ -443,6 +449,26 @@ object ExtQueries {
         |    regexp_replace(lower(text), '[.,!?;:''"()]', '', 'g'),
         |    '\s+', ' ', 'g')) != lower(text) AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    ${sqlRound("tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE))", 6)} AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tf, tfidf,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT doc_id, term, tf, tfidf, rk FROM ranked
+         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
     "q_repetition" ->
       s"""WITH t AS (

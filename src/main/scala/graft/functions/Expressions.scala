@@ -212,6 +212,31 @@ object Expressions {
     }
   }
 
+  /** Membership probe against a driver-built Bloom filter carried in
+    * the plan (same ship-with-the-plan shape as [[ArgMaxCosine]]): the
+    * pre-shuffle pruning predicate of [[graft.ops.Prune]]. No false
+    * negatives, so filtering before a join never drops real matches;
+    * false positives are removed by the join itself. Codegen'd — one
+    * virtual call per row against the referenced sketch. */
+  case class BloomMightContain(child: Expression,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    // input: an integral join-key column (int/long)
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any = input match {
+      case i: Int => bloom.mightContainLong(i.toLong)
+      case l: Long => bloom.mightContainLong(l)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", bloom,
+        "org.apache.spark.util.sketch.BloomFilter")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = $ref.mightContainLong((long) $a);")
+    }
+  }
+
   /** Morton (z-order) interleave of two long columns — the multi-
     * dimensional clustering key for [[graft.ops.Layout]]: range-
     * partition + sort by this and BOTH dimensions get tight per-file
@@ -251,4 +276,7 @@ object Expressions {
     column(ArgMaxCosine(expression(vec), cents))
   def z_order(a: Column, b: Column): Column =
     column(ZOrderKey(expression(a.cast("long")), expression(b.cast("long"))))
+  def bloom_might_contain(key: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomMightContain(expression(key), bloom))
 }

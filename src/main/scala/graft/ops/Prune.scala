@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import graft.functions.Expressions.bloom_might_contain
+
+/** Pre-shuffle join pruning. In a selective join (fact table vs a
+  * filtered dimension that matches 1% of fact keys) the dominant cost
+  * at 100 TB is shuffling fact rows that will never find a partner —
+  * the join discards them AFTER the network paid for them.
+  *
+  * `bloomPrunedJoin` builds a Bloom filter over the small side's keys
+  * (one aggregate job, sketch collected to the driver — ~1.2 MB per
+  * million keys at 1% fpp, fine for sides far too big to broadcast as
+  * rows), ships it with the plan, and filters the big side BEFORE its
+  * exchange. Bloom filters have no false negatives, so no real match
+  * is lost; false positives just ride the shuffle and fall out of the
+  * join — results are row-identical to the plain join (PruneSpec).
+  *
+  * This is exactly what Spark's own runtime-filter injection
+  * (`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) does when
+  * its size/selectivity thresholds approve; the explicit operator is
+  * for when the pipeline author knows the selectivity (incremental
+  * loads joining a day's keys against a full history) and wants the
+  * pruning guaranteed, not heuristic. */
+object Prune {
+
+  /** Inner-join `big` ⋈ `small` on integral `key`, bloom-pruning the
+    * big side's shuffle. `expectedItems <= 0` counts the small side
+    * first (one extra cheap job on the SMALL side). */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+                      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val n = if (expectedItems > 0) expectedItems else small.count()
+    val bloom = small.stat.bloomFilter(key, math.max(n, 1L), fpp)
+    big.filter(bloom_might_contain(col(key), bloom)).join(small, Seq(key))
+  }
+}

@@ -124,6 +124,34 @@ object TextOps {
         regexp_replace(regexp_replace(col(text), emailRe, "<EMAIL>"),
           phoneRe, "<PHONE>"))
 
+  /** TF-IDF keyword extraction: top-k terms per document. The classic
+    * three-shuffle shape, each one necessary and each partial-aggregated:
+    * explode→(doc,term) counts; term→document frequency; per-doc top-k
+    * window. The corpus size is a one-scalar driver read folded into
+    * the plan as a literal (a constant-key join would fold to a
+    * nested loop), and common terms — the shuffle-skew candidates —
+    * are exactly the ones IDF sends to zero. */
+  def tfidfTopTerms(df: DataFrame, text: String, id: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(id),
+      explode(regexp_extract_all(lower(col(text)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val tf = terms.groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(id))).head().getLong(0)
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf",
+        roundHalfUp(col("tf") *
+          log(lit(nDocs.toDouble) / col("df").cast("double")), 6))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term")))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(id), col("term"), col("tf"), col("tfidf"), col("rk"))
+  }
+
   /** Winnowing fingerprint summary per document (k-gram 8, window 4). */
   def fingerprints(df: DataFrame, text: String): DataFrame =
     df.withColumn("fp", winnow_fingerprint(col(text), 8, 4))

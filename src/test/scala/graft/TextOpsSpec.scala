@@ -92,6 +92,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 1L, 0.0, 0.0)))
   }
 
+  test("TF-IDF: rare terms outrank common ones, ranks deterministic") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .select("doc_id", "term", "tf", "tfidf", "rk")
+      .as[(Long, String, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(_._2).toSeq).toMap
+    assert(out(1L) == Seq("apple", "banana")) // tf2*ln3 > tf1*ln1.5
+    assert(out(3L) == Seq("cherry", "date"))  // 3*ln1.5 > 1*ln3
+    val top1 = TextOps.tfidfTopTerms(docs, "text", "doc_id", 2)
+      .filter($"doc_id" === 1 && $"rk" === 1).select("tfidf")
+      .as[Double].head()
+    assert(math.abs(top1 - math.rint(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("PII redaction: emails and phones become typed tags") {
     val out = TextOps.redactPii(Seq(
       (1L, "mail a.b+c@x-corp.io or call 555-010-1234, maybe 555.010.9999"),
