@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one-call entry point for a user adopting the engine: a
+  * `SparkSession` builder pre-wired with everything the library
+  * assumes — the native SQL functions and the range-join optimizer
+  * rule ([[graft.ext.GraftExtensions]]), AQE with skew-join handling,
+  * and a UTC session zone (the oracle-parity contract every operator
+  * here is verified under).
+  *
+  * On a cluster, prefer submitting with
+  * `--conf spark.sql.extensions=graft.ext.GraftExtensions` and your
+  * own sizing; this builder is the batteries-included local/default
+  * path. `shufflePartitions` should be ~2-3× total executor cores on
+  * a real cluster (AQE coalesces the excess).
+  */
+object Graft {
+
+  def session(master: String = "local[*]",
+              appName: String = "graft",
+              shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    // getOrCreate can return a pre-existing session whose builder ran
+    // without the extensions conf — make adoption idempotent
+    ext.GraftExtensions.registerAll(spark)
+    spark
+  }
+}

@@ -82,4 +82,13 @@ object GraftExtensions {
     descriptors.foreach { case (ident, inf, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, ident, inf, builder)
     }
+
+  /** Functions + optimizer rule on a live session, idempotently — the
+    * full equivalent of building with `spark.sql.extensions`. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    register(spark)
+    if (!spark.experimental.extraOptimizations.exists(_ eq RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRule
+  }
 }

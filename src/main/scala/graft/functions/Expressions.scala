@@ -243,13 +243,17 @@ object Expressions {
     * min/max stats. Codegen'd primitive bit-twiddling. */
   case class ZOrderKey(left: Expression, right: Expression)
       extends BinaryExpression {
-    // inputs: two non-negative long columns
+    // inputs: two non-negative int/long columns (SQL literals are INT)
     override def dataType: DataType = LongType
+    private def toL(x: Any): Long = x match {
+      case i: Int => i.toLong
+      case l: Long => l
+    }
     override def nullSafeEval(a: Any, b: Any): Any =
-      Kernels.zorder(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      Kernels.zorder(toL(a), toL(b))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.Kernels.zorder($a, $b);")
+        s"${ev.value} = graft.functions.Kernels.zorder((long) $a, (long) $b);")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

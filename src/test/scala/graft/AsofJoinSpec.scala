@@ -30,6 +30,25 @@ class AsofJoinSpec extends SparkSpec {
       103L -> Some(3.0), 104L -> None, 105L -> Some(9.0)))
   }
 
+  test("differential: random data matches a naive per-row reference") {
+    val rnd = new scala.util.Random(7)
+    val quotes = Seq.fill(300)((s"k${rnd.nextInt(20)}", rnd.nextInt(1000).toLong,
+      rnd.nextDouble())).groupBy(t => (t._1, t._2)) // unique per (key, ts)
+      .map(_._2.head).toSeq
+    val trades = Seq.tabulate(500)(i =>
+      (s"k${rnd.nextInt(25)}", rnd.nextInt(1000).toLong, i.toLong))
+    val expected = trades.map { case (k, ts, id) =>
+      val prior = quotes.filter(q => q._1 == k && q._2 <= ts)
+      id -> (if (prior.isEmpty) None else Some(prior.maxBy(_._2)._3))
+    }.toMap
+    val got = AsofJoin.asofJoin(
+      trades.toDF("sym", "ts", "trade_id"), quotes.toDF("sym", "ts", "px"),
+      "sym", "ts", "ts", Seq("px"))
+      .select("trade_id", "asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == expected)
+  }
+
   test("plans one exchange for both sides (no range cross-product)") {
     val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "ts", "px")
     val trades = Seq(("A", 5L, 100L)).toDF("sym", "ts", "trade_id")

@@ -27,6 +27,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(rows == 1L)
   }
 
+  test("differential: random intervals match the naive containment scan " +
+      "across bucket sizes") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(400)(rnd.nextInt(1000).toLong)
+    val ivs = Seq.tabulate(100) { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i, s, s + rnd.nextInt(50).toLong)
+    }
+    val expected = (for {
+      p <- pts; (id, s, e) <- ivs if p >= s && p < e
+    } yield (id, p)).groupBy(identity).view.mapValues(_.size).toMap
+    for (b <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.rangeJoin(pts.toDF("pt"),
+          ivs.toDF("iv_id", "s", "e"), "pt", "s", "e", b)
+        .select("iv_id", "pt").as[(Int, Long)].collect()
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expected, s"bucketSize $b diverged")
+    }
+  }
+
   test("plans an equi-join on the bucket, not a nested loop") {
     val points = Seq(1L).toDF("pt")
     val intervals = Seq((1, 0L, 10L)).toDF("iv_id", "s", "e")
