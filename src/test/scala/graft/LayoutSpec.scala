@@ -67,6 +67,23 @@ class LayoutSpec extends SparkSpec {
     assert(hitB == 2, s"b=17 should hit 2 of 4 slices, hit $hitB")
   }
 
+  test("compact: collapses a many-file table, preserves content, swaps safely") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = spark.range(5000).select(col("id"), (col("id") % 7).as("g"))
+    df.repartition(40).write.parquet(dir) // 40 tiny files
+    val before = spark.read.parquet(dir)
+    assert(before.select(input_file_name()).distinct().count() == 40)
+    val written = Layout.compact(spark, dir, targetFileBytes = 512L << 20)
+    assert(written == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.select(input_file_name()).distinct().count() == 1)
+    assert(after.count() == 5000)
+    assert(after.agg(sum("id")).head().getLong(0) == 4999L * 5000 / 2)
+    // no stray staging/backup dirs left behind
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("t"), s"leftovers: $parent")
+  }
+
   test("writeZOrdered: preserves rows across the requested file count") {
     val dir = Files.createTempDirectory("zlayout").toString + "/t"
     val grid = spark.range(64).select(col("id").as("a"))
