@@ -225,6 +225,17 @@ object ExtQueries {
           (col("cleaned") =!= lower(col("text"))).as("changed"))
         .orderBy("doc_id")),
 
+    // Benchmark decontamination: distinct 3-gram overlap between the
+    // corpus (doc_id % 50 != 0) and a held-out "benchmark" slice —
+    // 8-byte shingle hashes shuffle, never text; bench side broadcasts.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.contaminationScan(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0), "text", "doc_id", w = 3)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: top-5 terms per document (explode ->
     // partial-agg'd term counts -> df join -> per-doc window).
     "q_tfidf" -> ((s, dir) =>
@@ -449,6 +460,22 @@ object ExtQueries {
         |    regexp_replace(lower(text), '[.,!?;:''"()]', '', 'g'),
         |    '\s+', ' ', 'g')) != lower(text) AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM d),
+        |c AS (SELECT doc_id, unnest(list_distinct(s)) AS sh FROM sh
+        |      WHERE doc_id % 50 <> 0),
+        |b AS (SELECT DISTINCT unnest(list_distinct(s)) AS sh FROM sh
+        |      WHERE doc_id % 50 = 0)
+        |SELECT c.doc_id, count(DISTINCT c.sh) AS n_contaminated
+        |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH terms AS (

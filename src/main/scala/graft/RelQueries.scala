@@ -139,6 +139,14 @@ object RelQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Skew-safe COUNT(DISTINCT): same answer as q_count_distinct via
+    // the two-phase plan whose both exchanges spread hot groups.
+    "q_distinct_skewsafe" -> ((s, dir) =>
+      graft.ops.Skew.countDistinctSkewSafe(
+          t(s, dir, "events"), Seq("event_type"), "user_id")
+        .withColumnRenamed("n_distinct", "n_users")
+        .orderBy("event_type")),
+
     // Snapshot diff: orders vs a deterministically mutated copy —
     // added/removed/changed per PK via one full-outer co-partitioned
     // join (graft.ops.Diff).
@@ -388,6 +396,11 @@ object RelQueries {
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q_distinct_skewsafe" ->
+      s"""WITH $evCte
+         |SELECT event_type, count(DISTINCT user_id) AS n_users
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

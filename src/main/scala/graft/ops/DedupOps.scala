@@ -43,6 +43,27 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Benchmark-decontamination scan: for every corpus document, the
+    * number of distinct word w-grams it shares with a benchmark/test
+    * set — the standard leakage check before training. Both sides
+    * reduce to DISTINCT 64-bit shingle hashes before the join, so the
+    * shuffle carries 8 bytes per shingle (never text) and the
+    * benchmark side (shingles of a test set — thousands of rows) is
+    * broadcastable; the corpus side is matched in one map pass at any
+    * scale. Returns (id, n_contaminated) for documents with >= 1 hit. */
+  def contaminationScan(corpus: DataFrame, benchmark: DataFrame,
+                        text: String, id: String, w: Int = 5): DataFrame = {
+    val corpusSh = corpus
+      .select(col(id), explode(array_distinct(shingles(col(text), w))).as("sh"))
+      .select(col(id), xxhash64(col("sh")).as("shh"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(text), w))).as("sh"))
+      .select(xxhash64(col("sh")).as("shh")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("shh"))
+      .groupBy(col(id))
+      .agg(countDistinct(col("shh")).as("n_contaminated"))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * Jaccard. bands*rowsPerBand must equal the signature length.
     * Returns (idA, idB, est_jaccard) with idA < idB, est >= threshold.

@@ -37,4 +37,18 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Skew-safe COUNT(DISTINCT x) per group. The direct form shuffles
+    * every row of a group to ONE reducer to deduplicate — a hot group
+    * (the null user, the bot account) becomes a straggler, and unlike
+    * sums, distinct-counting gets no map-side partial aggregation.
+    * Two-phase instead: dedupe on (group, x) — the shuffle key now
+    * includes x, spreading the hot group over all reducers — then a
+    * plain (partial-agg'd) count per group. Exact same answer, both
+    * exchanges skew-free. */
+  def countDistinctSkewSafe(df: DataFrame, groupCols: Seq[String],
+                            distinctCol: String): DataFrame =
+    df.select((groupCols :+ distinctCol).map(col): _*).distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(s"n_distinct"))
 }

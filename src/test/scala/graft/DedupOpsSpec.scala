@@ -110,6 +110,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.select(size($"sh")).as[Int].head() == 0)
   }
 
+  test("contamination scan: planted benchmark phrase is found, clean docs are not") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon entirely clean text"),
+      (2L, "xx the secret benchmark phrase yy zz"),
+      (3L, "no overlap here at all whatsoever")).toDF("doc_id", "text")
+    val bench = Seq((100L, "contains the secret benchmark phrase verbatim"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.contaminationScan(corpus, bench, "text", "doc_id", w = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 2 shares 3-grams "the secret benchmark" + "secret benchmark phrase"
+    assert(got == Map(2L -> 2L))
+  }
+
   test("giant buckets are capped (quadratic-blowup guard)") {
     // 300 identical docs -> one bucket of 300 > maxBucket=200 -> dropped
     val many = (0L until 300L).map(i => (i, base)).toDF("doc_id", "text")

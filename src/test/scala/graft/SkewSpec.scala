@@ -29,6 +29,20 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("skew-safe countDistinct equals the direct form; x joins the first shuffle key") {
+    val df = (Seq.fill(500)((1, 7)) ++ Seq((1, 8), (2, 7), (2, 9), (3, 7)))
+      .toDF("g", "x")
+    val got = Skew.countDistinctSkewSafe(df, Seq("g"), "x")
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+    val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Skew.countDistinctSkewSafe(df, Seq("g"), "x")
+        .queryExecution.executedPlan.toString
+    }
+    // first exchange must partition on (g, x) — the skew-spreading key
+    assert(plan.contains("hashpartitioning(g") && plan.contains(", x"), plan)
+  }
+
   test("salt participates in the shuffle partitioning") {
     val (big, small) = skewed()
     val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
