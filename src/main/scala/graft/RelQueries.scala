@@ -139,6 +139,60 @@ object RelQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // OHLC resampling: the bar-builder the reference's domain runs on —
+    // tumbling 10-minute buckets, open/close picked by deterministic
+    // (ts, event_id) row order. Both window sorts share the one
+    // (type, bucket) exchange.
+    "q_ohlc_resample" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+        .withColumn("bucket", window(col("ts"), "10 minutes").getField("start"))
+      val part = Window.partitionBy("event_type", "bucket")
+      ev.withColumn("rn_a",
+          row_number().over(part.orderBy(col("ts"), col("event_id"))))
+        .withColumn("rn_d",
+          row_number().over(part.orderBy(col("ts").desc, col("event_id").desc)))
+        .groupBy("event_type", "bucket")
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    // Funnel analysis: strictly-ordered view -> click -> purchase per
+    // user; users counted at their deepest reached stage.
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("v1"))
+        .groupBy("user_id").agg(min("ts").as("c1"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("c1"))
+        .groupBy("user_id").agg(min("ts").as("p1"))
+      ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("funnel_stage",
+          when(col("p1").isNotNull, 3L).when(col("c1").isNotNull, 2L)
+            .when(col("v1").isNotNull, 1L).otherwise(0L))
+        .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_stage")
+    }),
+
+    // UNPIVOT/melt: wide metric columns to (metric, val) rows.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     // Skew-safe COUNT(DISTINCT): same answer as q_count_distinct via
     // the two-phase plan whose both exchanges spread hot groups.
     "q_distinct_skewsafe" -> ((s, dir) =>
@@ -396,6 +450,55 @@ object RelQueries {
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q_ohlc_resample" ->
+      s"""WITH $evCte,
+         |b AS (
+         |  SELECT event_type, time_bucket(INTERVAL 10 MINUTE, ts) AS bucket,
+         |    ts, value, event_id
+         |  FROM ev),
+         |r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY ts, event_id) AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM b)
+         |SELECT event_type, bucket,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  count(*) AS n
+         |FROM r GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH $evCte,
+         |v AS (SELECT user_id, min(ts) AS v1 FROM ev
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT ev.user_id, min(ev.ts) AS c1 FROM ev JOIN v USING (user_id)
+         |      WHERE ev.event_type = 'click' AND ev.ts > v.v1 GROUP BY 1),
+         |p AS (SELECT ev.user_id, min(ev.ts) AS p1 FROM ev JOIN c USING (user_id)
+         |      WHERE ev.event_type = 'purchase' AND ev.ts > c.c1 GROUP BY 1),
+         |u AS (SELECT DISTINCT user_id FROM ev)
+         |SELECT CAST(CASE WHEN p.p1 IS NOT NULL THEN 3
+         |            WHEN c.c1 IS NOT NULL THEN 2
+         |            WHEN v.v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage,
+         |  count(*) AS n_users
+         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         |  LEFT JOIN p USING (user_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |    l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q_distinct_skewsafe" ->
       s"""WITH $evCte
