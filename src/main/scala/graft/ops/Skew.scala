@@ -45,10 +45,13 @@ object Skew {
     * Two-phase instead: dedupe on (group, x) — the shuffle key now
     * includes x, spreading the hot group over all reducers — then a
     * plain (partial-agg'd) count per group. Exact same answer, both
-    * exchanges skew-free. */
+    * exchanges skew-free. NULLs match COUNT(DISTINCT x) semantics:
+    * the dedup keeps a (group, NULL) row so every group survives, and
+    * `count(x)` skips it, so an all-NULL group counts 0 — exactly what
+    * COUNT(DISTINCT) returns for it under GROUP BY. */
   def countDistinctSkewSafe(df: DataFrame, groupCols: Seq[String],
                             distinctCol: String): DataFrame =
     df.select((groupCols :+ distinctCol).map(col): _*).distinct()
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as(s"n_distinct"))
+      .agg(count(col(distinctCol)).as(s"n_distinct"))
 }

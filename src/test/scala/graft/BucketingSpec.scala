@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.Salting
+import graft.ops.Skew
 
 /** Co-located (bucketed) fact-fact joins and skew salting — the two
   * explicit shuffle-elimination tools for joins that are neither
@@ -49,10 +49,10 @@ class BucketingSpec extends SparkSpec {
     val fact = ((1 to 900).map(_ => ("hot", 1.0)) ++
       (1 to 100).map(i => (s"k$i", 2.0))).toDF("k", "v")
     val dim = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
-      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("dk", "attr")
-    val plain = fact.join(dim, $"k" === $"dk")
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k"))
       .groupBy("k").agg(count(lit(1)).as("n"), sum("attr").as("s"))
-    val salted = Salting.saltedJoin(fact, dim, "k", "dk", $"v", salts = 8)
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), salt = 8)
       .groupBy("k").agg(count(lit(1)).as("n"), sum("attr").as("s"))
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
     // every fact row survived exactly once (no duplication from the

@@ -43,6 +43,17 @@ class SkewSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(g") && plan.contains(", x"), plan)
   }
 
+  test("countDistinct NULL semantics match COUNT(DISTINCT x) exactly") {
+    // group 1: values + a null; group 2: all null; group 3: no nulls
+    val df = Seq((1, Some(7)), (1, None), (1, Some(8)),
+      (2, None), (2, None), (3, Some(9))).toDF("g", "x")
+    val got = Skew.countDistinctSkewSafe(df, Seq("g"), "x")
+      .as[(Int, Long)].collect().toMap
+    val direct = df.groupBy("g").agg(countDistinct($"x").as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == direct && got == Map(1 -> 2L, 2 -> 0L, 3 -> 1L))
+  }
+
   test("salt participates in the shuffle partitioning") {
     val (big, small) = skewed()
     val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
