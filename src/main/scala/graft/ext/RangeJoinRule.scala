@@ -1,10 +1,79 @@
 package graft.ext
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+/** Exact floor-division bucket id: `floorDiv(x, bucket)` on longs.
+  * Double math (`floor(x / B.toDouble)`) misassigns buckets once |x|
+  * exceeds 2^53 (nanosecond epochs, hashed keys): the point and its
+  * containing interval can land one bucket apart and the match is
+  * silently dropped. `Math.floorDiv` is exact over the whole long
+  * domain and rounds toward -infinity for negatives, so point and
+  * interval bucketization always agree. Codegen'd — it runs per point
+  * row, the hot side of the join. */
+case class FloorDivBucket(child: Expression, bucket: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any): Any = x match {
+    case i: java.lang.Integer => Math.floorDiv(i.longValue(), bucket)
+    case l: java.lang.Long => Math.floorDiv(l.longValue(), bucket)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = java.lang.Math.floorDiv((long) $x, ${bucket}L);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-row router for the bucketized range join: an interval `[lo, hi)`
+  * spanning `n` buckets is replicated `n` times by the rewrite, so one
+  * open-ended sentinel row (`hi = Long.MaxValue`) would explode into
+  * billions of generated rows and OOM a query the nested loop would
+  * have completed. `keepNarrow = true` passes intervals spanning fewer
+  * than `maxRep` buckets (the bucketized path); `keepNarrow = false`
+  * passes the rest (kept on the original nested-loop path, where a
+  * handful of pathological rows is harmless). Empty (`hi <= lo`) and
+  * null-bounded intervals match no point and are dropped from both
+  * paths. Also serves as the rewrite's idempotence marker: the rule
+  * skips any join whose subtree already contains this guard.
+  * Interpreted eval (CodegenFallback) — it runs once per interval row,
+  * the cold side. */
+case class RangeSpanGuard(lo: Expression, hi: Expression, bucket: Long,
+    maxRep: Long, keepNarrow: Boolean)
+    extends Expression with Predicate with CodegenFallback {
+  override def children: Seq[Expression] = Seq(lo, hi)
+  override def nullable: Boolean = false
+  private def asLong(v: Any): Long = v match {
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long => l.longValue()
+  }
+  override def eval(input: InternalRow): Any = {
+    val l = lo.eval(input)
+    val h = hi.eval(input)
+    if (l == null || h == null) false
+    else {
+      val lv = asLong(l)
+      val hv = asLong(h)
+      if (hv <= lv) false
+      else {
+        // buckets spanned minus one; saturate on (pathological) overflow
+        val reps =
+          try Math.subtractExact(
+            Math.floorDiv(hv - 1L, bucket), Math.floorDiv(lv, bucket))
+          catch { case _: ArithmeticException => Long.MaxValue }
+        if (keepNarrow) reps < maxRep else reps >= maxRep
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(lo = c(0), hi = c(1))
+}
 
 /** Optimizer rule that makes naive interval joins scale: an INNER join
   * whose only cross-side predicates are `pt >= start AND pt < end` (no
@@ -13,16 +82,26 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * 100 TB. This rule rewrites the logical plan into the bucketized
   * form [[graft.ops.RangeJoin]] exposes as a helper:
   *
-  *   points get `floor(pt/B)`; intervals are replicated to every
+  *   points get `floorDiv(pt, B)` ([[FloorDivBucket]] — exact integral
+  *   math, correct beyond 2^53); intervals spanning fewer than
+  *   `spark.graft.rangejoin.maxBuckets` buckets are replicated to every
   *   bucket they overlap (`explode(sequence(...))`); the join becomes
   *   an equi-join on the bucket with the original predicate kept as a
-  *   residual filter.
+  *   residual filter. Wider intervals (open-ended sentinels, whole-
+  *   domain ranges) stay on the original nested-loop path — routed
+  *   per row by [[RangeSpanGuard]] and unioned back, so the rewrite
+  *   never replicates an interval more than `maxBuckets` times and the
+  *   result set is exactly the naive join's. The wide side carries a
+  *   broadcast hint: by construction it holds only the handful of
+  *   pathological rows.
   *
   * After the rewrite `ExtractEquiJoinKeys` sees a hash key, so the
   * physical plan is a shuffled hash/sort-merge join — AQE-skewable,
-  * codegen'd. The rewritten join carries a cross-side equality, which
-  * the matcher rejects, so the rule is idempotent under the optimizer's
-  * fixed-point driver.
+  * codegen'd. The rewritten equi-join carries a cross-side equality
+  * (rejected by the matcher) and both branches carry a
+  * [[RangeSpanGuard]] (rejected by the subtree scan), so the rule is
+  * idempotent under the optimizer's fixed-point driver even if another
+  * rule reconstructs the join nodes.
   *
   * Bucket width comes from `spark.graft.rangejoin.bucketSize` (default
   * 64): set it near the typical interval span — each interval is
@@ -34,6 +113,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketSizeConf = "spark.graft.rangejoin.bucketSize"
+  val MaxBucketsConf = "spark.graft.rangejoin.maxBuckets"
 
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
@@ -80,37 +160,58 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
+  /** True when this rule already rewrote somewhere below: the guard
+    * class appears nowhere else, and predicates only ever move DOWN a
+    * plan, so subtree containment is a reconstruction-proof marker. */
+  private def containsGuard(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(_.exists(_.isInstanceOf[RangeSpanGuard])))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && {
+        if j.resolved && !containsGuard(j) && {
           val cs = splitConjunctivePredicates(cond)
           !hasEquiKey(cs, left, right) && matchBounds(cs, left, right).isDefined
         } =>
       val bucket = conf.getConfString(BucketSizeConf, "64").toLong max 1L
+      val maxRep = conf.getConfString(MaxBucketsConf, "256").toLong max 1L
       val cs = splitConjunctivePredicates(cond)
       val Some((pt, lo, hi)) = matchBounds(cs, left, right)
       val ptOnLeft = pt.references.subsetOf(left.outputSet)
       val (pSide, iSide) = if (ptOnLeft) (left, right) else (right, left)
 
       def bucketOf(x: Expression): Expression =
-        Floor(Divide(Cast(x, DoubleType), Literal(bucket.toDouble)))
+        FloorDivBucket(if (x.dataType == LongType) x else Cast(x, LongType),
+          bucket)
 
+      // narrow path: bucketized equi-join
       val pAlias = Alias(bucketOf(pt), "_graft_bucket_p")()
       val pPlan = Project(pSide.output :+ pAlias, pSide)
       val iAttr = AttributeReference("_graft_bucket_i", LongType,
         nullable = false)()
       // Sequence is TimeZoneAwareExpression — without an explicit zone it
       // stays unresolved and the optimizer's plan validator rejects it.
+      // Evaluated above the narrow guard, so hi > lo holds and hi-1 is
+      // overflow-safe; length is < maxBuckets by the guard.
       val seq = Sequence(bucketOf(lo),
           bucketOf(Subtract(hi, Cast(Literal(1), hi.dataType))), None)
         .withTimeZone(conf.sessionLocalTimeZone)
       val iPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(iAttr),
-        child = Filter(GreaterThan(hi, lo), iSide))
-
-      val (newLeft, newRight) = if (ptOnLeft) (pPlan, iPlan) else (iPlan, pPlan)
-      val newJoin = Join(newLeft, newRight, Inner,
+        child = Filter(
+          RangeSpanGuard(lo, hi, bucket, maxRep, keepNarrow = true), iSide))
+      val (nl, nr) = if (ptOnLeft) (pPlan, iPlan) else (iPlan, pPlan)
+      val narrowJoin = Join(nl, nr, Inner,
         Some(And(EqualTo(pAlias.toAttribute, iAttr), cond)), hint)
-      Project(j.output, newJoin)
+
+      // wide path: the (few) intervals too wide to replicate keep the
+      // original nested-loop join, broadcast from the wide side
+      val wideI = Filter(
+        RangeSpanGuard(lo, hi, bucket, maxRep, keepNarrow = false), iSide)
+      val bHint = Some(HintInfo(strategy = Some(BROADCAST)))
+      val (wl, wr) = if (ptOnLeft) (pSide, wideI) else (wideI, pSide)
+      val wideHint = if (ptOnLeft) JoinHint(None, bHint) else JoinHint(bHint, None)
+      val wideJoin = Join(wl, wr, Inner, Some(cond), wideHint)
+
+      Union(Seq(Project(j.output, narrowJoin), Project(j.output, wideJoin)))
   }
 }

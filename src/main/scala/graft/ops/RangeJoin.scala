@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join: match each point row to every interval row whose
@@ -35,13 +35,20 @@ object RangeJoin {
                 ptCol: String, startCol: String, endCol: String,
                 bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
-    val b = lit(bucketSize)
+    // exact integral floor division — double math (floor(x / B)) drifts
+    // one bucket off beyond 2^53 (ns epochs, hashed keys) and silently
+    // drops the matches on the bucket boundary
+    def bucketOf(c: Column) = org.apache.spark.sql.GraftBridge.column(
+      graft.ext.FloorDivBucket(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.GraftBridge.expression(c),
+          org.apache.spark.sql.types.LongType), bucketSize))
     val iv = intervals
       .filter(col(endCol) > col(startCol)) // empty ranges match nothing
       .withColumn("_bucket",
-        explode(sequence(floor(col(startCol) / b).cast("long"),
-                         floor((col(endCol) - lit(1)) / b).cast("long"))))
-    val pt = points.withColumn("_bucket", floor(col(ptCol) / b).cast("long"))
+        explode(sequence(bucketOf(col(startCol)),
+                         bucketOf(col(endCol) - lit(1)))))
+    val pt = points.withColumn("_bucket", bucketOf(col(ptCol)))
     pt.join(iv, Seq("_bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bucket")

@@ -33,17 +33,47 @@ class RangeJoinRuleSpec extends SparkSpec with BeforeAndAfterAll {
     assert(got == Set((1, 0L), (1, 5L), (1, 9L), (2, 9L), (2, 10L),
       (4, 42L), (4, 99L)))
     val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.toLowerCase.contains("cartesian"), plan)
+    // the narrow path is a bucketized HASH join; the only remaining
+    // nested loop is the wide-interval fallback branch, which is fed
+    // exclusively through the span-guard filter
     assert(plan.contains("_graft_bucket"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
   }
 
   test("mirrored operand order (s <= pt, e > pt) is recognized too") {
     val joined = points.join(intervals,
       col("s") <= col("pt") && col("e") > col("pt"))
     assert(joined.count() == 7)
-    assert(!joined.queryExecution.executedPlan.toString
-      .contains("BroadcastNestedLoopJoin"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("_graft_bucket"))
+  }
+
+  test("buckets are exact beyond 2^53 (double floor-div misassigns)") {
+    // pt = 2^60 - 1: double rounding maps it to bucket 2^54 while its
+    // containing interval [2^60-64, 2^60) stays in bucket 2^54 - 1 —
+    // exact integral division must keep the pair together
+    val big = 1L << 60
+    val pts = Seq(big - 1L, big + 5L).toDF("pt")
+    val ivs = Seq((1, big - 64L, big), (2, big, big + 64L)).toDF("iv_id", "s", "e")
+    val got = pts.join(ivs, col("pt") >= col("s") && col("pt") < col("e"))
+      .select("iv_id", "pt").as[(Int, Long)].collect().toSet
+    assert(got == Set((1, big - 1L), (2, big + 5L)))
+  }
+
+  test("an open-ended sentinel interval survives via the wide path") {
+    // hi = Long.MaxValue spans ~1.4e17 buckets: replicating it would
+    // OOM; the guard routes it to the nested-loop branch instead, and
+    // the result is still exactly the naive join's
+    val pts = Seq(0L, 5L, 9L, 1L << 61).toDF("pt")
+    val ivs = Seq((1, 0L, 10L), (2, 5L, Long.MaxValue)).toDF("iv_id", "s", "e")
+    val joined = pts.join(ivs, col("pt") >= col("s") && col("pt") < col("e"))
+    val got = joined.select("iv_id", "pt").as[(Int, Long)].collect().toSet
+    assert(got == Set((1, 0L), (1, 5L), (1, 9L),
+      (2, 5L), (2, 9L), (2, 1L << 61)))
+    // and the sentinel never reached the generate/explode path
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("_graft_bucket"))
   }
 
   test("joins that already have an equi-key are left untouched") {
