@@ -52,33 +52,73 @@ object Layout {
       .write.mode(mode).parquet(path)
   }
 
+  private def swapOldPath(p: Path) = new Path(p.toString + ".swap_old")
+
+  /** Repair the invariant after a crash mid-swap. [[swapInPlace]] has
+    * one unavoidable window — between "old moved aside" and "new moved
+    * in" the live path holds neither table — and a crash before its
+    * final delete leaves a stray `.swap_old`. This makes both states
+    * self-healing: a surviving `.swap_old` with no live table is moved
+    * back (the replacement never landed — it is re-created by the next
+    * run); one alongside a live table is dropped (the swap completed).
+    * Idempotent; every swap-based writer calls it on entry, so the
+    * recovery runs at the next batch/compaction without operator
+    * action. */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    val old = swapOldPath(p)
+    if (fs.exists(old)) {
+      if (!fs.exists(p))
+        require(fs.rename(old, p), s"recover: could not restore $old to $p")
+      else fs.delete(old, true)
+    }
+  }
+
+  /** Replace the table at `p` with the complete table staged at `tmp`
+    * using CHECKED renames (old aside → new in place → drop old), after
+    * first running [[recoverSwap]]. Not atomic — a crash between the
+    * two renames leaves `p` empty until the next caller's entry
+    * recovery restores the old table — but never silently lossy: at
+    * every point either `p` or `p.swap_old` holds a complete table, and
+    * readers of a missing `p` fail loudly rather than merging against a
+    * partial write. Hadoop `FileSystem` throughout (HDFS/S3A-safe;
+    * on S3A the renames are copies — prefer a real table format there
+    * when rename cost matters). */
+  def swapInPlace(fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
+                  p: Path): Unit = {
+    recoverSwap(fs, p)
+    val old = swapOldPath(p)
+    if (fs.exists(p)) {
+      require(fs.rename(p, old), s"swap: could not move $p aside")
+      if (!fs.rename(tmp, p)) { // restore and fail loudly, nothing lost
+        fs.rename(old, p)
+        sys.error(s"swap: could not move $tmp into place; original restored")
+      }
+      fs.delete(old, true)
+    } else {
+      require(fs.rename(tmp, p), s"swap: could not move $tmp into place")
+    }
+  }
+
   /** Small-file compaction. Incremental/streaming writers accrete
     * files; at 100 TB a table of 4 KB files dies on driver file-listing
     * and per-file open cost long before any byte is scanned. Rewrites
     * the table into `ceil(bytes / targetFileBytes)` files and swaps it
-    * in with CHECKED renames (write aside → old aside → new in place →
-    * drop old): a crash at any point leaves either the old or the new
-    * complete table at `path`, never neither. Hadoop `FileSystem`
-    * throughout, so the same call works on HDFS/S3A. For a
-    * dt-partitioned table, compact per partition directory.
+    * in via [[swapInPlace]] — self-healing on entry ([[recoverSwap]]),
+    * a complete copy of the table always on disk. For a dt-partitioned
+    * table, compact per partition directory.
     * Returns the file count written. */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 512L << 20): Int = {
     require(targetFileBytes > 0)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new Path(path + ".compact_tmp")
-    val old = new Path(path + ".compact_old")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.rename(p, old), s"compact: could not move $p aside")
-    if (!fs.rename(tmp, p)) { // restore and fail loudly, nothing lost
-      fs.rename(old, p)
-      sys.error(s"compact: could not move $tmp into place; original restored")
-    }
-    fs.delete(old, true)
+    swapInPlace(fs, tmp, p)
     nFiles
   }
 }

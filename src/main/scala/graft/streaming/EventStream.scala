@@ -39,9 +39,13 @@ object EventStream {
     * (Spark's file source tracks processed files in the checkpoint, the
     * streaming analogue of the watermark re-extract), deduped against
     * the target per micro-batch with the SAME [[graft.ops.Upsert]]
-    * operator, and written atomically. `foreachBatch` is the canonical
-    * shape for merge-style sinks; exactly-once comes from the source
-    * checkpoint + idempotent upsert.
+    * operator, and swapped in with checked renames
+    * ([[graft.ops.Layout.swapInPlace]]): the merge is staged beside the
+    * target and never overwrites it in place, so no batch ever reads a
+    * half-written table. A crash between the swap's renames leaves the
+    * previous table at `<target>.swap_old`; the next batch's entry
+    * recovery restores it before merging. Exactly-once comes from the
+    * source checkpoint + idempotent upsert + that recovery invariant.
     */
   def fileIngest(spark: SparkSession, srcDir: String, schema:
                  org.apache.spark.sql.types.StructType, targetPath: String,
@@ -52,17 +56,20 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark2 = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(targetPath)
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = target
           .getFileSystem(spark2.sparkContext.hadoopConfiguration)
+        graft.ops.Layout.recoverSwap(fs, target)
         val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
+          if (fs.exists(target))
             graft.ops.Upsert.upsert(
               spark2.read.parquet(targetPath), batch.toDF(), keys)
           else batch.toDF()
-        val stage = targetPath + ".stage"
-        merged.write.mode("overwrite").parquet(stage)
-        spark2.read.parquet(stage).write.mode("overwrite").parquet(targetPath)
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        // the merge lazily READS the live target, so it must land in a
+        // stage dir first; the swap then replaces the target whole
+        val stage = new org.apache.hadoop.fs.Path(targetPath + ".stage")
+        merged.write.mode("overwrite").parquet(stage.toString)
+        graft.ops.Layout.swapInPlace(fs, stage, target)
         ()
       }
       .start()

@@ -84,6 +84,23 @@ class LayoutSpec extends SparkSpec {
     assert(parent == Seq("t"), s"leftovers: $parent")
   }
 
+  test("swap recovery: both crash states self-heal on entry") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("swaprec").toString + "/t"
+    spark.range(100).toDF("id").write.parquet(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state A: live table moved aside, replacement never landed
+    assert(fs.rename(p, new Path(dir + ".swap_old")))
+    Layout.recoverSwap(fs, p)
+    assert(spark.read.parquet(dir).count() == 100) // restored
+    // crash state B: swap completed but the old copy survived
+    spark.range(5).toDF("id").write.parquet(dir + ".swap_old")
+    Layout.compact(spark, dir) // entry recovery drops the stray copy
+    assert(!fs.exists(new Path(dir + ".swap_old")))
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("writeZOrdered: preserves rows across the requested file count") {
     val dir = Files.createTempDirectory("zlayout").toString + "/t"
     val grid = spark.range(64).select(col("id").as("a"))
