@@ -236,6 +236,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Boilerplate 5-grams: shingles shared by >= 3 distinct docs across
+    // docs+mutants (mutants guarantee shared prefixes). Per-doc distinct
+    // arrays make count(*) the distinct-doc count — one exchange.
+    "q_boilerplate" -> ((s, dir) =>
+      DedupOps.boilerplateNgrams(docsWithMutants(s, dir), "text",
+          w = 5, minDocs = 3)
+        .orderBy("shingle")),
+
     // TF-IDF keyword extraction: top-5 terms per document (explode ->
     // partial-agg'd term counts -> df join -> per-doc window).
     "q_tfidf" -> ((s, dir) =>
@@ -476,6 +484,26 @@ object ExtQueries {
         |      WHERE doc_id % 50 = 0)
         |SELECT c.doc_id, count(DISTINCT c.sh) AS n_contaminated
         |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |         THEN list_transform(range(1, len(toks) - 3),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                               toks[i+3], toks[i+4]))
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh)
+        |SELECT shingle, count(*) AS n_docs FROM e
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY shingle""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH terms AS (

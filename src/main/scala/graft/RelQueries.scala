@@ -268,6 +268,38 @@ object RelQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Interval × interval OVERLAP join (validity windows, session
+    // overlap): two order samples with 14-day windows, every pair whose
+    // windows intersect. Bucketized on both sides with exactly-once
+    // emission from the overlap-start bucket — no dedup shuffle
+    // (oracle: DuckDB's native inequality join).
+    "q_interval_overlap" -> ((s, dir) => {
+      val epoch = (c: Column) => datediff(to_date(c), lit("1970-01-01")).cast("long")
+      def win(modulus: Int, p: String) = t(s, dir, "orders")
+        .filter(col("o_orderkey") % modulus === 0)
+        .select(col("o_orderkey").as(s"${p}_key"),
+          epoch(col("o_orderdate")).as(s"${p}_lo"),
+          (epoch(col("o_orderdate")) + 14).as(s"${p}_hi"))
+      graft.ops.RangeJoin.intervalOverlapJoin(win(97, "a"), win(89, "b"),
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketSize = 16L)
+        .select("a_key", "b_key")
+        .orderBy("a_key", "b_key")
+    }),
+
+    // INTERSECT (set semantics): customers active in both 1994 and 1995.
+    "q_intersect" -> ((s, dir) => {
+      def active(y: Int) = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === y).select("o_custkey")
+      active(1994).intersect(active(1995)).orderBy("o_custkey")
+    }),
+
+    // EXCEPT (set semantics): customers active in 1994 but not 1995.
+    "q_except" -> ((s, dir) => {
+      def active(y: Int) = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === y).select("o_custkey")
+      active(1994).except(active(1995)).orderBy("o_custkey")
+    }),
+
     // §2.7 scalar-function breadth: string / conditional / date scalar
     // functions over the part+orders tables, every one oracle-matched.
     "q_scalar_funcs" -> ((s, dir) =>
@@ -556,6 +588,32 @@ object RelQueries {
         |SELECT iv.o_orderkey, count(*) AS n_shipped
         |FROM p JOIN iv ON p.ship_day >= iv.iv_start AND p.ship_day < iv.iv_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS a_lo,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 14 AS a_hi
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS b_lo,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 14 AS b_hi
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT a_key, b_key FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey,

@@ -64,6 +64,22 @@ object DedupOps {
       .agg(countDistinct(col("shh")).as("n_contaminated"))
   }
 
+  /** Boilerplate detection: word w-grams appearing in at least `minDocs`
+    * DISTINCT documents — the nav chrome / license header / footer text
+    * that near-dup pair mining misses because it is embedded in
+    * otherwise-unique pages. Each document contributes a shingle at most
+    * once (`array_distinct` before the explode), so a plain partial-
+    * aggregated `count(*)` IS the distinct-document count — no
+    * `countDistinct` exchange. The shuffle key is the shingle text
+    * because the output needs it; at extreme scale, pre-filter on a
+    * first pass over `xxhash64(shingle)` counts and join the survivors
+    * back to recover the text. Returns (shingle, n_docs). */
+  def boilerplateNgrams(df: DataFrame, text: String,
+                        w: Int = 5, minDocs: Long = 3): DataFrame =
+    df.select(explode(array_distinct(shingles(col(text), w))).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * Jaccard. bands*rowsPerBand must equal the signature length.
     * Returns (idA, idB, est_jaccard) with idA < idB, est >= threshold.

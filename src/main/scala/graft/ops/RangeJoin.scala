@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact integral floor-division bucket id — double math
+    * (`floor(x / B)`) drifts one bucket off beyond 2^53 (ns epochs,
+    * hashed keys) and silently drops the matches on the boundary. */
+  private def bucketOf(c: Column, bucketSize: Long): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.ext.FloorDivBucket(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.GraftBridge.expression(c),
+          org.apache.spark.sql.types.LongType), bucketSize))
+
   /** @param points    side with a single numeric coordinate `ptCol`
     * @param intervals side with numeric `[startCol, endCol)` ranges
     * @param bucketSize domain width per bucket (same unit as the cols)
@@ -35,22 +45,53 @@ object RangeJoin {
                 ptCol: String, startCol: String, endCol: String,
                 bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
-    // exact integral floor division — double math (floor(x / B)) drifts
-    // one bucket off beyond 2^53 (ns epochs, hashed keys) and silently
-    // drops the matches on the bucket boundary
-    def bucketOf(c: Column) = org.apache.spark.sql.GraftBridge.column(
-      graft.ext.FloorDivBucket(
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          org.apache.spark.sql.GraftBridge.expression(c),
-          org.apache.spark.sql.types.LongType), bucketSize))
     val iv = intervals
       .filter(col(endCol) > col(startCol)) // empty ranges match nothing
       .withColumn("_bucket",
-        explode(sequence(bucketOf(col(startCol)),
-                         bucketOf(col(endCol) - lit(1)))))
-    val pt = points.withColumn("_bucket", bucketOf(col(ptCol)))
+        explode(sequence(bucketOf(col(startCol), bucketSize),
+                         bucketOf(col(endCol) - lit(1), bucketSize))))
+    val pt = points.withColumn("_bucket", bucketOf(col(ptCol), bucketSize))
     pt.join(iv, Seq("_bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("_bucket")
+  }
+
+  /** Interval × interval overlap join: every (a, b) pair whose half-open
+    * ranges `[aLo, aHi)` and `[bLo, bHi)` intersect — the session-vs-
+    * session / validity-window shape the point-in-interval join can't
+    * express. Same bucketization: BOTH sides are exploded to the buckets
+    * they cover and equi-joined on the bucket id, with the exact overlap
+    * predicate as the residual filter.
+    *
+    * An overlapping pair co-occurs in every bucket its overlap region
+    * spans, so naive emission duplicates pairs. Instead of a dedup
+    * shuffle, each pair is emitted only from the bucket containing the
+    * overlap's START (`max(aLo, bLo)` — always inside both sides'
+    * bucket ranges when the overlap is non-empty): exactly-once output
+    * straight off the joined stream, no extra exchange.
+    *
+    * Replication is `span/B + 1` per row on both sides: pick
+    * `bucketSize` near the median span. Route open-ended sentinel rows
+    * (e.g. `hi = Long.MaxValue`) to a separate plan — here they would
+    * explode the generated sequence (the automatic
+    * [[graft.ext.RangeJoinRule]] guards this per row; this explicit
+    * helper trusts its caller). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aLo: String, aHi: String, bLo: String, bHi: String,
+                          bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val ab = a.filter(col(aHi) > col(aLo))
+      .withColumn("_bucket",
+        explode(sequence(bucketOf(col(aLo), bucketSize),
+                         bucketOf(col(aHi) - lit(1), bucketSize))))
+    val bb = b.filter(col(bHi) > col(bLo))
+      .withColumn("_bucket",
+        explode(sequence(bucketOf(col(bLo), bucketSize),
+                         bucketOf(col(bHi) - lit(1), bucketSize))))
+    ab.join(bb, Seq("_bucket"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("_bucket") ===
+        bucketOf(greatest(col(aLo), col(bLo)), bucketSize))
       .drop("_bucket")
   }
 }

@@ -47,6 +47,39 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("overlap join: differential vs naive, exactly-once per pair") {
+    val rnd = new scala.util.Random(23)
+    def windows(n: Int, seedOff: Int) = Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i + seedOff, s, s + 1 + rnd.nextInt(60).toLong)
+    }
+    val as = windows(120, 0)
+    val bs = windows(90, 10000)
+    val expected = (for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if alo < bhi && blo < ahi
+    } yield (ai, bi)).toSet
+    for (bucket <- Seq(1L, 16L, 128L, 4096L)) {
+      val got = RangeJoin.intervalOverlapJoin(
+          as.toDF("a_id", "a_lo", "a_hi"), bs.toDF("b_id", "b_lo", "b_hi"),
+          "a_lo", "a_hi", "b_lo", "b_hi", bucket)
+        .select("a_id", "b_id").as[(Int, Int)].collect()
+      // toSet AFTER asserting no duplicates: emission must be exactly-once
+      assert(got.length == got.toSet.size, s"bucket $bucket emitted dups")
+      assert(got.toSet == expected, s"bucket $bucket diverged")
+    }
+  }
+
+  test("overlap join: empty and touching ranges never match") {
+    // [0,5) and [5,10) touch but do not overlap (half-open); [7,7) empty
+    val as = Seq((1, 0L, 5L), (2, 7L, 7L)).toDF("a_id", "a_lo", "a_hi")
+    val bs = Seq((1, 5L, 10L), (2, 0L, 8L)).toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlapJoin(as, bs,
+        "a_lo", "a_hi", "b_lo", "b_hi", 4L)
+      .select("a_id", "b_id").as[(Int, Int)].collect().toSet
+    assert(got == Set((1, 2))) // only [0,5) x [0,8)
+  }
+
   test("plans an equi-join on the bucket, not a nested loop") {
     val points = Seq(1L).toDF("pt")
     val intervals = Seq((1, 0L, 10L)).toDF("iv_id", "s", "e")
