@@ -99,6 +99,25 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  case class Impression(i_id: Long, i_ts: Timestamp, i_user: Long)
+  case class Click(c_id: Long, c_ts: Timestamp, c_user: Long)
+
+  /** Watermarked stream-stream interval join (click attribution): each
+    * click matches the impressions shown to the same user within
+    * `horizon` BEFORE the click. Both sides carry event-time watermarks
+    * and the join condition bounds the event-time distance, so Spark
+    * can expire buffered state once the watermark passes
+    * `i_ts + horizon` — without the bound, a stream-stream join must
+    * buffer both streams forever. Inner joins emit as soon as both
+    * sides arrive; the watermark only governs state eviction. */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      horizon: String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame =
+    impressions.withWatermark("i_ts", watermark)
+      .join(clicks.withWatermark("c_ts", watermark),
+        expr("i_user = c_user AND c_ts >= i_ts AND " +
+          s"c_ts <= i_ts + interval $horizon"))
+
   /** Per-key running stats via mapGroupsWithState: the streaming analogue
     * of the LAG/running analysis (last value, count, running total). */
   def runningStats(events: Dataset[Event]): Dataset[TypeStats] = {

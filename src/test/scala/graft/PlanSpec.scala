@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
       s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
 
+  test("rank filters push a WindowGroupLimit below the sort") {
+    // rk <= k over row_number/rank must become a per-group top-k
+    // (partial limit map-side, final limit after the shuffle) — without
+    // it every group's full contents sort and materialize before the
+    // filter drops them
+    for (key <- Seq("q_tfidf", "q_window_rank")) {
+      val p = planOf(key)
+      assert(p.contains("WindowGroupLimit"),
+        s"$key lost window group-limit pushdown:\n$p")
+    }
+  }
+
   test("incremental watermark filter prunes with pushdown") {
     // on a natively-typed order column the watermark predicate reaches
     // the scan (events.ts is a ns->µs conversion, so its filter runs

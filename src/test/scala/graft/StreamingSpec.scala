@@ -120,6 +120,31 @@ class StreamingSpec extends SparkSpec {
     assert(last.length == 1 && last(0).total == 7.0 && last(0).lastValue == 4.0)
   }
 
+  test("stream-stream interval join attributes clicks within the horizon") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[EventStream.Impression]
+    val clicks = MemoryStream[EventStream.Click]
+    val q = EventStream.attributeClicks(imps.toDF(), clicks.toDF(),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    imps.addData(
+      EventStream.Impression(100, ts(0), 1),
+      EventStream.Impression(101, ts(5), 2))
+    // click 10 min after user 1's impression: attributed; user 2 clicks
+    // 50 min later: outside the horizon; user 3 never saw an impression
+    clicks.addData(
+      EventStream.Click(900, ts(10), 1),
+      EventStream.Click(901, ts(55), 2),
+      EventStream.Click(902, ts(20), 3))
+    q.processAllAvailable()
+    val out = spark.table("attr_out").select("i_id", "c_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(out == Set((100L, 900L)), s"got $out")
+  }
+
   test("streaming dedup suppresses redelivered keys across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
