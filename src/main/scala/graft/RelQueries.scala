@@ -201,6 +201,15 @@ object RelQueries {
         .withColumnRenamed("n_distinct", "n_users")
         .orderBy("event_type")),
 
+    // Exact COUNT(DISTINCT) via the custom mergeable-bitmap aggregate
+    // (TypedImperativeAggregate): one shuffle carrying one bitmap per
+    // (group x partition) instead of the built-in's Expand + re-agg.
+    "q_bitmap_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(graft.functions.BitmapDistinct.bitmap_distinct(col("user_id"))
+          .as("n_users"))
+        .orderBy("event_type")),
+
     // Snapshot diff: orders vs a deterministically mutated copy —
     // added/removed/changed per PK via one full-outer co-partitioned
     // join (graft.ops.Diff).
@@ -421,6 +430,10 @@ object RelQueries {
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_window_rank" ->

@@ -73,7 +73,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_zorder"),
       info("graft_zorder",
         "graft_zorder(a, b) - Morton interleave of two non-negative longs"),
-      (es: Seq[Expression]) => ZOrderKey(es(0), es(1)))
+      (es: Seq[Expression]) => ZOrderKey(es(0), es(1))),
+    (FunctionIdentifier("graft_bitmap_distinct"),
+      info("graft_bitmap_distinct",
+        "graft_bitmap_distinct(id) - exact distinct count of dense non-negative ids via a mergeable bitmap"),
+      (es: Seq[Expression]) => graft.functions.BitmapDistinct(es(0)))
   )
 
   /** Register the functions on a live session (same descriptors the

@@ -47,7 +47,8 @@ class ExtensionsSpec extends SparkSpec {
     // cluster path: spark.sql.extensions=graft.ext.GraftExtensions —
     // the class must inject every descriptor without error
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    assert(GraftExtensions.descriptors.map(_._1.funcName).distinct.size == 6)
+    assert(GraftExtensions.descriptors.map(_._1.funcName).distinct.size ==
+      GraftExtensions.descriptors.size)
   }
 
   test("SQL-surface dedup: minhash signatures from SQL agree with DedupOps") {
