@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * decoder-library initialization per partition (not per row), rows
   * streamed through it in batch.
   *
-  * The codec step itself is STUBBED (this container ships no media
-  * libraries): `decodeStub` derives deterministic fake dimensions /
-  * features from the payload bytes. Everything around it — schema,
+  * Metadata decode is REAL for PNG and JPEG: dimensions come from the
+  * container headers ([[imageDims]] — pure byte inspection, no codec
+  * library). PIXEL decode and the frame/feature extractors are STUBBED
+  * (this container ships no media libraries): `decodeStub` derives
+  * deterministic fake values from the payload bytes for formats the
+  * header parser doesn't know. Everything around the stub — schema,
   * encoders, partitioning, batch shape, the feature pipeline — is real
-  * and tested; swapping the stub for javacpp-ffmpeg/ImageIO is a
+  * and tested; swapping it for javacpp-ffmpeg/ImageIO is a
   * one-function change inside the partition loop.
   *
   * Scale: payloads never shuffle — decode is map-side, features (small)
@@ -46,13 +49,43 @@ object Multimodal {
     (w, ht, frames)
   }
 
-  /** Decode metadata for every payload, one decoder init per partition. */
+  /** Real image-dimension decode from container headers — PNG (IHDR
+    * fields at fixed offsets) and JPEG (marker scan to the first SOFn
+    * frame segment). Pure byte inspection: correct metadata without a
+    * pixel codec. Returns None for anything else (truncated, other
+    * formats), letting callers fall back. */
+  def imageDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (p.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+        u8(3) == 'G' && p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+      Some((be32(16), be32(20)))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk segments until a start-of-frame marker (C0-CF minus
+      // the non-frame C4/C8/CC); height/width sit after the precision byte
+      var i = 2
+      while (i + 9 < p.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some((be16(i + 7), be16(i + 5)))
+        i += 2 + (if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) 0 else be16(i + 2))
+      }
+      None
+    } else None
+  }
+
+  /** Decode metadata for every payload, one decoder init per partition:
+    * real header dimensions for PNG/JPEG, deterministic stub otherwise. */
   def extractMeta(rows: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      // real impl: initialize the codec once here, per partition
+      // real impl: initialize the pixel codec once here, per partition
       it.map { r =>
-        val (w, h, f) = decodeStub(r.payload)
+        val (w, h, f) = imageDims(r.payload) match {
+          case Some((pw, ph)) => (pw, ph, 1)
+          case None => decodeStub(r.payload)
+        }
         MediaMeta(r.media_id, r.kind, r.payload.length.toLong, w, h, f)
       }
     }

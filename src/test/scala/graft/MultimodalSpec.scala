@@ -25,6 +25,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(m => m.width >= 64 && m.height >= 64 && m.n_frames >= 1))
   }
 
+  test("imageDims: real PNG and JPEG headers parse to true dimensions") {
+    // minimal PNG: signature + IHDR chunk header + width=640, height=480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, /* 640 */ 0, 0, 1, 0xe0 /* 480 */).map(_.toByte)
+    assert(Multimodal.imageDims(png).contains((640, 480)))
+
+    // minimal JPEG: SOI, APP0 (16 bytes), SOF0 with height=333 width=221
+    val jpeg = (Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10) ++ Array.fill(14)(0) ++
+      Array[Int](0xff, 0xc0, 0x00, 0x11, 8,
+        0x01, 0x4d, /* h=333 */ 0x00, 0xdd /* w=221 */) ++
+      Array.fill(12)(0)).map(_.toByte)
+    assert(Multimodal.imageDims(jpeg).contains((221, 333)))
+
+    // non-image payloads fall back to None (then the stub)
+    assert(Multimodal.imageDims("plain text".getBytes).isEmpty)
+    assert(Multimodal.imageDims(Array[Byte]()).isEmpty)
+
+    // and extractMeta surfaces the REAL dimensions for real headers
+    val rows = Seq(MediaRow(9L, "image", png)).toDS()
+    val meta = Multimodal.extractMeta(rows).collect().head
+    assert(meta.width == 640 && meta.height == 480 && meta.n_frames == 1)
+  }
+
   test("frameFeatures: stride sampling yields ceil(frames/stride) rows, fixed dim") {
     val metas = Multimodal.extractMeta(media).collect()
       .map(m => m.media_id -> m.n_frames).toMap
