@@ -139,6 +139,20 @@ object RelQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Forward as-of: earliest click at or after each purchase (the
+    // next-touch attribution direction; oracle: DuckDB ASOF with <=).
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.ops.AsofJoin.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+        Seq("click_value"), direction = "forward")
+        .select(col("user_id"), col("event_id"), col("asof_click_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // OHLC resampling: the bar-builder the reference's domain runs on —
     // tumbling 10-minute buckets, open/close picked by deterministic
     // (ts, event_id) row order. Both window sorts share the one
@@ -494,6 +508,16 @@ object RelQueries {
          |SELECT p.user_id, p.event_id, c.click_value AS asof_click_value
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts >= c.ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      s"""WITH $evCte,
+         |p AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, max(value) AS click_value FROM ev
+         |      WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT p.user_id, p.event_id, c.click_value AS asof_click_value
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts <= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "q_ohlc_resample" ->

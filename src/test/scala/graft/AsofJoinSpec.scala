@@ -49,6 +49,42 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("forward and nearest directions match naive references") {
+    val rnd = new scala.util.Random(13)
+    val quotes = Seq.fill(300)((s"k${rnd.nextInt(20)}", rnd.nextInt(1000).toLong,
+      rnd.nextDouble())).groupBy(t => (t._1, t._2))
+      .map(_._2.head).toSeq
+    val trades = Seq.tabulate(500)(i =>
+      (s"k${rnd.nextInt(25)}", rnd.nextInt(1000).toLong, i.toLong))
+    def run(dir: String) = AsofJoin.asofJoin(
+      trades.toDF("sym", "ts", "trade_id"), quotes.toDF("sym", "ts", "px"),
+      "sym", "ts", "ts", Seq("px"), direction = dir)
+      .select("trade_id", "asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+
+    val fwdExpected = trades.map { case (k, ts, id) =>
+      val after = quotes.filter(q => q._1 == k && q._2 >= ts)
+      id -> (if (after.isEmpty) None else Some(after.minBy(_._2)._3))
+    }.toMap
+    assert(run("forward") == fwdExpected)
+
+    val nearExpected = trades.map { case (k, ts, id) =>
+      val prior = quotes.filter(q => q._1 == k && q._2 <= ts)
+      val after = quotes.filter(q => q._1 == k && q._2 > ts)
+      val b = if (prior.isEmpty) None else Some(prior.maxBy(_._2))
+      val f = if (after.isEmpty) None else Some(after.minBy(_._2))
+      id -> ((b, f) match {
+        case (None, None) => None
+        case (Some(q), None) => Some(q._3)
+        case (None, Some(q)) => Some(q._3)
+        // backward wins ties (pandas merge_asof nearest semantics)
+        case (Some(bq), Some(fq)) =>
+          Some(if (ts - bq._2 <= fq._2 - ts) bq._3 else fq._3)
+      })
+    }.toMap
+    assert(run("nearest") == nearExpected)
+  }
+
   test("plans one exchange for both sides (no range cross-product)") {
     val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "ts", "px")
     val trades = Seq(("A", 5L, 100L)).toDF("sym", "ts", "trade_id")
