@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.functions.Rounding.sqlRound
+import graft.functions.Rounding.{roundHalfUp, sqlRound}
 
 /** Relational-completeness query keys beyond the reference's literal
   * surface (SURVEY §2.3/§2.8 build-plan generalizations): outer/semi/
@@ -395,6 +395,31 @@ object RelQueries {
           |FROM ssq_orders ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // §2.7 statistical aggregates: Pearson correlation + sample
+    // covariance per group. Both engines stream doubles in different
+    // partial-merge orders; shared HALF_UP rounding canonicalizes the
+    // last-ulp divergence.
+    "q_corr_covar" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          roundHalfUp(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qp"),
+          roundHalfUp(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covar_qp"))
+        .orderBy("l_returnflag")),
+
+    // Ordered string aggregation (LISTAGG WITHIN GROUP): each user's
+    // event-type journey in event-time order — the SQL-standard form,
+    // deterministic via the (ts, event_id) sort inside the group.
+    "q_string_agg" -> ((s, dir) => {
+      t(s, dir, "events").select("user_id", "event_type", "ts", "event_id")
+        .createOrReplaceTempView("ev_sagg")
+      s.sql("""SELECT user_id,
+              |  listagg(event_type, '|')
+              |    WITHIN GROUP (ORDER BY ts, event_id) AS journey
+              |FROM ev_sagg GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
     // S4: the flagship analysis as literal SQL through spark.sql over a
     // temp view — same semantics, same oracle as q_full_analysis.
     "q_full_analysis_sql" -> ((s, dir) => {
@@ -412,6 +437,18 @@ object RelQueries {
       |  FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_corr_covar" ->
+      s"""SELECT l_returnflag,
+         |  ${sqlRound("corr(l_quantity, l_extendedprice)", 6)} AS corr_qp,
+         |  ${sqlRound("covar_samp(l_quantity, l_extendedprice)", 4)} AS covar_qp
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_string_agg" ->
+      s"""WITH $evCte
+         |SELECT user_id,
+         |  string_agg(event_type, '|' ORDER BY ts, event_id) AS journey
+         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_join_left" ->
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 500) c
