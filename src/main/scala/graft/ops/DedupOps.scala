@@ -179,6 +179,19 @@ object DedupOps {
     * the rounds; dup clusters are near-cliques, so plain propagation
     * converges in 2-3 rounds in practice.
     */
+  /** Release a superseded iteration's localCheckpoint blocks. Each
+    * eager local checkpoint pins its partitions in executor storage for
+    * the lifetime of the session; without this, an iterative job leaks
+    * O(iterations × |labels|) of block-manager memory — harmless at
+    * test scale, a storage-eviction fight at 100 TB. Only called on
+    * frames no later step can recompute from (lineage is truncated). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
@@ -198,10 +211,13 @@ object DedupOps {
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
+      freeCheckpoint(labels) // superseded by next; convergence check is done
       labels = next
       i += 1
     }
-    labels.select(col("id"), col("label").as("component"))
+    val out = labels.select(col("id"), col("label").as("component"))
+    freeCheckpoint(edges) // the result needs only the final labels
+    out
   }
 
   /** Exact n-gram Jaccard similarity for a bounded candidate set —

@@ -53,6 +53,23 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(neg.getMessage.contains("bitmap_distinct"))
   }
 
+  test("merge is commutative/associative and serde-stable (random trials)") {
+    val rnd = new scala.util.Random(42)
+    def bm(s: Seq[Long]) = { val b = new LongBitmap(); s.foreach(b.add); b }
+    for (_ <- 1 to 20) {
+      def ids() = Seq.fill(rnd.nextInt(200))(rnd.nextInt(100000).toLong)
+      val (xs, ys, zs) = (ids(), ids(), ids())
+      val all = (xs ++ ys ++ zs).toSet.size.toLong
+      assert(bm(xs ++ ys ++ zs).cardinality == all)
+      assert(bm(xs).or(bm(ys).or(bm(zs))).cardinality == all)
+      assert(bm(zs).or(bm(ys)).or(bm(xs)).cardinality == all)
+      // merging deserialized partial buffers (the shuffle path) agrees
+      val ser = LongBitmap.fromBytes(bm(xs).toBytes)
+        .or(LongBitmap.fromBytes(bm(ys ++ zs).toBytes))
+      assert(ser.cardinality == all)
+    }
+  }
+
   test("buffer trims trailing zeros and round-trips") {
     val b = new LongBitmap()
     b.add(3L); b.add(200000L); b.add(3L)

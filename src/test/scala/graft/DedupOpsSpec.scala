@@ -104,6 +104,19 @@ class DedupOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: superseded checkpoint blocks are released") {
+    // a 12-node chain needs several label-propagation rounds; each round
+    // local-checkpoints, and every superseded round's blocks must be
+    // unpersisted — only the final labels may stay pinned
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = DedupOps.connectedComponents(chain)
+    assert(labels.select(countDistinct($"component")).as[Long].head() == 1L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"checkpoint blocks leaked: $before persistent RDDs -> $after")
+  }
+
   test("shingles: fewer tokens than width -> empty array, no crash") {
     val out = Seq((1L, "one two")).toDF("doc_id", "text")
       .select(DedupOps.shingles($"text", 3).as("sh"))
