@@ -117,6 +117,19 @@ object RelQueries {
           grouping(col("l_linestatus")).cast("long").as("g_status"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Distribution windows: percent_rank / cume_dist / ntile share the
+    // one (priority) exchange and sort with the row_number tie-breaker.
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          roundHalfUp(percent_rank().over(w), 6).as("pct_rank"),
+          roundHalfUp(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // CUBE: all four grouping combinations in one pass (Expand feeds a
     // single aggregate exchange); grouping() disambiguates real NULLs.
     "q_cube" -> ((s, dir) =>
@@ -544,6 +557,16 @@ object RelQueries {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_window_dist" ->
+      s"""SELECT o_orderpriority, o_orderkey,
+         |  ${sqlRound("percent_rank() OVER w", 6)} AS pct_rank,
+         |  ${sqlRound("cume_dist() OVER w", 6)} AS cume,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority
+         |             ORDER BY o_totalprice, o_orderkey)
+         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -52,6 +52,19 @@ object Layout {
       .write.mode(mode).parquet(path)
   }
 
+  /** Bucketed-table write: the co-located join layout. Two fact tables
+    * written with the same bucket count and key sort-merge join with
+    * ZERO exchanges (asserted in BucketingSpec) — at 100 TB the big-big
+    * join becomes a per-bucket local merge, no network. `saveAsTable`
+    * is required: bucket metadata lives in the catalog, plain
+    * `.parquet(path)` writes would lose it. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(buckets > 0)
+    df.write.mode(mode).bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   private def swapOldPath(p: Path) = new Path(p.toString + ".swap_old")
 
   /** Repair the invariant after a crash mid-swap. [[swapInPlace]] has

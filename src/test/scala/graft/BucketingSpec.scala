@@ -16,14 +16,12 @@ class BucketingSpec extends SparkSpec {
   test("bucketed tables join with ZERO exchanges (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    Tables.read(spark, sf, "orders")
-      .select("o_orderkey", "o_totalprice")
-      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("b_orders")
-    Tables.read(spark, sf, "lineitem")
-      .select("l_orderkey", "l_quantity")
-      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("b_lineitem")
+    graft.ops.Layout.writeBucketed(
+      Tables.read(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", buckets = 4)
+    graft.ops.Layout.writeBucketed(
+      Tables.read(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+      "b_lineitem", "l_orderkey", buckets = 4)
 
     val joined = spark.table("b_orders").hint("merge")
       .join(spark.table("b_lineitem"),
