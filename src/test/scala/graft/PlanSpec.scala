@@ -80,6 +80,14 @@ class PlanSpec extends SparkSpec {
       s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
 
+  test("interval-overlap join is a hash join on the bucket") {
+    val p = planOf("q_interval_overlap")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"overlap join lost its equi-key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.toLowerCase.contains("cartesian"), p)
+  }
+
   test("rank filters push a WindowGroupLimit below the sort") {
     // rk <= k over row_number/rank must become a per-group top-k
     // (partial limit map-side, final limit after the shuffle) — without
