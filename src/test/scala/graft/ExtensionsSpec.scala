@@ -51,6 +51,24 @@ class ExtensionsSpec extends SparkSpec {
       GraftExtensions.descriptors.size)
   }
 
+  test("registerAll rewrites naive SQL inequality joins (the adoption path)") {
+    // a user adopting via Graft.session / spark.sql.extensions writes the
+    // naive BETWEEN-style join and must still get the bucketized plan
+    GraftExtensions.registerAll(spark)
+    Seq(0L, 5L, 9L).toDF("pt").createOrReplaceTempView("ext_pts")
+    Seq((1, 0L, 10L), (2, 8L, 13L)).toDF("iv_id", "s", "e")
+      .createOrReplaceTempView("ext_ivs")
+    val joined = spark.sql(
+      "SELECT iv_id, pt FROM ext_pts JOIN ext_ivs ON pt >= s AND pt < e")
+    assert(joined.queryExecution.executedPlan.toString.contains("_graft_bucket"))
+    assert(joined.as[(Int, Long)].collect().toSet ==
+      Set((1, 0L), (1, 5L), (1, 9L), (2, 9L)))
+    // idempotent: registering twice must not stack the rule
+    GraftExtensions.registerAll(spark)
+    assert(spark.experimental.extraOptimizations
+      .count(_ eq graft.ext.RangeJoinRule) == 1)
+  }
+
   test("SQL-surface dedup: minhash signatures from SQL agree with DedupOps") {
     GraftExtensions.register(spark)
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
