@@ -118,6 +118,58 @@ object EventStream {
         expr("i_user = c_user AND c_ts >= i_ts AND " +
           s"c_ts <= i_ts + interval $horizon"))
 
+  case class SessionAgg(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, total: Double)
+  /** Internal state of [[statefulSessions]] — public only because the
+    * state encoder's generated code must reach the constructor. */
+  case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+
+  /** Custom gap sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout — the fully-general state machine underneath
+    * [[sessionWindows]]'s built-in `session_window`. Use this shape when
+    * the close condition isn't a plain gap (session caps, logout events,
+    * per-user gap overrides): the state is yours, the watermark still
+    * bounds it. A session closes either when a later event arrives past
+    * the gap (emitted with that batch) or when the watermark passes
+    * `last + gap` (the timeout fires and flushes the open session), so
+    * state is O(1) per active user and drains deterministically. */
+  def statefulSessions(events: Dataset[Event],
+                       gapMs: Long = 30L * 60 * 1000): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    def agg(user: Long, s: OpenSession) = SessionAgg(user,
+      new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(agg(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            val closed = scala.collection.mutable.Buffer[SessionAgg]()
+            var cur = state.getOption
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t),
+                    n = s.n + 1, total = s.total + e.value))
+                case other =>
+                  other.foreach(s => closed += agg(user, s))
+                  cur = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Per-key running stats via mapGroupsWithState: the streaming analogue
     * of the LAG/running analysis (last value, count, running total). */
   def runningStats(events: Dataset[Event]): Dataset[TypeStats] = {

@@ -120,6 +120,37 @@ class StreamingSpec extends SparkSpec {
     assert(last.length == 1 && last(0).total == 7.0 && last(0).lastValue == 4.0)
   }
 
+  test("stateful sessions close on gap within a batch and on event-time timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.statefulSessions(mem.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("ssess_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: two events 5 min apart (one session), then an event 2h
+    // later IN THE SAME batch -> the first session closes with the batch
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    val afterBatch = spark.table("ssess_out")
+      .select("user_id", "n_events", "total").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(afterBatch == Set((1L, 2L, 3.0)), s"got $afterBatch")
+    // advance the watermark far past the open session's gap: the
+    // event-time timeout fires and flushes it
+    mem.addData(Event(4, Timestamp.valueOf("2024-01-01 06:00:00"), 2, "view", 8.0))
+    q.processAllAvailable()
+    mem.addData(Event(5, Timestamp.valueOf("2024-01-01 09:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    val flushed = spark.table("ssess_out")
+      .select("user_id", "n_events", "total").as[(Long, Long, Double)]
+      .collect().toSet
+    q.stop()
+    assert(flushed.contains((1L, 1L, 4.0)), s"timeout flush missing: $flushed")
+  }
+
   test("stream-stream interval join attributes clicks within the horizon") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
