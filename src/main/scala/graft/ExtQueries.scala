@@ -36,6 +36,20 @@ object ExtQueries {
     d.unionByName(mutated)
   }
 
+  /** Bounded clustering corpus with PLANTED near-dups: docs < 40 plus
+    * 80%-prefix mutants of docs < 20 — guarantees non-trivial duplicate
+    * clusters at every scale factor, so the components/apply oracle
+    * keys exercise real merges instead of passing on an empty pair set. */
+  private def clusterDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 40).select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val mutated = d.filter(col("doc_id") < 20).select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        greatest(floor((size(toks) * 4) / 5).cast("int"), lit(3)))).as("text"))
+    d.unionByName(mutated)
+  }
+
   val queries: Map[String, Q] = Map(
     // Text statistics (chars/tokens/avg token length).
     "q_text_stats" -> ((s, dir) =>
@@ -167,10 +181,20 @@ object ExtQueries {
     // doc labeled with its component's smallest id. The full dedup
     // pipeline shape: candidates -> pairs -> groups -> representatives.
     "q_dedup_components" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("doc_id") < 60)
+      val d = clusterDocs(s, dir)
       val pairs = DedupOps.ngramJaccard(d, d, "text", "doc_id")
         .filter(col("inter") * 10 >= col("uni") * 3) // jaccard >= 0.3, exact
       DedupOps.connectedComponents(pairs).orderBy("id")
+    }),
+
+    // Dedup applied end-to-end: exact-Jaccard pairs -> components ->
+    // corpus minus non-representatives (one survivor per cluster).
+    "q_dedup_apply" -> ((s, dir) => {
+      val d = clusterDocs(s, dir)
+      val pairs = DedupOps.ngramJaccard(d, d, "text", "doc_id")
+        .filter(col("inter") * 10 >= col("uni") * 3)
+      DedupOps.dedupApply(d, pairs, "doc_id")
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // Token-window chunking: fixed-width overlapping windows (width 32,
@@ -414,7 +438,12 @@ object ExtQueries {
       """WITH RECURSIVE
         |d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE doc_id < 60),
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 20)),
         |sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) >= 3
@@ -436,6 +465,41 @@ object ExtQueries {
         |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s)
         |SELECT a AS id, min(b) AS component
         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_dedup_apply" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 20)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
+        |        >= len(list_distinct(a.s || b.s)) * 3),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |v AS (SELECT DISTINCT s AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
+        |cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+        |SELECT d.doc_id FROM d
+        |WHERE NOT EXISTS (SELECT 1 FROM cc
+        |                  WHERE cc.id = d.doc_id AND cc.id != cc.component)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_chunk_tokens" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

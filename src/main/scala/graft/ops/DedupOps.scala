@@ -220,6 +220,19 @@ object DedupOps {
     out
   }
 
+  /** Apply near-dup clustering to a corpus: keep ONE representative (the
+    * smallest id) per duplicate cluster and pass every unclustered doc
+    * through — the final step of the candidate-pairs → components →
+    * filtered-corpus dedup pipeline. The drop set is bounded by the
+    * pair count (tiny next to the corpus), so the only corpus-side cost
+    * is the anti join's key exchange; document text never shuffles. */
+  def dedupApply(corpus: DataFrame, pairs: DataFrame, id: String): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_drop_id"))
+    corpus.join(drop, corpus(id) === drop("_drop_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for a bounded candidate set —
     * the ground-truth near-dup measure (and the verifier for the
     * approximate paths in tests). */
