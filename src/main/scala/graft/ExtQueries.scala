@@ -26,14 +26,21 @@ object ExtQueries {
   /** documents + a deterministic near-duplicate of each (doc_id+1e6,
     * text truncated to the first 4/5 of its tokens) — guarantees the
     * approximate-dedup keys have non-empty, data-independent output. */
-  private def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "text")
+  /** `base` plus 80%-prefix mutants of `mutate` (doc_id + 1,000,000):
+    * deterministic planted near-dups. The mutation formula is mirrored
+    * verbatim in the DuckDB oracle CTEs (q_boilerplate,
+    * q_dedup_components, q_dedup_apply) — change both sides together. */
+  private def withPrefixMutants(base: DataFrame, mutate: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val mutated = d.select(
+    base.unionByName(mutate.select(
       (col("doc_id") + lit(1000000L)).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1),
-        greatest(floor((size(toks) * 4) / 5).cast("int"), lit(3)))).as("text"))
-    d.unionByName(mutated)
+        greatest(floor((size(toks) * 4) / 5).cast("int"), lit(3)))).as("text")))
+  }
+
+  private def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    withPrefixMutants(d, d)
   }
 
   /** Bounded clustering corpus with PLANTED near-dups: docs < 40 plus
@@ -42,12 +49,7 @@ object ExtQueries {
     * keys exercise real merges instead of passing on an empty pair set. */
   private def clusterDocs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") < 40).select("doc_id", "text")
-    val toks = split(col("text"), " ")
-    val mutated = d.filter(col("doc_id") < 20).select(
-      (col("doc_id") + lit(1000000L)).as("doc_id"),
-      concat_ws(" ", slice(toks, lit(1),
-        greatest(floor((size(toks) * 4) / 5).cast("int"), lit(3)))).as("text"))
-    d.unionByName(mutated)
+    withPrefixMutants(d, d.filter(col("doc_id") < 20))
   }
 
   val queries: Map[String, Q] = Map(

@@ -93,7 +93,11 @@ case class RangeSpanGuard(lo: Expression, hi: Expression, bucket: Long,
   *   never replicates an interval more than `maxBuckets` times and the
   *   result set is exactly the naive join's. The wide side carries a
   *   broadcast hint: by construction it holds only the handful of
-  *   pathological rows.
+  *   pathological rows. The union's wide branch does reference the
+  *   point side a second time; in the common zero-wide-intervals case
+  *   AQE's empty-relation propagation collapses that branch at runtime
+  *   once the broadcast side materializes empty, so the steady-state
+  *   cost is the interval-side guard scan, not a second point scan.
   *
   * After the rewrite `ExtractEquiJoinKeys` sees a hash key, so the
   * physical plan is a shuffled hash/sort-merge join — AQE-skewable,
@@ -160,15 +164,26 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-  /** True when this rule already rewrote somewhere below: the guard
-    * class appears nowhere else, and predicates only ever move DOWN a
-    * plan, so subtree containment is a reconstruction-proof marker. */
-  private def containsGuard(p: LogicalPlan): Boolean =
-    p.exists(_.expressions.exists(_.exists(_.isInstanceOf[RangeSpanGuard])))
+  /** True when THIS join is the wide-path join the rule created: its
+    * interval child carries a [[RangeSpanGuard]] filter above any
+    * nested join. Traversal stops at Join boundaries on purpose — a
+    * guard inside a nested join belongs to a DIFFERENT (already
+    * rewritten) range join, and treating it as ours would leave a
+    * second range join stacked above the first one un-rewritten (a
+    * silent nested-loop regression). Predicates only move down a plan,
+    * so the wide join's own guard stays above its child joins in all
+    * but the pathological case of the guard being pushable below a
+    * join inside the interval side — where a re-rewrite produces a
+    * redundant (empty-narrow) but still correct plan. */
+  private def containsGuard(p: LogicalPlan): Boolean = p match {
+    case _: Join => false
+    case f: Filter if f.condition.exists(_.isInstanceOf[RangeSpanGuard]) => true
+    case other => other.children.exists(containsGuard)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && !containsGuard(j) && {
+        if j.resolved && !containsGuard(left) && !containsGuard(right) && {
           val cs = splitConjunctivePredicates(cond)
           !hasEquiKey(cs, left, right) && matchBounds(cs, left, right).isDefined
         } =>

@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   * composition is:
   *
   *   tag both sides -> union -> ONE hash exchange on the key ->
-  *   in-partition sort by (ts, side) -> carry the adjacent right value
+  *   in-partition sort by (ts, side) -> carry the adjacent right ROW
   *   across (`last`/`first` with ignoreNulls over a one-sided row
   *   frame) -> keep left rows.
+  *
+  * The carried unit is a STRUCT of (right ts, value columns), non-null
+  * exactly on right rows: `ignoreNulls` then skips left rows but never
+  * a matched right row, so every output column comes from the SAME
+  * matched row and a NULL inside a matched row's value column stays
+  * NULL (matching pandas merge_asof / DuckDB ASOF) instead of being
+  * replaced by a farther row's value.
   *
   * Cost: a single shuffle of left+right (same as any keyed join) and a
   * streaming window pass — never the range cross-product a naive
@@ -45,14 +52,17 @@ object AsofJoin {
     // (nearest's forward frame misses the equal-ts right row, but the
     // backward carry matches it at distance 0, which wins every tie.)
     val (rightSide, leftSide) = if (direction == "forward") (1, 0) else (0, 1)
-    val carryCols = rightTs +: valueCols
+    // one struct per right row: the matched row travels as a unit
+    val rowStruct = struct(
+      col(rightTs).as("_rts") +: valueCols.map(col): _*)
+    val structType = right.select(rowStruct.as("_r")).schema.head.dataType
     val taggedRight = right.select(
       (col(key) +: col(rightTs).as("_ts") +: lit(rightSide).as("_side") +:
-        carryCols.map(c => col(c).as(s"_r_$c"))) ++
+        rowStruct.as("_r") +: Seq.empty[Column]) ++
         leftCols.filterNot(c => c == key).map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       (col(key) +: col(leftTs).as("_ts") +: lit(leftSide).as("_side") +:
-        carryCols.map(c => lit(null).as(s"_r_$c"))) ++
+        lit(null).cast(structType).as("_r") +: Seq.empty[Column]) ++
         leftCols.filterNot(c => c == key).map(col): _*)
     val ordered = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
     val bwd = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -60,14 +70,14 @@ object AsofJoin {
     val unioned = taggedRight.unionByName(taggedLeft)
 
     val carried = direction match {
-      case "backward" => carryCols.foldLeft(unioned) { (df, c) =>
-        df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(bwd)) }
-      case "forward" => carryCols.foldLeft(unioned) { (df, c) =>
-        df.withColumn(s"_r_$c", first(col(s"_r_$c"), ignoreNulls = true).over(fwd)) }
+      case "backward" =>
+        unioned.withColumn("_r", last(col("_r"), ignoreNulls = true).over(bwd))
+      case "forward" =>
+        unioned.withColumn("_r", first(col("_r"), ignoreNulls = true).over(fwd))
       case "nearest" =>
-        val both = carryCols.foldLeft(unioned) { (df, c) =>
-          df.withColumn(s"_b_$c", last(col(s"_r_$c"), ignoreNulls = true).over(bwd))
-            .withColumn(s"_f_$c", first(col(s"_r_$c"), ignoreNulls = true).over(fwd)) }
+        val both = unioned
+          .withColumn("_b", last(col("_r"), ignoreNulls = true).over(bwd))
+          .withColumn("_f", first(col("_r"), ignoreNulls = true).over(fwd))
         // integral ts compare exactly as long; timestamps as fractional
         // seconds (a long cast would truncate sub-second distances)
         val num = right.schema(rightTs).dataType match {
@@ -76,16 +86,14 @@ object AsofJoin {
             (c: Column) => c.cast("double")
           case _ => (c: Column) => c.cast("long")
         }
-        val bts = num(col(s"_b_$rightTs"))
-        val fts = num(col(s"_f_$rightTs"))
+        val bts = num(col("_b._rts"))
+        val fts = num(col("_f._rts"))
         val lts = num(col("_ts"))
         val useBwd = fts.isNull || (bts.isNotNull && (lts - bts) <= (fts - lts))
-        carryCols.foldLeft(both) { (df, c) =>
-          df.withColumn(s"_r_$c",
-            when(useBwd, col(s"_b_$c")).otherwise(col(s"_f_$c"))) }
+        both.withColumn("_r", when(useBwd, col("_b")).otherwise(col("_f")))
     }
     carried.filter(col("_side") === leftSide)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"_r_$c").as(s"asof_$c")): _*)
+        valueCols.map(c => col(s"_r.$c").as(s"asof_$c")): _*)
   }
 }

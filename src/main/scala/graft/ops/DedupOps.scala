@@ -226,8 +226,9 @@ object DedupOps {
     * filtered-corpus dedup pipeline. The drop set is bounded by the
     * pair count (tiny next to the corpus), so the only corpus-side cost
     * is the anti join's key exchange; document text never shuffles. */
-  def dedupApply(corpus: DataFrame, pairs: DataFrame, id: String): DataFrame = {
-    val drop = connectedComponents(pairs)
+  def dedupApply(corpus: DataFrame, pairs: DataFrame, id: String,
+                 idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, idA, idB)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("_drop_id"))
     corpus.join(drop, corpus(id) === drop("_drop_id"), "left_anti")

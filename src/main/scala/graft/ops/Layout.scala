@@ -66,36 +66,49 @@ object Layout {
   }
 
   private def swapOldPath(p: Path) = new Path(p.toString + ".swap_old")
+  private def commitMarker(p: Path) = new Path(p.toString + ".swap_commit")
 
-  /** Repair the invariant after a crash mid-swap. [[swapInPlace]] has
-    * one unavoidable window — between "old moved aside" and "new moved
-    * in" the live path holds neither table — and a crash before its
-    * final delete leaves a stray `.swap_old`. This makes both states
-    * self-healing: a surviving `.swap_old` with no live table is moved
-    * back (the replacement never landed — it is re-created by the next
-    * run); one alongside a live table is dropped (the swap completed).
+  /** Repair the invariant after a crash mid-swap. Completion is
+    * recorded by an explicit COMMIT MARKER, never inferred from the
+    * live path existing — on stores whose rename is a copy (S3A) a
+    * crash mid-rename leaves a PARTIAL live table, and an
+    * existence-based recovery would delete the only complete copy.
+    * States:
+    *  - `.swap_old` + marker: the new table landed completely (the
+    *    marker is written after the rename-in) → drop the old copy;
+    *  - `.swap_old`, no marker: the replacement may be partial →
+    *    discard whatever sits at the live path and restore the old
+    *    table. Worst case this loses the IN-FLIGHT new table (the
+    *    writer re-runs and re-creates it); it can never lose the
+    *    previously committed one.
     * Idempotent; every swap-based writer calls it on entry, so the
     * recovery runs at the next batch/compaction without operator
     * action. */
   def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
     val old = swapOldPath(p)
+    val mark = commitMarker(p)
     if (fs.exists(old)) {
-      if (!fs.exists(p))
+      if (fs.exists(mark)) {
+        fs.delete(old, true)
+        fs.delete(mark, false)
+      } else {
+        if (fs.exists(p)) fs.delete(p, true) // possibly partial rename-in
         require(fs.rename(old, p), s"recover: could not restore $old to $p")
-      else fs.delete(old, true)
-    }
+      }
+    } else if (fs.exists(mark)) fs.delete(mark, false) // stale marker
   }
 
-  /** Replace the table at `p` with the complete table staged at `tmp`
-    * using CHECKED renames (old aside → new in place → drop old), after
-    * first running [[recoverSwap]]. Not atomic — a crash between the
-    * two renames leaves `p` empty until the next caller's entry
-    * recovery restores the old table — but never silently lossy: at
-    * every point either `p` or `p.swap_old` holds a complete table, and
-    * readers of a missing `p` fail loudly rather than merging against a
-    * partial write. Hadoop `FileSystem` throughout (HDFS/S3A-safe;
-    * on S3A the renames are copies — prefer a real table format there
-    * when rename cost matters). */
+  /** Replace the table at `p` with the complete table staged at `tmp`:
+    * old aside → new in → write commit marker → drop old, after first
+    * running [[recoverSwap]]. Not atomic — between the renames `p` is
+    * absent (readers fail loudly rather than merging a partial table) —
+    * but crash-consistent at every step: until the marker exists the
+    * old table is restorable, and once it exists the new table is known
+    * complete. A crash can lose at most the in-flight replacement,
+    * never the previously committed table. Hadoop `FileSystem`
+    * throughout; correct on HDFS/local and on copy-based renames (S3A),
+    * though a real table format is the better tool where rename cost
+    * matters. */
   def swapInPlace(fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
                   p: Path): Unit = {
     recoverSwap(fs, p)
@@ -106,7 +119,10 @@ object Layout {
         fs.rename(old, p)
         sys.error(s"swap: could not move $tmp into place; original restored")
       }
+      val mark = commitMarker(p)
+      fs.create(mark, true).close() // the new table is fully in place
       fs.delete(old, true)
+      fs.delete(mark, false)
     } else {
       require(fs.rename(tmp, p), s"swap: could not move $tmp into place")
     }

@@ -28,12 +28,15 @@ object RangeJoin {
 
   /** Exact integral floor-division bucket id — double math
     * (`floor(x / B)`) drifts one bucket off beyond 2^53 (ns epochs,
-    * hashed keys) and silently drops the matches on the boundary. */
+    * hashed keys) and silently drops the matches on the boundary. The
+    * leading `floor` admits fractional coordinates: it rounds toward
+    * -infinity (a bare long cast truncates toward zero, putting -0.7 in
+    * bucket 0 instead of -1) and is a no-op on integral inputs. */
   private def bucketOf(c: Column, bucketSize: Long): Column =
     org.apache.spark.sql.GraftBridge.column(
       graft.ext.FloorDivBucket(
         org.apache.spark.sql.catalyst.expressions.Cast(
-          org.apache.spark.sql.GraftBridge.expression(c),
+          org.apache.spark.sql.GraftBridge.expression(floor(c)),
           org.apache.spark.sql.types.LongType), bucketSize))
 
   /** @param points    side with a single numeric coordinate `ptCol`
@@ -45,11 +48,13 @@ object RangeJoin {
                 ptCol: String, startCol: String, endCol: String,
                 bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
+    // last covered bucket holds the largest p with p < end: ceil(end)-1
+    // (== end-1 for integral ends, floor(end) for fractional ones)
     val iv = intervals
       .filter(col(endCol) > col(startCol)) // empty ranges match nothing
       .withColumn("_bucket",
         explode(sequence(bucketOf(col(startCol), bucketSize),
-                         bucketOf(col(endCol) - lit(1), bucketSize))))
+                         bucketOf(ceil(col(endCol)) - lit(1), bucketSize))))
     val pt = points.withColumn("_bucket", bucketOf(col(ptCol), bucketSize))
     pt.join(iv, Seq("_bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
@@ -83,11 +88,11 @@ object RangeJoin {
     val ab = a.filter(col(aHi) > col(aLo))
       .withColumn("_bucket",
         explode(sequence(bucketOf(col(aLo), bucketSize),
-                         bucketOf(col(aHi) - lit(1), bucketSize))))
+                         bucketOf(ceil(col(aHi)) - lit(1), bucketSize))))
     val bb = b.filter(col(bHi) > col(bLo))
       .withColumn("_bucket",
         explode(sequence(bucketOf(col(bLo), bucketSize),
-                         bucketOf(col(bHi) - lit(1), bucketSize))))
+                         bucketOf(ceil(col(bHi)) - lit(1), bucketSize))))
     ab.join(bb, Seq("_bucket"))
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
       .filter(col("_bucket") ===

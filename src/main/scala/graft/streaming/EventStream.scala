@@ -153,11 +153,21 @@ object EventStream {
             rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t),
+                // within the gap of the open [start, last] span — this
+                // covers late (cross-batch, within-watermark) events that
+                // PRECEDE the open session, which must extend its start,
+                // not be glued in with a signed forward-gap check
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t),
                     n = s.n + 1, total = s.total + e.value))
-                case other =>
-                  other.foreach(s => closed += agg(user, s))
+                case Some(s) if t > s.last + gapMs => // next session begins
+                  closed += agg(user, s)
+                  cur = Some(OpenSession(t, t, 1L, e.value))
+                case Some(s) => // an isolated session fully in the past
+                  closed += SessionAgg(user, new Timestamp(t),
+                    new Timestamp(t), 1L, e.value)
+                case None =>
                   cur = Some(OpenSession(t, t, 1L, e.value))
               }
             }

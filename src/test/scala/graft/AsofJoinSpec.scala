@@ -85,6 +85,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(run("nearest") == nearExpected)
   }
 
+  test("a matched row's NULL value stays NULL (no farther-row bleed-through)") {
+    // the matched row (ts=10) has px=NULL; an ignoreNulls carry over the
+    // bare value column would leak ts=0's 5.0 — pandas/DuckDB return NULL
+    val quotes = Seq(("A", 0L, Some(5.0)), ("A", 10L, None))
+      .toDF("sym", "ts", "px")
+    val trades = Seq(("A", 10L, 100L)).toDF("sym", "ts", "trade_id")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = AsofJoin.asofJoin(trades, quotes, "sym", "ts", "ts",
+          Seq("px"), direction = dir)
+        .select("asof_px").as[Option[Double]].head()
+      assert(out.isEmpty, s"$dir leaked a farther row's value: $out")
+    }
+  }
+
   test("plans one exchange for both sides (no range cross-product)") {
     val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "ts", "px")
     val trades = Seq(("A", 5L, 100L)).toDF("sym", "ts", "trade_id")

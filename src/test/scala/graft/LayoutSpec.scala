@@ -84,7 +84,7 @@ class LayoutSpec extends SparkSpec {
     assert(parent == Seq("t"), s"leftovers: $parent")
   }
 
-  test("swap recovery: both crash states self-heal on entry") {
+  test("swap recovery: all three crash states self-heal on entry") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("swaprec").toString + "/t"
     spark.range(100).toDF("id").write.parquet(dir)
@@ -94,11 +94,20 @@ class LayoutSpec extends SparkSpec {
     assert(fs.rename(p, new Path(dir + ".swap_old")))
     Layout.recoverSwap(fs, p)
     assert(spark.read.parquet(dir).count() == 100) // restored
-    // crash state B: swap completed but the old copy survived
+    // crash state B: swap committed (marker present) but old survived
     spark.range(5).toDF("id").write.parquet(dir + ".swap_old")
+    fs.create(new Path(dir + ".swap_commit"), true).close()
     Layout.compact(spark, dir) // entry recovery drops the stray copy
     assert(!fs.exists(new Path(dir + ".swap_old")))
+    assert(!fs.exists(new Path(dir + ".swap_commit")))
     assert(spark.read.parquet(dir).count() == 100)
+    // crash state C: NO marker — the live path may be a partial copy, so
+    // the old table must win even though the live path exists
+    assert(fs.rename(p, new Path(dir + ".swap_old")))
+    spark.range(7).toDF("id").write.parquet(dir) // "partial" replacement
+    Layout.recoverSwap(fs, p)
+    assert(spark.read.parquet(dir).count() == 100, "old table must win")
+    assert(!fs.exists(new Path(dir + ".swap_old")))
   }
 
   test("writeZOrdered: preserves rows across the requested file count") {

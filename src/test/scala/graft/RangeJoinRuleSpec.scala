@@ -76,6 +76,22 @@ class RangeJoinRuleSpec extends SparkSpec with BeforeAndAfterAll {
       .contains("_graft_bucket"))
   }
 
+  test("two stacked range joins both rewrite (guard detection is per-join)") {
+    val pts = Seq(0L, 5L, 9L).toDF("pt")
+    val iv1 = Seq((1, 0L, 10L)).toDF("iv1", "s1", "e1")
+    val iv2 = Seq((2, 4L, 10L)).toDF("iv2", "s2", "e2")
+    val joined = pts
+      .join(iv1, col("pt") >= col("s1") && col("pt") < col("e1"))
+      .join(iv2, col("pt") >= col("s2") && col("pt") < col("e2"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    val buckets = raw"_graft_bucket_i#\d+".r.findAllIn(plan).toSet
+    assert(buckets.size == 2,
+      s"expected BOTH joins bucketized, got $buckets in:\n$plan")
+    val got = joined.select("iv1", "iv2", "pt").as[(Int, Int, Long)]
+      .collect().toSet
+    assert(got == Set((1, 2, 5L), (1, 2, 9L)))
+  }
+
   test("joins that already have an equi-key are left untouched") {
     val l = Seq((1L, 5L)).toDF("k", "v")
     val r = Seq((1L, 0L, 10L)).toDF("k", "lo", "hi")

@@ -47,6 +47,32 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("fractional and negative coordinates bucket toward -infinity") {
+    // a bare long cast truncates -0.7 to bucket 0 and drops the match
+    val points = Seq(-0.7, -64.5, 3.2).toDF("pt")
+    val intervals = Seq((1, -10.0, -0.5), (2, -100.0, -64.0), (3, 3.0, 3.5))
+      .toDF("iv_id", "s", "e")
+    val got = RangeJoin.rangeJoin(points, intervals, "pt", "s", "e", 64L)
+      .select("iv_id", "pt").as[(Int, Double)].collect().toSet
+    assert(got == Set((1, -0.7), (2, -64.5), (3, 3.2)))
+    // differential on random doubles across bucket sizes
+    val rnd = new scala.util.Random(31)
+    val pts = Seq.fill(300)(rnd.nextDouble() * 200 - 100)
+    val ivs = Seq.tabulate(80) { i =>
+      val s = rnd.nextDouble() * 200 - 100
+      (i, s, s + rnd.nextDouble() * 30)
+    }
+    val expected = (for {
+      p <- pts; (id, s, e) <- ivs if p >= s && p < e
+    } yield (id, p)).toSet
+    for (b <- Seq(1L, 7L, 64L)) {
+      val gotB = RangeJoin.rangeJoin(pts.toDF("pt"),
+          ivs.toDF("iv_id", "s", "e"), "pt", "s", "e", b)
+        .select("iv_id", "pt").as[(Int, Double)].collect().toSet
+      assert(gotB == expected, s"bucketSize $b diverged on fractional data")
+    }
+  }
+
   test("overlap join: differential vs naive, exactly-once per pair") {
     val rnd = new scala.util.Random(23)
     def windows(n: Int, seedOff: Int) = Seq.tabulate(n) { i =>
