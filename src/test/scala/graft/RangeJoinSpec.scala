@@ -73,6 +73,13 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("helper buckets stay exact beyond 2^53 (floor(long) is native)") {
+    val big = (1L << 60) - 1L
+    val pts = Seq(big).toDF("pt")
+    val ivs = Seq((1, big - 64L, big + 1L)).toDF("iv_id", "s", "e")
+    assert(RangeJoin.rangeJoin(pts, ivs, "pt", "s", "e", 64L).count() == 1L)
+  }
+
   test("overlap join: differential vs naive, exactly-once per pair") {
     val rnd = new scala.util.Random(23)
     def windows(n: Int, seedOff: Int) = Seq.tabulate(n) { i =>
