@@ -375,7 +375,7 @@ object ExtQueries {
          |         punct, nch
          |  FROM t)
          |SELECT doc_id, n_tokens, stop_hits, punct AS punct_count,
-         |  ${sqlRound("least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + (stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5)", 4)} AS quality
+         |  ${sqlRound("greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + (stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)} AS quality
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
@@ -384,9 +384,10 @@ object ExtQueries {
         s"len(list_filter(toks, x -> list_contains($arr, x))) AS hits_$l"
       }.mkString(",\n  ")
       val hitCols = TextOps.langMarkers.map { case (l, _) => s"hits_$l" }
-      val caseExpr = TextOps.langMarkers.init.map { case (l, _) =>
-        s"WHEN hits_$l = m THEN '$l'"
-      }.mkString(" ")
+      val caseExpr = (Seq("WHEN m = 0 THEN 'und'") ++
+        TextOps.langMarkers.init.map { case (l, _) =>
+          s"WHEN hits_$l = m THEN '$l'"
+        }).mkString(" ")
       s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
          |h AS (SELECT doc_id, lang,
          |  $hitExprs

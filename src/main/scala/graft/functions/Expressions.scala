@@ -87,19 +87,9 @@ object Expressions {
       extends UnaryExpression {
     // input: array<string> token column
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val hashes = new Array[Long](arr.numElements())
-      var i = 0
-      while (i < hashes.length) {
-        hashes(i) =
-          if (arr.isNullAt(i)) 0L
-          else Kernels.fnv1a64Bytes(arr.getUTF8String(i).getBytes)
-        i += 1
-      }
-      new GenericArrayData(
-        Kernels.minhashFromTokenHashes(hashes, shingleWidth, k))
-    }
+    override def nullSafeEval(input: Any): Any =
+      Kernels.minhashSigFromArrayData(
+        input.asInstanceOf[ArrayData], shingleWidth, k)
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

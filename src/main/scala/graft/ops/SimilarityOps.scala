@@ -33,18 +33,32 @@ import graft.functions.Rounding.roundHalfUp
   */
 object SimilarityOps {
 
-  /** Exact top-k neighbors for each query vector. */
+  /** Per-query ranked top-k via the bounded [[graft.functions.TopKNeighbors]]
+    * aggregate. A window-rank formulation would exchange EVERY scored
+    * row (corpus × queries through the shuffle) before dropping all but
+    * k; the aggregate's map-side partial buffers bound the exchange to
+    * k entries per partition per query — shuffle volume independent of
+    * corpus size. Identical output to
+    * `row_number over (partition by query order by sim desc, id)`:
+    * the buffer's ordering is the same total order. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKNeighbors.top_k_neighbors(
+        col("sim"), col("neighbor_id"), k).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.sim").as("sim"), (col("pos") + 1).cast("int").as("rk"))
+
+  /** Exact top-k neighbors for each query vector: one corpus scan, the
+    * corpus itself never shuffles — only k candidates per partition per
+    * query reach the exchange (see [[rankTopK]]). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vec: String,
                      id: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("qvec"))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("nvec"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "sim", "rk")
+    rankTopK(scored, k)
   }
 
   /** A built IVF index: the corpus with cluster assignments, plus the
@@ -131,11 +145,7 @@ object SimilarityOps {
       .select("query_id", "qvec", "cluster")
     val scored = index.assigned.join(broadcast(qProbes), Seq("cluster"))
       .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "sim", "rk")
+    rankTopK(scored, k)
   }
 
   /** Convenience: build + search in one call. */
@@ -157,19 +167,23 @@ object SimilarityOps {
     val b = if (bits > 0) bits else autoBits(corpus.count())
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("nvec"),
       hyperplane_lsh(col(vec), b).as("bucket"))
-    val base = hyperplane_lsh(col("qvec"), b)
+    // materialize the base bucket ONCE per query row: building all b+1
+    // probes from separate hyperplane_lsh calls would evaluate the
+    // O(bits*dims) projection b+1 times per row (the expression-
+    // duplication trap BandKeys/ChunkKeys exist to avoid) — the XOR
+    // flips are free against the materialized column
     val probes = array((0 to b).map { j =>
-      if (j == 0) base else base.bitwiseXOR(lit(1 << (j - 1)))
+      if (j == 0) col("_bucket0")
+      else col("_bucket0").bitwiseXOR(lit(1 << (j - 1)))
     }: _*)
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qvec"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qvec"),
+        hyperplane_lsh(col(vec), b).as("_bucket0"))
       .withColumn("bucket", explode(array_distinct(probes)))
+      .drop("_bucket0")
+    // no dropDuplicates shuffle: the top-k buffer dedups by neighbor id,
+    // absorbing the multi-probe double-scores in the aggregate itself
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "sim", "rk")
+    rankTopK(scored, k)
   }
 }

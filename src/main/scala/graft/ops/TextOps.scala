@@ -55,10 +55,10 @@ object TextOps {
       .withColumn("punct_count", punct)
       .withColumn("quality",
         roundHalfUp(
-          least(lit(1.0),
+          greatest(lit(0.0), least(lit(1.0),
             least(lit(1.0), nTok / lit(100.0)) * lit(0.5) +
               (stopHits / nullif(nTok, lit(0))) * lit(2.0) -
-              (punct / nullif(length(col(text)), lit(0))) * lit(0.5)), 4))
+              (punct / nullif(length(col(text)), lit(0))) * lit(0.5))), 4))
   }
 
   /** Marker tokens per language for the n-gram/stopword language-ID
@@ -72,7 +72,9 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
   /** Language ID: count marker-token hits per language, predict the
-    * alphabetically-first language achieving the max hit count. */
+    * alphabetically-first language achieving the max hit count —
+    * `"und"` (undetermined, the BCP-47 code) when NO marker hits at
+    * all, instead of silently crowning the first language tested. */
   def langId(df: DataFrame, text: String): DataFrame = {
     val toks = tokens(lower(col(text)))
     val withHits = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
@@ -82,10 +84,10 @@ object TextOps {
     }
     val hitCols = langMarkers.map { case (l, _) => col(s"hits_$l") }
     val m = greatest(hitCols: _*)
-    val predicted = langMarkers.reverse.foldLeft(lit(null).cast("string")) {
+    val best = langMarkers.reverse.foldLeft(lit(null).cast("string")) {
       case (acc, (lang, _)) => when(col(s"hits_$lang") === m, lit(lang)).otherwise(acc)
     }
-    withHits.withColumn("predicted", predicted)
+    withHits.withColumn("predicted", when(m === 0, lit("und")).otherwise(best))
   }
 
   /** Gopher-style repetition signals: the fraction of duplicated tokens

@@ -33,7 +33,19 @@ object PipelineConfig {
     var stack = List.empty[(Int, String)] // (indent, key-prefix element)
     val out = Map.newBuilder[String, String]
     text.linesIterator
-      .map(l => l.takeWhile(_ != '#'))
+      .map { l =>
+        // cut at the first '#' OUTSIDE quotes — a quoted value may
+        // legitimately contain one (password: "abc#123")
+        var inQ = false
+        var q = ' '
+        val cut = l.indices.find { i =>
+          val c = l(i)
+          if (inQ) { if (c == q) inQ = false; false }
+          else if (c == '"' || c == '\'') { inQ = true; q = c; false }
+          else c == '#'
+        }
+        cut.map(l.substring(0, _)).getOrElse(l)
+      }
       .filter(_.trim.nonEmpty)
       .foreach {
         case Line(ws, key, value) =>

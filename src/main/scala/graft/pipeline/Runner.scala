@@ -70,29 +70,40 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
       audit.log(s"$table: load starting")
       val (hfs, tpath) = fs(targetPath)
       val exists = hfs.exists(tpath)
+      // the batch is consumed twice (target write + watermark max);
+      // cache it so an expensive source extract runs ONCE per load and
+      // the watermark can't diverge from what was written
+      def withCachedBatch(batch: DataFrame)(body: DataFrame => Unit): String = {
+        batch.persist()
+        try {
+          body(batch)
+          batch.agg(max(col(orderCol).cast("string"))).collect()(0).getString(0)
+        } finally { batch.unpersist(); () }
+      }
       val batchWm = checkpoint.get(table) match {
         case Some(wm) if exists =>
           // inclusive re-extraction from the watermark's date, like the
           // reference's start=checkpoint_date[:10] slice
           val fromDate = wm.substring(0, 10)
-          val batch = withDt(source.filter(col(orderCol) >= lit(fromDate)), orderCol)
-          // only the overlap partitions of the target are read (pruned
-          // on the dt partition column) and only they are rewritten
-          val overlap = spark.read.parquet(targetPath)
-            .filter(col("dt") >= to_date(lit(fromDate)))
-          val merged = Upsert.upsert(overlap, batch, keys)
-          // stage the merged overlap, then dynamically overwrite just
-          // those partitions from the staged copy
-          val stage = targetPath + ".stage"
-          merged.write.mode(SaveMode.Overwrite).parquet(stage)
-          writePartitioned(spark.read.parquet(stage), targetPath)
-          val (sfs, spath) = fs(stage)
-          sfs.delete(spath, true)
-          batch.agg(max(col(orderCol).cast("string"))).collect()(0).getString(0)
+          withCachedBatch(
+            withDt(source.filter(col(orderCol) >= lit(fromDate)), orderCol)) { batch =>
+            // only the overlap partitions of the target are read (pruned
+            // on the dt partition column) and only they are rewritten
+            val overlap = spark.read.parquet(targetPath)
+              .filter(col("dt") >= to_date(lit(fromDate)))
+            val merged = Upsert.upsert(overlap, batch, keys)
+            // stage the merged overlap, then dynamically overwrite just
+            // those partitions from the staged copy
+            val stage = targetPath + ".stage"
+            merged.write.mode(SaveMode.Overwrite).parquet(stage)
+            writePartitioned(spark.read.parquet(stage), targetPath)
+            val (sfs, spath) = fs(stage)
+            sfs.delete(spath, true)
+          }
         case _ =>
-          val batch = withDt(source, orderCol)
-          writePartitioned(batch, targetPath)
-          batch.agg(max(col(orderCol).cast("string"))).collect()(0).getString(0)
+          withCachedBatch(withDt(source, orderCol)) { batch =>
+            writePartitioned(batch, targetPath)
+          }
       }
       // watermark advances monotonically; an empty batch leaves it alone
       val wm = (checkpoint.get(table).toSeq ++ Option(batchWm).toSeq)

@@ -45,28 +45,36 @@ object SqlScripts {
         vars.getOrElse(m.group(1),
           sys.error(s"unbound template variable: ${m.group(1)}"))))
 
-  /** Split a script into statements on top-level `;` (quote-aware; `--`
-    * line comments are stripped first so a quoted or commented semicolon
-    * never splits). */
+  /** Split a script into statements on top-level `;`. One pass tracks
+    * single- AND double-quoted literals (both are strings in Spark's
+    * default non-ANSI mode), backslash escapes, and `--` line comments,
+    * with quote state spanning lines — so a quoted `;`, a quoted `--`,
+    * or a multi-line literal never splits or truncates a statement. */
   def splitStatements(sql: String): Seq[String] = {
-    val noComments = sql.linesIterator
-      .map { line =>
-        // strip -- comments, but not inside a single-quoted literal
-        var inQ = false
-        val cut = line.indices.find { i =>
-          if (line(i) == '\'') { inQ = !inQ; false }
-          else !inQ && line(i) == '-' && i + 1 < line.length && line(i + 1) == '-'
-        }
-        cut.map(line.substring(0, _)).getOrElse(line)
-      }
-      .mkString("\n")
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inQ = false
-    noComments.foreach {
-      case '\'' => inQ = !inQ; cur += '\''
-      case ';' if !inQ => out += cur.toString; cur.clear()
-      case c => cur += c
+    var inS = false
+    var inD = false
+    var inComment = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inComment) {
+        if (c == '\n') { inComment = false; cur += c }
+      } else if (inS || inD) {
+        cur += c
+        if (c == '\\' && i + 1 < sql.length) { cur += sql.charAt(i + 1); i += 1 }
+        else if (inS && c == '\'') inS = false
+        else if (inD && c == '"') inD = false
+      } else c match {
+        case '\'' => inS = true; cur += c
+        case '"' => inD = true; cur += c
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          inComment = true; i += 1
+        case ';' => out += cur.toString; cur.clear()
+        case other => cur += other
+      }
+      i += 1
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)

@@ -20,10 +20,13 @@ class Checkpoint(spark: SparkSession, dir: String) {
   /** Latest watermark for `table`, if any
     * (reference: utilities/utilities.py:8-22). Existence is probed via
     * the Hadoop FileSystem API so the state store works on any
-    * supported storage (local, HDFS, S3A), not just the local FS. */
+    * supported storage (local, HDFS, S3A), not just the local FS.
+    * Runs swap recovery first: a crash mid-[[save]] leaves a state the
+    * recovery repairs, so `get` never reads a half-written directory. */
   def get(table: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path(table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Layout.recoverSwap(fs, p)
     if (!fs.exists(p)) None
     else spark.read.parquet(p.toString)
       .agg(max(col("latest_timestamp"))).collect()(0).getString(0) match {
@@ -33,10 +36,18 @@ class Checkpoint(spark: SparkSession, dir: String) {
   }
 
   /** Upsert the watermark row for `table`
-    * (reference: utilities/utilities.py:24-49). */
+    * (reference: utilities/utilities.py:24-49). A direct
+    * `SaveMode.Overwrite` is delete-then-write — a crash mid-save would
+    * leave an existing-but-unreadable directory that wedges every
+    * subsequent read. Stage-and-swap instead: the previous watermark
+    * survives any crash, at worst the save is retried. */
   def save(table: String, latest: String): Unit = {
     import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(path(table) + ".stage")
     Seq(latest).toDF("latest_timestamp")
-      .write.mode(SaveMode.Overwrite).parquet(path(table))
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    graft.ops.Layout.swapInPlace(fs, stage, p)
   }
 }

@@ -30,6 +30,37 @@ class SimilaritySpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("top-k aggregate == window rank exactly; no Window in the plan") {
+    val rnd = new scala.util.Random(5)
+    val corpus = Seq.tabulate(500)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+    val got = SimilarityOps.bruteForceTopK(corpus, queries,
+      "embedding", "vec_id", 7)
+    // the window-rank formulation the aggregate replaced, inlined
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.roundHalfUp
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val c = corpus.select($"vec_id".as("neighbor_id"), $"embedding".as("nvec"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"neighbor_id")
+    val viaWindow = c.crossJoin(broadcast(q))
+      .withColumn("sim", roundHalfUp(
+        Expressions.cosine_sim($"qvec", $"nvec"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 7)
+      .select("query_id", "neighbor_id", "sim", "rk")
+    val a = got.as[(Long, Long, Double, Int)].collect().toSet
+    val b = viaWindow.as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == b, "aggregate diverged from window rank")
+    // plan shape: partial+final aggregate, no Window materialization
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"no object aggregate:\n$plan")
+  }
+
   private def planted = {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
