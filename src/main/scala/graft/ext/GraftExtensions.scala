@@ -77,7 +77,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_bitmap_distinct"),
       info("graft_bitmap_distinct",
         "graft_bitmap_distinct(id) - exact distinct count of dense non-negative ids via a mergeable bitmap"),
-      (es: Seq[Expression]) => graft.functions.BitmapDistinct(es(0)))
+      (es: Seq[Expression]) => graft.functions.BitmapDistinct(es(0))),
+    (FunctionIdentifier("graft_top_k_neighbors"),
+      info("graft_top_k_neighbors",
+        "graft_top_k_neighbors(sim, id, k) - bounded per-group top-k as array<struct<neighbor_id,sim>>, best first"),
+      (es: Seq[Expression]) => graft.functions.TopKNeighbors(es(0), es(1),
+        intArg(es(2), "graft_top_k_neighbors", 3)))
   )
 
   /** Register the functions on a live session (same descriptors the
