@@ -19,10 +19,18 @@ import graft.ops.Restructure
   */
 object JsonSource {
 
-  /** Read captured bars-API payload JSON (line-delimited or
-    * one-document-per-file) with the pinned payload schema. */
-  def readBarsJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(Tables.rawBarsPayloadSchema).json(path)
+  /** Read captured bars-API payload JSON with the pinned payload
+    * schema. Default is line-delimited (one document per line,
+    * splittable); pass `multiLine = true` for pretty-printed
+    * one-document-per-FILE captures — without it a multi-line document
+    * parses line-by-line into nulls. `FAILFAST` makes that loud: a
+    * malformed line throws instead of silently dropping the batch. */
+  def readBarsJson(spark: SparkSession, path: String,
+                   multiLine: Boolean = false): DataFrame =
+    spark.read
+      .option("mode", "FAILFAST")
+      .option("multiLine", multiLine)
+      .schema(Tables.rawBarsPayloadSchema).json(path)
 
   /** Canonical column order of the reference's stock_bars frame before
     * dimension enrichment (reference: assets/assets.py:105-107 minus the
@@ -42,6 +50,7 @@ object JsonSource {
       barColumns)
 
   /** Full S1 path: scan captured payload files -> stock_bars frame. */
-  def readBars(spark: SparkSession, path: String): DataFrame =
-    barsFromPayload(readBarsJson(spark, path))
+  def readBars(spark: SparkSession, path: String,
+               multiLine: Boolean = false): DataFrame =
+    barsFromPayload(readBarsJson(spark, path, multiLine))
 }

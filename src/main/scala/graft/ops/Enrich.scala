@@ -17,6 +17,12 @@ object Enrich {
   def enrich(fact: DataFrame, dim: DataFrame, factKey: String,
              dimKey: String, joinType: String = "inner",
              dropDimCols: Seq[String] = Nil): DataFrame = {
+    // the dim-side key is dropped unconditionally below; under right or
+    // full joins that would make dim-only rows' keys irrecoverable
+    require(Seq("inner", "left", "left_outer", "left_semi", "left_anti",
+      "semi", "anti").contains(joinType),
+      s"enrich: joinType '$joinType' would lose the dropped dim key " +
+        "for unmatched dim rows; use a plain join for right/full")
     val joined = fact.join(broadcast(dim),
       fact(factKey) === dim(dimKey), joinType)
     (dropDimCols :+ dimKey).foldLeft(joined)((d, c) => d.drop(dim(c)))

@@ -66,10 +66,15 @@ object Multimodal {
       // the non-frame C4/C8/CC); height/width sit after the precision byte
       var i = 2
       while (i + 9 < p.length && u8(i) == 0xff) {
-        val m = u8(i + 1)
+        // legal 0xFF fill bytes may pad before any marker — skip them
+        var j = i + 1
+        while (j + 8 < p.length && u8(j) == 0xff) j += 1
+        val m = u8(j)
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-          return Some((be16(i + 7), be16(i + 5)))
-        i += 2 + (if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) 0 else be16(i + 2))
+          return Some((be16(j + 6), be16(j + 4)))
+        i = j + 1 +
+          (if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) 0
+           else be16(j + 1))
       }
       None
     } else None
@@ -94,6 +99,7 @@ object Multimodal {
   /** Frame-sample a "video" payload: every `stride`-th frame, features
     * extracted per frame (stub: 8-dim hash-derived vector). */
   def frameFeatures(rows: Dataset[MediaRow], stride: Int): Dataset[MediaFeature] = {
+    require(stride > 0, s"frameFeatures: stride must be positive, got $stride")
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       it.flatMap { r =>
@@ -116,7 +122,13 @@ object Multimodal {
   /** Build a media table from any binary-able column (for tests and the
     * demo query: text bytes stand in for media payloads). */
   def fromBinaryColumn(df: DataFrame, id: String, bin: String,
-                       kind: String): DataFrame =
+                       kind: String): DataFrame = {
+    // MediaRow.media_id is non-nullable: a lossy cast (non-numeric
+    // string id) would surface as a deep-in-the-job encoder crash
+    val idType = df.schema(id).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"fromBinaryColumn: id column '$id' must be numeric, got $idType")
     df.select(col(id).cast("long").as("media_id"), lit(kind).as("kind"),
       col(bin).cast("binary").as("payload"))
+  }
 }

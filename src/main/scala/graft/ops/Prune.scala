@@ -26,12 +26,21 @@ import graft.functions.Expressions.bloom_might_contain
 object Prune {
 
   /** Inner-join `big` ⋈ `small` on integral `key`, bloom-pruning the
-    * big side's shuffle. `expectedItems <= 0` counts the small side
-    * first (one extra cheap job on the SMALL side). */
+    * big side's shuffle. The small side is locally checkpointed so its
+    * plan runs ONCE and the count, the bloom aggregate, and the join
+    * build all read the materialized result (it is small by contract).
+    * `expectedItems <= 0` sizes the bloom from that count. */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
                       expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val n = if (expectedItems > 0) expectedItems else small.count()
-    val bloom = small.stat.bloomFilter(key, math.max(n, 1L), fpp)
-    big.filter(bloom_might_contain(col(key), bloom)).join(small, Seq(key))
+    // the probe-side filter expression only evaluates int/long keys —
+    // reject anything else at plan time, not mid-stage
+    val kt = small.schema(key).dataType
+    require(kt == org.apache.spark.sql.types.LongType ||
+      kt == org.apache.spark.sql.types.IntegerType,
+      s"bloomPrunedJoin: key '$key' must be int/long, got $kt")
+    val s = small.localCheckpoint(true)
+    val n = if (expectedItems > 0) expectedItems else s.count()
+    val bloom = s.stat.bloomFilter(key, math.max(n, 1L), fpp)
+    big.filter(bloom_might_contain(col(key), bloom)).join(s, Seq(key))
   }
 }

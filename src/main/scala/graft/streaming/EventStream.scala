@@ -46,6 +46,13 @@ object EventStream {
     * previous table at `<target>.swap_old`; the next batch's entry
     * recovery restores it before merging. Exactly-once comes from the
     * source checkpoint + idempotent upsert + that recovery invariant.
+    *
+    * Cost contract: each micro-batch re-reads and rewrites the WHOLE
+    * target — right for the compact-state tables this mirrors (the
+    * reference's stock_bars). For a large, ever-growing target use the
+    * batch Runner's date-partitioned dynamic-partition-overwrite merge
+    * (only overlap partitions rewrite) or a transactional table format;
+    * a full-table upsert per batch is quadratic in table size.
     */
   def fileIngest(spark: SparkSession, srcDir: String, schema:
                  org.apache.spark.sql.types.StructType, targetPath: String,
@@ -129,10 +136,16 @@ object EventStream {
     * [[sessionWindows]]'s built-in `session_window`. Use this shape when
     * the close condition isn't a plain gap (session caps, logout events,
     * per-user gap overrides): the state is yours, the watermark still
-    * bounds it. A session closes either when a later event arrives past
-    * the gap (emitted with that batch) or when the watermark passes
-    * `last + gap` (the timeout fires and flushes the open session), so
-    * state is O(1) per active user and drains deterministically. */
+    * bounds it.
+    *
+    * A session is emitted only when the WATERMARK passes `last + gap` —
+    * the session_window contract — never merely because a later event
+    * overshot the gap: until the watermark moves, a late within-
+    * watermark event can still extend a session, open one fully in the
+    * past, or BRIDGE two open sessions (which then merge). State is the
+    * per-user list of open sessions; its size is bounded by the
+    * watermark horizon over the gap, and the event-time timeout flushes
+    * sessions even for users that go silent. */
   def statefulSessions(events: Dataset[Event],
                        gapMs: Long = 30L * 60 * 1000): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
@@ -140,43 +153,29 @@ object EventStream {
       new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
     events.withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, SessionAgg](
+      .flatMapGroupsWithState[List[OpenSession], SessionAgg](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user, rows, state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(agg(user, _)).iterator
-            state.remove()
-            out
-          } else {
-            val closed = scala.collection.mutable.Buffer[SessionAgg]()
-            var cur = state.getOption
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // within the gap of the open [start, last] span — this
-                // covers late (cross-batch, within-watermark) events that
-                // PRECEDE the open session, which must extend its start,
-                // not be glued in with a signed forward-gap check
-                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t),
-                    n = s.n + 1, total = s.total + e.value))
-                case Some(s) if t > s.last + gapMs => // next session begins
-                  closed += agg(user, s)
-                  cur = Some(OpenSession(t, t, 1L, e.value))
-                case Some(s) => // an isolated session fully in the past
-                  closed += SessionAgg(user, new Timestamp(t),
-                    new Timestamp(t), 1L, e.value)
-                case None =>
-                  cur = Some(OpenSession(t, t, 1L, e.value))
-              }
+        (user, rows, state: GroupState[List[OpenSession]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var sessions = state.getOption.getOrElse(Nil)
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            // absorb every session the event touches (it can bridge two)
+            val (touching, apart) = sessions.partition(s =>
+              t >= s.start - gapMs && t <= s.last + gapMs)
+            val merged = touching.foldLeft(OpenSession(t, t, 1L, e.value)) {
+              (acc, s) => OpenSession(math.min(acc.start, s.start),
+                math.max(acc.last, s.last), acc.n + s.n, acc.total + s.total)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.iterator
+            sessions = merged :: apart
           }
+          val (closed, open) = sessions.partition(_.last + gapMs < wm)
+          if (open.nonEmpty) {
+            state.update(open)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last + gapMs).min, wm + 1))
+          } else state.remove()
+          closed.sortBy(_.start).map(agg(user, _)).iterator
       }
   }
 

@@ -120,35 +120,64 @@ class StreamingSpec extends SparkSpec {
     assert(last.length == 1 && last(0).total == 7.0 && last(0).lastValue == 4.0)
   }
 
-  test("stateful sessions close on gap within a batch and on event-time timeout") {
+  test("stateful sessions emit once the watermark passes last+gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
     val q = EventStream.statefulSessions(mem.toDS(), gapMs = 30L * 60 * 1000)
       .writeStream.format("memory").queryName("ssess_out")
       .outputMode(OutputMode.Append()).start()
-    // user 1: two events 5 min apart (one session), then an event 2h
-    // later IN THE SAME batch -> the first session closes with the batch
+    // user 1: two events 5 min apart (one session) + an event 2h later
+    // (a second session); nothing may emit before the watermark moves
     mem.addData(
       Event(1, ts(0), 1, "click", 1.0),
       Event(2, ts(5), 1, "click", 2.0),
       Event(3, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "click", 4.0))
     q.processAllAvailable()
-    val afterBatch = spark.table("ssess_out")
-      .select("user_id", "n_events", "total").as[(Long, Long, Double)]
-      .collect().toSet
-    assert(afterBatch == Set((1L, 2L, 3.0)), s"got $afterBatch")
-    // advance the watermark far past the open session's gap: the
-    // event-time timeout fires and flushes it
+    // user 2's event pushes the watermark to 05:50 -> both u1 sessions
+    // are past last+gap and flush (batch or timeout path)
     mem.addData(Event(4, Timestamp.valueOf("2024-01-01 06:00:00"), 2, "view", 8.0))
-    q.processAllAvailable()
-    mem.addData(Event(5, Timestamp.valueOf("2024-01-01 09:00:00"), 2, "view", 1.0))
     q.processAllAvailable()
     val flushed = spark.table("ssess_out")
       .select("user_id", "n_events", "total").as[(Long, Long, Double)]
       .collect().toSet
+    assert(flushed == Set((1L, 2L, 3.0), (1L, 1L, 4.0)), s"got $flushed")
+    // and u2's own session flushes once the watermark passes ITS gap
+    mem.addData(Event(5, Timestamp.valueOf("2024-01-01 09:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    val all = spark.table("ssess_out")
+      .select("user_id", "n_events", "total").as[(Long, Long, Double)]
+      .collect().toSet
     q.stop()
-    assert(flushed.contains((1L, 1L, 4.0)), s"timeout flush missing: $flushed")
+    assert(all.contains((2L, 1L, 8.0)), s"u2 flush missing: $all")
+  }
+
+  test("late within-watermark events merge into one past session") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // gap (5 min) SHORTER than the 10-min watermark: late events can
+    // arrive that are gap-distant from every open session yet must
+    // still merge with EACH OTHER, not emit as singleton sessions
+    val q = EventStream.statefulSessions(mem.toDS(), gapMs = 5L * 60 * 1000)
+      .writeStream.format("memory").queryName("ssess_late")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Event(1, Timestamp.valueOf("2024-01-01 01:00:00"), 1, "click", 1.0))
+    q.processAllAvailable() // watermark -> 00:50
+    // two late events at 00:52/00:53: within watermark, > 5 min before
+    // the 01:00 session -> they form ONE separate session together
+    mem.addData(
+      Event(2, Timestamp.valueOf("2024-01-01 00:52:00"), 1, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 00:53:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    // far-future event flushes everything
+    mem.addData(Event(4, Timestamp.valueOf("2024-01-01 03:00:00"), 2, "view", 0.0))
+    q.processAllAvailable()
+    val out = spark.table("ssess_late")
+      .filter($"user_id" === 1)
+      .select("n_events", "total").as[(Long, Double)].collect().toSet
+    q.stop()
+    assert(out == Set((2L, 6.0), (1L, 1.0)), s"late events not merged: $out")
   }
 
   test("stream-stream interval join attributes clicks within the horizon") {
