@@ -130,6 +130,21 @@ object RelQueries {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // GROUPING SETS (the general form ROLLUP/CUBE sugar over): exactly
+    // the chosen combinations — here (status), (priority), and () —
+    // one Expand, one exchange. SQL path: the DataFrame API has no
+    // grouping-sets verb.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+              |FROM gs_orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus ASC NULLS FIRST,
+              |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
     // CUBE: all four grouping combinations in one pass (Expand feeds a
     // single aggregate exchange); grouping() disambiguates real NULLs.
     "q_cube" -> ((s, dir) =>
@@ -567,6 +582,15 @@ object RelQueries {
          |WINDOW w AS (PARTITION BY o_orderpriority
          |             ORDER BY o_totalprice, o_orderkey)
          |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
