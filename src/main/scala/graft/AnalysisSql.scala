@@ -9,14 +9,11 @@ package graft
   */
 object AnalysisSql {
 
-  /** Guarded HALF_UP rounding in Spark SQL. Same IEEE expression as
-    * [[graft.functions.Rounding.sqlRound]]; the extra CAST keeps the
-    * numerator DOUBLE because Spark's `floor` returns BIGINT. */
-  def sparkRound(expr: String, n: Int): String = {
-    val f = s"${math.pow(10, n).toLong}.0"
-    s"((CAST(CASE WHEN ($expr) < 0 THEN -floor((-($expr))*$f + 0.5) " +
-      s"ELSE floor(($expr)*$f + 0.5) END AS DOUBLE) / $f + 0.0))"
-  }
+  /** Guarded HALF_UP rounding in Spark SQL — delegates to the ONE
+    * parity-critical definition ([[graft.functions.Rounding.sqlRound]])
+    * with the DOUBLE cast Spark's BIGINT-returning `floor` needs. */
+  def sparkRound(expr: String, n: Int): String =
+    graft.functions.Rounding.sqlRound(expr, n, castDouble = true)
 
   /** The full analysis SELECT over `table`, which must expose
     * (event_type, event_id, ts, value). Mirrors stock_bars_analysis.sql

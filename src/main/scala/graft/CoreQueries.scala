@@ -71,12 +71,16 @@ object CoreQueries {
         col("user_id").as("v"),
         col("value").as("vw"))
       val ev = t(s, dir, "events")
-      // payload file is keyed by (dir, row count) and reused when
-      // already landed — the operator under test is the read path;
-      // building the fixture is one-time setup
+      // payload file is keyed by (dir, row count, session timezone) and
+      // reused when already landed — the operator under test is the
+      // read path; building the fixture is one-time setup. The tz is in
+      // the key because the 't' strings are rendered with the session
+      // zone: a fixture landed under another zone would poison a later
+      // UTC-verified run.
+      val tz = s.conf.get("spark.sql.session.timeZone", "local")
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_bars_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ev.count()
+        "_" + ev.count() + "_" + tz.replaceAll("[^A-Za-z0-9]", "_")
       val done = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
       val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(done)) {

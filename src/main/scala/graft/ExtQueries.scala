@@ -145,7 +145,7 @@ object ExtQueries {
     }),
 
     // Embedding-cosine near-duplicate detection: original vectors vs a
-    // deterministic affine mutant (x*1.1 + 0.05) -- high-cosine pairs.
+    // deterministic affine mutant (x*1.1 + 0.01) -- high-cosine pairs.
     "q_dedup_embed" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val mutants = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),

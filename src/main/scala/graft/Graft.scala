@@ -34,4 +34,20 @@ object Graft {
     ext.GraftExtensions.registerAll(spark)
     spark
   }
+
+  /** The session Bench and Verify share: local[n], n shuffle
+    * partitions, quiet UI, UTC. ONE builder on purpose — the session
+    * timezone is part of the oracle-parity contract, and a hand-rolled
+    * copy in either harness would let the benchmarked engine silently
+    * drift from the verified one. */
+  def harnessSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }

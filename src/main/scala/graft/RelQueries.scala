@@ -466,7 +466,7 @@ object RelQueries {
     "q_full_analysis_sql" -> ((s, dir) => {
       t(s, dir, "events").select("event_type", "event_id", "ts", "value")
         .createOrReplaceTempView("ev_sql")
-      s.sql(AnalysisSql.flagshipSql("ev_sql")).drop("ts")
+      s.sql(AnalysisSql.flagshipSql("ev_sql"))
     })
   )
 

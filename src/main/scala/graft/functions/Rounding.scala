@@ -26,10 +26,17 @@ object Rounding {
     scaled / f + lit(0.0)
   }
 
-  /** The same expression as SQL text, for `SparkEntry.oracleSql`. */
-  def sqlRound(expr: String, n: Int): String = {
+  /** The same expression as SQL text, for `SparkEntry.oracleSql` and
+    * the Spark-dialect S4/S5 SQL paths. `castDouble` wraps the CASE in
+    * a DOUBLE cast — needed on the Spark side where `floor` returns
+    * BIGINT (DuckDB's floor stays DOUBLE). ONE definition on purpose:
+    * this expression is the bit-parity linchpin, and a drifted copy
+    * would split the SQL path from the DataFrame path silently. */
+  def sqlRound(expr: String, n: Int, castDouble: Boolean = false): String = {
     val f = s"${math.pow(10, n).toLong}.0"
-    s"((CASE WHEN ($expr) < 0 THEN -floor((-($expr))*$f + 0.5) " +
-      s"ELSE floor(($expr)*$f + 0.5) END) / $f + 0.0)"
+    val cased = s"CASE WHEN ($expr) < 0 THEN -floor((-($expr))*$f + 0.5) " +
+      s"ELSE floor(($expr)*$f + 0.5) END"
+    val num = if (castDouble) s"CAST($cased AS DOUBLE)" else s"($cased)"
+    s"(($num) / $f + 0.0)"
   }
 }
