@@ -130,6 +130,32 @@ object RelQueries {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // Multi-hop star join (the TPC-H shape): the fact chain
+    // lineitem ⋈ orders, then the customer -> nation -> region
+    // dimension chain — every dim broadcast, so after the one fact-fact
+    // exchange the row flows through a shuffle-free chain of
+    // BroadcastHashJoins. Revenue in exact DECIMAL arithmetic so
+    // partial-aggregation order can't shift a bit.
+    "q_star_join" -> ((s, dir) => {
+      val money = (c: Column) => c.cast("decimal(18,2)")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(money(col("l_extendedprice")) *
+            (lit(java.math.BigDecimal.ONE) - money(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // GROUPING SETS (the general form ROLLUP/CUBE sugar over): exactly
     // the chosen combinations — here (status), (priority), and () —
     // one Expand, one exchange. SQL path: the DataFrame API has no
@@ -582,6 +608,17 @@ object RelQueries {
          |WINDOW w AS (PARTITION BY o_orderpriority
          |             ORDER BY o_totalprice, o_orderkey)
          |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpec {
       s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
 
+  test("star join broadcasts the whole dimension chain") {
+    val p = planOf("q_star_join")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"dimension chain not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") ||
+      count(p, "SortMergeJoin") <= 1, // only the fact-fact join may merge
+      s"dims sort-merging:\n$p")
+  }
+
   test("interval-overlap join is a hash join on the bucket") {
     val p = planOf("q_interval_overlap")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
