@@ -20,12 +20,25 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // java.lang.Double.compare is a TOTAL order (NaN greatest, -0.0 <
+  // 0.0) — the same order Spark's window sort uses; a naive `>` is not
+  // transitive under NaN and corrupts both eviction and the final sort
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def add(sim: Double, id: Long): Unit = {
     var j = 0
-    while (j < n) { if (ids(j) == id) return; j += 1 }
+    while (j < n) {
+      if (ids(j) == id) {
+        // duplicate id (multi-probe rescoring): keep the BEST sim, not
+        // the first-seen one — merge order must not leak into results
+        if (java.lang.Double.compare(sim, sims(j)) > 0) sims(j) = sim
+        return
+      }
+      j += 1
+    }
     if (n < k) { sims(n) = sim; ids(n) = id; n += 1 }
     else if (n > 0) {
       var w = 0

@@ -47,6 +47,12 @@ object AsofJoin {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction: $direction")
     val leftCols = left.columns.toSeq
+    // the carry plan synthesizes these; a same-named data column would
+    // be silently replaced or make references ambiguous
+    val reserved = Set("_r", "_b", "_f", "_ts", "_side")
+    require(!(leftCols ++ right.columns).exists(reserved.contains),
+      s"asofJoin: inputs must not contain the reserved working columns " +
+        reserved.mkString(", "))
     // at equal ts the right row must fall INSIDE the left row's one-sided
     // frame: before it for backward/nearest, after it for forward.
     // (nearest's forward frame misses the equal-ts right row, but the

@@ -18,9 +18,12 @@ object Enrich {
              dimKey: String, joinType: String = "inner",
              dropDimCols: Seq[String] = Nil): DataFrame = {
     // the dim-side key is dropped unconditionally below; under right or
-    // full joins that would make dim-only rows' keys irrecoverable
-    require(Seq("inner", "left", "left_outer", "left_semi", "left_anti",
-      "semi", "anti").contains(joinType),
+    // full joins that would make dim-only rows' keys irrecoverable.
+    // Normalize the way Spark's JoinType does (case-insensitive,
+    // underscores stripped) so valid spellings keep working.
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
+    require(Seq("inner", "left", "leftouter", "leftsemi", "leftanti",
+      "semi", "anti").contains(jt),
       s"enrich: joinType '$joinType' would lose the dropped dim key " +
         "for unmatched dim rows; use a plain join for right/full")
     val joined = fact.join(broadcast(dim),

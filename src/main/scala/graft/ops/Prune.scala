@@ -26,10 +26,11 @@ import graft.functions.Expressions.bloom_might_contain
 object Prune {
 
   /** Inner-join `big` ⋈ `small` on integral `key`, bloom-pruning the
-    * big side's shuffle. The small side is locally checkpointed so its
-    * plan runs ONCE and the count, the bloom aggregate, and the join
-    * build all read the materialized result (it is small by contract).
-    * `expectedItems <= 0` sizes the bloom from that count. */
+    * big side's shuffle. When the count is needed (`expectedItems <=
+    * 0`) the small side is locally checkpointed so its plan runs ONCE
+    * for the count, the bloom aggregate, and the join build — the
+    * blocks stay pinned for the session (it is small by contract; pass
+    * `expectedItems` to skip both the count and the pinning). */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
                       expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     // the probe-side filter expression only evaluates int/long keys —
@@ -38,7 +39,7 @@ object Prune {
     require(kt == org.apache.spark.sql.types.LongType ||
       kt == org.apache.spark.sql.types.IntegerType,
       s"bloomPrunedJoin: key '$key' must be int/long, got $kt")
-    val s = small.localCheckpoint(true)
+    val s = if (expectedItems > 0) small else small.localCheckpoint(true)
     val n = if (expectedItems > 0) expectedItems else s.count()
     val bloom = s.stat.bloomFilter(key, math.max(n, 1L), fpp)
     big.filter(bloom_might_contain(col(key), bloom)).join(s, Seq(key))

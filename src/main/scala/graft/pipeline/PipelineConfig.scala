@@ -35,7 +35,10 @@ object PipelineConfig {
     text.linesIterator
       .map { l =>
         // cut at the first '#' OUTSIDE quotes — a quoted value may
-        // legitimately contain one (password: "abc#123")
+        // legitimately contain one (password: "abc#123"). If the line
+        // ends still "inside" a quote, the quote char was literal text
+        // (owner: o'brien  # ops), not a delimiter: fall back to a
+        // plain cut so the comment is still stripped.
         var inQ = false
         var q = ' '
         val cut = l.indices.find { i =>
@@ -44,7 +47,8 @@ object PipelineConfig {
           else if (c == '"' || c == '\'') { inQ = true; q = c; false }
           else c == '#'
         }
-        cut.map(l.substring(0, _)).getOrElse(l)
+        if (inQ) l.takeWhile(_ != '#')
+        else cut.map(l.substring(0, _)).getOrElse(l)
       }
       .filter(_.trim.nonEmpty)
       .foreach {

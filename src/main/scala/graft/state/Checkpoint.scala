@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * upsert-on-PK contract the reference got from ON CONFLICT. Watermarks
   * are ISO-8601 *strings* compared lexicographically, exactly like the
   * reference's string max (SURVEY §7.4 string-timestamp caveat).
+  *
+  * Concurrency contract: ONE pipeline owns a table's checkpoint (the
+  * reference's model). `get` runs swap recovery — a write-shaped repair
+  * — so a second process reading while the owner is mid-save could
+  * race the swap; share nothing, or point each pipeline at its own
+  * checkpoint dir.
   */
 class Checkpoint(spark: SparkSession, dir: String) {
 

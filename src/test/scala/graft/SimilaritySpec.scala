@@ -61,6 +61,24 @@ class SimilaritySpec extends SparkSpec {
       s"no object aggregate:\n$plan")
   }
 
+  test("top-k buffer: duplicate ids keep the best sim; NaN totally ordered") {
+    import graft.functions.TopKBuffer
+    val b = new TopKBuffer(3)
+    b.add(0.2, 5); b.add(0.99, 5) // dedup must keep max, not first-seen
+    assert(b.n == 1 && b.sims(0) == 0.99)
+    // merge-order independence of the dedup
+    val x = new TopKBuffer(2); x.add(0.2, 5)
+    val y = new TopKBuffer(2); y.add(0.99, 5)
+    assert(x.merge(y).sims(0) == 0.99)
+    val x2 = new TopKBuffer(2); x2.add(0.99, 5)
+    val y2 = new TopKBuffer(2); y2.add(0.2, 5)
+    assert(x2.merge(y2).sims(0) == 0.99)
+    // NaN ranks greatest (Spark's total double order); worst evicted
+    val c = new TopKBuffer(3)
+    c.add(Double.NaN, 1); c.add(0.5, 2); c.add(0.7, 3); c.add(0.6, 4)
+    assert(c.ranked.map(j => c.ids(j)).toSeq == Seq(1L, 3L, 4L))
+  }
+
   private def planted = {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
