@@ -219,14 +219,28 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         Some(And(EqualTo(pAlias.toAttribute, iAttr), cond)), hint)
 
       // wide path: the (few) intervals too wide to replicate keep the
-      // original nested-loop join, broadcast from the wide side
+      // original nested-loop join, broadcast from the wide side. Both
+      // subtrees are re-aliased to fresh exprIds first — reusing the
+      // narrow branch's instances would give the Union a self-union
+      // shape (identical attribute ids in both children), which rules
+      // that assume per-branch-unique ids can mis-rewrite.
+      val pAliases = pSide.output.map(a => Alias(a, a.name)())
+      val iAliases = iSide.output.map(a => Alias(a, a.name)())
+      val remap = AttributeMap((pSide.output ++ iSide.output).zip(
+        (pAliases ++ iAliases).map(_.toAttribute)))
+      def rm(e: Expression): Expression = e.transform {
+        case a: Attribute => remap.getOrElse(a, a)
+      }
       val wideI = Filter(
-        RangeSpanGuard(lo, hi, bucket, maxRep, keepNarrow = false), iSide)
+        rm(RangeSpanGuard(lo, hi, bucket, maxRep, keepNarrow = false)),
+        Project(iAliases, iSide))
       val bHint = Some(HintInfo(strategy = Some(BROADCAST)))
-      val (wl, wr) = if (ptOnLeft) (pSide, wideI) else (wideI, pSide)
+      val pFresh = Project(pAliases, pSide)
+      val (wl, wr) = if (ptOnLeft) (pFresh, wideI) else (wideI, pFresh)
       val wideHint = if (ptOnLeft) JoinHint(None, bHint) else JoinHint(bHint, None)
-      val wideJoin = Join(wl, wr, Inner, Some(cond), wideHint)
+      val wideJoin = Join(wl, wr, Inner, Some(rm(cond)), wideHint)
 
-      Union(Seq(Project(j.output, narrowJoin), Project(j.output, wideJoin)))
+      Union(Seq(Project(j.output, narrowJoin),
+        Project(j.output.map(a => remap.getOrElse(a, a)), wideJoin)))
   }
 }

@@ -49,7 +49,7 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     // the carry plan synthesizes these; a same-named data column would
     // be silently replaced or make references ambiguous
-    val reserved = Set("_r", "_b", "_f", "_ts", "_side")
+    val reserved = Set("_r", "_b", "_f", "_ts", "_side", "_rts")
     require(!(leftCols ++ right.columns).exists(reserved.contains),
       s"asofJoin: inputs must not contain the reserved working columns " +
         reserved.mkString(", "))

@@ -98,6 +98,23 @@ object Layout {
     } else if (fs.exists(mark)) fs.delete(mark, false) // stale marker
   }
 
+  /** The last-known-complete copy of the table at `p`, for READ-ONLY
+    * callers. [[recoverSwap]] is write-shaped (deletes and renames), so
+    * a reader racing the owning writer mid-swap must not run it — it
+    * could rip directories out from under the in-flight swap. Marker
+    * semantics mirror [[recoverSwap]]: with no pending swap, or with
+    * the commit marker present, the live path IS the complete copy; a
+    * pending `.swap_old` without a marker means the live path may be a
+    * partial rename-in and the old copy is the committed one. If the
+    * owner completes its swap between this probe and the read, the
+    * returned old path is gone and the read fails loudly — never a
+    * silent partial read, and repair stays with the writer. */
+  def committedReadPath(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Path = {
+    val old = swapOldPath(p)
+    if (fs.exists(old) && !fs.exists(commitMarker(p))) old else p
+  }
+
   /** Replace the table at `p` with the complete table staged at `tmp`:
     * old aside → new in → write commit marker → drop old, after first
     * running [[recoverSwap]]. Not atomic — between the renames `p` is

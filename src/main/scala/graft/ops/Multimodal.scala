@@ -72,6 +72,10 @@ object Multimodal {
         val m = u8(j)
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
           return Some((be16(j + 6), be16(j + 4)))
+        // SOS starts entropy-coded data and EOI ends the stream: past
+        // either there is no frame header, and reading on would treat
+        // compressed bytes as segment lengths — garbage dimensions
+        if (m == 0xda || m == 0xd9) return None
         i = j + 1 +
           (if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) 0
            else be16(j + 1))

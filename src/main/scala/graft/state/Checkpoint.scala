@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * reference's string max (SURVEY §7.4 string-timestamp caveat).
   *
   * Concurrency contract: ONE pipeline owns a table's checkpoint (the
-  * reference's model). `get` runs swap recovery — a write-shaped repair
-  * — so a second process reading while the owner is mid-save could
-  * race the swap; share nothing, or point each pipeline at its own
-  * checkpoint dir.
+  * reference's model), but reads are safe from anywhere: `get` is
+  * strictly read-only — it reads the last-committed copy
+  * ([[graft.ops.Layout.committedReadPath]]) instead of running swap
+  * repair, so a reader racing the owner's save can never delete or
+  * restore directories under the in-flight swap. Repair happens on the
+  * owner's next [[save]].
   */
 class Checkpoint(spark: SparkSession, dir: String) {
 
@@ -27,12 +29,14 @@ class Checkpoint(spark: SparkSession, dir: String) {
     * (reference: utilities/utilities.py:8-22). Existence is probed via
     * the Hadoop FileSystem API so the state store works on any
     * supported storage (local, HDFS, S3A), not just the local FS.
-    * Runs swap recovery first: a crash mid-[[save]] leaves a state the
-    * recovery repairs, so `get` never reads a half-written directory. */
+    * Strictly read-only: after a crash mid-[[save]] it reads the
+    * last-COMMITTED copy (the pending swap's old directory) rather
+    * than repairing — repair is write-shaped and belongs to the owner,
+    * whose next save runs it. */
   def get(table: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(path(table))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.ops.Layout.recoverSwap(fs, p)
+    val live = new org.apache.hadoop.fs.Path(path(table))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = graft.ops.Layout.committedReadPath(fs, live)
     if (!fs.exists(p)) None
     else spark.read.parquet(p.toString)
       .agg(max(col("latest_timestamp"))).collect()(0).getString(0) match {

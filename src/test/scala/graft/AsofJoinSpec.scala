@@ -99,6 +99,15 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("reserved working columns are rejected, including _rts") {
+    val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "ts", "_rts")
+    val trades = Seq(("A", 5L, 100L)).toDF("sym", "ts", "trade_id")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(trades, quotes, "sym", "ts", "ts", Seq("_rts"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("plans one exchange for both sides (no range cross-product)") {
     val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "ts", "px")
     val trades = Seq(("A", 5L, 100L)).toDF("sym", "ts", "trade_id")

@@ -44,6 +44,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDims("plain text".getBytes).isEmpty)
     assert(Multimodal.imageDims(Array[Byte]()).isEmpty)
 
+    // a stream that reaches SOS without a frame header must give up —
+    // reading entropy-coded bytes as segment lengths yields garbage.
+    // 0xff 0xc0 here is COMPRESSED DATA after SOS, not a real SOF
+    val sosFirst = (Array[Int](0xff, 0xd8,
+      0xff, 0xda, 0x00, 0x04, 0x01, 0x00) ++
+      Array[Int](0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0x4d, 0x00, 0xdd) ++
+      Array.fill(12)(0)).map(_.toByte)
+    assert(Multimodal.imageDims(sosFirst).isEmpty)
+    // EOI straight after SOI: empty stream, no dimensions
+    val eoiOnly = (Array[Int](0xff, 0xd9, 0x00, 0x00, 0x00) ++
+      Array.fill(10)(0)).map(b => b.toByte)
+    assert(Multimodal.imageDims(
+      (Array[Int](0xff, 0xd8) ++ eoiOnly.map(_.toInt & 0xff)).map(_.toByte)).isEmpty)
+
     // and extractMeta surfaces the REAL dimensions for real headers
     val rows = Seq(MediaRow(9L, "image", png)).toDS()
     val meta = Multimodal.extractMeta(rows).collect().head

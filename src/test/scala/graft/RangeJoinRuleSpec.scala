@@ -92,6 +92,23 @@ class RangeJoinRuleSpec extends SparkSpec with BeforeAndAfterAll {
     assert(got == Set((1, 2, 5L), (1, 2, 9L)))
   }
 
+  test("rewrite's Union branches carry distinct output exprIds") {
+    // both branches project the same source subtrees; without fresh
+    // aliases on the wide branch the Union is a self-union (identical
+    // attribute ids in both children), a shape optimizer rules that
+    // assume per-branch-unique ids can mis-rewrite
+    val joined = points.join(intervals,
+      col("pt") >= col("s") && col("pt") < col("e"))
+    val unions = joined.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.nonEmpty, "expected the rewrite's Union in the plan")
+    for (u <- unions; Seq(a, b) <- u.children.map(_.output.map(_.exprId).toSet)
+           .combinations(2))
+      assert((a intersect b).isEmpty,
+        s"Union branches share exprIds: ${a intersect b}")
+  }
+
   test("joins that already have an equi-key are left untouched") {
     val l = Seq((1L, 5L)).toDF("k", "v")
     val r = Seq((1L, 0L, 10L)).toDF("k", "lo", "hi")

@@ -107,4 +107,27 @@ class RunnerSpec extends SparkSpec {
     assert(cp.get("t2").contains("2024-01-01T00:00:00Z"))
     assert(cp.get("missing").isEmpty)
   }
+
+  test("checkpoint get is read-only mid-swap: committed value, no repair") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir() + "/cp"
+    val cp = new Checkpoint(spark, dir)
+    cp.save("t", "2025-01-01T00:00:00Z")
+    // simulate the owner crashing mid-save: committed copy moved aside,
+    // a PARTIAL (here: empty-schema-breaking) replacement at the live path
+    val live = new Path(s"$dir/table_name=t")
+    val old = new Path(s"$dir/table_name=t.swap_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(live, old))
+    fs.mkdirs(live) // partial rename-in: directory exists, no data
+    // a racing reader must see the COMMITTED watermark...
+    assert(cp.get("t").contains("2025-01-01T00:00:00Z"))
+    // ...and must not have repaired (both directories still in place
+    // for the owner's recovery to handle)
+    assert(fs.exists(old) && fs.exists(live))
+    // the owner's next save runs the repair and commits the new value
+    cp.save("t", "2025-02-02T00:00:00Z")
+    assert(cp.get("t").contains("2025-02-02T00:00:00Z"))
+    assert(!fs.exists(old))
+  }
 }
