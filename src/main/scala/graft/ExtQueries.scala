@@ -604,7 +604,8 @@ object ExtQueries {
          |  FROM t)
          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
          |  ${sqlRound("1.0 - len(list_distinct(toks)) / CAST(nullif(n, 0) AS DOUBLE)", 4)} AS dup_token_frac,
-         |  CASE WHEN n > 1 THEN ${sqlRound("1.0 - len(list_distinct(bigrams)) / CAST(n - 1 AS DOUBLE)", 4)}
+         |  CASE WHEN n IS NULL THEN NULL
+         |       WHEN n > 1 THEN ${sqlRound("1.0 - len(list_distinct(bigrams)) / CAST(n - 1 AS DOUBLE)", 4)}
          |       ELSE 0.0 END AS dup_bigram_frac
          |FROM b ORDER BY doc_id""".stripMargin,
 
@@ -614,14 +615,17 @@ object ExtQueries {
         |    text || ' reach user' || CAST(doc_id AS VARCHAR) ||
         |      '@mail.example or 555-010-' ||
         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
-        |  FROM documents)
+        |  FROM documents),
+        |er AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS text_er
+        |  FROM planted)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-        |       len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_pii,
-        |  regexp_replace(
-        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted
-        |FROM planted ORDER BY doc_id""".stripMargin,
+        |       len(regexp_extract_all(text_er, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_pii,
+        |  regexp_replace(text_er, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM er ORDER BY doc_id""".stripMargin,
 
     "q_embed_quantize" -> {
       val q = sqlRound("CAST(x AS DOUBLE) / nullif(amax, 0.0) * 127", 0)

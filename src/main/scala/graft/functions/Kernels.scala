@@ -10,9 +10,16 @@ package graft.functions
   */
 object Kernels {
 
-  /** Cosine similarity, double accumulation in index order. */
+  /** Cosine similarity, double accumulation in index order. Dimension
+    * mismatch FAILS FAST: truncating to the shorter vector would score
+    * a corrupt (e.g. upstream-truncated) embedding with a plausible
+    * similarity and let it rank in top-k results — the data error must
+    * surface, not propagate as silently wrong neighbors. */
   def cosine(x: Array[Float], y: Array[Float]): Double = {
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"cosine: dimension mismatch ${x.length} vs ${y.length}")
+    val n = x.length
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = x(i).toDouble; val yi = y(i).toDouble

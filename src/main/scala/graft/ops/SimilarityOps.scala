@@ -74,12 +74,20 @@ object SimilarityOps {
   private def trainCentroids(corpus: DataFrame, vec: String, id: String,
                              nlist: Int, sampleSize: Int,
                              iters: Int): Array[Array[Float]] = {
-    val sample = corpus
+    // nulls are dropped at the scan; ragged vectors (an upstream
+    // truncation bug) are dropped to the sample's dominant dimension so
+    // one bad row can't crash the whole index build — the strict check
+    // happens at assignment time, where Kernels.cosine fails fast
+    val raw = corpus
+      .filter(col(vec).isNotNull)
       .select(col(vec), xxhash64(col(id).cast("string")).as("_h"))
       .orderBy(col("_h"))
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    require(raw.nonEmpty, "trainCentroids: no non-null vectors in corpus")
+    val dim = raw.groupBy(_.length).maxBy(_._2.length)._1
+    val sample = raw.filter(_.length == dim)
     require(sample.length >= nlist,
       s"sample (${sample.length}) smaller than nlist ($nlist)")
     def normalize(v: Array[Double]): Array[Float] = {
@@ -111,7 +119,10 @@ object SimilarityOps {
   /** Build the IVF index: train centroids on a sample, then assign every
     * corpus vector to its max-cosine centroid in one codegen'd map pass
     * (no shuffle — at 100 TB this is a single scan; persist/bucket the
-    * result by `cluster` to serve queries repeatedly). */
+    * result by `cluster` to serve queries repeatedly). `nlist = 0`
+    * (default) sizes the cluster count as ~sqrt(corpus) via one sizing
+    * `count()` — pass `nlist` explicitly when the corpus is an
+    * expensive pipeline rather than a scan. */
   def buildIvfIndex(corpus: DataFrame, vec: String, id: String,
                     nlist: Int = 0, sampleSize: Int = 4096,
                     iters: Int = 8): IvfIndex = {
@@ -161,7 +172,11 @@ object SimilarityOps {
 
   /** LSH-bucketed ANN: compare only within matching hyperplane buckets
     * (plus one-bit-flip multi-probe on the query side for recall).
-    * `bits = 0` (default) derives the keyspace from the corpus size. */
+    * `bits = 0` (default) derives the keyspace from the corpus size at
+    * the cost of one sizing `count()` over the corpus — when the corpus
+    * is an expensive transformation pipeline (not a table scan whose
+    * count is footer metadata), pass `bits` explicitly to avoid the
+    * extra pass. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vec: String,
               id: String, k: Int, bits: Int = 0): DataFrame = {
     val b = if (bits > 0) bits else autoBits(corpus.count())
@@ -176,13 +191,21 @@ object SimilarityOps {
       if (j == 0) col("_bucket0")
       else col("_bucket0").bitwiseXOR(lit(1 << (j - 1)))
     }: _*)
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qvec"),
-        hyperplane_lsh(col(vec), b).as("_bucket0"))
+    val qBase = queries.select(col(id).as("query_id"), col(vec).as("qvec"),
+      hyperplane_lsh(col(vec), b).as("_bucket0"))
+    // the exploded probe table carries ONLY (query_id, bucket): carrying
+    // qvec through the explode would ship every query vector bits+1
+    // times in the broadcast (at 24 bits, 25x the query set — enough to
+    // blow the broadcast limit on a large query set). Vectors ride a
+    // second 1x broadcast re-attached by query_id; both joins are
+    // map-side, the corpus never shuffles.
+    val qProbes = qBase
       .withColumn("bucket", explode(array_distinct(probes)))
-      .drop("_bucket0")
+      .select("query_id", "bucket")
     // no dropDuplicates shuffle: the top-k buffer dedups by neighbor id,
     // absorbing the multi-probe double-scores in the aggregate itself
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(qProbes), Seq("bucket"))
+      .join(broadcast(qBase.select(col("query_id"), col("qvec"))), Seq("query_id"))
       .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
     rankTopK(scored, k)
   }

@@ -106,8 +106,12 @@ object TextOps {
         roundHalfUp(lit(1.0) - size(array_distinct(toks)) /
           nullif(n, lit(0)).cast("double"), 4))
       .withColumn("dup_bigram_frac",
-        when(nb > 0, roundHalfUp(lit(1.0) - size(array_distinct(bigrams)) /
-          nb.cast("double"), 4)).otherwise(lit(0.0)))
+        // null text must stay NULL (unknown), not read as "no
+        // repetition": greatest(NULL-1, 0) collapses nb to 0, so the
+        // null case is routed explicitly before the nb branch
+        when(n.isNull, lit(null).cast("double"))
+          .when(nb > 0, roundHalfUp(lit(1.0) - size(array_distinct(bigrams)) /
+            nb.cast("double"), 4)).otherwise(lit(0.0)))
   }
 
   /** Email pattern shared by Spark and the DuckDB oracle — kept to the
@@ -117,14 +121,23 @@ object TextOps {
   val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 
   /** PII redaction: replace emails/phones with typed placeholder tags
-    * and count the hits — the standard pre-training scrub pass. */
+    * and count the hits — the standard pre-training scrub pass.
+    * `n_pii` counts phones on the email-redacted text, matching the
+    * replacement order exactly: counting both patterns on the raw text
+    * would double-count a phone embedded in an email's local part and
+    * disagree with the number of placeholders in `redacted`. The
+    * intermediate is staged in a column (multi-reference aliases are
+    * not inlined by CollapseProject) so the email pass runs once. */
   def redactPii(df: DataFrame, text: String): DataFrame =
-    df.withColumn("n_pii",
+    df.withColumn("_email_redacted",
+        regexp_replace(col(text), emailRe, "<EMAIL>"))
+      .withColumn("n_pii",
         (size(regexp_extract_all(col(text), lit(emailRe), lit(0))) +
-          size(regexp_extract_all(col(text), lit(phoneRe), lit(0)))).cast("long"))
+          size(regexp_extract_all(col("_email_redacted"), lit(phoneRe), lit(0))))
+          .cast("long"))
       .withColumn("redacted",
-        regexp_replace(regexp_replace(col(text), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>"))
+        regexp_replace(col("_email_redacted"), phoneRe, "<PHONE>"))
+      .drop("_email_redacted")
 
   /** TF-IDF keyword extraction: top-k terms per document. The classic
     * three-shuffle shape, each one necessary and each partial-aggregated:

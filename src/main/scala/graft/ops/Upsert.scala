@@ -39,7 +39,14 @@ object Upsert {
     * descending), never by physical row order — so the output is a pure
     * function of the input *sets*, stable across partitionings and
     * re-runs. (The reference's ON CONFLICT applies rows in statement
-    * order; DataFrames have no statement order to inherit.) */
+    * order; DataFrames have no statement order to inherit.)
+    *
+    * NULL keys NEVER conflict — exactly Postgres's unique-index
+    * semantics (the reference's ON CONFLICT backs onto one): a window
+    * partition would group null=null and silently collapse distinct
+    * null-key rows, so those rows bypass the dedup and are all kept.
+    * Consequently idempotent re-application holds for non-null-key rows
+    * only, as it does in Postgres. */
   def upsert(existing: DataFrame, incoming: DataFrame,
              keys: Seq[String]): DataFrame = {
     val cols = existing.columns.toSeq
@@ -49,11 +56,16 @@ object Upsert {
     val rest = cols.filterNot(keys.contains)
     val unioned = existing.withColumn("_src", lit(0))
       .unionByName(incoming.select(cols.map(col): _*).withColumn("_src", lit(1)))
+    val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
     val tie = if (rest.nonEmpty) Seq(struct(rest.map(col): _*).desc) else Nil
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_src").desc +: tie: _*)
-    unioned.withColumn("_rn", row_number().over(w))
+    unioned.filter(!anyNullKey)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(cols.map(col): _*)
+      // null-key rows ride around the exchange on a map-side branch —
+      // still one shuffle total
+      .unionByName(unioned.filter(anyNullKey).select(cols.map(col): _*))
   }
 }

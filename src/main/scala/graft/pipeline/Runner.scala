@@ -63,55 +63,80 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
       .parquet(targetPath)
 
   /** One incremental load round. `source` is the already-extracted batch
-    * (the reference's API extract); returns rows now in the target. */
+    * (the reference's API extract); returns the rows WRITTEN this run
+    * (the merged overlap slice, or the whole batch on a full load) —
+    * never a full-target count, which at the design scale would list
+    * and footer-read every file of a 100 TB table just for an audit
+    * line. An empty batch writes nothing and leaves the watermark and
+    * target untouched. */
   def loadIncremental(source: DataFrame, targetPath: String, table: String,
                       keys: Seq[String], orderCol: String): Long = {
     try {
       audit.log(s"$table: load starting")
       val (hfs, tpath) = fs(targetPath)
       val exists = hfs.exists(tpath)
-      // the batch is consumed twice (target write + watermark max);
-      // cache it so an expensive source extract runs ONCE per load and
-      // the watermark can't diverge from what was written
-      def withCachedBatch(batch: DataFrame)(body: DataFrame => Unit): String = {
+      // the batch is consumed several times (emptiness probe, target
+      // write, watermark max); cache it so an expensive source extract
+      // runs ONCE per load and the watermark can't diverge from what
+      // was written
+      def withCachedBatch(batch: DataFrame)(body: DataFrame => Long): (Long, String) = {
         batch.persist()
         try {
-          body(batch)
-          batch.agg(max(col(orderCol).cast("string"))).collect()(0).getString(0)
+          val written = body(batch)
+          (written,
+            batch.agg(max(col(orderCol).cast("string"))).collect()(0).getString(0))
         } finally { batch.unpersist(); () }
       }
-      val batchWm = checkpoint.get(table) match {
+      val (written, batchWm) = checkpoint.get(table) match {
         case Some(wm) if exists =>
           // inclusive re-extraction from the watermark's date, like the
           // reference's start=checkpoint_date[:10] slice
           val fromDate = wm.substring(0, 10)
           withCachedBatch(
             withDt(source.filter(col(orderCol) >= lit(fromDate)), orderCol)) { batch =>
-            // only the overlap partitions of the target are read (pruned
-            // on the dt partition column) and only they are rewritten
-            val overlap = spark.read.parquet(targetPath)
-              .filter(col("dt") >= to_date(lit(fromDate)))
-            val merged = Upsert.upsert(overlap, batch, keys)
-            // stage the merged overlap, then dynamically overwrite just
-            // those partitions from the staged copy
-            val stage = targetPath + ".stage"
-            merged.write.mode(SaveMode.Overwrite).parquet(stage)
-            writePartitioned(spark.read.parquet(stage), targetPath)
-            val (sfs, spath) = fs(stage)
-            sfs.delete(spath, true)
+            if (batch.isEmpty) 0L
+            else {
+              // only the overlap partitions of the target are read (pruned
+              // on the dt partition column) and only they are rewritten
+              val overlap = spark.read.parquet(targetPath)
+                .filter(col("dt") >= to_date(lit(fromDate)))
+              val merged = Upsert.upsert(overlap, batch, keys)
+              // stage the merged overlap, then dynamically overwrite just
+              // those partitions from the staged copy
+              val stage = targetPath + ".stage"
+              merged.write.mode(SaveMode.Overwrite).parquet(stage)
+              val staged = spark.read.parquet(stage)
+              val n = staged.count()
+              writePartitioned(staged, targetPath)
+              val (sfs, spath) = fs(stage)
+              sfs.delete(spath, true)
+              n
+            }
           }
         case _ =>
+          // full load: the target (if any) is REPLACED wholesale, making
+          // "full extract -> create + insert" literally true. A lost
+          // checkpoint over an existing target must not dynamic-overwrite
+          // — that would replace only the batch's partitions and leave a
+          // silent mix of old and new data. Stage-and-swap keeps the old
+          // table recoverable until the new one is fully in place.
           withCachedBatch(withDt(source, orderCol)) { batch =>
-            writePartitioned(batch, targetPath)
+            if (batch.isEmpty && !exists) 0L
+            else {
+              val stage = targetPath + ".stage_full"
+              batch.write.mode(SaveMode.Overwrite).partitionBy("dt")
+                .parquet(stage)
+              graft.ops.Layout.swapInPlace(hfs, new Path(stage), tpath)
+              batch.count()
+            }
           }
       }
       // watermark advances monotonically; an empty batch leaves it alone
       val wm = (checkpoint.get(table).toSeq ++ Option(batchWm).toSeq)
         .sorted.lastOption.orNull
       if (wm != null) checkpoint.save(table, wm)
-      val n = spark.read.parquet(targetPath).count()
-      audit.log(s"$table: load complete, $n rows, watermark $wm")
-      n
+      audit.log(s"$table: load complete, $written rows written, watermark $wm")
+      written
     } catch {
       case e: Exception =>
         audit.log(s"$table: load FAILED: ${e.getMessage}")

@@ -35,16 +35,22 @@ class RunnerSpec extends SparkSpec {
       ("AAPL", "2025-10-02T10:00:00Z", 178.0)
     ).toDF("stock", "timestamp", "close")
 
+    // watermark day is re-read inclusively: the overlap slice after the
+    // merge holds all 4 rows, and that is what this run writes
     assert(runner.loadIncremental(day2, target, "bars",
       Seq("stock", "timestamp"), "timestamp") == 4)
     val out = spark.read.parquet(target)
+    assert(out.count() == 4)
     assert(out.filter($"stock" === "TSLA" && $"timestamp".startsWith("2025-10-01"))
       .select("close").as[Double].head() == 260.0)
     assert(cp.get("bars").contains("2025-10-02T10:00:00Z"))
 
-    // re-applying the same batch is a no-op (idempotence)
+    // re-applying the same batch is a no-op on content (idempotence);
+    // with the watermark now at day 2 only the day-2 overlap (2 rows)
+    // is rewritten
     assert(runner.loadIncremental(day2, target, "bars",
-      Seq("stock", "timestamp"), "timestamp") == 4)
+      Seq("stock", "timestamp"), "timestamp") == 2)
+    assert(spark.read.parquet(target).count() == 4)
 
     // audit trail recorded every stage
     assert(audit.read().filter($"log_message".contains("load complete")).count() == 3)
@@ -85,6 +91,52 @@ class RunnerSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter($"timestamp".startsWith("2025-10-02"))
       .select("close").as[Double].head() == 263.0)
+  }
+
+  test("empty batches are safe: no crash on first load, no-op incremental") {
+    val dir = tmpDir()
+    val cp = new Checkpoint(spark, s"$dir/cp")
+    val runner = new Runner(spark, cp, new AuditLog(spark, s"$dir/audit"))
+    val target = s"$dir/bars"
+    val keys = Seq("stock", "timestamp")
+    val empty = Seq.empty[(String, String, Double)]
+      .toDF("stock", "timestamp", "close")
+
+    // pipeline deployed before data arrives: nothing written, no throw
+    assert(runner.loadIncremental(empty, target, "bars", keys, "timestamp") == 0)
+    assert(cp.get("bars").isEmpty)
+
+    // real data lands, then an empty day: watermark and target untouched
+    val day1 = Seq(("TSLA", "2025-10-01T10:00:00Z", 252.0))
+      .toDF("stock", "timestamp", "close")
+    assert(runner.loadIncremental(day1, target, "bars", keys, "timestamp") == 1)
+    assert(runner.loadIncremental(empty, target, "bars", keys, "timestamp") == 0)
+    assert(cp.get("bars").contains("2025-10-01T10:00:00Z"))
+    assert(spark.read.parquet(target).count() == 1)
+  }
+
+  test("full load over an existing target replaces it wholesale") {
+    val dir = tmpDir()
+    val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"),
+      new AuditLog(spark, s"$dir/audit"))
+    val target = s"$dir/bars"
+    val keys = Seq("stock", "timestamp")
+    runner.loadIncremental(
+      Seq(("TSLA", "2025-10-01T10:00:00Z", 252.0),
+          ("TSLA", "2025-10-02T10:00:00Z", 262.0))
+        .toDF("stock", "timestamp", "close"),
+      target, "bars", keys, "timestamp")
+    // checkpoint lost (fresh dir) but target survives: the full-load
+    // branch must not leave a mix of old and new partitions
+    val runner2 = new Runner(spark, new Checkpoint(spark, s"$dir/cp2"),
+      new AuditLog(spark, s"$dir/audit"))
+    assert(runner2.loadIncremental(
+      Seq(("TSLA", "2025-10-03T10:00:00Z", 270.0))
+        .toDF("stock", "timestamp", "close"),
+      target, "bars", keys, "timestamp") == 1)
+    val out = spark.read.parquet(target)
+    assert(out.count() == 1, "old partitions must not survive a full load")
+    assert(!new java.io.File(s"$target/dt=2025-10-01").exists())
   }
 
   test("analysis stage is isolated: failure logs but does not throw") {

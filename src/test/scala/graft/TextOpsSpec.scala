@@ -119,4 +119,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0) == ((1L, 3L, "mail <EMAIL> or call <PHONE>, maybe <PHONE>")))
     assert(out(1) == ((2L, 0L, "nothing to scrub @ here 12-34")))
   }
+
+  test("PII redaction: n_pii equals the placeholders when patterns overlap") {
+    // the phone digits sit INSIDE the email's local part: one email
+    // replacement consumes them, so exactly one placeholder appears and
+    // n_pii must agree (counting both patterns on the raw text reads 2)
+    val out = TextOps.redactPii(Seq(
+      (1L, "reach me: 555-123-4567@sms.example.com")
+    ).toDF("id", "text"), "text")
+      .select("n_pii", "redacted").as[(Long, String)].head()
+    assert(out == ((1L, "reach me: <EMAIL>")))
+    val tags = "<EMAIL>|<PHONE>".r.findAllIn(out._2).length
+    assert(out._1 == tags)
+  }
+
+  test("repetition stats: NULL text stays NULL in every column") {
+    val out = TextOps.repetitionStats(Seq(
+      (1L, Option.empty[String]), (2L, Option("a a"))
+    ).toDF("id", "text"), "text")
+      .select("id", "n_tokens", "dup_token_frac", "dup_bigram_frac")
+      .as[(Long, Option[Long], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, None, None, None)),
+      "a null document must not read as 'no repetition'")
+    assert(out(1)._4.contains(0.0)) // real single-bigram doc still 0.0
+  }
 }

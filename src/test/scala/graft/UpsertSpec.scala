@@ -74,6 +74,26 @@ class UpsertSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("upsert: NULL keys never conflict (Postgres unique-index semantics)") {
+    // two distinct existing null-key rows + one incoming: ON CONFLICT
+    // backs onto a unique index where NULL != NULL, so all three rows
+    // survive — a window dedup would group null=null and keep one
+    val existing = Seq(
+      (Option.empty[String], "2025-10-01", 1.0),
+      (Option.empty[String], "2025-10-01", 2.0),
+      (Option("TSLA"), "2025-10-01", 3.0)
+    ).toDF("stock", "timestamp", "close")
+    val incoming = Seq(
+      (Option.empty[String], "2025-10-01", 4.0),
+      (Option("TSLA"), "2025-10-01", 5.0)
+    ).toDF("stock", "timestamp", "close")
+    val out = Upsert.upsert(existing, incoming, Seq("stock", "timestamp"))
+    assert(out.count() == 4)
+    assert(out.filter($"stock".isNull).count() == 3)
+    assert(out.filter($"stock" === "TSLA").select("close")
+      .as[Double].head() == 5.0) // non-null keys still conflict-replace
+  }
+
   test("upsert property: random batches keyed on (stock,timestamp) never duplicate keys") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 5) {
