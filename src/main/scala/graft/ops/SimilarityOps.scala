@@ -191,8 +191,18 @@ object SimilarityOps {
       if (j == 0) col("_bucket0")
       else col("_bucket0").bitwiseXOR(lit(1 << (j - 1)))
     }: _*)
+    // One row per query id, materialized ONCE: qBase feeds TWO broadcasts
+    // (probe keys + vectors) that are re-joined on query_id, so (a) a
+    // duplicate id would cross-join every probe with every same-id
+    // vector, and (b) two independent evaluations of a nondeterministic
+    // `queries` plan could disagree between the broadcasts. dropDuplicates
+    // pins one vector per id and the eager localCheckpoint pins one
+    // evaluation; the query set is broadcast-small by contract, so the
+    // materialization is cheap.
     val qBase = queries.select(col(id).as("query_id"), col(vec).as("qvec"),
       hyperplane_lsh(col(vec), b).as("_bucket0"))
+      .dropDuplicates("query_id")
+      .localCheckpoint(true)
     // the exploded probe table carries ONLY (query_id, bucket): carrying
     // qvec through the explode would ship every query vector bits+1
     // times in the broadcast (at 24 bits, 25x the query set — enough to

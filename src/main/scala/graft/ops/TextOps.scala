@@ -128,7 +128,11 @@ object TextOps {
     * disagree with the number of placeholders in `redacted`. The
     * intermediate is staged in a column (multi-reference aliases are
     * not inlined by CollapseProject) so the email pass runs once. */
-  def redactPii(df: DataFrame, text: String): DataFrame =
+  def redactPii(df: DataFrame, text: String): DataFrame = {
+    // withColumn would silently replace (then drop) a same-named input
+    // column — same reserved-name contract as Upsert's _src/_rn
+    require(!df.columns.contains("_email_redacted"),
+      "redactPii: input must not contain the reserved working column _email_redacted")
     df.withColumn("_email_redacted",
         regexp_replace(col(text), emailRe, "<EMAIL>"))
       .withColumn("n_pii",
@@ -138,6 +142,7 @@ object TextOps {
       .withColumn("redacted",
         regexp_replace(col("_email_redacted"), phoneRe, "<PHONE>"))
       .drop("_email_redacted")
+  }
 
   /** TF-IDF keyword extraction: top-k terms per document. The classic
     * three-shuffle shape, each one necessary and each partial-aggregated:

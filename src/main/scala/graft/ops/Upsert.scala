@@ -60,12 +60,14 @@ object Upsert {
     val tie = if (rest.nonEmpty) Seq(struct(rest.map(col): _*).desc) else Nil
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_src").desc +: tie: _*)
-    unioned.filter(!anyNullKey)
+    // One pass over `unioned` (a two-branch union of the input scans
+    // would execute both scans twice): every row flows through the one
+    // PK exchange, and the null-key bypass predicate keeps ALL rows of
+    // a null-key window partition — their _rn is computed but never
+    // consulted, so the null=null grouping cannot collapse them.
+    unioned
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .filter(anyNullKey || col("_rn") === 1)
       .select(cols.map(col): _*)
-      // null-key rows ride around the exchange on a map-side branch —
-      // still one shuffle total
-      .unionByName(unioned.filter(anyNullKey).select(cols.map(col): _*))
   }
 }

@@ -120,8 +120,13 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
           // — that would replace only the batch's partitions and leave a
           // silent mix of old and new data. Stage-and-swap keeps the old
           // table recoverable until the new one is fully in place.
+          // An EMPTY batch never replaces anything: with a lost checkpoint
+          // over an existing target (e.g. a source outage on the same run
+          // that lost the state store), swapping in an empty extract would
+          // wipe the table and leave a schema-less path behind. Honour the
+          // contract above — empty batch writes nothing — unconditionally.
           withCachedBatch(withDt(source, orderCol)) { batch =>
-            if (batch.isEmpty && !exists) 0L
+            if (batch.isEmpty) 0L
             else {
               val stage = targetPath + ".stage_full"
               batch.write.mode(SaveMode.Overwrite).partitionBy("dt")

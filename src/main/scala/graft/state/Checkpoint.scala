@@ -36,13 +36,29 @@ class Checkpoint(spark: SparkSession, dir: String) {
   def get(table: String): Option[String] = {
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAt(p: org.apache.hadoop.fs.Path): Option[String] =
+      spark.read.parquet(p.toString)
+        .agg(max(col("latest_timestamp"))).collect()(0).getString(0) match {
+        case null => None
+        case s => Some(s)
+      }
     val p = graft.ops.Layout.committedReadPath(fs, live)
-    if (!fs.exists(p)) None
-    else spark.read.parquet(p.toString)
-      .agg(max(col("latest_timestamp"))).collect()(0).getString(0) match {
-      case null => None
-      case s => Some(s)
-    }
+    // Race with the owner's swap: committedReadPath can return the
+    // pending .swap_old, and the owner may complete (drop the old copy)
+    // between that probe and our read. A vanished/unreadable OLD path
+    // means the swap committed — re-probe the LIVE path once and read
+    // that. Only a genuinely absent live path means "no checkpoint";
+    // anything else fails loudly rather than silently restarting the
+    // pipeline from scratch (a None here sends Runner down the
+    // wholesale-replace full-load branch).
+    if (p != live) {
+      if (fs.exists(p))
+        try readAt(p)
+        catch { case _: Exception if fs.exists(live) => readAt(live) }
+      else if (fs.exists(live)) readAt(live)
+      else None
+    } else if (fs.exists(live)) readAt(live)
+    else None
   }
 
   /** Upsert the watermark row for `table`

@@ -115,6 +115,28 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 1)
   }
 
+  test("empty batch + existing target + lost checkpoint: target survives") {
+    val dir = tmpDir()
+    val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"),
+      new AuditLog(spark, s"$dir/audit"))
+    val target = s"$dir/bars"
+    val keys = Seq("stock", "timestamp")
+    runner.loadIncremental(
+      Seq(("TSLA", "2025-10-01T10:00:00Z", 252.0))
+        .toDF("stock", "timestamp", "close"),
+      target, "bars", keys, "timestamp")
+    // checkpoint store lost AND the re-extract comes back empty (e.g.
+    // the same incident took out both): the full-load branch must not
+    // swap an empty stage over the surviving table
+    val runner2 = new Runner(spark, new Checkpoint(spark, s"$dir/cp_lost"),
+      new AuditLog(spark, s"$dir/audit"))
+    val empty = Seq.empty[(String, String, Double)]
+      .toDF("stock", "timestamp", "close")
+    assert(runner2.loadIncremental(empty, target, "bars", keys, "timestamp") == 0)
+    assert(spark.read.parquet(target).count() == 1,
+      "an empty full-load extract must never replace an existing target")
+  }
+
   test("full load over an existing target replaces it wholesale") {
     val dir = tmpDir()
     val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"),
@@ -181,5 +203,23 @@ class RunnerSpec extends SparkSpec {
     cp.save("t", "2025-02-02T00:00:00Z")
     assert(cp.get("t").contains("2025-02-02T00:00:00Z"))
     assert(!fs.exists(old))
+  }
+
+  test("checkpoint get survives the owner completing its swap mid-read") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir() + "/cp"
+    val cp = new Checkpoint(spark, dir)
+    cp.save("t", "2025-03-03T00:00:00Z")
+    // the owner is mid-swap: a pending .swap_old exists (no commit
+    // marker) but by the time the reader opens it the owner has already
+    // emptied it — the read must fall back to the live path, which holds
+    // the newly committed value, rather than silently returning None
+    val live = new Path(s"$dir/table_name=t")
+    val old = new Path(s"$dir/table_name=t.swap_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(old) // exists but unreadable as parquet (no files)
+    assert(cp.get("t").contains("2025-03-03T00:00:00Z"),
+      "reader must re-probe the live path when the committed-old read fails")
+    fs.delete(old, true)
   }
 }

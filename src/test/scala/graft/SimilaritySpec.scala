@@ -146,4 +146,18 @@ class SimilaritySpec extends SparkSpec {
         s"query $q lost its planted near-duplicate")
     }
   }
+
+  test("LSH ANN: duplicate query ids are deduped, never cross-joined") {
+    val df = planted
+    val queries = df.filter($"vec_id" < 3)
+    val doubled = queries.union(queries) // same ids delivered twice
+    val once = SimilarityOps.lshTopK(df, queries, "embedding", "vec_id",
+      3, bits = 8).collect()
+    val deduped = SimilarityOps.lshTopK(df, doubled, "embedding", "vec_id",
+      3, bits = 8).collect()
+    // identical result set: one probe set + one vector per id, and no
+    // probe×vector blowup from the id collision
+    assert(deduped.length == once.length)
+    assert(deduped.map(_.toString).sorted.sameElements(once.map(_.toString).sorted))
+  }
 }
