@@ -270,6 +270,19 @@ object ExtQueries {
           w = 5, minDocs = 3)
         .orderBy("shingle")),
 
+    // Cross-doc repeated 8-grams with occurrence counts — the
+    // exact-substring dedup signal (fixed-width ExactSubstr approximation).
+    "q_repeated_ngrams" -> ((s, dir) =>
+      DedupOps.repeatedNgrams(docs(s, dir), "text", "doc_id",
+          w = 8, minDocs = 2)
+        .orderBy("gram")),
+
+    // Token-distribution Shannon entropy per document (low-entropy =
+    // template/spam filter signal).
+    "q_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(docs(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // TF-IDF keyword extraction: top-5 terms per document (explode ->
     // partial-agg'd term counts -> df join -> per-doc window).
     "q_tfidf" -> ((s, dir) =>
@@ -660,6 +673,33 @@ object ExtQueries {
          |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
          |FROM s QUALIFY rk <= 10
          |ORDER BY query_id, rk""".stripMargin
-    }
+    },
+
+    "q_repeated_ngrams" -> {
+      // 8-term concat mirrors shingles(w=8); range() is end-exclusive, so
+      // range(1, len-6) yields the same len-7 gram positions as Spark's
+      // sequence(0, size-8).
+      val terms = (0 to 7).map(j => s"toks[i+$j]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 8
+         |         THEN list_transform(range(1, len(toks) - 6),
+         |                i -> concat_ws(' ', $terms))
+         |         ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM t),
+         |e AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |pd AS (SELECT gram, doc_id, count(*) AS occ FROM e GROUP BY 1, 2)
+         |SELECT gram, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+         |FROM pd GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin
+    },
+
+    "q_entropy" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
+         |  ${sqlRound("ln(sum(c)) - sum(c * ln(c)) / sum(c)", 6)} AS entropy
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -493,7 +493,32 @@ object RelQueries {
       t(s, dir, "events").select("event_type", "event_id", "ts", "value")
         .createOrReplaceTempView("ev_sql")
       s.sql(AnalysisSql.flagshipSql("ev_sql"))
-    })
+    }),
+
+    // Gap fill / densify: per-user daily value series with missing days
+    // synthesized and forward-filled (ops.Windows.gapFill). Daily sums
+    // go through DECIMAL(18,2) so partial-aggregation order cannot
+    // shift a bit vs the oracle.
+    "q_gap_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      graft.ops.Windows.gapFill(daily, "user_id", "d", "v")
+        .orderBy("user_id", "d")
+    }),
+
+    // §2.7 FILTER-clause conditional aggregation: one pass computing
+    // differently-predicated aggregates per group — the pivot-free form
+    // of per-category rollups (no Expand, one exchange).
+    "q_cond_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))).cast("double").as("purchase_value"),
+          max(when(col("event_type") === "click", col("ts"))).as("last_click"))
+        .orderBy("user_id"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -853,6 +878,38 @@ object RelQueries {
         |   WHERE l_orderkey = o_orderkey) AS max_qty
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
-    "q_full_analysis_sql" -> CoreQueries.oracle("q_full_analysis")
+    "q_full_analysis_sql" -> CoreQueries.oracle("q_full_analysis"),
+
+    "q_gap_fill" ->
+      s"""WITH $evCte,
+         |daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |  FROM ev GROUP BY 1, 2),
+         |spans AS (
+         |  SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+         |dense AS (
+         |  SELECT user_id,
+         |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+         |      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+         |  FROM spans)
+         |SELECT dense.user_id, dense.d,
+         |  last_value(daily.v IGNORE NULLS) OVER (
+         |    PARTITION BY dense.user_id ORDER BY dense.d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+         |  CAST(CASE WHEN daily.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
+         |FROM dense LEFT JOIN daily
+         |  ON dense.user_id = daily.user_id AND dense.d = daily.d
+         |ORDER BY dense.user_id, dense.d""".stripMargin,
+
+    "q_cond_agg" ->
+      s"""WITH $evCte
+         |SELECT user_id,
+         |  count(*) AS n_events,
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+         |    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+         |  max(ts) FILTER (WHERE event_type = 'click') AS last_click
+         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -80,6 +80,31 @@ object DedupOps {
       .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Cross-document repeated n-gram mining — the exact-substring dedup
+    * signal (long spans appearing verbatim in more than one document,
+    * per Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22 §4.1 — approximated here at fixed width w instead
+    * of a suffix array, which does not distribute). Returns
+    * (gram, n_docs, n_occ) for w-grams in >= `minDocs` distinct docs,
+    * with total occurrence count including within-doc repeats.
+    *
+    * Plan shape: two hash aggregations, both partial-aggregated —
+    * (gram, id) collapses within-doc repeats map-side, then (gram)
+    * counts docs with a plain count(*) (each doc now contributes one
+    * row per gram, so no countDistinct Expand and no skew from a
+    * boilerplate gram appearing millions of times in one partition).
+    * The shuffle key is the gram text because the output needs it; at
+    * extreme scale pre-filter on xxhash64(gram) counts first, as
+    * [[boilerplateNgrams]] documents. */
+  def repeatedNgrams(df: DataFrame, text: String, id: String,
+                     w: Int = 8, minDocs: Long = 2): DataFrame =
+    df.select(col(id), explode(shingles(col(text), w)).as("gram"))
+      .groupBy(col("gram"), col(id))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), sum("occ").as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * Jaccard. bands*rowsPerBand must equal the signature length.
     * Returns (idA, idB, est_jaccard) with idA < idB, est >= threshold.

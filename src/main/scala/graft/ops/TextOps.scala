@@ -144,6 +144,23 @@ object TextOps {
       .drop("_email_redacted")
   }
 
+  /** Shannon entropy of the per-document token distribution (nats) —
+    * the low-entropy filter of LLM-corpus quality pipelines: generated
+    * spam and template pages sit far below natural prose. Computed as
+    * ln(n) - sum(c*ln c)/n from per-token counts, so the aggregation is
+    * two partial-aggregated hash exchanges ((id, token) then (id)) and
+    * the token text never reaches the second shuffle. Returns
+    * (id, n, n_distinct, entropy). */
+  def tokenEntropy(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), explode(tokens(col(text))).as("tok"))
+      .groupBy(col(id), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("_clc"))
+      .select(col(id), col("n"), col("n_distinct"),
+        roundHalfUp(log(col("n")) - col("_clc") / col("n"), 6).as("entropy"))
+
   /** TF-IDF keyword extraction: top-k terms per document. The classic
     * three-shuffle shape, each one necessary and each partial-aggregated:
     * explode→(doc,term) counts; term→document frequency; per-doc top-k

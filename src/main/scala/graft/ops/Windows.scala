@@ -43,6 +43,37 @@ object Windows {
   def dailyReturn(value: Column, prev: Column): Column =
     roundHalfUp((value - prev) / nullif(prev, lit(0.0)), 3)
 
+  /** Gap fill / densify: one row per (key, day) across each key's
+    * observed [min, max] date span, with missing days synthesized and
+    * the value forward-filled from the last observation
+    * (`last(ignoreNulls)` over an unbounded-preceding ROWS frame — the
+    * streaming-friendly frame: one pass per partition, constant state).
+    * `is_filled` marks synthesized rows. The first row per key is always
+    * an observation (the span starts at the key's min date), so the
+    * filled value is never null.
+    *
+    * Scale notes: the dense calendar is generated from the per-key span
+    * aggregate (`sequence` + `explode`) — rows created executor-side,
+    * never a driver loop. Row growth is bounded by span_days per key; a
+    * key with a decade-long span and one observation generates ~3.7k
+    * rows — acceptable for per-entity daily series, not for sparse
+    * millisecond series (gap-fill at finer grain wants a bucketed
+    * variant). Two exchanges: the (key, date) join hash and the per-key
+    * window sort; both partial-free and AQE-coalesced. */
+  def gapFill(df: DataFrame, part: String, dateCol: String,
+              value: String): DataFrame = {
+    val spans = df.groupBy(col(part))
+      .agg(min(col(dateCol)).as("_lo"), max(col(dateCol)).as("_hi"))
+    val dense = spans.select(col(part),
+      explode(sequence(col("_lo"), col("_hi"))).as(dateCol))
+    val w = Window.partitionBy(col(part)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(df, Seq(part, dateCol), "left")
+      .withColumn("v_filled", last(col(value), ignoreNulls = true).over(w))
+      .withColumn("is_filled", when(col(value).isNull, lit(1L)).otherwise(lit(0L)))
+      .select(col(part), col(dateCol), col("v_filled"), col("is_filled"))
+  }
+
   /** Full analysis pipeline = the reference's stock_bars_analysis CTAS body
     * transplanted onto a generic (part, order, tie, value) series.
     * Output schema mirrors stock_bars_analysis.sql:25-33.

@@ -142,4 +142,23 @@ class DedupOpsSpec extends SparkSpec {
     val pairs = DedupOps.minhashDupPairs(many, "text", "doc_id", maxBucket = 200)
     assert(pairs.count() == 0)
   }
+
+  test("repeated n-grams: cross-doc spans found, within-doc occs counted") {
+    val span = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      (0L, s"$span and some trailing context"),
+      (1L, s"prefix words then $span"),               // same 8-gram, 2nd doc
+      (2L, s"$span middle filler $span"),             // twice in ONE doc
+      (3L, "unique eight token span nothing shares this one")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.repeatedNgrams(docs, "text", "doc_id", w = 8, minDocs = 2)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, a, b) => g -> ((a, b)) }.toMap
+    // the planted span is in docs 0, 1, 2 with 4 total occurrences
+    assert(out(span) == ((3L, 4L)))
+    // doc 3's gram appears in one doc only -> filtered by minDocs
+    assert(!out.contains("unique eight token span nothing shares this one"))
+    // every surviving gram is in >= 2 distinct docs
+    assert(out.values.forall(_._1 >= 2))
+  }
 }

@@ -133,6 +133,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out._1 == tags)
   }
 
+  test("token entropy: uniform max, constant zero, skew in between") {
+    val out = TextOps.tokenEntropy(Seq(
+      (1L, "a b c d"),     // uniform over 4 -> ln(4)
+      (2L, "a a a a"),     // constant -> 0
+      (3L, "a a a b")      // skewed -> between 0 and ln(2)... exactly H(1/4)
+    ).toDF("id", "text"), "text", "id")
+      .select("id", "n", "n_distinct", "entropy")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 4L, BigDecimal(math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1) == ((2L, 4L, 1L, 0.0)))
+    // H = ln(4) - (3 ln 3)/4
+    val h = math.log(4) - 3 * math.log(3) / 4
+    assert(math.abs(out(2)._4 - h) < 1e-6)
+  }
+
   test("repetition stats: NULL text stays NULL in every column") {
     val out = TextOps.repetitionStats(Seq(
       (1L, Option.empty[String]), (2L, Option("a a"))

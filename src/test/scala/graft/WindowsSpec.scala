@@ -62,4 +62,26 @@ class WindowsSpec extends SparkSpec {
     val out = Windows.barAnalysis(series, "stock", "ts", "event_id", "value")
     assert(out.count() == 5)
   }
+
+  test("gap fill: missing days synthesized, forward-filled, flagged") {
+    val daily = Seq(
+      ("A", "2025-01-01", 10.0),
+      ("A", "2025-01-03", 30.0), // Jan 2 missing
+      ("A", "2025-01-06", 60.0), // Jan 4-5 missing
+      ("B", "2025-02-01", 1.0)   // single-day span: no synthesis
+    ).toDF("k", "d", "v").withColumn("d", to_date($"d"))
+    val out = Windows.gapFill(daily, "k", "d", "v")
+      .orderBy("k", "d")
+      .select($"k", $"d".cast("string"), $"v_filled", $"is_filled")
+      .as[(String, String, Double, Long)].collect()
+    assert(out.length == 7, "span A = 6 days, span B = 1 day")
+    assert(out.toSeq == Seq(
+      ("A", "2025-01-01", 10.0, 0L),
+      ("A", "2025-01-02", 10.0, 1L), // carried from Jan 1
+      ("A", "2025-01-03", 30.0, 0L),
+      ("A", "2025-01-04", 30.0, 1L),
+      ("A", "2025-01-05", 30.0, 1L),
+      ("A", "2025-01-06", 60.0, 0L),
+      ("B", "2025-02-01", 1.0, 0L)))
+  }
 }
