@@ -39,11 +39,32 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // failed keys carry -1 markers; they must not deflate the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Full-precision detail first, for humans reading the whole log.
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"detail","queries":$detail}""")
+    // The official line is the LAST thing we print, and the harness only
+    // retains the final ~2000 chars of output (sbt then appends its own
+    // ~70-char success banner). A 90-key full-precision map is ~2700 chars
+    // and gets its head truncated, making the line unparseable — so emit
+    // 3-decimal values and cap the map, slowest-first, to fit the window.
+    val budget = 1700
+    val fixedOverhead =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nkeys":${results.size},"omitted":00,"queries":{},"sf":"$sfDir"}""".length
+    val bySlowest = results.sortBy { case (_, v) => -v }
+    var used = fixedOverhead
+    val kept = bySlowest.takeWhile { case (k, v) =>
+      val entry = k.length + fmt(v).length + 4 // quotes + colon + comma
+      if (used + entry <= budget) { used += entry; true } else false
+    }
+    val qs = kept.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val omitted = results.size - kept.size
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nkeys":${results.size},"omitted":$omitted,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

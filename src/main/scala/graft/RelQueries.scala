@@ -518,7 +518,93 @@ object RelQueries {
           sum(when(col("event_type") === "purchase",
             col("value").cast("decimal(18,2)"))).cast("double").as("purchase_value"),
           max(when(col("event_type") === "click", col("ts"))).as("last_click"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // RSI-14 (simple-average form) over each event_type series: classic
+    // momentum oscillator from the reference's stock domain. Gains and
+    // losses via explicit CASE (not `greatest`) because greatest's
+    // null-handling differs across engines; a 14-row trailing frame
+    // keeps the window constant-memory streaming.
+    "q_rsi" -> ((s, dir) =>
+      graft.ops.Windows.rsi(t(s, dir, "events"),
+          "event_type", "ts", "event_id", "value", n = 14)
+        .select("event_type", "event_id", "rsi")
+        .orderBy("event_type", "event_id")),
+
+    // Running-peak drawdown per series: unbounded-preceding MAX frame
+    // (exact, no FP accumulation) then the relative drop, NULLIF-guarded.
+    "q_drawdown" -> ((s, dir) =>
+      graft.ops.Windows.drawdown(t(s, dir, "events"),
+          "event_type", "ts", "event_id", "value")
+        .select("event_type", "event_id", "value", "peak", "drawdown")
+        .orderBy("event_type", "event_id")),
+
+    // Volume-weighted average price per (flag, ship month). Both sums
+    // run in exact DECIMAL so partial-aggregation order cannot shift a
+    // bit; the ratio is taken in double and HALF_UP-rounded.
+    "q_vwap" -> ((s, dir) => {
+      val money = (c: Column) => c.cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          trunc(to_date(col("l_shipdate")), "month").as("ship_month"))
+        .agg(
+          sum(money(col("l_extendedprice")) * money(col("l_quantity")))
+            .cast("double").as("pq"),
+          sum(money(col("l_quantity"))).cast("double").as("total_qty"))
+        .select(col("l_returnflag"), col("ship_month"),
+          roundHalfUp(col("pq") / col("total_qty"), 4).as("vwap"),
+          col("total_qty"))
+        .orderBy("l_returnflag", "ship_month")
+    }),
+
+    // MAX_BY/MIN_BY (argmax/argmin aggregates): first/last value per
+    // group keyed on the globally-unique event_id, so the arg ordering
+    // has no ties and the result is deterministic under any merge order.
+    "q_argminmax" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")),
+
+    // Fixed-width histogram: width_bucket-style binning via a manual
+    // floor-div so both engines evaluate the identical double
+    // expression (builtin width_bucket boundary semantics differ).
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / lit(5000.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bucket_lo", (col("bucket") * lit(5000L)).cast("double"))
+        .select("bucket", "bucket_lo", "n")
+        .orderBy("bucket")),
+
+    // Null-handling surface: na.fill (constant imputation) + na.drop
+    // (row filtering on null), over columns nullified by NULLIF-style
+    // guards — the DataFrameNaFunctions face of F9.
+    "q_na_fill" -> ((s, dir) => {
+      val withNulls = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") === 0.0, lit(null).cast("double"))
+            .otherwise(col("l_discount")).as("disc_filled"),
+          when(col("l_tax") === 0.0, lit(null).cast("double"))
+            .otherwise(col("l_tax")).as("tax_kept"))
+      withNulls.na.fill(Map("disc_filled" -> 0.05))
+        .na.drop(Seq("tax_kept"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // L6 schema reflection as a first-class operator: the table's
+    // column inventory (name, 1-based ordinal) as rows. Metadata is
+    // inherently driver-side — this reads the parquet footer schema,
+    // never data.
+    "q_schema_reflect" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").schema.fields.toSeq.zipWithIndex
+        .map { case (f, i) => (f.name, (i + 1).toLong) }
+        .toDF("column_name", "pos").orderBy("pos")
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -910,6 +996,83 @@ object RelQueries {
          |  CAST(sum(CAST(value AS DECIMAL(18,2)))
          |    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
          |  max(ts) FILTER (WHERE event_type = 'click') AS last_click
-         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rsi" ->
+      s"""WITH $evCte,
+         |p AS (
+         |  SELECT event_type, event_id, ts, value,
+         |    lag(value, 1) OVER (PARTITION BY event_type
+         |                        ORDER BY ts, event_id) AS prev
+         |  FROM ev),
+         |g AS (
+         |  SELECT event_type, event_id, ts,
+         |    CASE WHEN prev IS NULL THEN NULL
+         |         WHEN value > prev THEN value - prev ELSE 0.0 END AS gain,
+         |    CASE WHEN prev IS NULL THEN NULL
+         |         WHEN value < prev THEN prev - value ELSE 0.0 END AS loss
+         |  FROM p),
+         |a AS (
+         |  SELECT event_type, event_id,
+         |    avg(gain) OVER w AS avg_gain, avg(loss) OVER w AS avg_loss
+         |  FROM g
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, event_id,
+         |  ${sqlRound(
+             "CASE WHEN avg_loss = 0.0 THEN 100.0 " +
+             "ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END", 4)} AS rsi
+         |FROM a ORDER BY event_type, event_id""".stripMargin,
+
+    "q_drawdown" ->
+      s"""WITH $evCte,
+         |p AS (
+         |  SELECT event_type, event_id, value,
+         |    max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM ev)
+         |SELECT event_type, event_id, value, peak,
+         |  ${sqlRound("(value - peak) / NULLIF(peak, 0.0)", 6)} AS drawdown
+         |FROM p ORDER BY event_type, event_id""".stripMargin,
+
+    "q_vwap" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag,
+         |    CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS pq,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT l_returnflag, ship_month,
+         |  ${sqlRound("pq / total_qty", 4)} AS vwap, total_qty
+         |FROM g ORDER BY l_returnflag, ship_month""".stripMargin,
+
+    "q_argminmax" ->
+      """SELECT event_type,
+        |  arg_min(value, event_id) AS first_value,
+        |  arg_max(value, event_id) AS last_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |  CAST(CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000
+        |    AS DOUBLE) AS bucket_lo,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "q_na_fill" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  COALESCE(NULLIF(l_discount, 0.0), 0.05) AS disc_filled,
+        |  NULLIF(l_tax, 0.0) AS tax_kept
+        |FROM lineitem
+        |WHERE NULLIF(l_tax, 0.0) IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_schema_reflect" ->
+      """SELECT column_name, CAST(ordinal_position AS BIGINT) AS pos
+        |FROM information_schema.columns WHERE table_name = 'lineitem'
+        |ORDER BY pos""".stripMargin
   )
 }

@@ -74,6 +74,51 @@ object Windows {
       .select(col(part), col(dateCol), col("v_filled"), col("is_filled"))
   }
 
+  /** RSI-n, simple-average form: momentum oscillator over a per-key
+    * series. Gains/losses via explicit CASE (not `greatest` — its
+    * null-handling differs across engines); the n-row trailing frame is
+    * constant-memory streaming. First row per key (no prev) yields NULL
+    * gain/loss, which the frame AVG ignores on every engine. avg_loss=0
+    * (monotone-up frame) defines RSI=100. Adds `rsi` (HALF_UP, 4dp). */
+  def rsi(df: DataFrame, part: String, order: String, tie: String,
+          value: String, n: Int = 14): DataFrame = {
+    val reserved = Seq("_prev", "_gain", "_loss", "_avg_gain", "_avg_loss", "rsi")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString(", ")}")
+    val w = series(col(part), col(order), col(tie))
+    val wn = w.rowsBetween(-(n - 1), Window.currentRow)
+    val v = col(value)
+    df.withColumn("_prev", lag(v, 1).over(w))
+      .withColumn("_gain",
+        when(col("_prev").isNull, lit(null).cast("double"))
+          .when(v > col("_prev"), v - col("_prev")).otherwise(lit(0.0)))
+      .withColumn("_loss",
+        when(col("_prev").isNull, lit(null).cast("double"))
+          .when(v < col("_prev"), col("_prev") - v).otherwise(lit(0.0)))
+      .withColumn("_avg_gain", avg(col("_gain")).over(wn))
+      .withColumn("_avg_loss", avg(col("_loss")).over(wn))
+      .withColumn("rsi", roundHalfUp(
+        when(col("_avg_loss") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("_avg_gain") / col("_avg_loss"))), 4))
+      .drop("_prev", "_gain", "_loss", "_avg_gain", "_avg_loss")
+  }
+
+  /** Running-peak drawdown: unbounded-preceding MAX frame (exact — no
+    * FP accumulation, constant state) then the relative drop from the
+    * peak, NULLIF-guarded against a zero peak. Adds `peak` and
+    * `drawdown` (HALF_UP, 6dp). */
+  def drawdown(df: DataFrame, part: String, order: String, tie: String,
+               value: String): DataFrame = {
+    require(!df.columns.contains("peak") && !df.columns.contains("drawdown"),
+      "input must not contain reserved columns peak, drawdown")
+    val w = series(col(part), col(order), col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("peak", max(col(value)).over(w))
+      .withColumn("drawdown",
+        roundHalfUp((col(value) - col("peak")) / nullif(col("peak"), lit(0.0)), 6))
+  }
+
   /** Full analysis pipeline = the reference's stock_bars_analysis CTAS body
     * transplanted onto a generic (part, order, tie, value) series.
     * Output schema mirrors stock_bars_analysis.sql:25-33.

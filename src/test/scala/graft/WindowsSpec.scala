@@ -38,6 +38,51 @@ class WindowsSpec extends SparkSpec {
     assert(out(1).getDouble(out(1).fieldIndex("r")) == 0.1)
   }
 
+  test("rsi: golden values on hand-computed fixture") {
+    val out = Windows.rsi(series, "stock", "ts", "event_id", "value", n = 14)
+    val a = out.filter($"stock" === "A").orderBy("event_id").collect()
+    val idx = a(0).fieldIndex("rsi")
+    // row0: no prev -> NULL gain/loss -> empty frame avg -> NULL rsi
+    assert(a(0).isNullAt(idx))
+    // row1: avg_gain=10, avg_loss=0 (monotone up) -> RSI=100
+    assert(a(1).getDouble(idx) == 100.0)
+    // row2: avg_gain=(10+0)/2=5, avg_loss=(0+110)/2=55
+    //       -> 100 - 100/(1+1/11) = 8.3333...
+    assert(a(2).getDouble(idx) == 8.3333)
+    // row3: avg_gain=(10+0+50)/3=20, avg_loss=110/3
+    //       -> 100 - 100*11/17 = 35.29411...
+    assert(a(3).getDouble(idx) == 35.2941)
+    // single-row partition B: NULL
+    val b = out.filter($"stock" === "B").collect()(0)
+    assert(b.isNullAt(b.fieldIndex("rsi")))
+  }
+
+  test("drawdown: running peak, relative drop, zero-peak guard") {
+    val out = Windows.drawdown(series, "stock", "ts", "event_id", "value")
+    val a = out.filter($"stock" === "A").orderBy("event_id").collect()
+    val pi = a(0).fieldIndex("peak"); val di = a(0).fieldIndex("drawdown")
+    assert(a.map(_.getDouble(pi)).toSeq == Seq(100.0, 110.0, 110.0, 110.0))
+    assert(a(0).getDouble(di) == 0.0 && a(1).getDouble(di) == 0.0)
+    assert(a(2).getDouble(di) == -1.0)          // (0-110)/110
+    assert(a(3).getDouble(di) == -0.545455)     // (50-110)/110, HALF_UP 6dp
+    // zero first value -> peak 0 -> NULLIF guard -> NULL drawdown
+    val z = Seq(("C", 1L, "2025-01-01", 0.0), ("C", 2L, "2025-01-02", 5.0))
+      .toDF("stock", "event_id", "ts", "value")
+    val zo = Windows.drawdown(z, "stock", "ts", "event_id", "value")
+      .orderBy("event_id").collect()
+    assert(zo(0).isNullAt(zo(0).fieldIndex("drawdown")))
+    assert(zo(1).getDouble(zo(1).fieldIndex("drawdown")) == 0.0)
+  }
+
+  test("rsi/drawdown: reserved working columns rejected") {
+    intercept[IllegalArgumentException] {
+      Windows.rsi(series.withColumn("rsi", lit(1)), "stock", "ts", "event_id", "value")
+    }
+    intercept[IllegalArgumentException] {
+      Windows.drawdown(series.withColumn("peak", lit(1)), "stock", "ts", "event_id", "value")
+    }
+  }
+
   test("full analysis: golden values on hand-computed fixture") {
     val out = Windows.barAnalysis(series, "stock", "ts", "event_id", "value")
     val a = out.filter($"stock" === "A").orderBy("event_id").collect()
