@@ -262,6 +262,31 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation funnel — the training-data pipeline's stages
+    // composed: quality gate (>= 0.3) -> canonical exact dedup ->
+    // benchmark decontamination (3-gram overlap with the held-out
+    // slice) -> deterministic 50% hash draw. Every stage is the
+    // already-verified operator; the key locks their composition.
+    // Scale shape: quality is map-side; dedup shuffles a digest; the
+    // contamination check shuffles shingle hashes with the benchmark
+    // side broadcast; the sample is a map-side filter — document text
+    // never shuffles end to end.
+    "q_curate" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val q = TextOps.qualityScore(corpus, "text").filter(col("quality") >= 0.3)
+      val reps = DedupOps.exactDupGroups(q, "text", "doc_id").select("doc_id")
+      val deduped = q.join(reps, Seq("doc_id"), "left_semi")
+      val contaminated = DedupOps
+        .contaminationScan(deduped, bench, "text", "doc_id", w = 3)
+        .select("doc_id")
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) < 50)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate 5-grams: shingles shared by >= 3 distinct docs across
     // docs+mutants (mutants guarantee shared prefixes). Per-doc distinct
     // arrays make count(*) the distinct-doc count — one exchange.
@@ -564,6 +589,51 @@ object ExtQueries {
         |      WHERE doc_id % 50 = 0)
         |SELECT c.doc_id, count(DISTINCT c.sh) AS n_contaminated
         |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_curate" -> {
+      val qexpr = sqlRound(
+        "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
+        "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |t AS (
+         |  SELECT doc_id, text, lang, string_split(text, ' ') AS toks,
+         |         length(text) AS nch,
+         |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
+         |  FROM corpus),
+         |h AS (
+         |  SELECT doc_id, text, lang, len(toks) AS n_tokens,
+         |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+         |         punct, nch
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, text, lang, $qexpr AS quality FROM h
+         |  WHERE $qexpr >= 0.3),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+         |dq AS (SELECT q.* FROM q JOIN reps USING (doc_id)),
+         |dsh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM dq)),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |        WHERE doc_id % 50 = 0)),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM
+         |    (SELECT doc_id, unnest(list_distinct(s)) AS sh FROM dsh) c
+         |    JOIN bsh USING (sh))
+         |SELECT dq.doc_id, dq.lang, dq.quality FROM dq
+         |WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND (dq.doc_id * 2654435761) % 100 < 50
+         |ORDER BY dq.doc_id""".stripMargin
+    },
 
     "q_boilerplate" ->
       """WITH base AS (

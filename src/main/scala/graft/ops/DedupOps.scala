@@ -204,36 +204,54 @@ object DedupOps {
     * the rounds; dup clusters are near-cliques, so plain propagation
     * converges in 2-3 rounds in practice.
     */
-  /** Release a superseded iteration's localCheckpoint blocks. Each
-    * eager local checkpoint pins its partitions in executor storage for
-    * the lifetime of the session; without this, an iterative job leaks
-    * O(iterations × |labels|) of block-manager memory — harmless at
-    * test scale, a storage-eviction fight at 100 TB. Only called on
-    * frames no later step can recompute from (lineage is truncated). */
+  /** Cut a frame's lineage, eagerly materializing it. If the
+    * application configured a checkpoint directory
+    * (`sc.setCheckpointDir` on HDFS/S3 — the GraphX/Pregel convention
+    * for iterative jobs), use a RELIABLE checkpoint: blocks live in the
+    * shared filesystem and survive executor loss, which an iterative
+    * job with truncated lineage cannot otherwise recover from. Without
+    * one, fall back to an eager localCheckpoint — correct in local/test
+    * mode where losing an executor is losing the driver anyway. */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Release a superseded iteration's checkpoint storage. Each eager
+    * local checkpoint pins its partitions in executor storage (and each
+    * reliable one leaves files in the checkpoint dir) for the lifetime
+    * of the session; without this, an iterative job leaks
+    * O(iterations × |labels|) of block-manager memory or checkpoint-dir
+    * space — harmless at test scale, a storage-eviction fight at
+    * 100 TB. Only called on frames no later step can recompute from
+    * (lineage is truncated). */
   private def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          catch { case _: java.io.IOException => () } // best-effort cleanup
+        }
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
 
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
+    val edges = cut(pairs.select(col(idA).as("s"), col(idB).as("t"))
       .unionByName(pairs.select(col(idB).as("s"), col(idA).as("t")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = cut(edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaEdges = edges.join(labels, edges("s") === labels("id"))
         .select(col("t").as("id"), col("label"))
-      val next = labels.select("id", "label").unionByName(viaEdges)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next = cut(labels.select("id", "label").unionByName(viaEdges)
+        .groupBy("id").agg(min(col("label")).as("label")))
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
       freeCheckpoint(labels) // superseded by next; convergence check is done

@@ -117,6 +117,35 @@ class DedupOpsSpec extends SparkSpec {
       s"checkpoint blocks leaked: $before persistent RDDs -> $after")
   }
 
+  test("connected components: reliable checkpoint mode — same labels, files cleaned") {
+    // with a checkpoint dir configured (the cluster deployment), lineage
+    // cuts go through reliable checkpoints that survive executor loss;
+    // superseded iterations' checkpoint files must be deleted
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test expects no prior checkpoint dir")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+        .toDF("id_a", "id_b")
+      val labels = DedupOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L))
+      // at most the final labels' checkpoint may remain on disk
+      import scala.jdk.CollectionConverters._
+      val remaining = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(remaining <= 1, s"superseded checkpoint dirs not cleaned: $remaining")
+    } finally {
+      // a shared session: later suites must get local-checkpoint behavior
+      sc.setCheckpointDir(null)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("shingles: fewer tokens than width -> empty array, no crash") {
     val out = Seq((1L, "one two")).toDF("doc_id", "text")
       .select(DedupOps.shingles($"text", 3).as("sh"))
