@@ -196,13 +196,17 @@ object SimilarityOps {
     // duplicate id would cross-join every probe with every same-id
     // vector, and (b) two independent evaluations of a nondeterministic
     // `queries` plan could disagree between the broadcasts. dropDuplicates
-    // pins one vector per id and the eager localCheckpoint pins one
-    // evaluation; the query set is broadcast-small by contract, so the
-    // materialization is cheap.
-    val qBase = queries.select(col(id).as("query_id"), col(vec).as("qvec"),
+    // pins one vector per id; materializing to a DRIVER-side local
+    // relation pins one evaluation — the query set is broadcast-small by
+    // contract (it is about to be collected for broadcast anyway), and
+    // unlike an eager localCheckpoint this pins no executor-storage
+    // blocks for the session lifetime and leaves no truncated lineage
+    // to lose with an executor.
+    val qPlan = queries.select(col(id).as("query_id"), col(vec).as("qvec"),
       hyperplane_lsh(col(vec), b).as("_bucket0"))
       .dropDuplicates("query_id")
-      .localCheckpoint(true)
+    val qBase = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qPlan.collect(): _*), qPlan.schema)
     // the exploded probe table carries ONLY (query_id, bucket): carrying
     // qvec through the explode would ship every query vector bits+1
     // times in the broadcast (at 24 bits, 25x the query set — enough to

@@ -129,10 +129,13 @@ object TextOps {
     * intermediate is staged in a column (multi-reference aliases are
     * not inlined by CollapseProject) so the email pass runs once. */
   def redactPii(df: DataFrame, text: String): DataFrame = {
-    // withColumn would silently replace (then drop) a same-named input
-    // column — same reserved-name contract as Upsert's _src/_rn
-    require(!df.columns.contains("_email_redacted"),
-      "redactPii: input must not contain the reserved working column _email_redacted")
+    // withColumn would silently replace a same-named input column —
+    // same reserved-name contract as Upsert's _src/_rn, covering the
+    // output columns too (re-redacting an already-redacted frame must
+    // fail fast, not silently overwrite its counters)
+    val reserved = Seq("_email_redacted", "n_pii", "redacted")
+    require(!df.columns.exists(reserved.contains),
+      s"redactPii: input must not contain reserved columns ${reserved.mkString(", ")}")
     df.withColumn("_email_redacted",
         regexp_replace(col(text), emailRe, "<EMAIL>"))
       .withColumn("n_pii",

@@ -58,7 +58,15 @@ object Upsert {
       .unionByName(incoming.select(cols.map(col): _*).withColumn("_src", lit(1)))
     val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
     val tie = if (rest.nonEmpty) Seq(struct(rest.map(col): _*).desc) else Nil
-    val w = Window.partitionBy(keys.map(col): _*)
+    // Null-key rows all share ONE window partition (null=null grouping):
+    // at scale, a null-heavy batch would funnel into a single sorted
+    // task — so they carry a deterministic content-hash salt that
+    // spreads them across the exchange. Their rank is computed within a
+    // salt bucket (garbage, but the bypass predicate never consults
+    // it); non-null rows get salt 0, i.e. unchanged PK semantics.
+    val nullSalt = when(anyNullKey,
+      pmod(xxhash64(cols.map(col): _*), lit(1024L))).otherwise(lit(0L))
+    val w = Window.partitionBy(keys.map(col) :+ nullSalt: _*)
       .orderBy(col("_src").desc +: tie: _*)
     // One pass over `unioned` (a two-branch union of the input scans
     // would execute both scans twice): every row flows through the one

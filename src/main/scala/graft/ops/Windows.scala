@@ -62,6 +62,8 @@ object Windows {
     * window sort; both partial-free and AQE-coalesced. */
   def gapFill(df: DataFrame, part: String, dateCol: String,
               value: String): DataFrame = {
+    require(!df.columns.contains("v_filled") && !df.columns.contains("is_filled"),
+      "input must not contain reserved columns v_filled, is_filled")
     val spans = df.groupBy(col(part))
       .agg(min(col(dateCol)).as("_lo"), max(col(dateCol)).as("_hi"))
     val dense = spans.select(col(part),

@@ -57,8 +57,20 @@ class Checkpoint(spark: SparkSession, dir: String) {
         catch { case _: Exception if fs.exists(live) => readAt(live) }
       else if (fs.exists(live)) readAt(live)
       else None
-    } else if (fs.exists(live)) readAt(live)
-    else None
+    } else if (fs.exists(live)) {
+      // Symmetric race with the swap START: the owner may rename live
+      // away (-> .swap_old) between our exists probe and the read. One
+      // re-probe finds either the pending old copy or the new live;
+      // a second failure is a real error and propagates.
+      try readAt(live)
+      catch {
+        case _: Exception =>
+          val p2 = graft.ops.Layout.committedReadPath(fs, live)
+          if (fs.exists(p2)) readAt(p2)
+          else if (fs.exists(live)) readAt(live)
+          else None
+      }
+    } else None
   }
 
   /** Upsert the watermark row for `table`
