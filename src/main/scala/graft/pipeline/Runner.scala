@@ -149,6 +149,58 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
     }
   }
 
+  /** Incrementally maintain a date-partitioned rollup table from a raw
+    * batch: aggregate the batch to mergeable partials
+    * ([[IncrementalAgg.partials]]), read ONLY the rollup partitions for
+    * the batch's dates (pruned via an IN-list of the touched dates —
+    * bounded by days-per-batch, so the driver-side collect is a few
+    * values), merge, and dynamically overwrite just those partitions.
+    * Untouched history is never read or rewritten — O(batch) work per
+    * run against an arbitrarily large rollup. Returns rows written.
+    *
+    * An empty batch writes nothing. First run creates the rollup from
+    * the batch's partials alone. */
+  def maintainAggregate(batch: DataFrame, aggPath: String, table: String,
+                        dateCol: String, keys: Seq[String],
+                        valueCol: String): Long =
+    try {
+      audit.log(s"$table: rollup maintenance starting")
+      val partial = IncrementalAgg.partials(batch, dateCol, keys, valueCol)
+      partial.persist()
+      try {
+        val written =
+          if (partial.isEmpty) 0L
+          else {
+            val (hfs, tpath) = fs(aggPath)
+            val merged =
+              if (!hfs.exists(tpath)) partial
+              else {
+                val touched = partial.select(col("dt")).distinct()
+                  .collect().map(_.getDate(0)).toSeq
+                val overlap = spark.read.parquet(aggPath)
+                  .filter(col("dt").isInCollection(touched))
+                IncrementalAgg.merge(overlap, partial, keys)
+              }
+            // stage before the overwrite: Spark refuses, correctly, to
+            // overwrite partitions of a path it is reading from
+            val stage = aggPath + ".stage_agg"
+            merged.write.mode(SaveMode.Overwrite).parquet(stage)
+            val staged = spark.read.parquet(stage)
+            val n = staged.count()
+            writePartitioned(staged, aggPath)
+            val (sfs, spath) = fs(stage)
+            sfs.delete(spath, true)
+            n
+          }
+        audit.log(s"$table: rollup maintenance complete, $written rows written")
+        written
+      } finally { partial.unpersist(); () }
+    } catch {
+      case e: Exception =>
+        audit.log(s"$table: rollup maintenance FAILED: ${e.getMessage}")
+        throw e
+    }
+
   /** The analysis stage: its own failure domain, like the reference's
     * second try/except (stock_bars.py:126-134). */
   def runAnalysis(name: String, out: String)(body: => DataFrame): Boolean =

@@ -205,6 +205,56 @@ class RunnerSpec extends SparkSpec {
     assert(!fs.exists(old))
   }
 
+  test("rollup maintenance: merge equals full recompute, history partitions untouched") {
+    val dir = tmpDir()
+    val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"),
+      new AuditLog(spark, s"$dir/audit"))
+    val rollup = s"$dir/rollup"
+    def batchDf(rows: Seq[(String, String, Double)]) =
+      rows.toDF("stock", "d", "v").withColumn("d", to_date($"d"))
+
+    // empty batch: no crash, nothing created
+    assert(runner.maintainAggregate(batchDf(Seq.empty), rollup, "rollup",
+      "d", Seq("stock"), "v") == 0)
+    assert(!new java.io.File(rollup).exists())
+
+    val b1 = Seq(("TSLA", "2025-10-01", 10.0), ("TSLA", "2025-10-01", 20.0),
+      ("AAPL", "2025-10-01", 5.0), ("TSLA", "2025-10-02", 30.0))
+    assert(runner.maintainAggregate(batchDf(b1), rollup, "rollup",
+      "d", Seq("stock"), "v") == 3)
+
+    val p1 = new java.io.File(s"$rollup/dt=2025-10-01")
+    assert(p1.isDirectory, "rollup must be partitioned by dt")
+    def files(d: java.io.File): Map[String, Long] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = files(p1)
+
+    // second batch touches day 2 and adds day 3: day-1 partition of the
+    // rollup must be neither read-merged nor rewritten
+    val b2 = Seq(("TSLA", "2025-10-02", 50.0), ("MSFT", "2025-10-03", 7.0))
+    assert(runner.maintainAggregate(batchDf(b2), rollup, "rollup",
+      "d", Seq("stock"), "v") == 2)
+    assert(files(p1) == before, "day-1 rollup partition was rewritten")
+
+    // the maintained rollup equals a from-scratch aggregation of all rows
+    val expect = graft.pipeline.IncrementalAgg.partials(
+      batchDf(b1 ++ b2), "d", Seq("stock"), "v")
+    val got = spark.read.parquet(rollup)
+    assert(got.count() == 4)
+    assert(got.join(expect,
+        got("dt") === expect("dt") && got("stock") === expect("stock") &&
+        got("n") === expect("n") && got("sum_v") === expect("sum_v") &&
+        got("min_v") === expect("min_v") && got("max_v") === expect("max_v"),
+        "left_semi").count() == 4,
+      "incremental rollup diverged from full recompute")
+    // derived read-side metric
+    val avg = graft.pipeline.IncrementalAgg.finalized(got)
+      .filter($"stock" === "TSLA" && $"dt" === to_date(lit("2025-10-02")))
+      .select("avg_v").as[Double].head()
+    assert(avg == 40.0) // (30 + 50) / 2
+  }
+
   test("checkpoint get survives the owner completing its swap mid-read") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir() + "/cp"
