@@ -276,8 +276,15 @@ object ExtQueries {
       val corpus = all.filter(col("doc_id") % 50 =!= 0)
       val bench = all.filter(col("doc_id") % 50 === 0)
       val q = TextOps.qualityScore(corpus, "text").filter(col("quality") >= 0.3)
-      val reps = DedupOps.exactDupGroups(q, "text", "doc_id").select("doc_id")
-      val deduped = q.join(reps, Seq("doc_id"), "left_semi")
+      // canonical exact dedup in ONE pass: rank by doc_id within the
+      // text-digest group and keep the smallest — the same keep-set as
+      // exactDupGroups' min(doc_id) representative, but the quality
+      // stage is not re-evaluated for a second groupBy branch and the
+      // one digest exchange replaces the groupBy + semi-join pair
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      val deduped = q.withColumn("_rk", row_number().over(wd))
+        .filter(col("_rk") === 1).drop("_rk")
       val contaminated = DedupOps
         .contaminationScan(deduped, bench, "text", "doc_id", w = 3)
         .select("doc_id")

@@ -1,13 +1,15 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable partial aggregates for incrementally-maintained rollup
   * tables: the aggregate table stores only states that merge
-  * associatively across batches — count, decimal-exact sum, min, max.
-  * Ratios (avg = sum/n) derive at read time; storing them would make
-  * the partials non-mergeable and force full recomputes.
+  * associatively across batches — count, decimal-exact sum, min, max,
+  * plus the last applied batch id. Ratios (avg = sum/n) derive at read
+  * time; storing them would make the partials non-mergeable and force
+  * full recomputes.
   *
   * Scale story: a daily batch touching d dates re-aggregates d
   * partitions of the rollup table, never the full history — the
@@ -32,9 +34,10 @@ object IncrementalAgg {
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
 
-  /** Merge stored partials with a batch's partials (same schema): one
-    * hash aggregation, every state column combined with its own merge
-    * function. */
+  /** Merge stored partials with a batch's partials (same schema,
+    * including `last_batch`): one hash aggregation, every state column
+    * combined with its own merge function. Used by the batch path,
+    * where each batch is distinct new data. */
   def merge(stored: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame =
     stored.unionByName(fresh)
       .groupBy(groupCols(keys): _*)
@@ -42,10 +45,87 @@ object IncrementalAgg {
         sum(col("n")).as("n"),
         sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"))
+        max(col("max_v")).as("max_v"),
+        max(col("last_batch")).as("last_batch"))
+
+  /** Idempotent merge for IDENTIFIED batches (streaming foreachBatch
+    * replays the same batch id after a failure): a stored group that
+    * already recorded `last_batch >= batchId` passes through unchanged
+    * and the replayed partial is discarded — so at-least-once replays
+    * cannot double-count, even when a crash committed only SOME of the
+    * touched partitions (the guard is per group, not per job). */
+  private def mergeIdempotent(stored: DataFrame, fresh: DataFrame,
+                              keys: Seq[String], batchId: Long): DataFrame = {
+    val gk = "dt" +: keys
+    val s = stored.as("s"); val f = fresh.as("f")
+    val cond = gk.map(c => s(c) <=> f(c)).reduce(_ && _)
+    def mergedCol(c: String, combine: (Column, Column) => Column) =
+      when(f("n").isNull || s("last_batch") >= lit(batchId), s(c))
+        .when(s("n").isNull, f(c))
+        .otherwise(combine(s(c), f(c))).as(c)
+    s.join(f, cond, "full_outer").select(
+      gk.map(c => coalesce(s(c), f(c)).as(c)) ++ Seq(
+        mergedCol("n", _ + _),
+        mergedCol("sum_v", _ + _),
+        mergedCol("min_v", least(_, _)),
+        mergedCol("max_v", greatest(_, _)),
+        mergedCol("last_batch", (a, b) => greatest(a, b))): _*)
+  }
 
   /** Read-side finalization: the derived metrics the partials support. */
   def finalized(rollup: DataFrame): DataFrame =
     rollup.withColumn("avg_v",
       (col("sum_v") / col("n")).cast("double"))
+
+  /** Maintain the date-partitioned rollup at `aggPath` from one raw
+    * batch: aggregate the batch to partials, read ONLY the rollup
+    * partitions for the batch's dates (pruned via an IN-list of the
+    * touched dates — bounded by days-per-batch, so the driver-side
+    * collect is a few values), merge, and dynamically overwrite just
+    * those partitions. Untouched history is never read or rewritten.
+    *
+    * `batchId = Some(id)` makes the application IDEMPOTENT per group
+    * (see [[mergeIdempotent]]) — pass the foreachBatch batch id from a
+    * streaming caller. `None` is the plain batch path where every call
+    * is new data. An empty batch writes nothing; returns rows written. */
+  def maintain(spark: SparkSession, batch: DataFrame, aggPath: String,
+               dateCol: String, keys: Seq[String], valueCol: String,
+               batchId: Option[Long] = None): Long = {
+    val fresh = partials(batch, dateCol, keys, valueCol)
+      .withColumn("last_batch", lit(batchId.getOrElse(-1L)))
+    fresh.persist()
+    try {
+      if (fresh.isEmpty) 0L
+      else {
+        val tpath = new Path(aggPath)
+        val hfs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!hfs.exists(tpath)) fresh
+          else {
+            val touched = fresh.select(col("dt")).distinct()
+              .collect().map(_.getDate(0)).toSeq
+            val stored = spark.read.parquet(aggPath)
+              .filter(col("dt").isInCollection(touched))
+            batchId match {
+              case Some(id) => mergeIdempotent(stored, fresh, keys, id)
+              case None => merge(stored, fresh, keys)
+            }
+          }
+        // stage before the overwrite: Spark refuses, correctly, to
+        // overwrite partitions of a path it is reading from
+        val stage = aggPath + ".stage_agg"
+        merged.write.mode(SaveMode.Overwrite).parquet(stage)
+        val staged = spark.read.parquet(stage)
+        val n = staged.count()
+        staged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("dt")
+          .parquet(aggPath)
+        val spath = new Path(stage)
+        spath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(spath, true)
+        n
+      }
+    } finally { fresh.unpersist(); () }
+  }
 }

@@ -165,36 +165,10 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
                         valueCol: String): Long =
     try {
       audit.log(s"$table: rollup maintenance starting")
-      val partial = IncrementalAgg.partials(batch, dateCol, keys, valueCol)
-      partial.persist()
-      try {
-        val written =
-          if (partial.isEmpty) 0L
-          else {
-            val (hfs, tpath) = fs(aggPath)
-            val merged =
-              if (!hfs.exists(tpath)) partial
-              else {
-                val touched = partial.select(col("dt")).distinct()
-                  .collect().map(_.getDate(0)).toSeq
-                val overlap = spark.read.parquet(aggPath)
-                  .filter(col("dt").isInCollection(touched))
-                IncrementalAgg.merge(overlap, partial, keys)
-              }
-            // stage before the overwrite: Spark refuses, correctly, to
-            // overwrite partitions of a path it is reading from
-            val stage = aggPath + ".stage_agg"
-            merged.write.mode(SaveMode.Overwrite).parquet(stage)
-            val staged = spark.read.parquet(stage)
-            val n = staged.count()
-            writePartitioned(staged, aggPath)
-            val (sfs, spath) = fs(stage)
-            sfs.delete(spath, true)
-            n
-          }
-        audit.log(s"$table: rollup maintenance complete, $written rows written")
-        written
-      } finally { partial.unpersist(); () }
+      val written = IncrementalAgg.maintain(
+        spark, batch, aggPath, dateCol, keys, valueCol)
+      audit.log(s"$table: rollup maintenance complete, $written rows written")
+      written
     } catch {
       case e: Exception =>
         audit.log(s"$table: rollup maintenance FAILED: ${e.getMessage}")

@@ -106,6 +106,27 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming rollup maintenance (the materialized-view pattern):
+    * each micro-batch folds into a date-partitioned rollup table via
+    * [[graft.pipeline.IncrementalAgg.maintain]], passing the batch id
+    * as the idempotence token. foreachBatch replays the SAME id after a
+    * failure, and the per-group `last_batch` guard discards already-
+    * applied partials — so at-least-once replays cannot double-count,
+    * even across a partially committed overwrite. Unlike append-mode
+    * windowed aggregation there is no watermark cutoff here: a late
+    * event merges into its (old) date partition whenever it arrives.
+    * Caller starts the returned writer with a checkpointLocation. */
+  def rollupSink(stream: DataFrame, aggPath: String, tsCol: String,
+                 keys: Seq[String], valueCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.pipeline.IncrementalAgg.maintain(
+        batch.sparkSession,
+        batch.withColumn("_dt_src", to_date(col(tsCol))),
+        aggPath, "_dt_src", keys, valueCol, Some(batchId))
+      ()
+    }
+
   case class Impression(i_id: Long, i_ts: Timestamp, i_user: Long)
   case class Click(c_id: Long, c_ts: Timestamp, c_user: Long)
 

@@ -32,6 +32,44 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
   }
 
+  test("streaming rollup sink: micro-batches fold into the rollup, replays are idempotent") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val rollup = s"$dir/rollup"
+    val mem = MemoryStream[Event]
+    val q = EventStream.rollupSink(mem.toDF(), rollup, "ts",
+        Seq("event_type"), "value")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 10.0),
+        Event(2, ts(1), 2, "click", 20.0),
+        Event(3, ts(2), 3, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(3), 4, "click", 30.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(rollup)
+      val clicks = got.filter($"event_type" === "click")
+      assert(clicks.select("n").as[Long].head() == 3L)
+      assert(clicks.select($"sum_v".cast("double")).as[Double].head() == 60.0)
+      assert(got.filter($"event_type" === "view").select("n").as[Long].head() == 1L)
+
+      // at-least-once replay: re-applying the LAST batch with its id is
+      // a per-group no-op (the last_batch guard discards the partials)
+      val lastId = got.agg(org.apache.spark.sql.functions.max("last_batch"))
+        .head().getLong(0)
+      val replay = Seq(Event(4, ts(3), 4, "click", 30.0)).toDF()
+        .withColumn("_dt_src", org.apache.spark.sql.functions.to_date($"ts"))
+      graft.pipeline.IncrementalAgg.maintain(spark, replay, rollup,
+        "_dt_src", Seq("event_type"), "value", Some(lastId))
+      val after = spark.read.parquet(rollup).filter($"event_type" === "click")
+      assert(after.select("n").as[Long].head() == 3L,
+        "replayed batch double-counted")
+      assert(after.select($"sum_v".cast("double")).as[Double].head() == 60.0)
+    } finally q.stop()
+  }
+
   test("file-stream ingest upserts each micro-batch into the target") {
     import spark.implicits._
     val dir = tmpDir()
