@@ -159,14 +159,18 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
     * run against an arbitrarily large rollup. Returns rows written.
     *
     * An empty batch writes nothing. First run creates the rollup from
-    * the batch's partials alone. */
+    * the batch's partials alone. Orchestrators that may RETRY a crashed
+    * run must pass a stable (`appId`, `batchId`) token — without one, a
+    * retry after a partially committed overwrite double-counts (see
+    * [[IncrementalAgg.maintain]]). */
   def maintainAggregate(batch: DataFrame, aggPath: String, table: String,
-                        dateCol: String, keys: Seq[String],
-                        valueCol: String): Long =
+                        dateCol: String, keys: Seq[String], valueCol: String,
+                        batchId: Option[Long] = None,
+                        appId: String = "batch"): Long =
     try {
       audit.log(s"$table: rollup maintenance starting")
       val written = IncrementalAgg.maintain(
-        spark, batch, aggPath, dateCol, keys, valueCol)
+        spark, batch, aggPath, dateCol, keys, valueCol, batchId, appId)
       audit.log(s"$table: rollup maintenance complete, $written rows written")
       written
     } catch {

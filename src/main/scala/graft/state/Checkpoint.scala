@@ -66,7 +66,12 @@ class Checkpoint(spark: SparkSession, dir: String) {
       catch {
         case _: Exception =>
           val p2 = graft.ops.Layout.committedReadPath(fs, live)
-          if (fs.exists(p2)) readAt(p2)
+          if (fs.exists(p2))
+            // the owner can also COMPLETE the swap (dropping p2)
+            // between this probe and the read — same guarded retry as
+            // the p != live branch
+            try readAt(p2)
+            catch { case _: Exception if fs.exists(live) => readAt(live) }
           else if (fs.exists(live)) readAt(live)
           else None
       }

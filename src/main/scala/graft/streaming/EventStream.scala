@@ -115,17 +115,26 @@ object EventStream {
     * even across a partially committed overwrite. Unlike append-mode
     * windowed aggregation there is no watermark cutoff here: a late
     * event merges into its (old) date partition whenever it arrives.
+    *
+    * `appId` scopes the idempotence token to THIS query lineage (the
+    * Delta txnAppId pattern): batch ids restart at 0 when a stream gets
+    * a fresh checkpointLocation, and without the scope those early
+    * batches would read as replays of the old lineage and be silently
+    * discarded. Change `appId` whenever the checkpoint is reset.
     * Caller starts the returned writer with a checkpointLocation. */
   def rollupSink(stream: DataFrame, aggPath: String, tsCol: String,
-                 keys: Seq[String], valueCol: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                 keys: Seq[String], valueCol: String, appId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(!stream.columns.contains("_dt_src"),
+      "rollupSink: input must not contain the reserved working column _dt_src")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.pipeline.IncrementalAgg.maintain(
         batch.sparkSession,
         batch.withColumn("_dt_src", to_date(col(tsCol))),
-        aggPath, "_dt_src", keys, valueCol, Some(batchId))
+        aggPath, "_dt_src", keys, valueCol, Some(batchId), appId)
       ()
     }
+  }
 
   case class Impression(i_id: Long, i_ts: Timestamp, i_user: Long)
   case class Click(c_id: Long, c_ts: Timestamp, c_user: Long)

@@ -39,7 +39,7 @@ class StreamingSpec extends SparkSpec {
     val rollup = s"$dir/rollup"
     val mem = MemoryStream[Event]
     val q = EventStream.rollupSink(mem.toDF(), rollup, "ts",
-        Seq("event_type"), "value")
+        Seq("event_type"), "value", appId = "spec-stream")
       .option("checkpointLocation", s"$dir/ckpt").start()
     try {
       mem.addData(
@@ -62,12 +62,52 @@ class StreamingSpec extends SparkSpec {
       val replay = Seq(Event(4, ts(3), 4, "click", 30.0)).toDF()
         .withColumn("_dt_src", org.apache.spark.sql.functions.to_date($"ts"))
       graft.pipeline.IncrementalAgg.maintain(spark, replay, rollup,
-        "_dt_src", Seq("event_type"), "value", Some(lastId))
+        "_dt_src", Seq("event_type"), "value", Some(lastId), "spec-stream")
       val after = spark.read.parquet(rollup).filter($"event_type" === "click")
       assert(after.select("n").as[Long].head() == 3L,
         "replayed batch double-counted")
       assert(after.select($"sum_v".cast("double")).as[Double].head() == 60.0)
+
+      // a NEW lineage (fresh checkpoint -> batch ids restart at 0) must
+      // MERGE, not read as a replay of the old lineage's higher ids
+      graft.pipeline.IncrementalAgg.maintain(spark, replay, rollup,
+        "_dt_src", Seq("event_type"), "value", Some(0L), "spec-stream-v2")
+      val relin = spark.read.parquet(rollup).filter($"event_type" === "click")
+      assert(relin.select("n").as[Long].head() == 4L,
+        "new lineage's batch was discarded as a stale replay")
+      // ... and its own replay is again a no-op
+      graft.pipeline.IncrementalAgg.maintain(spark, replay, rollup,
+        "_dt_src", Seq("event_type"), "value", Some(0L), "spec-stream-v2")
+      assert(spark.read.parquet(rollup).filter($"event_type" === "click")
+        .select("n").as[Long].head() == 4L)
     } finally q.stop()
+  }
+
+  test("rollup sink edge states: null dates survive merges, null-value sums recover") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val rollup = s"$dir/rollup"
+    def b(rows: Seq[(Option[java.sql.Date], String, Option[Double])]) =
+      rows.toDF("d", "k", "v")
+    val d1 = Some(java.sql.Date.valueOf("2025-10-01"))
+    // batch 0: a null-date group and a group whose values are ALL null
+    graft.pipeline.IncrementalAgg.maintain(spark,
+      b(Seq((None, "a", Some(5.0)), (d1, "b", None))), rollup,
+      "d", Seq("k"), "v", Some(0L), "edge")
+    // batch 1: more data for both groups
+    graft.pipeline.IncrementalAgg.maintain(spark,
+      b(Seq((None, "a", Some(7.0)), (d1, "b", Some(10.0)))), rollup,
+      "d", Seq("k"), "v", Some(1L), "edge")
+    val out = spark.read.parquet(rollup)
+    val nullDt = out.filter($"dt".isNull && $"k" === "a")
+    assert(nullDt.select("n").as[Long].head() == 2L,
+      "null-date partition history was erased by the touched-dates filter")
+    assert(nullDt.select($"sum_v".cast("double")).as[Double].head() == 12.0)
+    val bRow = out.filter($"k" === "b")
+    assert(bRow.select("n").as[Long].head() == 2L)
+    assert(bRow.select($"sum_v".cast("double")).as[Double].head() == 10.0,
+      "null sum partial poisoned the merged sum")
+    assert(bRow.select($"min_v").as[Double].head() == 10.0)
   }
 
   test("file-stream ingest upserts each micro-batch into the target") {
