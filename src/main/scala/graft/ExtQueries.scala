@@ -353,6 +353,44 @@ object ExtQueries {
     // q_i = round(x_i/amax*127); emitted as the integer checksum plus the
     // max reconstruction error -- the storage-shrink primitive for
     // embedding tables (4x smaller, error bounded by amax/254).
+    // Column profiling (ANALYZE-style statistics): per-column null and
+    // exact distinct counts in ONE pass over the table, reshaped to a
+    // row per column with stack() — no per-column rescans. At 100 TB
+    // the exact countDistinct Expand would swap to approx_count_distinct
+    // (documented trade; exact here because the oracle must match).
+    "q_profile" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val cols = li.columns.toSeq
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+      val allAggs = count(lit(1)).as("n_rows") +: aggs
+      val one = li.agg(allAggs.head, allAggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
+      one.select(expr(s"stack(${cols.length}, $stackArgs)" +
+          " as (column_name, n_nulls, n_distinct)"), col("n_rows"))
+        .orderBy("column_name")
+    }),
+
+    // Data-quality expectations (deequ-style checks as a metrics row):
+    // PK uniqueness violations, FK orphans, domain violations — the
+    // verdicts a pipeline gates a publish on. The FK check is a
+    // partial-aggregated anti join; everything else is one scan.
+    "q_dq_checks" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders").select("o_orderkey")
+      val base = li.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("pk_dup_rows"),
+        count(when(col("l_quantity") <= 0, lit(1))).as("neg_qty_rows"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, lit(1)))
+          .as("bad_discount_rows"))
+      val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_orphan_rows"))
+      base.crossJoin(orphans)
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       import graft.functions.Rounding.roundHalfUp
       val d = (x: org.apache.spark.sql.Column) => x.cast("double")
@@ -716,6 +754,30 @@ object ExtQueries {
         |       len(regexp_extract_all(text_er, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_pii,
         |  regexp_replace(text_er, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM er ORDER BY doc_id""".stripMargin,
+
+    "q_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  count(*) AS n_rows FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "q_dq_checks" ->
+      """SELECT count(*) AS n_rows,
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS pk_dup_rows,
+        |  count(*) FILTER (WHERE l_quantity <= 0) AS neg_qty_rows,
+        |  count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+        |    AS bad_discount_rows,
+        |  (SELECT count(*) FROM lineitem li
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = li.l_orderkey))
+        |    AS fk_orphan_rows
+        |FROM lineitem""".stripMargin,
 
     "q_embed_quantize" -> {
       val q = sqlRound("CAST(x AS DOUBLE) / nullif(amax, 0.0) * 127", 0)

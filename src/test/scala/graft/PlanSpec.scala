@@ -68,8 +68,10 @@ class PlanSpec extends SparkSpec {
     //  - q_ann_ivf: the IVF probe step scores every centroid per query
     //    (broadcast of nlist centroid rows) — the same dense centroid scan
     //    FAISS IVF performs; corpus-side scoring is hash-partitioned.
+    //  - q_dq_checks: a 1-row x 1-row cross of two aggregate verdicts
+    //    (metrics row assembly, not a data-scale join).
     val bruteForce = Set("q_similarity_cosine", "q_dedup_embed",
-      "q_ngram_jaccard", "q_ann_ivf")
+      "q_ngram_jaccard", "q_ann_ivf", "q_dq_checks")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bruteForce)
       .filter { key =>
