@@ -595,6 +595,26 @@ object RelQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Rolling cross-series correlation: daily click/purchase value
+    // totals aligned by date (decimal-exact daily sums), then corr over
+    // a trailing 30-day ROWS frame — the rolling-correlation-matrix
+    // primitive of quant analytics. The single unpartitioned window is
+    // deliberate: the frame is over the DATE axis (~hundreds of rows
+    // after aggregation); per-symbol variants partition by symbol.
+    "q_rolling_corr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val wide = daily.groupBy("d")
+        .pivot("event_type", Seq("click", "purchase")).agg(max(col("v")))
+      val w = Window.orderBy(col("d")).rowsBetween(-29, Window.currentRow)
+      wide.withColumn("corr_cp",
+          roundHalfUp(corr(col("click"), col("purchase")).over(w), 4))
+        .select("d", "click", "purchase", "corr_cp")
+        .orderBy("d")
+    }),
+
     // L6 schema reflection as a first-class operator: the table's
     // column inventory (name, 1-based ordinal) as rows. Metadata is
     // inherently driver-side — this reads the parquet footer schema,
@@ -1069,6 +1089,24 @@ object RelQueries {
         |FROM lineitem
         |WHERE NULLIF(l_tax, 0.0) IS NOT NULL
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rolling_corr" ->
+      s"""WITH $evCte,
+         |daily AS (
+         |  SELECT CAST(ts AS DATE) AS d, event_type,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |  FROM ev WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1, 2),
+         |wide AS (
+         |  SELECT d,
+         |    max(CASE WHEN event_type = 'click' THEN v END) AS click,
+         |    max(CASE WHEN event_type = 'purchase' THEN v END) AS purchase
+         |  FROM daily GROUP BY d)
+         |SELECT d, click, purchase,
+         |  ${sqlRound(
+             "corr(click, purchase) OVER (ORDER BY d " +
+             "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)", 4)} AS corr_cp
+         |FROM wide ORDER BY d""".stripMargin,
 
     "q_schema_reflect" ->
       """SELECT column_name, CAST(ordinal_position AS BIGINT) AS pos
