@@ -159,8 +159,12 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                          right: LogicalPlan): Boolean =
     conjuncts.exists {
       case EqualTo(a, b) =>
-        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+        // both sides must actually REFERENCE their side: a literal's
+        // empty reference set is a subset of anything, and `col = 5`
+        // is a pushable filter, not a cross-side hash key
+        (a.references.nonEmpty && b.references.nonEmpty) &&
+          ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+            (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
       case _ => false
     }
 
@@ -183,14 +187,19 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && !containsGuard(left) && !containsGuard(right) && {
-          val cs = splitConjunctivePredicates(cond)
-          !hasEquiKey(cs, left, right) && matchBounds(cs, left, right).isDefined
-        } =>
+        if j.resolved && !containsGuard(left) && !containsGuard(right) =>
+      // split + match ONCE, branch on the result: the old shape re-ran
+      // the full matcher in both the pattern guard and the body, with an
+      // irrefutable destructure that would MatchError if they drifted
+      val cs = splitConjunctivePredicates(cond)
+      val bounds =
+        if (hasEquiKey(cs, left, right)) None
+        else matchBounds(cs, left, right)
+      bounds match {
+        case None => j
+        case Some((pt, lo, hi)) =>
       val bucket = conf.getConfString(BucketSizeConf, "64").toLong max 1L
       val maxRep = conf.getConfString(MaxBucketsConf, "256").toLong max 1L
-      val cs = splitConjunctivePredicates(cond)
-      val Some((pt, lo, hi)) = matchBounds(cs, left, right)
       val ptOnLeft = pt.references.subsetOf(left.outputSet)
       val (pSide, iSide) = if (ptOnLeft) (left, right) else (right, left)
 
@@ -242,5 +251,6 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
       Union(Seq(Project(j.output, narrowJoin),
         Project(j.output.map(a => remap.getOrElse(a, a)), wideJoin)))
+      }
   }
 }

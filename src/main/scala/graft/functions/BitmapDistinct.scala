@@ -102,8 +102,10 @@ case class BitmapDistinct(child: Expression,
       case i: java.lang.Integer => b.add(i.longValue())
       case l: java.lang.Long => b.add(l.longValue())
       case s: java.lang.Short => b.add(s.longValue())
+      case by: java.lang.Byte => b.add(by.longValue())
       case other => throw new IllegalArgumentException(
-        s"bitmap_distinct needs an integral id column, got $other")
+        "bitmap_distinct needs an integral id column, got " +
+          s"${other.getClass.getName} ($other)")
     }
     b
   }

@@ -3,12 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.GraftBridge.{column, expression}
+import org.apache.spark.sql.GraftBridge.{column, expression, oneOf, AbstractType}
 
 /** Native Catalyst expressions for the hot paths the built-in function
   * library can't express efficiently: embedding cosine similarity (HOF
@@ -27,8 +27,11 @@ object Expressions {
     * primitive loop: no boxing, no virtual calls per element.
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression {
-    // inputs: two array<float> columns
+      extends BinaryExpression with ExpectsInputTypes {
+    // fail at ANALYSIS on any other element type: toFloatArray() would
+    // memcpy-reinterpret e.g. array<double> into plausible float garbage
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       Kernels.cosine(a.asInstanceOf[ArrayData].toFloatArray(),
@@ -47,8 +50,8 @@ object Expressions {
     * yield signatures at small Hamming distance. Deterministic; no seed.
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression {
-    // input: array<string> token column
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
       Kernels.simhashFromArrayData(input.asInstanceOf[ArrayData])
@@ -66,8 +69,8 @@ object Expressions {
     * standard scalable copy-detection primitive.
     */
   case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-      extends UnaryExpression {
-    // input: string column
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       new GenericArrayData(
@@ -84,8 +87,8 @@ object Expressions {
     * [[Kernels.minhashFromTokenHashes]]). Stays in whole-stage codegen.
     */
   case class MinHashSig(child: Expression, shingleWidth: Int, k: Int)
-      extends UnaryExpression {
-    // input: array<string> token column
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.minhashSigFromArrayData(
@@ -101,8 +104,9 @@ object Expressions {
   /** Band keys for MinHash LSH (child = signature array, evaluated once —
     * building the keys inside one expression sidesteps the optimizer
     * duplicating the signature computation per band reference). */
-  case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
-    // input: array<long> minhash signature
+  case class BandKeys(child: Expression, bands: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.bandKeys(input.asInstanceOf[ArrayData], bands)
@@ -114,8 +118,9 @@ object Expressions {
   }
 
   /** Chunk keys for SimHash banding (same single-evaluation rationale). */
-  case class ChunkKeys(child: Expression, chunks: Int) extends UnaryExpression {
-    // input: long simhash signature
+  case class ChunkKeys(child: Expression, chunks: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(LongType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.chunkKeys(input.asInstanceOf[Long], chunks)
@@ -133,8 +138,8 @@ object Expressions {
     * cosines in the plan instead would be re-evaluated per reference
     * (argmax = array_position + array_max reads it twice). */
   case class ArgMaxCosine(child: Expression, cents: Array[Array[Float]])
-      extends UnaryExpression {
-    // input: array<float> vector
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =
       Kernels.argmaxCosine(input.asInstanceOf[ArrayData].toFloatArray(), cents)
@@ -152,8 +157,8 @@ object Expressions {
     * [[Kernels.permTableKeys]]): C(m, keep) keys per signature, exact
     * recall for Hamming <= m - keep with a keep*64/m-bit keyspace. */
   case class PermTableKeys(child: Expression, m: Int, keep: Int)
-      extends UnaryExpression {
-    // input: long simhash signature
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(LongType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       Kernels.permTableKeys(input.asInstanceOf[Long], m, keep)
@@ -172,8 +177,10 @@ object Expressions {
     * the bucketed (scale) path for ANN search.
     */
   case class HyperplaneLsh(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
-    // input: array<float>
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    require(bits >= 1 && bits <= 30,
+      s"hyperplane_lsh: bits must be in [1, 30] (int bucket, no aliasing), got $bits")
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData].toFloatArray()
@@ -184,10 +191,21 @@ object Expressions {
   }
 
   object HyperplaneLsh {
+    /** Deterministic ±1 from (plane, dim). The FNV-style fold alone is
+      * NOT enough here: multiplying by an odd constant preserves the
+      * LOW bit, so testing `h & 1` after xor-multiply depends only on
+      * the parity of plane and dim — every even plane becomes the SAME
+      * hyperplane and every odd plane its negation, collapsing the
+      * keyspace to ~3 buckets no matter how many bits were requested.
+      * The splitmix64 finalizer mixes high bits into the low bit, so
+      * the sign is independent across (plane, dim). */
     private def rademacher(plane: Int, dim: Int): Double = {
       var h = 0xcbf29ce484222325L
       h ^= plane; h *= 0x100000001b3L
       h ^= dim; h *= 0x100000001b3L
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      h ^= h >>> 31
       if ((h & 1L) == 0L) 1.0 else -1.0
     }
     def bucket(v: Array[Float], bits: Int): Int = {
@@ -210,8 +228,11 @@ object Expressions {
     * virtual call per row against the referenced sketch. */
   case class BloomMightContain(child: Expression,
       bloom: org.apache.spark.util.sketch.BloomFilter)
-      extends UnaryExpression {
-    // input: an integral join-key column (int/long)
+      extends UnaryExpression with ExpectsInputTypes {
+    // int/long only, enforced at analysis — the interpreted eval's match
+    // and the codegen cast must agree on the accepted types
+    override def inputTypes: Seq[AbstractType] =
+      Seq(oneOf(IntegerType, LongType))
     override def dataType: DataType = BooleanType
     override def nullSafeEval(input: Any): Any = input match {
       case i: Int => bloom.mightContainLong(i.toLong)
@@ -232,8 +253,11 @@ object Expressions {
     * partition + sort by this and BOTH dimensions get tight per-file
     * min/max stats. Codegen'd primitive bit-twiddling. */
   case class ZOrderKey(left: Expression, right: Expression)
-      extends BinaryExpression {
-    // inputs: two non-negative int/long columns (SQL literals are INT)
+      extends BinaryExpression with ExpectsInputTypes {
+    // int/long only, enforced at analysis (SQL literals are INT) — keeps
+    // the interpreted match and the codegen (long) cast in agreement
+    override def inputTypes: Seq[AbstractType] =
+      Seq(oneOf(IntegerType, LongType), oneOf(IntegerType, LongType))
     override def dataType: DataType = LongType
     private def toL(x: Any): Long = x match {
       case i: Int => i.toLong

@@ -81,6 +81,12 @@ object Kernels {
   def bandKeys(sig: org.apache.spark.sql.catalyst.util.ArrayData,
       bands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = sig.numElements()
+    // loud guard, not silent wrongness: bands > n would give r = 0 and
+    // every row the identical band-index-only keys (one giant bucket);
+    // a non-dividing bands would silently drop the tail sig values
+    if (bands < 1 || n % bands != 0)
+      throw new IllegalArgumentException(
+        s"band_keys: bands ($bands) must divide the signature length ($n)")
     val r = n / bands
     val out = new Array[Long](bands)
     var j = 0
@@ -189,11 +195,19 @@ object Kernels {
   /** Codegen entry point: token ArrayData -> MinHash signature. */
   def minhashSigFromArrayData(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       w: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val hashes = new Array[Long](arr.numElements())
+    // skip nulls (same semantics as simhashFromArrayData): hashing them
+    // to a constant would correlate the signatures of unrelated
+    // null-bearing documents and inflate their estimated similarity
+    val n = arr.numElements()
+    var nonNull = 0
     var i = 0
-    while (i < hashes.length) {
-      hashes(i) =
-        if (arr.isNullAt(i)) 0L else fnv1a64Bytes(arr.getUTF8String(i).getBytes)
+    while (i < n) { if (!arr.isNullAt(i)) nonNull += 1; i += 1 }
+    val hashes = new Array[Long](nonNull)
+    i = 0; var o = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        hashes(o) = fnv1a64Bytes(arr.getUTF8String(i).getBytes); o += 1
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(

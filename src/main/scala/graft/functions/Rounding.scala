@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Rounding {
   def roundHalfUp(c: Column, n: Int): Column = {
+    require(n >= 0, s"roundHalfUp: n must be >= 0, got $n")
     val f = lit(math.pow(10, n))
     val scaled = when(c < 0, -floor((-c) * f + lit(0.5)))
       .otherwise(floor(c * f + lit(0.5)))
@@ -33,6 +34,10 @@ object Rounding {
     * this expression is the bit-parity linchpin, and a drifted copy
     * would split the SQL path from the DataFrame path silently. */
   def sqlRound(expr: String, n: Int, castDouble: Boolean = false): String = {
+    // n < 0 would truncate the factor to 0 (division by zero) here while
+    // roundHalfUp's double factor kept working — exactly the silent
+    // drift between the two definitions the doc above forbids
+    require(n >= 0, s"sqlRound: n must be >= 0, got $n")
     val f = s"${math.pow(10, n).toLong}.0"
     val cased = s"CASE WHEN ($expr) < 0 THEN -floor((-($expr))*$f + 0.5) " +
       s"ELSE floor(($expr)*$f + 0.5) END"

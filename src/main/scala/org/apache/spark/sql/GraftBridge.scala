@@ -12,6 +12,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` (the `ExpectsInputTypes.inputTypes` element
+    * type) is private[sql]; expressions outside the sql package need
+    * this alias to declare analysis-time input-type contracts. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+  /** TypeCollection ("one of these types") is private[sql] too. */
+  def oneOf(types: org.apache.spark.sql.types.AbstractDataType*)
+      : org.apache.spark.sql.types.AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
+
   /** Register a native function on a live session's registry — the
     * same operation `SparkSessionExtensions.injectFunction` performs at
     * session build time, exposed for already-built sessions. */

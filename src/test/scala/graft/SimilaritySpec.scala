@@ -147,6 +147,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hyperplane buckets use the full keyspace, not parity classes") {
+    // regression: a rademacher sign taken from the LOW bit of an
+    // FNV-style fold depends only on the parity of (plane, dim) — odd
+    // multiplies preserve the low bit — which collapses EVERY corpus
+    // into <= 3 buckets regardless of the requested bits
+    // scattered fixture (splitmix-mixed), NOT an affine curve: points on
+    // a line cross few hyperplanes and would legitimately share buckets
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val vecs = (0 until 256).map { i =>
+      Array.tabulate(16)(d => (mix(i * 16L + d) % 1000L).toFloat)
+    }
+    val distinct = vecs
+      .map(v => graft.functions.Expressions.HyperplaneLsh.bucket(v, 12))
+      .distinct.length
+    assert(distinct > 64, s"bucket keyspace collapsed to $distinct values")
+  }
+
   test("LSH ANN: duplicate query ids are deduped, never cross-joined") {
     val df = planted
     val queries = df.filter($"vec_id" < 3)
