@@ -1052,7 +1052,7 @@ object RelQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
          |  FROM ev)
          |SELECT event_type, event_id, value, peak,
-         |  ${sqlRound("(value - peak) / NULLIF(peak, 0.0)", 6)} AS drawdown
+         |  ${sqlRound("(value - peak) / NULLIF(abs(peak), 0.0)", 6)} AS drawdown
          |FROM p ORDER BY event_type, event_id""".stripMargin,
 
     "q_vwap" ->

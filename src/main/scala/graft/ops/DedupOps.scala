@@ -213,9 +213,20 @@ object DedupOps {
     * one, fall back to an eager localCheckpoint — correct in local/test
     * mode where losing an executor is losing the driver anyway. */
   private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cp = df.checkpoint(eager = true)
+      // checkpoint alone re-reads the DISTRIBUTED-FS files on every use
+      // (each round reads labels twice and edges once) — persist the
+      // checkpointed rdd DISK_ONLY so iteration reads stay node-local;
+      // an executor loss recomputes the lost blocks from the reliable
+      // files. freeCheckpoint unpersists these blocks with the files.
+      cp.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        case _ => ()
+      }
+      cp
+    } else df.localCheckpoint(eager = true)
 
   /** Release a superseded iteration's checkpoint storage. Each eager
     * local checkpoint pins its partitions in executor storage (and each
@@ -262,6 +273,15 @@ object DedupOps {
     freeCheckpoint(edges) // the result needs only the final labels
     out
   }
+
+  /** Release the storage behind a [[connectedComponents]] result once it
+    * has been consumed. In local mode that is block-manager memory (it
+    * dies with the session anyway); with a RELIABLE checkpoint dir the
+    * final labels' rdd-N directory lives on the shared filesystem until
+    * released — a per-call leak for long-lived applications that run
+    * components repeatedly. Call AFTER every action on frames derived
+    * from the result (the lineage below the labels is truncated). */
+  def releaseComponents(labels: DataFrame): Unit = freeCheckpoint(labels)
 
   /** Apply near-dup clustering to a corpus: keep ONE representative (the
     * smallest id) per duplicate cluster and pass every unclustered doc

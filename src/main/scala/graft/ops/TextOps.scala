@@ -133,9 +133,8 @@ object TextOps {
     // same reserved-name contract as Upsert's _src/_rn, covering the
     // output columns too (re-redacting an already-redacted frame must
     // fail fast, not silently overwrite its counters)
-    val reserved = Seq("_email_redacted", "n_pii", "redacted")
-    require(!df.columns.exists(reserved.contains),
-      s"redactPii: input must not contain reserved columns ${reserved.mkString(", ")}")
+    Reserved.requireAbsent(df, "redactPii",
+      Seq("_email_redacted", "n_pii", "redacted"))
     df.withColumn("_email_redacted",
         regexp_replace(col(text), emailRe, "<EMAIL>"))
       .withColumn("n_pii",

@@ -50,9 +50,7 @@ object Upsert {
   def upsert(existing: DataFrame, incoming: DataFrame,
              keys: Seq[String]): DataFrame = {
     val cols = existing.columns.toSeq
-    // withColumn would silently REPLACE same-named data columns
-    require(!cols.contains("_src") && !cols.contains("_rn"),
-      "upsert: input must not contain the reserved working columns _src/_rn")
+    Reserved.requireAbsent(existing, "upsert", Seq("_src", "_rn"))
     val rest = cols.filterNot(keys.contains)
     val unioned = existing.withColumn("_src", lit(0))
       .unionByName(incoming.select(cols.map(col): _*).withColumn("_src", lit(1)))

@@ -62,8 +62,7 @@ object Windows {
     * window sort; both partial-free and AQE-coalesced. */
   def gapFill(df: DataFrame, part: String, dateCol: String,
               value: String): DataFrame = {
-    require(!df.columns.contains("v_filled") && !df.columns.contains("is_filled"),
-      "input must not contain reserved columns v_filled, is_filled")
+    Reserved.requireAbsent(df, "gapFill", Seq("v_filled", "is_filled"))
     val spans = df.groupBy(col(part))
       .agg(min(col(dateCol)).as("_lo"), max(col(dateCol)).as("_hi"))
     val dense = spans.select(col(part),
@@ -84,9 +83,10 @@ object Windows {
     * (monotone-up frame) defines RSI=100. Adds `rsi` (HALF_UP, 4dp). */
   def rsi(df: DataFrame, part: String, order: String, tie: String,
           value: String, n: Int = 14): DataFrame = {
-    val reserved = Seq("_prev", "_gain", "_loss", "_avg_gain", "_avg_loss", "rsi")
-    require(!df.columns.exists(reserved.contains),
-      s"input must not contain reserved columns ${reserved.mkString(", ")}")
+    require(n >= 1, s"rsi: n must be >= 1, got $n") // n<=0 would build a
+    // backwards/look-ahead frame and fail (or silently peek at future rows)
+    Reserved.requireAbsent(df, "rsi",
+      Seq("_prev", "_gain", "_loss", "_avg_gain", "_avg_loss", "rsi"))
     val w = series(col(part), col(order), col(tie))
     val wn = w.rowsBetween(-(n - 1), Window.currentRow)
     val v = col(value)
@@ -112,13 +112,15 @@ object Windows {
     * `drawdown` (HALF_UP, 6dp). */
   def drawdown(df: DataFrame, part: String, order: String, tie: String,
                value: String): DataFrame = {
-    require(!df.columns.contains("peak") && !df.columns.contains("drawdown"),
-      "input must not contain reserved columns peak, drawdown")
+    Reserved.requireAbsent(df, "drawdown", Seq("peak", "drawdown"))
     val w = series(col(part), col(order), col(tie))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // divide by |peak|: a NEGATIVE running peak (PnL-style series) would
+    // otherwise flip the sign and report a drop as a positive number;
+    // with |peak| the drawdown is <= 0 for any non-zero peak
     df.withColumn("peak", max(col(value)).over(w))
       .withColumn("drawdown",
-        roundHalfUp((col(value) - col("peak")) / nullif(col("peak"), lit(0.0)), 6))
+        roundHalfUp((col(value) - col("peak")) / nullif(abs(col("peak")), lit(0.0)), 6))
   }
 
   /** Full analysis pipeline = the reference's stock_bars_analysis CTAS body

@@ -65,6 +65,15 @@ class WindowsSpec extends SparkSpec {
     assert(a(0).getDouble(di) == 0.0 && a(1).getDouble(di) == 0.0)
     assert(a(2).getDouble(di) == -1.0)          // (0-110)/110
     assert(a(3).getDouble(di) == -0.545455)     // (50-110)/110, HALF_UP 6dp
+    // NEGATIVE series (PnL-style): |peak| keeps the drawdown <= 0 —
+    // dividing by the raw negative peak would flip the sign and report
+    // the drop as +1.0
+    val neg = Seq(("D", 1L, "2025-01-01", -10.0), ("D", 2L, "2025-01-02", -20.0))
+      .toDF("stock", "event_id", "ts", "value")
+    val no = Windows.drawdown(neg, "stock", "ts", "event_id", "value")
+      .orderBy("event_id").collect()
+    assert(no(0).getDouble(no(0).fieldIndex("drawdown")) == 0.0)
+    assert(no(1).getDouble(no(1).fieldIndex("drawdown")) == -1.0)
     // zero first value -> peak 0 -> NULLIF guard -> NULL drawdown
     val z = Seq(("C", 1L, "2025-01-01", 0.0), ("C", 2L, "2025-01-02", 5.0))
       .toDF("stock", "event_id", "ts", "value")
