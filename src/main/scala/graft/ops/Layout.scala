@@ -167,4 +167,34 @@ object Layout {
     swapInPlace(fs, tmp, p)
     nFiles
   }
+
+  /** Partition-scoped compaction for a hive-partitioned table (the
+    * steady-state small-file maintenance of an incremental pipeline:
+    * every micro-batch appends a few files to the current date's
+    * partition). Only partitions whose parquet file count exceeds what
+    * `targetFileBytes` calls for are rewritten — each through
+    * [[compact]]'s stage-and-swap, so history partitions are never read,
+    * and a crash leaves every partition either old or new, never half.
+    * A partition directory holds no partition-column data (partitionBy
+    * strips it), so the per-directory rewrite preserves the table
+    * layout exactly. Returns the number of partitions compacted. */
+  def compactPartitions(spark: SparkSession, path: String,
+                        targetFileBytes: Long = 512L << 20): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    var done = 0
+    parts.foreach { part =>
+      val files = fs.listStatus(part.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val needed = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      if (files.length > needed) {
+        compact(spark, part.getPath.toString, targetFileBytes)
+        done += 1
+      }
+    }
+    done
+  }
 }

@@ -84,6 +84,33 @@ class LayoutSpec extends SparkSpec {
     assert(parent == Seq("t"), s"leftovers: $parent")
   }
 
+  test("compactPartitions: rewrites only oversized partitions, keeps layout") {
+    val dir = Files.createTempDirectory("compactp").toString + "/t"
+    // dt=A: 30 tiny files (the hot append partition); dt=B: already 1 file
+    spark.range(3000).select(col("id"), lit("A").as("dt"))
+      .repartition(30).write.partitionBy("dt").parquet(dir)
+    spark.range(3000, 3100).select(col("id"), lit("B").as("dt"))
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(dir)
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/dt=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = files("B")
+    assert(files("A").size == 30)
+    val done = graft.ops.Layout.compactPartitions(spark, dir,
+      targetFileBytes = 512L << 20)
+    assert(done == 1, s"expected only dt=A compacted, got $done")
+    assert(files("A").size == 1)
+    assert(files("B") == bBefore, "already-compact partition was rewritten")
+    // table content and partition column survive intact
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 3100)
+    assert(after.filter(col("dt") === "A").count() == 3000)
+    assert(after.filter(col("dt") === "B").agg(sum("id")).head().getLong(0) ==
+      (3000L until 3100L).sum)
+  }
+
   test("swap recovery: all three crash states self-heal on entry") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("swaprec").toString + "/t"
