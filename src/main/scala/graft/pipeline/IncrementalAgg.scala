@@ -27,11 +27,14 @@ object IncrementalAgg {
   private def groupCols(keys: Seq[String]) = col("dt") +: keys.map(col)
 
   private def requireNoCollision(keys: Seq[String], valueCol: String): Unit = {
-    val clash = (keys :+ valueCol).filter(c => reservedCols.contains(c) && c != "dt")
+    // case-insensitive, like Spark's default column resolver — a key
+    // named "N" would otherwise collide with the count alias only at
+    // the SECOND maintain run, deep inside the merge
+    val lower = reservedCols.map(_.toLowerCase)
+    val clash = (keys :+ valueCol).filter(c => lower.contains(c.toLowerCase))
     require(clash.isEmpty,
-      s"rollup keys/value must not use reserved columns: ${clash.mkString(", ")}")
-    require(!keys.contains("dt"),
-      "rollup keys must not include 'dt' (it is the derived date partition)")
+      s"rollup keys/value must not use reserved columns: ${clash.mkString(", ")}" +
+        s" (reserved: ${reservedCols.mkString(", ")})")
   }
 
   /** Per-(dt, keys) partial states of a raw batch. `dateCol` must be a

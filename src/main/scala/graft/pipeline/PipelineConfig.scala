@@ -45,9 +45,15 @@ object PipelineConfig {
           val c = l(i)
           if (inQ) { if (c == q) inQ = false; false }
           else if (c == '"' || c == '\'') { inQ = true; q = c; false }
-          else c == '#'
+          // YAML: '#' starts a comment only at line start or after
+          // whitespace — a bare value may contain one (url: a/b#frag)
+          else c == '#' && (i == 0 || l(i - 1) == ' ' || l(i - 1) == '\t')
         }
-        if (inQ) l.takeWhile(_ != '#')
+        if (inQ) {
+          val j = (1 until l.length).find(i =>
+            l(i) == '#' && (l(i - 1) == ' ' || l(i - 1) == '\t'))
+          j.map(l.substring(0, _)).getOrElse(l)
+        }
         else cut.map(l.substring(0, _)).getOrElse(l)
       }
       .filter(_.trim.nonEmpty)

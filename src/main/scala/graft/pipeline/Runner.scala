@@ -68,7 +68,11 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
     * never a full-target count, which at the design scale would list
     * and footer-read every file of a 100 TB table just for an audit
     * line. An empty batch writes nothing and leaves the watermark and
-    * target untouched. */
+    * target untouched.
+    *
+    * The order column must be NON-NULL and date-parseable: full loads
+    * enforce it loudly, because the incremental watermark filter could
+    * only drop such rows silently (null >= watermark is null). */
   def loadIncremental(source: DataFrame, targetPath: String, table: String,
                       keys: Seq[String], orderCol: String): Long = {
     try {
@@ -87,7 +91,8 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
             batch.agg(max(col(orderCol).cast("string"))).collect()(0).getString(0))
         } finally { batch.unpersist(); () }
       }
-      val (written, batchWm) = checkpoint.get(table) match {
+      val checkpointBefore = checkpoint.get(table)
+      val (written, batchWm) = checkpointBefore match {
         case Some(wm) if exists =>
           // inclusive re-extraction from the watermark's date, like the
           // reference's start=checkpoint_date[:10] slice
@@ -128,6 +133,16 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
           withCachedBatch(withDt(source, orderCol)) { batch =>
             if (batch.isEmpty) 0L
             else {
+              // Contract: the order column must be non-null and
+              // date-parseable. The incremental branch's `>= watermark`
+              // filter silently DROPS null-ordered rows (null >= x is
+              // null) — so they must never enter the table in the first
+              // place; fail loudly here, where the batch is scanned
+              // wholesale anyway, instead of diverging later.
+              require(batch.filter(col("dt").isNull).isEmpty,
+                s"$table: order column '$orderCol' has rows with NULL or " +
+                  "unparseable dates; a watermark pipeline cannot window " +
+                  "them — clean or default them upstream")
               val stage = targetPath + ".stage_full"
               batch.write.mode(SaveMode.Overwrite).partitionBy("dt")
                 .parquet(stage)
@@ -136,8 +151,11 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
             }
           }
       }
-      // watermark advances monotonically; an empty batch leaves it alone
-      val wm = (checkpoint.get(table).toSeq ++ Option(batchWm).toSeq)
+      // watermark advances monotonically; an empty batch leaves it
+      // alone. Reuses the run-entry read — this Runner is the table's
+      // sole checkpoint owner, so a second FS probe + parquet read
+      // could never observe a different value
+      val wm = (checkpointBefore.toSeq ++ Option(batchWm).toSeq)
         .sorted.lastOption.orNull
       if (wm != null) checkpoint.save(table, wm)
       audit.log(s"$table: load complete, $written rows written, watermark $wm")

@@ -47,19 +47,27 @@ object SqlScripts {
 
   /** Split a script into statements on top-level `;`. One pass tracks
     * single- AND double-quoted literals (both are strings in Spark's
-    * default non-ANSI mode), backslash escapes, and `--` line comments,
-    * with quote state spanning lines — so a quoted `;`, a quoted `--`,
-    * or a multi-line literal never splits or truncates a statement. */
+    * default non-ANSI mode), backslash escapes, `--` line comments, and
+    * `/* */` bracketed comments (supported by Spark since 3.0), with
+    * quote state spanning lines — so a quoted `;`, a quoted `--`, a
+    * `;` or quote inside a bracketed comment, or a multi-line literal
+    * never splits or truncates a statement. */
   def splitStatements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inS = false
     var inD = false
     var inComment = false
+    var inBracket = false
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inComment) {
+      if (inBracket) {
+        cur += c
+        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+          cur += '/'; i += 1; inBracket = false
+        }
+      } else if (inComment) {
         if (c == '\n') { inComment = false; cur += c }
       } else if (inS || inD) {
         cur += c
@@ -71,6 +79,8 @@ object SqlScripts {
         case '"' => inD = true; cur += c
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           inComment = true; i += 1
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          inBracket = true; cur += c; cur += '*'; i += 1
         case ';' => out += cur.toString; cur.clear()
         case other => cur += other
       }

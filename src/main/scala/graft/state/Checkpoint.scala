@@ -54,7 +54,19 @@ class Checkpoint(spark: SparkSession, dir: String) {
     if (p != live) {
       if (fs.exists(p))
         try readAt(p)
-        catch { case _: Exception if fs.exists(live) => readAt(live) }
+        catch {
+          // fall to live ONLY when the swap has COMMITTED since the
+          // probe (old gone, or the commit marker appeared — the owner
+          // deletes the old copy file-by-file on some stores, so an
+          // empty-looking old dir with the marker is the normal
+          // post-commit transient). An old copy that is present and
+          // unmarked may mean a partially copied, UNCOMMITTED live
+          // path: propagate rather than read it.
+          case e: Exception =>
+            if (graft.ops.Layout.committedReadPath(fs, live) == live &&
+                fs.exists(live)) readAt(live)
+            else throw e
+        }
       else if (fs.exists(live)) readAt(live)
       else None
     } else if (fs.exists(live)) {
@@ -67,11 +79,15 @@ class Checkpoint(spark: SparkSession, dir: String) {
         case _: Exception =>
           val p2 = graft.ops.Layout.committedReadPath(fs, live)
           if (fs.exists(p2))
-            // the owner can also COMPLETE the swap (dropping p2)
-            // between this probe and the read — same guarded retry as
-            // the p != live branch
+            // the owner can also COMPLETE the swap between this probe
+            // and the read — same committed-only fallback as above
             try readAt(p2)
-            catch { case _: Exception if fs.exists(live) => readAt(live) }
+            catch {
+              case e2: Exception =>
+                if (graft.ops.Layout.committedReadPath(fs, live) == live &&
+                    fs.exists(live)) readAt(live)
+                else throw e2
+            }
           else if (fs.exists(live)) readAt(live)
           else None
       }

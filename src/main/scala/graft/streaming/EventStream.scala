@@ -45,7 +45,11 @@ object EventStream {
     * half-written table. A crash between the swap's renames leaves the
     * previous table at `<target>.swap_old`; the next batch's entry
     * recovery restores it before merging. Exactly-once comes from the
-    * source checkpoint + idempotent upsert + that recovery invariant.
+    * source checkpoint + idempotent upsert + that recovery invariant —
+    * for NON-null-key rows only: Upsert's Postgres-parity contract says
+    * null keys never conflict, so a replayed batch re-adds its null-key
+    * rows. Feed this sink key columns that are never null (or route
+    * null-key rows aside first).
     *
     * Cost contract: each micro-batch re-reads and rewrites the WHOLE
     * target — right for the compact-state tables this mirrors (the
@@ -62,21 +66,29 @@ object EventStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark2 = batch.sparkSession
-        val target = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = target
-          .getFileSystem(spark2.sparkContext.hadoopConfiguration)
-        graft.ops.Layout.recoverSwap(fs, target)
-        val merged =
-          if (fs.exists(target))
-            graft.ops.Upsert.upsert(
-              spark2.read.parquet(targetPath), batch.toDF(), keys)
-          else batch.toDF()
-        // the merge lazily READS the live target, so it must land in a
-        // stage dir first; the swap then replaces the target whole
-        val stage = new org.apache.hadoop.fs.Path(targetPath + ".stage")
-        merged.write.mode("overwrite").parquet(stage.toString)
-        graft.ops.Layout.swapInPlace(fs, stage, target)
+        // empty micro-batch (restart recovery, no new files) writes
+        // nothing — same contract as Runner.loadIncremental; without
+        // the guard an empty trigger would re-read and rewrite the
+        // whole target for zero new rows. (No `return` here: a return
+        // inside a lambda is a non-local return from the enclosing
+        // method, which has already returned — it would throw.)
+        if (!batch.isEmpty) {
+          val spark2 = batch.sparkSession
+          val target = new org.apache.hadoop.fs.Path(targetPath)
+          val fs = target
+            .getFileSystem(spark2.sparkContext.hadoopConfiguration)
+          graft.ops.Layout.recoverSwap(fs, target)
+          val merged =
+            if (fs.exists(target))
+              graft.ops.Upsert.upsert(
+                spark2.read.parquet(targetPath), batch.toDF(), keys)
+            else batch.toDF()
+          // the merge lazily READS the live target, so it must land in a
+          // stage dir first; the swap then replaces the target whole
+          val stage = new org.apache.hadoop.fs.Path(targetPath + ".stage")
+          merged.write.mode("overwrite").parquet(stage.toString)
+          graft.ops.Layout.swapInPlace(fs, stage, target)
+        }
         ()
       }
       .start()
@@ -125,8 +137,7 @@ object EventStream {
   def rollupSink(stream: DataFrame, aggPath: String, tsCol: String,
                  keys: Seq[String], valueCol: String, appId: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(!stream.columns.contains("_dt_src"),
-      "rollupSink: input must not contain the reserved working column _dt_src")
+    graft.ops.Reserved.requireAbsent(stream, "rollupSink", Seq("_dt_src"))
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.pipeline.IncrementalAgg.maintain(
         batch.sparkSession,

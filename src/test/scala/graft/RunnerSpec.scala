@@ -260,16 +260,24 @@ class RunnerSpec extends SparkSpec {
     val dir = tmpDir() + "/cp"
     val cp = new Checkpoint(spark, dir)
     cp.save("t", "2025-03-03T00:00:00Z")
-    // the owner is mid-swap: a pending .swap_old exists (no commit
-    // marker) but by the time the reader opens it the owner has already
-    // emptied it — the read must fall back to the live path, which holds
-    // the newly committed value, rather than silently returning None
+    // POST-COMMIT transient: the owner wrote the commit marker and is
+    // deleting the old copy file-by-file (it exists but is empty) — the
+    // reader must fall back to the live path, which holds the committed
+    // value. (Old-without-marker is the PRE-commit state: there the
+    // live path may be a partial copy, and an unreadable old must
+    // propagate, which the next assertion locks in.)
     val live = new Path(s"$dir/table_name=t")
     val old = new Path(s"$dir/table_name=t.swap_old")
+    val mark = new Path(s"$dir/table_name=t.swap_commit")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(old) // exists but unreadable as parquet (no files)
+    fs.create(mark, true).close()
     assert(cp.get("t").contains("2025-03-03T00:00:00Z"),
-      "reader must re-probe the live path when the committed-old read fails")
+      "reader must fall back to live once the swap committed")
+    // PRE-commit: no marker -> the unreadable old copy must NOT be
+    // silently replaced by a read of the (possibly partial) live path
+    fs.delete(mark, false)
+    intercept[Exception] { cp.get("t") }
     fs.delete(old, true)
   }
 }

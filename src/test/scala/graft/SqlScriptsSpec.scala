@@ -14,6 +14,10 @@ class SqlScriptsSpec extends SparkSpec {
         |SELECT 2
         |""".stripMargin)
     assert(stmts == Seq("SELECT 'a;b' AS x", "SELECT 2"))
+    // bracketed comments: a ';' or quote inside /* */ is inert
+    val br = SqlScripts.splitStatements(
+      "SELECT 1; /* step two; don't split */ SELECT 2")
+    assert(br == Seq("SELECT 1", "/* step two; don't split */ SELECT 2"))
   }
 
   test("render substitutes {{ var }} and fails fast on unbound names") {
@@ -64,6 +68,10 @@ class SqlScriptsSpec extends SparkSpec {
     assert(cfg("config.source_table_name") == "stock_bars")
     assert(cfg.get("config.missing").isEmpty)
     intercept[NoSuchElementException] { cfg("config.missing") }
+    // YAML comment rules: '#' with no preceding whitespace is VALUE text
+    val frag = PipelineConfig.parse(
+      "url: jdbc:mysql://host/db#shard1  # the real comment\n")
+    assert(frag("url") == "jdbc:mysql://host/db#shard1")
   }
 
   test("config: the checked-in pipeline yaml loads and is complete") {
