@@ -235,7 +235,7 @@ object CoreQueries {
 
   // events.ts is TIMESTAMP_NS in the raw parquet; the Spark side reads it
   // as µs (Tables.read), so every oracle query goes through this µs-cast CTE.
-  private val evCte =
+  private[graft] val evCte =
     """ev AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
       |  FROM events)""".stripMargin

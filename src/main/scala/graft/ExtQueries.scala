@@ -38,6 +38,12 @@ object ExtQueries {
         greatest(floor((size(toks) * 4) / 5).cast("int"), lit(3)))).as("text")))
   }
 
+  /** The ONE multiplicative-hash sampling predicate (Knuth constant):
+    * every sampled key and its oracle SQL mirror this exact arithmetic —
+    * a drifted copy surfaces only as an oracle hash mismatch. */
+  private def hashMod(c: org.apache.spark.sql.Column, m: Long) =
+    pmod(c * lit(2654435761L), lit(m))
+
   private def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     withPrefixMutants(d, d)
@@ -220,7 +226,7 @@ object ExtQueries {
     // primitive (engine-portable, unlike rand() or engine hash functions).
     "q_sample_hash" -> ((s, dir) =>
       docs(s, dir)
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) < 10)
+        .filter(hashMod(col("doc_id"), 100) < 10)
         .select(col("doc_id"), col("lang"), length(col("text")).cast("long")
           .as("n_chars"))
         .orderBy("doc_id")),
@@ -230,7 +236,7 @@ object ExtQueries {
     // shuffle on the stratum key; quota applied reducer-side).
     "q_sample_stratified" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+      val h = hashMod(col("doc_id"), 1000000007L)
       docs(s, dir)
         .withColumn("rn", row_number().over(
           Window.partitionBy("lang").orderBy(h, col("doc_id"))).cast("long"))
@@ -289,7 +295,7 @@ object ExtQueries {
         .contaminationScan(deduped, bench, "text", "doc_id", w = 3)
         .select("doc_id")
       deduped.join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) < 50)
+        .filter(hashMod(col("doc_id"), 100) < 50)
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy("doc_id")
     }),
@@ -398,14 +404,24 @@ object ExtQueries {
         (a, x) => greatest(a, abs(d(x))))
       val qi = (x: org.apache.spark.sql.Column) =>
         roundHalfUp(d(x) / nullif(col("amax"), lit(0.0)) * 127, 0)
+      // degenerate vectors (empty, or all-zero -> amax 0) must match the
+      // oracle's list semantics: DuckDB's list_max/list_sum over an
+      // empty or all-NULL list return NULL, while Spark's aggregate()
+      // init + null-skipping greatest would return the 0.0 seed
+      val degenerate = size(col("embedding")) === 0 ||
+        nullif(col("amax"), lit(0.0)).isNull
       emb(s, dir)
         .withColumn("amax", amaxCol)
-        .withColumn("q_sum",
-          aggregate(col("embedding"), lit(0.0), (a, x) => a + qi(x)).cast("long"))
-        .withColumn("max_err", roundHalfUp(
-          aggregate(col("embedding"), lit(0.0),
-            (a, x) => greatest(a, abs(d(x) - qi(x) * col("amax") / 127))), 6))
-        .select(col("vec_id"), roundHalfUp(col("amax"), 6).as("amax"),
+        .withColumn("q_sum", when(degenerate, lit(null).cast("long"))
+          .otherwise(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + qi(x)).cast("long")))
+        .withColumn("max_err", when(degenerate, lit(null).cast("double"))
+          .otherwise(roundHalfUp(
+            aggregate(col("embedding"), lit(0.0),
+              (a, x) => greatest(a, abs(d(x) - qi(x) * col("amax") / 127))), 6)))
+        .select(col("vec_id"),
+          when(size(col("embedding")) === 0, lit(null).cast("double"))
+            .otherwise(roundHalfUp(col("amax"), 6)).as("amax"),
           col("q_sum"), col("max_err"))
         .orderBy("vec_id")
     }),

@@ -20,6 +20,11 @@ object RelQueries {
 
   private val evTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Epoch-day coordinate shared by the range-join keys; their oracles
+    * mirror it with date_diff('day', DATE '1970-01-01', ...). */
+  private val epochDay = (c: Column) =>
+    datediff(to_date(c), lit("1970-01-01")).cast("long")
+
   val queries: Map[String, Q] = Map(
     // LEFT OUTER: orders against a truncated customer dim -> null company
     // columns for unmatched orders.
@@ -345,7 +350,7 @@ object RelQueries {
     // inequality join is a nested-loop; RangeJoin bucketizes to an
     // equi-join (oracle: DuckDB's native inequality join).
     "q_range_join" -> ((s, dir) => {
-      val epoch = (c: Column) => datediff(to_date(c), lit("1970-01-01")).cast("long")
+      val epoch = epochDay
       val intervals = t(s, dir, "orders")
         .filter(col("o_orderkey") % 997 === 0)
         .select(col("o_orderkey"), epoch(col("o_orderdate")).as("iv_start"),
@@ -364,7 +369,7 @@ object RelQueries {
     // emission from the overlap-start bucket — no dedup shuffle
     // (oracle: DuckDB's native inequality join).
     "q_interval_overlap" -> ((s, dir) => {
-      val epoch = (c: Column) => datediff(to_date(c), lit("1970-01-01")).cast("long")
+      val epoch = epochDay
       def win(modulus: Int, p: String) = t(s, dir, "orders")
         .filter(col("o_orderkey") % modulus === 0)
         .select(col("o_orderkey").as(s"${p}_key"),
@@ -629,10 +634,10 @@ object RelQueries {
 
   // ------------------------------------------------------------ oracle SQL
 
-  private val evCte =
-    """ev AS (
-      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
-      |  FROM events)""".stripMargin
+  // the ns->us cast CTE every events oracle depends on — ONE definition
+  // (CoreQueries'); a drifted private copy would silently split the two
+  // files' oracle semantics
+  private val evCte = CoreQueries.evCte
 
   val oracle: Map[String, String] = Map(
     "q_corr_covar" ->
