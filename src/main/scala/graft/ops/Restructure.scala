@@ -57,4 +57,43 @@ object Restructure {
     * or sorted by the order column, Catalyst prunes whole files. */
   def filterFrom(df: DataFrame, c: String, watermark: Column): DataFrame =
     df.filter(col(c) >= watermark)
+
+  /** Schema evolution at the ingestion boundary: conform `df` to
+    * `target` — the standard helper that lets a pipeline keep accepting
+    * a source after additive schema changes.
+    *
+    *  - a target column missing from the batch is added as typed NULL
+    *    (the additive-evolution case: old files, new table schema);
+    *  - a present column with a different type is cast (Cast.canUpCast
+    *    guards it: only lossless widenings like int->long or
+    *    float->double are accepted; a lossy or senseless cast fails
+    *    loudly at conform time, not as silent corruption downstream);
+    *  - EXTRA batch columns are rejected, not dropped — silently
+    *    discarding data a source started sending is how pipelines lose
+    *    columns for months. Drop explicitly upstream if intended.
+    *
+    * Output column order matches `target` (the reference's canonical
+    * projection, F6). Pure map-side, codegen-friendly: no shuffle. */
+  def conformSchema(df: DataFrame,
+                    target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.schema.map(f => f.name.toLowerCase -> f).toMap
+    val targetNames = target.map(_.name.toLowerCase).toSet
+    val extra = df.columns.filterNot(c => targetNames.contains(c.toLowerCase))
+    require(extra.isEmpty,
+      s"conformSchema: batch has columns absent from the target schema: " +
+        s"${extra.mkString(", ")} — drop or map them explicitly")
+    val cols = target.map { f =>
+      have.get(f.name.toLowerCase) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(src) if src.dataType == f.dataType => col(src.name).as(f.name)
+        case Some(src) =>
+          require(org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(src.dataType, f.dataType),
+            s"conformSchema: column '${f.name}' cannot be safely cast from " +
+              s"${src.dataType.simpleString} to ${f.dataType.simpleString}")
+          col(src.name).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
 }

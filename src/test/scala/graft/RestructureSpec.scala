@@ -57,4 +57,27 @@ class RestructureSpec extends SparkSpec {
     val out = Restructure.filterFrom(df, "ts", lit("2025-01-02"))
     assert(out.select("v").as[Int].collect().sorted.toSeq == Seq(2, 3))
   }
+
+  test("conformSchema: adds typed nulls, up-casts, rejects lossy and extra") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("stock", StringType), StructField("volume", LongType),
+      StructField("close", DoubleType)))
+    val batch = Seq(("TSLA", 7)).toDF("stock", "volume") // int volume, no close
+    val out = graft.ops.Restructure.conformSchema(batch, target)
+    assert(out.columns.toSeq == Seq("stock", "volume", "close"))
+    assert(out.schema("volume").dataType == LongType)   // int -> long upcast
+    val row = out.collect()(0)
+    assert(row.getLong(1) == 7L && row.isNullAt(2))     // missing -> typed null
+    // lossy cast (string -> long) fails loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Restructure.conformSchema(
+        Seq(("x", "oops")).toDF("stock", "volume"), target)
+    }
+    // extra batch columns are rejected, never silently dropped
+    intercept[IllegalArgumentException] {
+      graft.ops.Restructure.conformSchema(
+        Seq(("x", 1L, 2.0, true)).toDF("stock", "volume", "close", "rogue"), target)
+    }
+  }
 }
