@@ -75,10 +75,35 @@ object DedupOps {
     * first pass over `xxhash64(shingle)` counts and join the survivors
     * back to recover the text. Returns (shingle, n_docs). */
   def boilerplateNgrams(df: DataFrame, text: String,
-                        w: Int = 5, minDocs: Long = 3): DataFrame =
-    df.select(explode(array_distinct(shingles(col(text), w))).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
+                        w: Int = 5, minDocs: Long = 3,
+                        hashPrefilter: Boolean = false): DataFrame = {
+    val exploded =
+      df.select(explode(array_distinct(shingles(col(text), w))).as("shingle"))
+    if (!hashPrefilter)
+      exploded.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+    else {
+      // The extreme-scale path made real: pass 1 shuffles ONLY 8-byte
+      // shingle hashes to find candidate hash buckets; pass 2 shuffles
+      // the text of candidates alone (boilerplate is rare — the
+      // surviving fraction is tiny) and re-counts exactly, so a hash
+      // collision can inflate a candidate bucket but never the final
+      // counts. Two scans instead of one, in exchange for the big
+      // shuffle carrying hashes instead of n-gram strings.
+      val hot = exploded
+        .select(xxhash64(col("shingle")).as("hh"))
+        .groupBy("hh").agg(count(lit(1)).as("hn"))
+        .filter(col("hn") >= minDocs)
+        .select("hh")
+      // plain equi-join: AQE broadcasts `hot` when it is small (the
+      // expected case) without forcing a broadcast that a pathological
+      // candidate set could blow
+      exploded
+        .join(hot, xxhash64(col("shingle")) === col("hh"))
+        .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+    }
+  }
 
   /** Cross-document repeated n-gram mining — the exact-substring dedup
     * signal (long spans appearing verbatim in more than one document,
@@ -97,13 +122,32 @@ object DedupOps {
     * extreme scale pre-filter on xxhash64(gram) counts first, as
     * [[boilerplateNgrams]] documents. */
   def repeatedNgrams(df: DataFrame, text: String, id: String,
-                     w: Int = 8, minDocs: Long = 2): DataFrame =
-    df.select(col(id), explode(shingles(col(text), w)).as("gram"))
+                     w: Int = 8, minDocs: Long = 2,
+                     hashPrefilter: Boolean = false): DataFrame = {
+    val exploded = df.select(col(id), explode(shingles(col(text), w)).as("gram"))
+    val base =
+      if (!hashPrefilter) exploded
+      else {
+        // scale path (see boilerplateNgrams): find candidate gram hashes
+        // with an 8-byte shuffle first, then run the exact two-phase
+        // aggregation over the candidates' text only — the final
+        // n_docs filter removes any hash-collision passengers
+        val hot = exploded
+          .select(xxhash64(col("gram")).as("hh"), col(id))
+          .distinct()
+          .groupBy("hh").agg(count(lit(1)).as("hn"))
+          .filter(col("hn") >= minDocs)
+          .select("hh")
+        exploded.join(hot, xxhash64(col("gram")) === col("hh"))
+          .select(col(id), col("gram"))
+      }
+    base
       .groupBy(col("gram"), col(id))
       .agg(count(lit(1)).as("occ"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n_docs"), sum("occ").as("n_occ"))
       .filter(col("n_docs") >= minDocs)
+  }
 
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * Jaccard. bands*rowsPerBand must equal the signature length.

@@ -146,6 +146,22 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash-prefilter scale path == direct path for boilerplate and repeated n-grams") {
+    val docs = corpus.toDF("doc_id", "text")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      sorted(DedupOps.boilerplateNgrams(docs, "text", w = 5, minDocs = 2)) ==
+      sorted(DedupOps.boilerplateNgrams(docs, "text", w = 5, minDocs = 2,
+        hashPrefilter = true)),
+      "boilerplate: prefiltered path diverged")
+    assert(
+      sorted(DedupOps.repeatedNgrams(docs, "text", "doc_id", w = 5, minDocs = 2)) ==
+      sorted(DedupOps.repeatedNgrams(docs, "text", "doc_id", w = 5, minDocs = 2,
+        hashPrefilter = true)),
+      "repeated n-grams: prefiltered path diverged")
+  }
+
   test("shingles: fewer tokens than width -> empty array, no crash") {
     val out = Seq((1L, "one two")).toDF("doc_id", "text")
       .select(DedupOps.shingles($"text", 3).as("sh"))
