@@ -48,11 +48,18 @@ object AsofJoin {
       s"unknown as-of direction: $direction")
     val leftCols = left.columns.toSeq
     // the carry plan synthesizes these; a same-named data column would
-    // be silently replaced or make references ambiguous
-    val reserved = Set("_r", "_b", "_f", "_ts", "_side", "_rts")
-    require(!(leftCols ++ right.columns).exists(reserved.contains),
-      s"asofJoin: inputs must not contain the reserved working columns " +
-        reserved.mkString(", "))
+    // be silently replaced or make references ambiguous (shared guard:
+    // case-insensitive, like Spark's resolver)
+    val reservedNames = Seq("_r", "_b", "_f", "_ts", "_side", "_rts")
+    Reserved.requireAbsent(left, "asofJoin", reservedNames)
+    Reserved.requireAbsent(right, "asofJoin", reservedNames)
+    // NULL keys never match (SQL equi-join semantics; DuckDB ASOF and
+    // pandas merge_asof agree) and a NULL right ts orders before every
+    // real ts, which would hand its row to early left rows — both are
+    // excluded from the match side. Null-key LEFT rows stay in the
+    // output, unmatched, once their null-key partition has no right
+    // rows to carry.
+    val rightClean = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
     // at equal ts the right row must fall INSIDE the left row's one-sided
     // frame: before it for backward/nearest, after it for forward.
     // (nearest's forward frame misses the equal-ts right row, but the
@@ -62,7 +69,7 @@ object AsofJoin {
     val rowStruct = struct(
       col(rightTs).as("_rts") +: valueCols.map(col): _*)
     val structType = right.select(rowStruct.as("_r")).schema.head.dataType
-    val taggedRight = right.select(
+    val taggedRight = rightClean.select(
       (col(key) +: col(rightTs).as("_ts") +: lit(rightSide).as("_side") +:
         rowStruct.as("_r") +: Seq.empty[Column]) ++
         leftCols.filterNot(c => c == key).map(c => lit(null).as(c)): _*)
@@ -84,12 +91,15 @@ object AsofJoin {
         val both = unioned
           .withColumn("_b", last(col("_r"), ignoreNulls = true).over(bwd))
           .withColumn("_f", first(col("_r"), ignoreNulls = true).over(fwd))
-        // integral ts compare exactly as long; timestamps as fractional
-        // seconds (a long cast would truncate sub-second distances)
+        // integral ts compare exactly as long; timestamps as EXACT
+        // microsecond longs (a double of fractional seconds has ~0.4us
+        // ulps near the current epoch — equidistant ties could round
+        // apart and violate the backward-wins rule; any fixed NTZ/TZ
+        // interpretation offset cancels in the distance differences)
         val num = right.schema(rightTs).dataType match {
           case org.apache.spark.sql.types.TimestampType |
                org.apache.spark.sql.types.TimestampNTZType =>
-            (c: Column) => c.cast("double")
+            (c: Column) => unix_micros(c.cast("timestamp"))
           case _ => (c: Column) => c.cast("long")
         }
         val bts = num(col("_b._rts"))
@@ -99,6 +109,10 @@ object AsofJoin {
         both.withColumn("_r", when(useBwd, col("_b")).otherwise(col("_f")))
     }
     carried.filter(col("_side") === leftSide)
+      // a NULL left ts can never satisfy an as-of predicate (l.ts >= r.ts
+      // is NULL) — blank any carried match so the row surfaces unmatched
+      .withColumn("_r",
+        when(col("_ts").isNull, lit(null).cast(structType)).otherwise(col("_r")))
       .select(leftCols.map(col) ++
         valueCols.map(c => col(s"_r.$c").as(s"asof_$c")): _*)
   }

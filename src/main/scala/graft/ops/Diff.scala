@@ -22,6 +22,10 @@ object Diff {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    pk: Seq[String]): DataFrame = {
     require(pk.nonEmpty)
+    Reserved.requireAbsent(oldDf, "snapshotDiff",
+      Seq("_v_old", "_v_new", "change_type"))
+    Reserved.requireAbsent(newDf, "snapshotDiff",
+      Seq("_v_old", "_v_new", "change_type"))
     val payload = oldDf.columns.filterNot(pk.contains)
       .filter(newDf.columns.contains(_)).toSeq
     // struct built BEFORE the join: a PK absent from one side yields a

@@ -44,6 +44,7 @@ object Layout {
                     colA: String, colB: String, numFiles: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(numFiles > 0)
+    Reserved.requireAbsent(df, "writeZOrdered", Seq("_graft_z"))
     val z = graft.functions.Expressions.z_order(col(colA), col(colB))
     df.withColumn("_graft_z", z)
       .repartitionByRange(numFiles, col("_graft_z"))
@@ -182,16 +183,37 @@ object Layout {
                         targetFileBytes: Long = 512L << 20): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).filter(s =>
-      s.isDirectory && s.getPath.getName.contains("="))
+    // Every directory entry is normalized to its TRUE partition path
+    // (a crash mid-partition-swap leaves dt=X.swap_old / dt=X.swap_commit
+    // entries — those are swap state, never partitions) and healed with
+    // recoverSwap BEFORE sizing: without this, a crashed swap's
+    // .swap_old would be listed as a bogus partition (double-counting
+    // its rows on read, or permanently shadowing a lost dt=X).
+    def partitionDirs(dir: Path): Seq[Path] = {
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.contains("="))
+        .map(_.stripSuffix(".swap_old").stripSuffix(".swap_commit"))
+        .distinct
+      val parts = names.map(n => new Path(dir, n)).toSeq
+      parts.foreach(q => recoverSwap(fs, q))
+      parts.filter(q => fs.exists(q) && fs.getFileStatus(q).isDirectory)
+    }
+    // recurse to LEAF partition directories (multi-level layouts like
+    // dt=.../hr=... hold their files one level down; compacting an
+    // inner node would collapse the sub-partitioning)
+    def leaves(dir: Path): Seq[Path] = {
+      val sub = partitionDirs(dir)
+      if (sub.isEmpty) Seq(dir) else sub.flatMap(leaves)
+    }
+    val top = partitionDirs(p)
     var done = 0
-    parts.foreach { part =>
-      val files = fs.listStatus(part.getPath)
+    top.flatMap(leaves).foreach { part =>
+      val files = fs.listStatus(part)
         .filter(_.getPath.getName.endsWith(".parquet"))
       val bytes = files.map(_.getLen).sum
       val needed = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
       if (files.length > needed) {
-        compact(spark, part.getPath.toString, targetFileBytes)
+        compact(spark, part.toString, targetFileBytes)
         done += 1
       }
     }

@@ -132,7 +132,12 @@ object Multimodal {
     val idType = df.schema(id).dataType
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"fromBinaryColumn: id column '$id' must be numeric, got $idType")
-    df.select(col(id).cast("long").as("media_id"), lit(kind).as("kind"),
-      col(bin).cast("binary").as("payload"))
+    // rows with a NULL id or payload are dropped here, at the plan
+    // boundary: MediaRow.media_id is non-nullable and the decode
+    // kernels dereference the payload, so either null would otherwise
+    // surface as an encoder crash or NPE deep inside a task
+    df.filter(col(id).isNotNull && col(bin).isNotNull)
+      .select(col(id).cast("long").as("media_id"), lit(kind).as("kind"),
+        col(bin).cast("binary").as("payload"))
   }
 }

@@ -26,11 +26,13 @@ import graft.functions.Expressions.bloom_might_contain
 object Prune {
 
   /** Inner-join `big` ⋈ `small` on integral `key`, bloom-pruning the
-    * big side's shuffle. When the count is needed (`expectedItems <=
-    * 0`) the small side is locally checkpointed so its plan runs ONCE
-    * for the count, the bloom aggregate, and the join build — the
-    * blocks stay pinned for the session (it is small by contract; pass
-    * `expectedItems` to skip both the count and the pinning). */
+    * big side's shuffle. The small side is ALWAYS locally checkpointed
+    * so its plan runs ONCE for the bloom aggregate and the join build:
+    * with a nondeterministic small plan (sample, limit), two
+    * evaluations would build the bloom from one row set and join
+    * another — keys in the join evaluation but not the bloom would be
+    * filtered off `big`, silently dropping real matches. Pass
+    * `expectedItems` to skip only the sizing count. */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
                       expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     // the probe-side filter expression only evaluates int/long keys —
@@ -39,7 +41,7 @@ object Prune {
     require(kt == org.apache.spark.sql.types.LongType ||
       kt == org.apache.spark.sql.types.IntegerType,
       s"bloomPrunedJoin: key '$key' must be int/long, got $kt")
-    val s = if (expectedItems > 0) small else small.localCheckpoint(true)
+    val s = small.localCheckpoint(true)
     val n = if (expectedItems > 0) expectedItems else s.count()
     val bloom = s.stat.bloomFilter(key, math.max(n, 1L), fpp)
     big.filter(bloom_might_contain(col(key), bloom)).join(s, Seq(key))

@@ -48,6 +48,8 @@ object RangeJoin {
                 ptCol: String, startCol: String, endCol: String,
                 bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
+    Reserved.requireAbsent(points, "rangeJoin", Seq("_bucket"))
+    Reserved.requireAbsent(intervals, "rangeJoin", Seq("_bucket"))
     // last covered bucket holds the largest p with p < end: ceil(end)-1
     // (== end-1 for integral ends, floor(end) for fractional ones)
     val iv = intervals

@@ -32,6 +32,8 @@ object Skew {
     require(salt > 0, "salt must be positive")
     require(joinType == "inner" || joinType == "left" ||
       joinType == "left_outer", s"unsupported join type: $joinType")
+    Reserved.requireAbsent(big, "saltedJoin", Seq("_salt"))
+    Reserved.requireAbsent(small, "saltedJoin", Seq("_salt"))
     val b = big.withColumn("_salt", (rand(42) * salt).cast("int"))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))

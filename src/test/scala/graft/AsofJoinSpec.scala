@@ -99,6 +99,23 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("null keys and null timestamps never match (SQL/ASOF semantics)") {
+    val quotes = Seq(
+      (Option("A"), Option(10L), 1.0),
+      (Option("A"), Option.empty[Long], 99.0), // null right ts: excluded
+      (Option.empty[String], Option(5L), 77.0) // null right key: excluded
+    ).toDF("sym", "ts", "px")
+    val trades = Seq(
+      (Option("A"), Option(20L), 1L),          // matches the real quote
+      (Option("A"), Option.empty[Long], 2L),   // null left ts -> unmatched
+      (Option.empty[String], Option(20L), 3L)  // null left key -> unmatched
+    ).toDF("sym", "ts", "trade_id")
+    val out = AsofJoin.asofJoin(trades, quotes, "sym", "ts", "ts", Seq("px"))
+      .select("trade_id", "asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+  }
+
   test("reserved working columns are rejected, including _rts") {
     val quotes = Seq(("A", 10L, 1.0)).toDF("sym", "ts", "_rts")
     val trades = Seq(("A", 5L, 100L)).toDF("sym", "ts", "trade_id")

@@ -111,6 +111,27 @@ class LayoutSpec extends SparkSpec {
       (3000L until 3100L).sum)
   }
 
+  test("compactPartitions heals a crashed partition swap before sizing") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("compactrec").toString + "/t"
+    spark.range(100).select(col("id"), lit("A").as("dt"))
+      .repartition(5).write.partitionBy("dt").parquet(dir)
+    val p = new Path(s"$dir/dt=A")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state: the partition was renamed aside and the replacement
+    // never landed — dt=A is GONE, dt=A.swap_old holds the data
+    assert(fs.rename(p, new Path(s"$dir/dt=A.swap_old")))
+    val done = graft.ops.Layout.compactPartitions(spark, dir,
+      targetFileBytes = 512L << 20)
+    // recovery restored dt=A (and it was over threshold, so compacted);
+    // the .swap_old entry must never be treated as a partition
+    assert(done == 1)
+    assert(!fs.exists(new Path(s"$dir/dt=A.swap_old")))
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 100)
+    assert(out.select("dt").distinct().collect().map(_.getString(0)).toSeq == Seq("A"))
+  }
+
   test("swap recovery: all three crash states self-heal on entry") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("swaprec").toString + "/t"
