@@ -600,6 +600,41 @@ object RelQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Bollinger bands: 20-row moving average ± 2 sample stddevs per
+    // series, plus the breach flag — the band-breakout signal built
+    // from the same one-exchange framed-window machinery as the
+    // flagship (all three window columns share the sort).
+    "q_bollinger" -> ((s, dir) => {
+      val w20 = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("mavg", avg(col("value")).over(w20))
+        .withColumn("sd", stddev_samp(col("value")).over(w20))
+        .select(col("event_type"), col("event_id"),
+          roundHalfUp(col("mavg"), 4).as("mavg"),
+          roundHalfUp(col("mavg") - lit(2.0) * col("sd"), 4).as("band_lo"),
+          roundHalfUp(col("mavg") + lit(2.0) * col("sd"), 4).as("band_hi"),
+          when(col("sd").isNull, lit(null).cast("long"))
+            .when(col("value") > col("mavg") + lit(2.0) * col("sd"), 1L)
+            .when(col("value") < col("mavg") - lit(2.0) * col("sd"), -1L)
+            .otherwise(0L).as("breach"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Per-group z-score normalization: the feature-scaling pass of a
+    // training pipeline, as analytic window aggregates (group mean and
+    // stddev joined implicitly by the window — no separate agg+join).
+    "q_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+      t(s, dir, "events")
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .select(col("event_type"), col("event_id"),
+          roundHalfUp((col("value") - col("mu")) / nullif(col("sd"), lit(0.0)), 4)
+            .as("zscore"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // Rolling cross-series correlation: daily click/purchase value
     // totals aligned by date (decimal-exact daily sums), then corr over
     // a trailing 30-day ROWS frame — the rolling-correlation-matrix
@@ -1094,6 +1129,35 @@ object RelQueries {
         |FROM lineitem
         |WHERE NULLIF(l_tax, 0.0) IS NOT NULL
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_bollinger" ->
+      s"""WITH $evCte,
+         |b AS (
+         |  SELECT event_type, event_id, value,
+         |    avg(value) OVER w AS mavg, stddev_samp(value) OVER w AS sd
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, event_id,
+         |  ${sqlRound("mavg", 4)} AS mavg,
+         |  ${sqlRound("mavg - 2.0 * sd", 4)} AS band_lo,
+         |  ${sqlRound("mavg + 2.0 * sd", 4)} AS band_hi,
+         |  CAST(CASE WHEN sd IS NULL THEN NULL
+         |       WHEN value > mavg + 2.0 * sd THEN 1
+         |       WHEN value < mavg - 2.0 * sd THEN -1
+         |       ELSE 0 END AS BIGINT) AS breach
+         |FROM b ORDER BY event_type, event_id""".stripMargin,
+
+    "q_zscore" ->
+      s"""WITH $evCte,
+         |g AS (
+         |  SELECT event_type, event_id, value,
+         |    avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY event_type))
+         |SELECT event_type, event_id,
+         |  ${sqlRound("(value - mu) / NULLIF(sd, 0.0)", 4)} AS zscore
+         |FROM g ORDER BY event_type, event_id""".stripMargin,
 
     "q_rolling_corr" ->
       s"""WITH $evCte,
