@@ -91,21 +91,26 @@ object AsofJoin {
         val both = unioned
           .withColumn("_b", last(col("_r"), ignoreNulls = true).over(bwd))
           .withColumn("_f", first(col("_r"), ignoreNulls = true).over(fwd))
-        // integral ts compare exactly as long; timestamps as EXACT
-        // microsecond longs (a double of fractional seconds has ~0.4us
-        // ulps near the current epoch — equidistant ties could round
-        // apart and violate the backward-wins rule; any fixed NTZ/TZ
-        // interpretation offset cancels in the distance differences)
-        val num = right.schema(rightTs).dataType match {
+        // distances compare in the ts type's own domain, exactly:
+        // timestamps (TZ and NTZ) subtract to DAY-TIME INTERVALs —
+        // exact microseconds, ZONE-INDEPENDENT. Casting NTZ through the
+        // session zone instead would let the backward and forward
+        // candidates straddle a DST transition with different offsets,
+        // skewing the comparison by the shift and picking the wrong
+        // nearest row. Integral ts subtract as exact longs (a double of
+        // fractional seconds has ~0.4us ulps near the current epoch —
+        // equidistant ties could round apart and violate the
+        // backward-wins rule).
+        val (distB, distF) = right.schema(rightTs).dataType match {
           case org.apache.spark.sql.types.TimestampType |
                org.apache.spark.sql.types.TimestampNTZType =>
-            (c: Column) => unix_micros(c.cast("timestamp"))
-          case _ => (c: Column) => c.cast("long")
+            (col("_ts") - col("_b._rts"), col("_f._rts") - col("_ts"))
+          case _ =>
+            (col("_ts").cast("long") - col("_b._rts").cast("long"),
+             col("_f._rts").cast("long") - col("_ts").cast("long"))
         }
-        val bts = num(col("_b._rts"))
-        val fts = num(col("_f._rts"))
-        val lts = num(col("_ts"))
-        val useBwd = fts.isNull || (bts.isNotNull && (lts - bts) <= (fts - lts))
+        val useBwd = col("_f._rts").isNull ||
+          (col("_b._rts").isNotNull && distB <= distF)
         both.withColumn("_r", when(useBwd, col("_b")).otherwise(col("_f")))
     }
     carried.filter(col("_side") === leftSide)

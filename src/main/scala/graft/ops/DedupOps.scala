@@ -335,9 +335,19 @@ object DedupOps {
     * is the anti join's key exchange; document text never shuffles. */
   def dedupApply(corpus: DataFrame, pairs: DataFrame, id: String,
                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val drop = connectedComponents(pairs, idA, idB)
+    val labels = connectedComponents(pairs, idA, idB)
+    // Materialize the (small, pair-bounded) drop set NOW so the labels'
+    // reliable-checkpoint files can be released before returning: the
+    // result is lazy, so leaving the release to the caller would leak
+    // one rdd-N directory on the shared checkpoint filesystem per call
+    // for the session lifetime. localCheckpoint severs the lineage into
+    // executor block storage (MEMORY_AND_DISK) — cheap at drop-set
+    // size, and it dies with the session instead of accreting on disk.
+    val drop = labels
       .filter(col("id") =!= col("component"))
       .select(col("id").as("_drop_id"))
+      .localCheckpoint(true)
+    releaseComponents(labels)
     corpus.join(drop, corpus(id) === drop("_drop_id"), "left_anti")
   }
 

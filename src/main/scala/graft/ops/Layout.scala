@@ -66,8 +66,17 @@ object Layout {
       .saveAsTable(table)
   }
 
-  private def swapOldPath(p: Path) = new Path(p.toString + ".swap_old")
-  private def commitMarker(p: Path) = new Path(p.toString + ".swap_commit")
+  /** Swap/staging state lives at a DOT-PREFIXED SIBLING of the target
+    * (`.dt=A.swap_old`, not `dt=A.swap_old`): Spark's file listing
+    * skips hidden entries, so crash residue — or the live window of an
+    * in-flight swap — inside a partitioned table root can never be
+    * partition-discovered as a bogus partition (`dt='A.swap_old'`)
+    * that silently duplicates rows on a whole-table read. */
+  private def hiddenSibling(p: Path, suffix: String) =
+    new Path(p.getParent, "." + p.getName + "." + suffix)
+  private def swapOldPath(p: Path) = hiddenSibling(p, "swap_old")
+  private def commitMarker(p: Path) = hiddenSibling(p, "swap_commit")
+  private def compactTmpPath(p: Path) = hiddenSibling(p, "compact_tmp")
 
   /** Repair the invariant after a crash mid-swap. Completion is
     * recorded by an explicit COMMIT MARKER, never inferred from the
@@ -162,7 +171,8 @@ object Layout {
     recoverSwap(fs, p)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new Path(path + ".compact_tmp")
+    val tmp = compactTmpPath(p)
+    fs.delete(tmp, true) // stale staging from a crashed run, never authoritative
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     swapInPlace(fs, tmp, p)
@@ -183,17 +193,25 @@ object Layout {
                         targetFileBytes: Long = 512L << 20): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Every directory entry is normalized to its TRUE partition path
-    // (a crash mid-partition-swap leaves dt=X.swap_old / dt=X.swap_commit
-    // entries — those are swap state, never partitions) and healed with
-    // recoverSwap BEFORE sizing: without this, a crashed swap's
-    // .swap_old would be listed as a bogus partition (double-counting
-    // its rows on read, or permanently shadowing a lost dt=X).
+    // Swap/staging state is hidden (".<part>.swap_old" etc.), so the
+    // visible "="-entries ARE the partitions — but a crash mid-swap can
+    // leave ONLY the hidden entry (the live dir renamed aside, the
+    // replacement never landed), so crashed-swap partition names are
+    // also derived from the hidden entries and healed with recoverSwap
+    // BEFORE sizing; without this a lost dt=X would stay lost. Stale
+    // ".compact_tmp" staging (crash between staged write and swap) is
+    // deleted outright — it is never authoritative and a concurrent
+    // recompaction could otherwise race on it.
+    val HiddenState = """^\.(.+\=.*)\.(swap_old|swap_commit|compact_tmp)$""".r
     def partitionDirs(dir: Path): Seq[Path] = {
-      val names = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.contains("="))
-        .map(_.stripSuffix(".swap_old").stripSuffix(".swap_commit"))
-        .distinct
+      val entries = fs.listStatus(dir).map(_.getPath.getName)
+      val hidden = entries.collect { case HiddenState(n, kind) => (n, kind) }
+      hidden.collect { case (n, "compact_tmp") => n }.foreach { n =>
+        fs.delete(new Path(dir, "." + n + ".compact_tmp"), true)
+      }
+      val names = (entries.filter(n =>
+        !n.startsWith(".") && !n.startsWith("_") && n.contains("=")) ++
+        hidden.collect { case (n, k) if k != "compact_tmp" => n }).distinct
       val parts = names.map(n => new Path(dir, n)).toSeq
       parts.foreach(q => recoverSwap(fs, q))
       parts.filter(q => fs.exists(q) && fs.getFileStatus(q).isDirectory)

@@ -56,7 +56,8 @@ object IncrementalAgg {
     * including the token columns): one hash aggregation, every state
     * column combined with its own merge function. Used by the batch
     * path, where each call is distinct new data. */
-  def merge(stored: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame =
+  def merge(stored: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame = {
+    val gk = "dt" +: keys
     stored.unionByName(fresh)
       .groupBy(groupCols(keys): _*)
       .agg(
@@ -64,8 +65,18 @@ object IncrementalAgg {
         sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"),
-        max(col("last_batch")).as("last_batch"),
-        max(col("last_batch_app")).as("last_batch_app"))
+        // the token travels as ONE (app, id) pair, picked atomically
+        // (struct max compares field-by-field): max(app) and max(id)
+        // taken independently can fabricate a pair that never existed —
+        // e.g. stored ('app1', 9) merged with a plain-path ('batch', -1)
+        // would yield ('batch', 9), and a later idempotent caller on the
+        // 'batch' lineage with batch ids 0..9 would read "already
+        // applied" and silently discard its real data
+        max(struct(col("last_batch_app"), col("last_batch"))).as("_tok"))
+      .select(gk.map(col) ++ Seq(col("n"), col("sum_v"), col("min_v"),
+        col("max_v"), col("_tok.last_batch").as("last_batch"),
+        col("_tok.last_batch_app").as("last_batch_app")): _*)
+  }
 
   /** Idempotent merge for IDENTIFIED batches (streaming foreachBatch
     * replays the same batch id after a failure): a stored group that

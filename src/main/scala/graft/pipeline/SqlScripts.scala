@@ -58,14 +58,16 @@ object SqlScripts {
     var inS = false
     var inD = false
     var inComment = false
-    var inBracket = false
+    var bracketDepth = 0 // Spark SQL (3.0+) bracketed comments NEST
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inBracket) {
+      if (bracketDepth > 0) {
         cur += c
         if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
-          cur += '/'; i += 1; inBracket = false
+          cur += '/'; i += 1; bracketDepth -= 1
+        } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+          cur += '*'; i += 1; bracketDepth += 1
         }
       } else if (inComment) {
         if (c == '\n') { inComment = false; cur += c }
@@ -80,7 +82,7 @@ object SqlScripts {
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           inComment = true; i += 1
         case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
-          inBracket = true; cur += c; cur += '*'; i += 1
+          bracketDepth = 1; cur += c; cur += '*'; i += 1
         case ';' => out += cur.toString; cur.clear()
         case other => cur += other
       }

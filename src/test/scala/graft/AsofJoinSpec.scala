@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.AsofJoin
+import org.apache.spark.sql.functions.to_timestamp_ntz
 
 /** As-of join semantics: latest-at-or-before match per key, inclusive at
   * equal timestamps, null when no prior right row, and left rows pass
@@ -114,6 +115,26 @@ class AsofJoinSpec extends SparkSpec {
       .select("trade_id", "asof_px").as[(Long, Option[Double])]
       .collect().toMap
     assert(out == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+  }
+
+  test("nearest with TIMESTAMP_NTZ is zone-independent across a DST gap") {
+    // America/Los_Angeles springs forward 2024-03-10 02:00->03:00. NTZ
+    // wall-clock distances: backward 90 min, forward 100 min -> backward.
+    // Casting NTZ through the session zone instead would give the
+    // forward candidate a PDT offset (distance shrinks to 40 min) and
+    // pick the wrong row.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val left = Seq(("k", "2024-03-10T01:30:00")).toDF("k", "ts")
+        .withColumn("ts", to_timestamp_ntz($"ts"))
+      val right = Seq(("k", "2024-03-10T00:00:00", 1.0),
+                      ("k", "2024-03-10T03:10:00", 2.0)).toDF("k", "rts", "v")
+        .withColumn("rts", to_timestamp_ntz($"rts"))
+      val out = AsofJoin.asofJoin(left, right, "k", "ts", "rts",
+        Seq("v"), direction = "nearest")
+      assert(out.select("asof_v").as[Double].head() == 1.0)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("reserved working columns are rejected, including _rts") {

@@ -146,6 +146,33 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupApply releases its reliable checkpoint files before returning") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test expects no prior checkpoint dir")
+    val dir = java.nio.file.Files.createTempDirectory("graft-da-ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      val kept = DedupOps.dedupApply(docs, pairs, "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L, 5L))
+      // the drop set is materialized inside dedupApply, so the labels'
+      // rdd-N checkpoint dirs must already be gone — a lazy result that
+      // left the release to the caller would leak one per call for the
+      // session lifetime
+      import scala.jdk.CollectionConverters._
+      val remaining = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(remaining == 0, s"dedupApply leaked checkpoint dirs: $remaining")
+    } finally {
+      sc.setCheckpointDir(null)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("hash-prefilter scale path == direct path for boilerplate and repeated n-grams") {
     val docs = corpus.toDF("doc_id", "text")
     def sorted(df: org.apache.spark.sql.DataFrame) =

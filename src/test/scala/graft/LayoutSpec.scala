@@ -119,17 +119,37 @@ class LayoutSpec extends SparkSpec {
     val p = new Path(s"$dir/dt=A")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash state: the partition was renamed aside and the replacement
-    // never landed — dt=A is GONE, dt=A.swap_old holds the data
-    assert(fs.rename(p, new Path(s"$dir/dt=A.swap_old")))
+    // never landed — dt=A is GONE, the hidden .dt=A.swap_old holds the data
+    assert(fs.rename(p, new Path(s"$dir/.dt=A.swap_old")))
     val done = graft.ops.Layout.compactPartitions(spark, dir,
       targetFileBytes = 512L << 20)
     // recovery restored dt=A (and it was over threshold, so compacted);
-    // the .swap_old entry must never be treated as a partition
+    // the hidden swap entry must never be treated as a partition
     assert(done == 1)
-    assert(!fs.exists(new Path(s"$dir/dt=A.swap_old")))
+    assert(!fs.exists(new Path(s"$dir/.dt=A.swap_old")))
     val out = spark.read.parquet(dir)
     assert(out.count() == 100)
     assert(out.select("dt").distinct().collect().map(_.getString(0)).toSeq == Seq("A"))
+  }
+
+  test("compactPartitions: stale compaction staging is invisible to readers and cleaned") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("compacttmp").toString + "/t"
+    spark.range(100).select(col("id"), lit("A").as("dt"))
+      .coalesce(1).write.partitionBy("dt").parquet(dir)
+    // crash state: a compaction staged its rewrite (possibly partial)
+    // and died before the swap — the hidden staging dir is left behind
+    spark.range(900).toDF("id").write.parquet(s"$dir/.dt=A.compact_tmp")
+    // a whole-table read must see ONLY the real partition, not the
+    // staged (and possibly half-written) copy as a bogus dt value
+    val seen = spark.read.parquet(dir)
+    assert(seen.count() == 100)
+    assert(seen.select("dt").distinct().collect().map(_.getString(0)).toSeq == Seq("A"))
+    // a maintenance rerun deletes the stale staging and proceeds
+    graft.ops.Layout.compactPartitions(spark, dir, targetFileBytes = 512L << 20)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/.dt=A.compact_tmp")))
+    assert(spark.read.parquet(dir).count() == 100)
   }
 
   test("swap recovery: all three crash states self-heal on entry") {
@@ -138,24 +158,26 @@ class LayoutSpec extends SparkSpec {
     spark.range(100).toDF("id").write.parquet(dir)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPath = new Path(p.getParent, "." + p.getName + ".swap_old")
+    val markPath = new Path(p.getParent, "." + p.getName + ".swap_commit")
     // crash state A: live table moved aside, replacement never landed
-    assert(fs.rename(p, new Path(dir + ".swap_old")))
+    assert(fs.rename(p, oldPath))
     Layout.recoverSwap(fs, p)
     assert(spark.read.parquet(dir).count() == 100) // restored
     // crash state B: swap committed (marker present) but old survived
-    spark.range(5).toDF("id").write.parquet(dir + ".swap_old")
-    fs.create(new Path(dir + ".swap_commit"), true).close()
+    spark.range(5).toDF("id").write.parquet(oldPath.toString)
+    fs.create(markPath, true).close()
     Layout.compact(spark, dir) // entry recovery drops the stray copy
-    assert(!fs.exists(new Path(dir + ".swap_old")))
-    assert(!fs.exists(new Path(dir + ".swap_commit")))
+    assert(!fs.exists(oldPath))
+    assert(!fs.exists(markPath))
     assert(spark.read.parquet(dir).count() == 100)
     // crash state C: NO marker — the live path may be a partial copy, so
     // the old table must win even though the live path exists
-    assert(fs.rename(p, new Path(dir + ".swap_old")))
+    assert(fs.rename(p, oldPath))
     spark.range(7).toDF("id").write.parquet(dir) // "partial" replacement
     Layout.recoverSwap(fs, p)
     assert(spark.read.parquet(dir).count() == 100, "old table must win")
-    assert(!fs.exists(new Path(dir + ".swap_old")))
+    assert(!fs.exists(oldPath))
   }
 
   test("writeZOrdered: preserves rows across the requested file count") {

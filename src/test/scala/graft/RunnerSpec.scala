@@ -190,7 +190,7 @@ class RunnerSpec extends SparkSpec {
     // simulate the owner crashing mid-save: committed copy moved aside,
     // a PARTIAL (here: empty-schema-breaking) replacement at the live path
     val live = new Path(s"$dir/table_name=t")
-    val old = new Path(s"$dir/table_name=t.swap_old")
+    val old = new Path(s"$dir/.table_name=t.swap_old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(live, old))
     fs.mkdirs(live) // partial rename-in: directory exists, no data
@@ -255,6 +255,31 @@ class RunnerSpec extends SparkSpec {
     assert(avg == 40.0) // (30 + 50) / 2
   }
 
+  test("plain-path rollup merge never fabricates an idempotence token pair") {
+    import graft.pipeline.IncrementalAgg
+    val dir = tmpDir(); val agg = s"$dir/rollup"
+    def b(v: Double) = Seq(("TSLA", "2025-10-01", v)).toDF("stock", "d", "v")
+      .withColumn("d", to_date($"d"))
+    // an identified lineage commits batch 9
+    IncrementalAgg.maintain(spark, b(1.0), agg, "d", Seq("stock"), "v",
+      batchId = Some(9), appId = "app1")
+    // a plain (unidentified) maintenance run merges on top: the stored
+    // token must be a pair that actually existed — max(app) and max(id)
+    // taken independently would splice ('batch', 9)
+    IncrementalAgg.maintain(spark, b(2.0), agg, "d", Seq("stock"), "v")
+    val tok = spark.read.parquet(agg)
+      .select("last_batch_app", "last_batch").head()
+    assert((tok.getString(0), tok.getLong(1)) != (("batch", 9L)),
+      "fabricated (app, id) token pair")
+    // an idempotent caller on the default lineage with batchId <= 9 must
+    // still get its NEW data applied (the spliced token would read
+    // "already applied" and silently discard it)
+    IncrementalAgg.maintain(spark, b(4.0), agg, "d", Seq("stock"), "v",
+      batchId = Some(0), appId = "batch")
+    val n = spark.read.parquet(agg).agg(sum($"n")).head().getLong(0)
+    assert(n == 3L, "real data was discarded as already-applied")
+  }
+
   test("checkpoint get survives the owner completing its swap mid-read") {
     import org.apache.hadoop.fs.Path
     val dir = tmpDir() + "/cp"
@@ -267,8 +292,8 @@ class RunnerSpec extends SparkSpec {
     // live path may be a partial copy, and an unreadable old must
     // propagate, which the next assertion locks in.)
     val live = new Path(s"$dir/table_name=t")
-    val old = new Path(s"$dir/table_name=t.swap_old")
-    val mark = new Path(s"$dir/table_name=t.swap_commit")
+    val old = new Path(s"$dir/.table_name=t.swap_old")
+    val mark = new Path(s"$dir/.table_name=t.swap_commit")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(old) // exists but unreadable as parquet (no files)
     fs.create(mark, true).close()

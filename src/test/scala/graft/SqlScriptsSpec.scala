@@ -18,6 +18,12 @@ class SqlScriptsSpec extends SparkSpec {
     val br = SqlScripts.splitStatements(
       "SELECT 1; /* step two; don't split */ SELECT 2")
     assert(br == Seq("SELECT 1", "/* step two; don't split */ SELECT 2"))
+    // bracketed comments NEST in Spark SQL (3.0+): the inner close must
+    // not end the outer comment, so the commented-out ';' stays inert
+    val nested = SqlScripts.splitStatements(
+      "SELECT 1 /* outer /* inner */ ; still comment */; SELECT 2")
+    assert(nested == Seq(
+      "SELECT 1 /* outer /* inner */ ; still comment */", "SELECT 2"))
   }
 
   test("render substitutes {{ var }} and fails fast on unbound names") {
