@@ -150,6 +150,43 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Container-dispatching media probe: deterministic synthetic
+    // payloads with REAL png/gif/wav/mp4 headers around the document
+    // bytes; the probe parses the containers map-side (rows-only —
+    // DuckDB has no binary container parsing to oracle against).
+    "q_media_probe" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.ops.Multimodal.MediaRow(id, "synth",
+            graft.ops.Multimodal.syntheticPayload(id, text.getBytes("UTF-8")))
+        }
+      graft.ops.Multimodal.probe(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("container"),
+          col("width").cast("long"), col("height").cast("long"),
+          col("channels").cast("long"), col("sample_rate").cast("long"),
+          col("bits_per_sample").cast("long"), col("duration_ms"),
+          col("brand"))
+        .orderBy("media_id")
+    }),
+
+    // Character-level fuzzy-match ground truth: classic Levenshtein
+    // between adjacent documents' 40-char prefixes — bounded O(40^2)
+    // per pair, the verifier for approximate near-dup candidates when
+    // token-level Jaccard is too coarse. Adjacent-id pairing keeps the
+    // pair count linear in the corpus (never all-pairs).
+    "q_edit_distance" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 40).as("t"))
+      d.filter(col("doc_id") % 7 === 0).as("a")
+        .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          levenshtein(col("a.t"), col("b.t")).cast("long").as("edit_dist"))
+        .orderBy("id_a")
+    }),
+
     // Embedding-cosine near-duplicate detection: original vectors vs a
     // deterministic affine mutant (x*1.1 + 0.01) -- high-cosine pairs.
     "q_dedup_embed" -> ((s, dir) => {
@@ -456,6 +493,13 @@ object ExtQueries {
   private val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 7 = 0
+        |ORDER BY id_a""".stripMargin,
+
     "q_text_stats" ->
       s"""SELECT doc_id, lang, n_chars, length(text) AS n_chars_calc,
          |  len(string_split(text, ' ')) AS n_tokens,

@@ -123,6 +123,216 @@ object Multimodal {
     }
   }
 
+  /** Audio/video container probe results. All fields except identity
+    * and byte count are per-container optional: images carry dims,
+    * audio carries the PCM shape, video carries brand + duration + dims. */
+  case class MediaProbe(media_id: Long, n_bytes: Long, container: String,
+                        width: Option[Int], height: Option[Int],
+                        channels: Option[Int], sample_rate: Option[Int],
+                        bits_per_sample: Option[Int],
+                        duration_ms: Option[Long], brand: Option[String])
+
+  case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                     durationMs: Option[Long])
+  case class Mp4Info(brand: String, durationMs: Option[Long],
+                     width: Option[Int], height: Option[Int])
+
+  /** Real WAV (RIFF/WAVE) header decode: chunk walk to `fmt ` for the
+    * PCM shape and `data` for the payload size → duration. Pure byte
+    * inspection of the container, no codec. Chunk sizes are little-
+    * endian and chunks pad to even offsets per the RIFF spec; a
+    * truncated file still yields the fmt info if that chunk is intact
+    * (duration absent without `data`). */
+  def wavInfo(p: Array[Byte]): Option[WavInfo] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def fourCC(i: Int) = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 12 || fourCC(0) != "RIFF" || fourCC(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes: Option[Long] = None
+    while (i + 8 <= p.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+      val id = fourCC(i)
+      val size = le32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= p.length)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+      // the data chunk's DECLARED size is the payload length — the
+      // bytes themselves need not be present to know the duration
+      if (id == "data") dataBytes = Some(size)
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      if (size < 0 || size > Int.MaxValue) return fmt.map {
+        case (ch, sr, bits) => WavInfo(ch, sr, bits, None)
+      }
+    }
+    fmt.map { case (ch, sr, bits) =>
+      val dur = dataBytes.flatMap { db =>
+        val bytesPerSec = sr.toLong * ch * bits / 8
+        if (bytesPerSec > 0) Some(db * 1000L / bytesPerSec) else None
+      }
+      WavInfo(ch, sr, bits, dur)
+    }
+  }
+
+  /** Real MP4 (ISO BMFF) metadata decode: top-level box walk for `ftyp`
+    * (major brand) and `moov`, then one level into `moov` for `mvhd`
+    * (timescale + duration → ms) and each `trak`'s `tkhd` (16.16 fixed
+    * presentation width/height — the first track with nonzero dims is
+    * the video track). Handles 64-bit `largesize` boxes and both mvhd/
+    * tkhd versions. */
+  def mp4Info(p: Array[Byte]): Option[Mp4Info] = {
+    def u8(i: Int) = p(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int) = (be32(i) << 32) | be32(i + 4)
+    def fourCC(i: Int) = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk boxes in [from, until): (type, headerLen, payloadStart, boxEnd)
+    def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var i = from
+        def hasNext: Boolean = i + 8 <= until
+        def next(): (String, Int, Int) = {
+          val size32 = be32(i)
+          val typ = fourCC(i + 4)
+          val (hdr, size) =
+            if (size32 == 1 && i + 16 <= until) (16, be64(i + 8))
+            else if (size32 == 0) (8, (until - i).toLong) // box runs to end
+            else (8, size32)
+          val end = if (size < 8 || i + size > until) until
+                    else (i + size).toInt
+          val res = (typ, i + hdr, end)
+          i = end
+          res
+        }
+      }
+    if (p.length < 8) return None
+    val top = boxes(0, p.length).toSeq
+    // an MP4 without ftyp first is not one we claim to understand
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    val (_, ftypStart, ftypEnd) = top.head
+    if (ftypStart + 4 > ftypEnd) return None
+    val brand = fourCC(ftypStart)
+    var durMs: Option[Long] = None
+    var dims: Option[(Int, Int)] = None
+    top.find(_._1 == "moov").foreach { case (_, ms, me) =>
+      boxes(ms, me).foreach {
+        case ("mvhd", bs, be) =>
+          val v = u8(bs)
+          // v0: ver/flags(4) ctime(4) mtime(4) -> timescale @+12, dur u32 @+16
+          // v1: ver/flags(4) ctime(8) mtime(8) -> timescale @+20, dur u64 @+24
+          val (ts, dur) =
+            if (v == 1 && bs + 32 <= be) (be32(bs + 20), be64(bs + 24))
+            else if (v == 0 && bs + 20 <= be) (be32(bs + 12), be32(bs + 16))
+            else (0L, 0L)
+          if (ts > 0) durMs = Some(dur * 1000L / ts)
+        case ("trak", ts_, te) if dims.isEmpty =>
+          boxes(ts_, te).foreach {
+            case ("tkhd", bs, be) if dims.isEmpty =>
+              val v = u8(bs)
+              // offsets from the PAYLOAD start (after size+type):
+              // v0: verflags4 +ctime4 mtime4 id4 res4 dur4 +res8
+              //     +layer2 alt2 vol2 res2 +matrix36 -> width @+76
+              // v1: 8-byte times and duration -> width @+88
+              val off = if (v == 1) 88 else 76
+              if (bs + off + 8 <= be) {
+                val w = (be32(bs + off) >> 16).toInt     // 16.16 fixed
+                val h = (be32(bs + off + 4) >> 16).toInt
+                if (w > 0 && h > 0) dims = Some((w, h))
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    Some(Mp4Info(brand, durMs, dims.map(_._1), dims.map(_._2)))
+  }
+
+  /** GIF logical-screen dimensions (87a/89a): little-endian u16 pair
+    * right after the 6-byte signature. */
+  def gifDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+      Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+    else None
+  }
+
+  /** Container-dispatching metadata probe over a media table: magic
+    * bytes pick the parser (PNG/JPEG/GIF dims, WAV PCM shape + duration,
+    * MP4 brand + duration + track dims); anything unrecognized is
+    * reported as `unknown` with only its byte count — never a fabricated
+    * value. Map-side only: payloads never shuffle, the probe rows are
+    * tiny. */
+  def probe(rows: Dataset[MediaRow]): Dataset[MediaProbe] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val p = r.payload
+        def none = MediaProbe(r.media_id, p.length.toLong, "unknown",
+          None, None, None, None, None, None, None)
+        def u8(i: Int) = p(i) & 0xff
+        if (p.length >= 4 && u8(0) == 0x89 && p(1) == 'P')
+          imageDims(p).fold(none.copy(container = "png"))(d =>
+            none.copy(container = "png", width = Some(d._1), height = Some(d._2)))
+        else if (p.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8)
+          imageDims(p).fold(none.copy(container = "jpeg"))(d =>
+            none.copy(container = "jpeg", width = Some(d._1), height = Some(d._2)))
+        else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+          gifDims(p).fold(none.copy(container = "gif"))(d =>
+            none.copy(container = "gif", width = Some(d._1), height = Some(d._2)))
+        else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')
+          wavInfo(p).fold(none)(w => none.copy(container = "wav",
+            channels = Some(w.channels), sample_rate = Some(w.sampleRate),
+            bits_per_sample = Some(w.bitsPerSample), duration_ms = w.durationMs))
+        else if (p.length >= 12 && fourCCIs(p, 4, "ftyp"))
+          mp4Info(p).fold(none)(m => none.copy(container = "mp4",
+            width = m.width, height = m.height, duration_ms = m.durationMs,
+            brand = Some(m.brand)))
+        else none
+      }
+    }
+  }
+
+  private def fourCCIs(p: Array[Byte], i: Int, s: String): Boolean =
+    p.length >= i + 4 && p(i) == s(0) && p(i + 1) == s(1) &&
+      p(i + 2) == s(2) && p(i + 3) == s(3)
+
+  /** Deterministic synthetic media payload for the demo/bench key: REAL
+    * container headers (the probe parses them exactly like files from a
+    * crawl) around caller-supplied body bytes. `id % 4` picks the
+    * container; all parameters derive from `id`, so a replay is
+    * byte-identical. This is demo-data generation, not a decode stub —
+    * the parsing it exercises is the real thing. */
+  def syntheticPayload(id: Long, body: Array[Byte]): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(sx: String) = sx.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val w = 16 + (id % 640).toInt
+    val h = 16 + (id % 360).toInt
+    (math.floorMod(id, 4): @unchecked) match {
+      case 0 => // PNG signature + IHDR dims
+        Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+          0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+          be32(13) ++ cc("IHDR") ++ be32(w) ++ be32(h) ++ body
+      case 1 => // GIF logical screen
+        cc("GIF89a") ++ le16(w) ++ le16(h) ++ body
+      case 2 => // WAV: 16-bit mono 8 kHz PCM, data size = body length
+        cc("RIFF") ++ le32(36L + body.length) ++ cc("WAVE") ++ cc("fmt ") ++
+          le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+          le16(2) ++ le16(16) ++ cc("data") ++ le32(body.length) ++ body
+      case 3 => // MP4: ftyp(isom) + moov{mvhd ts=600, dur=600*(1+id%30)}
+        val mvhd = be32(28) ++ cc("mvhd") ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(600) ++ be32(600L * (1 + math.floorMod(id, 30)))
+        be32(16) ++ cc("ftyp") ++ cc("isom") ++ be32(0x200) ++
+          be32(8L + mvhd.length) ++ cc("moov") ++ mvhd ++ body
+    }
+  }
+
   /** Build a media table from any binary-able column (for tests and the
     * demo query: text bytes stand in for media payloads). */
   def fromBinaryColumn(df: DataFrame, id: String, bin: String,

@@ -64,6 +64,86 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.width == 640 && meta.height == 480 && meta.n_frames == 1)
   }
 
+  private def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+  private def le32(v: Long) = Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+    ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+  private def be32(v: Long) = Seq(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+    ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+  private def cc(s: String) = s.getBytes("US-ASCII").map(_.toInt & 0xff).toSeq
+
+  // stereo 16-bit 44100 Hz PCM, declared data size = 1 second of audio
+  private def wavBytes: Array[Byte] = {
+    val dataBytes = 44100L * 2 * 2
+    (cc("RIFF") ++ le32(36 + dataBytes) ++ cc("WAVE") ++
+      cc("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100L * 4) ++ le16(4) ++ le16(16) ++
+      cc("data") ++ le32(dataBytes)).map(_.toByte).toArray
+  }
+
+  // ftyp(isom) + moov{ mvhd v0 (timescale 600, duration 1200),
+  //                    trak{ tkhd v0 (640x360 as 16.16 fixed) } }
+  private def mp4Bytes: Array[Byte] = {
+    val mvhd = be32(28) ++ cc("mvhd") ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(1200)
+    val tkhdPayload = be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+      be32(0) ++ Seq.fill(8)(0) ++ Seq.fill(8)(0) ++ Seq.fill(36)(0) ++
+      be32(640L << 16) ++ be32(360L << 16)
+    val tkhd = be32(8 + tkhdPayload.length) ++ cc("tkhd") ++ tkhdPayload
+    val trak = be32(8 + tkhd.length) ++ cc("trak") ++ tkhd
+    val moov = be32(8 + mvhd.length + trak.length) ++ cc("moov") ++ mvhd ++ trak
+    val ftyp = be32(16) ++ cc("ftyp") ++ cc("isom") ++ be32(0x200)
+    (ftyp ++ moov).map(_.toByte).toArray
+  }
+
+  private def gifBytes: Array[Byte] =
+    (cc("GIF89a") ++ le16(320) ++ le16(200)).map(_.toByte).toArray
+
+  test("wavInfo: RIFF chunk walk yields PCM shape and duration") {
+    val w = Multimodal.wavInfo(wavBytes)
+    assert(w.contains(Multimodal.WavInfo(2, 44100, 16, Some(1000L))))
+    // fmt intact but data chunk missing: shape known, duration unknown
+    val noData = wavBytes.take(36)
+    assert(Multimodal.wavInfo(noData).contains(
+      Multimodal.WavInfo(2, 44100, 16, None)))
+    // RIFF but not WAVE (e.g. AVI) and truncated junk are rejected
+    val avi = wavBytes.clone(); "AVI ".getBytes.copyToArray(avi, 8)
+    assert(Multimodal.wavInfo(avi).isEmpty)
+    assert(Multimodal.wavInfo("RIFF".getBytes).isEmpty)
+  }
+
+  test("mp4Info: box walk yields brand, duration, and track dims") {
+    val m = Multimodal.mp4Info(mp4Bytes)
+    assert(m.contains(Multimodal.Mp4Info("isom", Some(2000L),
+      Some(640), Some(360))))
+    // ftyp alone: brand known, nothing else claimed
+    assert(Multimodal.mp4Info(mp4Bytes.take(16)).contains(
+      Multimodal.Mp4Info("isom", None, None, None)))
+    // not an MP4 (no leading ftyp)
+    assert(Multimodal.mp4Info("plain text file content".getBytes).isEmpty)
+  }
+
+  test("probe: magic-dispatch over mixed media, unknown never fabricates") {
+    val rows = Seq(
+      MediaRow(1L, "audio", wavBytes),
+      MediaRow(2L, "video", mp4Bytes),
+      MediaRow(3L, "image", gifBytes),
+      MediaRow(4L, "other", "just some text".getBytes)
+    ).toDS()
+    val out = Multimodal.probe(rows).collect().map(p => p.media_id -> p).toMap
+    assert(out(1L).container == "wav")
+    assert(out(1L).sample_rate.contains(44100) && out(1L).channels.contains(2)
+      && out(1L).duration_ms.contains(1000L))
+    assert(out(2L).container == "mp4" && out(2L).brand.contains("isom"))
+    assert(out(2L).width.contains(640) && out(2L).height.contains(360)
+      && out(2L).duration_ms.contains(2000L))
+    assert(out(3L).container == "gif"
+      && out(3L).width.contains(320) && out(3L).height.contains(200))
+    assert(out(4L).container == "unknown")
+    assert(out(4L).productIterator.count(_ == None) == 7,
+      "unknown container must leave every optional field absent")
+    assert(out.values.forall(p => p.n_bytes > 0))
+  }
+
   test("frameFeatures: stride sampling yields ceil(frames/stride) rows, fixed dim") {
     val metas = Multimodal.extractMeta(media).collect()
       .map(m => m.media_id -> m.n_frames).toMap
