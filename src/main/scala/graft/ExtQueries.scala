@@ -172,6 +172,26 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Incremental dedup against a persisted band index: the corpus
+    // split into two "daily" batches, each checked against history
+    // without re-hashing it; the union of the calls equals the
+    // full-batch minhash pair set (DedupIndexSpec pins the identity;
+    // rows-only here — the custom hash has no DuckDB mirror).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docsWithMutants(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx").toString + "/idx"
+      val p1 = graft.ops.DedupIndex.appendAndFindDups(
+        s, d.filter(col("doc_id") % 2 === 0), idx, "text", "doc_id")
+      val p2 = graft.ops.DedupIndex.appendAndFindDups(
+        s, d.filter(col("doc_id") % 2 === 1), idx, "text", "doc_id")
+      // results are materialized (localCheckpoint) — the scratch index
+      // can go before the lazy union is consumed
+      new scala.reflect.io.Directory(
+        new java.io.File(idx).getParentFile).deleteRecursively()
+      p1.unionByName(p2).orderBy("id_a", "id_b")
+    }),
+
     // Character-level fuzzy-match ground truth: classic Levenshtein
     // between adjacent documents' 40-char prefixes — bounded O(40^2)
     // per pair, the verifier for approximate near-dup candidates when

@@ -157,6 +157,17 @@ object DedupOps {
                       shingleWidth: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "bands must divide signature length")
+    val banded = bandSignatures(df, text, id, shingleWidth, k, bands)
+      .withColumn("is_new", lit(true))
+    minhashPairsFromBanded(banded, id, k, threshold, maxBucket)
+  }
+
+  /** MinHash band rows for a corpus: (id, sig, band, bkey), one row per
+    * band per doc. The shared front half of the batch and incremental
+    * ([[DedupIndex]]) paths — and the exact layout the index persists. */
+  private[ops] def bandSignatures(df: DataFrame, text: String, id: String,
+                                  shingleWidth: Int, k: Int,
+                                  bands: Int): DataFrame = {
     // signature is a single-pass native expression (Kernels): the naive
     // HOF formulation (k array_min(transform(...)) over shingle strings)
     // re-materializes the shingles k times per row — 20x+ slower.
@@ -165,18 +176,29 @@ object DedupOps {
       .filter(size(col("sig")) > 0)
     // posexplode over a single-pass BandKeys expression: the signature
     // child is evaluated exactly once per row, never per band
-    val banded = sigs.select(col(id), col("sig"),
+    sigs.select(col(id), col("sig"),
       posexplode(band_keys(col("sig"), bands)).as(Seq("band", "bkey")))
+  }
+
+  /** Capped-bucket pair generation + signature-estimated Jaccard over a
+    * banded table with an `is_new` marker column: pairs where NEITHER
+    * side is new are skipped (the incremental path has already emitted
+    * them in an earlier batch; the batch path marks every row new). */
+  private[ops] def minhashPairsFromBanded(banded: DataFrame, id: String,
+                                          k: Int, threshold: Double,
+                                          maxBucket: Int): DataFrame = {
     // bucket aggregate: capped member list -> in-bucket pair generation
     val buckets = banded
       .groupBy("band", "bkey")
-      .agg(collect_list(struct(col(id), col("sig"))).as("members"))
+      .agg(collect_list(struct(col(id), col("sig"), col("is_new"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
     val pairs = buckets.select(explode(
       flatten(transform(col("members"), (x, i) =>
         transform(slice(col("members"), i + 2, size(col("members"))),
           y => struct(x.as("a"), y.as("b"))))))
       .as("p"))
+      .filter(col("p.a.is_new") || col("p.b.is_new"))
+      .filter(col(s"p.a.$id") =!= col(s"p.b.$id")) // an id re-appended over its own index entry
       .select(
         least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
         greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupIndex, DedupOps}
+
+/** Incremental MinHash band index: per-batch calls must, in union,
+  * reproduce the full-batch pair set exactly — no pair missed across
+  * batches, no historical pair re-emitted. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+  private val other = "completely different words about spark engines " * 10
+
+  private def batch1 = Seq(
+    (0L, base),
+    (1L, base + "extra tail tokens appended here"),
+    (2L, other)
+  ).toDF("doc_id", "text")
+
+  private def batch2 = Seq(
+    (10L, base + "another slightly different tail"),
+    (11L, other + "slightly changed"),
+    (12L, "an unrelated short document with many unique tokens")
+  ).toDF("doc_id", "text")
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental calls union to the full-batch pair set, nothing re-emitted") {
+    val idx = tmpDir() + "/idx"
+    val p1 = collectPairs(
+      DedupIndex.appendAndFindDups(spark, batch1, idx, "text", "doc_id"))
+    val p2 = collectPairs(
+      DedupIndex.appendAndFindDups(spark, batch2, idx, "text", "doc_id"))
+    val full = collectPairs(DedupOps.minhashDupPairs(
+      batch1.unionByName(batch2), "text", "doc_id"))
+    assert((p1 ++ p2) == full,
+      s"incremental union diverged from full batch:\n p1=$p1\n p2=$p2\n full=$full")
+    assert(p1.intersect(p2).isEmpty, "a historical pair was re-emitted")
+    // the in-batch pair lands in call 1, the cross-batch dups in call 2
+    assert(p1.exists { case (a, b, _) => a == 0L && b == 1L })
+    assert(p2.exists { case (a, b, _) => b == 10L },
+      "cross-batch near-dup against the indexed history was missed")
+    // history-vs-history pairs never appear in call 2
+    assert(p2.forall { case (a, b, _) => a >= 10L || b >= 10L })
+  }
+
+  test("index persists the band layout partitioned by band") {
+    val idx = tmpDir() + "/idx"
+    DedupIndex.appendAndFindDups(spark, batch1, idx, "text", "doc_id")
+    val bandDirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band="))
+    assert(bandDirs.length == 16, s"expected 16 band partitions, got ${bandDirs.length}")
+    val stored = spark.read.parquet(idx)
+    assert(stored.columns.toSet == Set("band", "bkey", "doc_id", "sig"))
+    // one row per (doc, band) for every doc with a non-empty signature
+    assert(stored.count() == 3L * 16)
+    // appending batch2 only grows the index by batch2's bands
+    DedupIndex.appendAndFindDups(spark, batch2, idx, "text", "doc_id")
+    assert(spark.read.parquet(idx).count() == 6L * 16)
+  }
+}
