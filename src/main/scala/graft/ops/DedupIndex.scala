@@ -52,6 +52,12 @@ object DedupIndex {
       .withColumn("is_new", lit(true))
     newBands.persist()
     try {
+      // empty batch (or all-empty signatures): nothing to pair, nothing
+      // to append — and never CREATE a schema-less index directory that
+      // would wedge the next call's parquet read
+      if (newBands.isEmpty)
+        return DedupOps.minhashPairsFromBanded(newBands, id, k, threshold,
+          maxBucket)
       val p = new Path(indexPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val all =

@@ -147,6 +147,30 @@ object EventStream {
     }
   }
 
+  /** Streaming near-duplicate detection: each micro-batch of documents
+    * is checked against the persisted MinHash band index
+    * ([[graft.ops.DedupIndex.appendAndFindDups]] — O(batch), history
+    * never re-hashed) and the discovered pairs append to `pairsPath`.
+    * At-least-once: a replayed batch re-appends its bands and re-emits
+    * its pairs (DedupIndex's contract) — downstream consumers dedupe on
+    * (id_a, id_b), or the orchestrator guards replays with a
+    * processed-batch manifest. Caller starts the returned writer with a
+    * checkpointLocation. */
+  def nearDupSink(docsStream: DataFrame, indexPath: String,
+                  pairsPath: String, text: String, id: String,
+                  threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val pairs = graft.ops.DedupIndex.appendAndFindDups(
+        batch.sparkSession, batch, indexPath, text, id,
+        threshold = threshold)
+      // an empty pair set writes nothing — never a schema-less dir
+      if (!pairs.isEmpty)
+        pairs.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(pairsPath)
+      ()
+    }
+
   case class Impression(i_id: Long, i_ts: Timestamp, i_user: Long)
   case class Click(c_id: Long, c_ts: Timestamp, c_user: Long)
 

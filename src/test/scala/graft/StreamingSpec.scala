@@ -300,4 +300,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
+
+  test("streaming near-dup sink finds cross-batch dups against the index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.nearDupSink(mem.toDF().toDF("doc_id", "text"),
+        s"$dir/idx", s"$dir/pairs", "text", "doc_id")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog " * 8
+      // batch 1: two unrelated docs — no pairs, and the empty pair set
+      // must not create a schema-less pairs directory
+      mem.addData((0L, base),
+        (1L, "completely different words about spark engines " * 10))
+      q.processAllAvailable()
+      assert(!new java.io.File(s"$dir/pairs").exists())
+      // batch 2: a near-dup of doc 0 arrives — the pair is found
+      // against the INDEX (doc 0 was never re-read or re-hashed)
+      mem.addData((10L, base + "extra tail tokens appended here"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/pairs")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((0L, 10L)), s"cross-batch dup missed: $got")
+      assert(got.forall { case (_, b) => b == 10L },
+        "only pairs involving the new batch may be emitted")
+    } finally q.stop()
+  }
 }
