@@ -30,11 +30,20 @@ import org.apache.spark.sql.functions._
   *    each of the `bands` partitions accretes small files — run
   *    [[Layout.compactPartitions]] as steady-state maintenance).
   *
-  * Contract: doc ids are globally unique across batches and a batch is
-  * appended once — replaying a batch re-pairs its docs against the
-  * now-indexed copy of themselves (self-pairs are dropped, but the
-  * cross pairs duplicate). Give retryable orchestrators an
-  * idempotence guard one level up (e.g. a processed-batch manifest).
+  * Contract: doc ids are globally unique across batches. Replay safety
+  * comes in two modes:
+  *  - `batchTag = None` (one-shot/orchestrated): a batch is appended
+  *    once; replaying it re-pairs its docs against the now-indexed copy
+  *    of themselves (self-pairs are dropped, but cross pairs
+  *    duplicate). Guard retries one level up.
+  *  - `batchTag = Some(tag)` (streaming/retryable): the batch's bands
+  *    land in (band, batch_tag) partitions via DYNAMIC partition
+  *    overwrite — a replay with the same tag overwrites exactly its own
+  *    partitions, so the index never double-counts and the returned
+  *    pairs are identical (the pair set is deterministic given the same
+  *    batch and surviving index state). An index is either all-tagged
+  *    or all-untagged; mixing the two layouts breaks partition
+  *    discovery.
   */
 object DedupIndex {
 
@@ -45,8 +54,8 @@ object DedupIndex {
   def appendAndFindDups(spark: SparkSession, batch: DataFrame,
                         indexPath: String, text: String, id: String,
                         shingleWidth: Int = 3, k: Int = 64, bands: Int = 16,
-                        threshold: Double = 0.5,
-                        maxBucket: Int = 200): DataFrame = {
+                        threshold: Double = 0.5, maxBucket: Int = 200,
+                        batchTag: Option[String] = None): DataFrame = {
     require(k % bands == 0, "bands must divide signature length")
     val newBands = DedupOps.bandSignatures(batch, text, id, shingleWidth, k, bands)
       .withColumn("is_new", lit(true))
@@ -75,8 +84,18 @@ object DedupIndex {
       val pairs = DedupOps
         .minhashPairsFromBanded(all, id, k, threshold, maxBucket)
         .localCheckpoint(true) // pin results before the index mutates
-      newBands.select(col("band"), col("bkey"), col(id), col("sig"))
-        .write.mode(SaveMode.Append).partitionBy("band").parquet(indexPath)
+      batchTag match {
+        case Some(tag) =>
+          newBands
+            .select(col("band"), lit(tag).as("batch_tag"), col("bkey"),
+              col(id), col("sig"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("band", "batch_tag").parquet(indexPath)
+        case None =>
+          newBands.select(col("band"), col("bkey"), col(id), col("sig"))
+            .write.mode(SaveMode.Append).partitionBy("band").parquet(indexPath)
+      }
       pairs
     } finally { newBands.unpersist(); () }
   }

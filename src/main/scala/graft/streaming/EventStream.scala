@@ -152,22 +152,31 @@ object EventStream {
     * ([[graft.ops.DedupIndex.appendAndFindDups]] — O(batch), history
     * never re-hashed) and the discovered pairs append to `pairsPath`.
     * At-least-once: a replayed batch re-appends its bands and re-emits
-    * its pairs (DedupIndex's contract) — downstream consumers dedupe on
-    * (id_a, id_b), or the orchestrator guards replays with a
-    * processed-batch manifest. Caller starts the returned writer with a
-    * checkpointLocation. */
+    * REPLAY-IDEMPOTENT: bands and pairs land in per-batch
+    * `(appId-batchId)` partitions via dynamic partition overwrite, so a
+    * foreachBatch replay overwrites exactly its own partitions instead
+    * of double-appending (DedupIndex's tagged mode). `appId` scopes the
+    * tags to this query lineage — change it whenever the stream's
+    * checkpointLocation is reset, or the restarted stream's batch 0
+    * would overwrite the old lineage's batch-0 partitions. Caller
+    * starts the returned writer with a checkpointLocation. */
   def nearDupSink(docsStream: DataFrame, indexPath: String,
                   pairsPath: String, text: String, id: String,
-                  threshold: Double = 0.5)
+                  appId: String, threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docsStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tag = s"$appId-$batchId"
       val pairs = graft.ops.DedupIndex.appendAndFindDups(
         batch.sparkSession, batch, indexPath, text, id,
-        threshold = threshold)
-      // an empty pair set writes nothing — never a schema-less dir
+        threshold = threshold, batchTag = Some(tag))
+      // an empty pair set writes nothing — never a schema-less dir.
+      // (A replay whose first run wrote pairs rewrites the same pairs:
+      // the pair set is deterministic given the same batch + index.)
       if (!pairs.isEmpty)
-        pairs.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(pairsPath)
+        pairs.withColumn("batch_tag", lit(tag))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_tag").parquet(pairsPath)
       ()
     }
 

@@ -46,6 +46,29 @@ class DedupIndexSpec extends SparkSpec {
     assert(p2.forall { case (a, b, _) => a >= 10L || b >= 10L })
   }
 
+  test("tagged mode: a replayed batch overwrites its own partitions, never double-appends") {
+    val idx = tmpDir() + "/idx"
+    val p1 = collectPairs(DedupIndex.appendAndFindDups(spark, batch1, idx,
+      "text", "doc_id", batchTag = Some("app-0")))
+    val p2 = collectPairs(DedupIndex.appendAndFindDups(spark, batch2, idx,
+      "text", "doc_id", batchTag = Some("app-1")))
+    val countBefore = spark.read.parquet(idx).count()
+    // at-least-once replay of batch 2: same tag → dynamic overwrite of
+    // exactly its own (band, batch_tag) partitions
+    val p2replay = collectPairs(DedupIndex.appendAndFindDups(spark, batch2, idx,
+      "text", "doc_id", batchTag = Some("app-1")))
+    assert(spark.read.parquet(idx).count() == countBefore,
+      "replay grew the index")
+    assert(p2replay == p2, "replayed pairs diverged")
+    // tagged and untagged modes find the same pairs
+    val untagged = tmpDir() + "/idx2"
+    val u1 = collectPairs(DedupIndex.appendAndFindDups(spark, batch1, untagged,
+      "text", "doc_id"))
+    val u2 = collectPairs(DedupIndex.appendAndFindDups(spark, batch2, untagged,
+      "text", "doc_id"))
+    assert((p1 ++ p2) == (u1 ++ u2))
+  }
+
   test("index persists the band layout partitioned by band") {
     val idx = tmpDir() + "/idx"
     DedupIndex.appendAndFindDups(spark, batch1, idx, "text", "doc_id")

@@ -307,7 +307,7 @@ class StreamingSpec extends SparkSpec {
     val dir = tmpDir()
     val mem = MemoryStream[(Long, String)]
     val q = EventStream.nearDupSink(mem.toDF().toDF("doc_id", "text"),
-        s"$dir/idx", s"$dir/pairs", "text", "doc_id")
+        s"$dir/idx", s"$dir/pairs", "text", "doc_id", appId = "spec-neardup")
       .option("checkpointLocation", s"$dir/ckpt").start()
     try {
       val base = "the quick brown fox jumps over the lazy dog " * 8
