@@ -3,32 +3,40 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Rounding.roundHalfUp
+import graft.functions.Expressions.{band_keys, minhash_sig}
 
 /** Incremental near-duplicate detection against a PERSISTED MinHash
-  * band index — the operator that makes corpus dedup O(batch) instead
-  * of O(corpus): a daily crawl batch is checked against the full
-  * history without re-reading or re-hashing a single historical
-  * document.
+  * index — the operator that makes corpus dedup O(batch) instead of
+  * O(corpus): a daily crawl batch is checked against the full history
+  * without re-reading or re-hashing a single historical document.
   *
-  * The index stores exactly [[DedupOps.bandSignatures]]'s layout —
-  * (band, bkey, id, sig), one row per band per doc, partitioned by
-  * `band` — so batch-mode and incremental-mode banding are the same
-  * code path and produce identical candidates.
+  * Index layout (two tables under `indexPath`):
+  *  - `bands/` (partitioned by `band`): (bkey, id) — 12-byte rows, the
+  *    LSH candidate structure;
+  *  - `sigs/`: (id, sig) — each doc's k-minhash signature stored ONCE.
+  * Storing the signature per BAND row instead (the naive layout) would
+  * multiply the index by the band count — 16× more bytes written per
+  * batch and scanned per probe at 100 TB.
   *
   * Scale story (100 TB corpus, daily batches):
   *  - The batch's band keys (|batch| × bands rows of 12 bytes) are
-  *    BROADCAST against the index scan, so only index rows whose
-  *    (band, bkey) bucket is touched by the batch survive the scan
-  *    map-side — the index is never shuffled, and the matched subset
-  *    is proportional to the batch, not the history.
+  *    BROADCAST against the bands scan, so only index rows whose
+  *    (band, bkey) bucket is touched by the batch survive map-side —
+  *    the index is never shuffled, and the matched subset is
+  *    proportional to the batch, not the history.
+  *  - Candidate pairs are generated from id-only bucket members; the
+  *    signatures for Jaccard estimation join back against
+  *    (batch sigs ∪ `sigs/`) with the candidate side broadcast — the
+  *    big sigs table is never shuffled either. Z-order or bucket
+  *    `sigs/` by id to prune that scan at extreme scale.
   *  - Pairs where both sides are historical are skipped: they were
   *    emitted when the younger of the two docs was itself the batch.
   *    Each call therefore emits exactly the NEW pairs, and the union
   *    of all calls equals the full-batch [[DedupOps.minhashDupPairs]]
   *    over the accumulated corpus (asserted in DedupIndexSpec).
-  *  - The append writes only the batch's bands (partitioned by band, so
-  *    each of the `bands` partitions accretes small files — run
-  *    [[Layout.compactPartitions]] as steady-state maintenance).
+  *  - Appends accrete small files per partition — run
+  *    [[Layout.compactPartitions]] as steady-state maintenance.
   *
   * Contract: doc ids are globally unique across batches. Replay safety
   * comes in two modes:
@@ -36,67 +44,112 @@ import org.apache.spark.sql.functions._
   *    once; replaying it re-pairs its docs against the now-indexed copy
   *    of themselves (self-pairs are dropped, but cross pairs
   *    duplicate). Guard retries one level up.
-  *  - `batchTag = Some(tag)` (streaming/retryable): the batch's bands
-  *    land in (band, batch_tag) partitions via DYNAMIC partition
-  *    overwrite — a replay with the same tag overwrites exactly its own
-  *    partitions, so the index never double-counts and the returned
-  *    pairs are identical (the pair set is deterministic given the same
-  *    batch and surviving index state). An index is either all-tagged
-  *    or all-untagged; mixing the two layouts breaks partition
-  *    discovery.
+  *  - `batchTag = Some(tag)` (streaming/retryable): the batch's rows
+  *    land in tag-scoped partitions via DYNAMIC partition overwrite — a
+  *    replay with the same tag overwrites exactly its own partitions,
+  *    so the index never double-counts and the returned pairs are
+  *    identical (the pair set is deterministic given the same batch and
+  *    surviving index state). An index is either all-tagged or
+  *    all-untagged; mixing the two layouts breaks partition discovery.
   */
 object DedupIndex {
 
+  private def bandsPath(indexPath: String) = indexPath + "/bands"
+  private def sigsPath(indexPath: String) = indexPath + "/sigs"
+
   /** Find near-dup pairs of `batch` against the index ∪ the batch
-    * itself, then append the batch's bands to the index. Returns
-    * (id_a, id_b, est_jaccard), materialized BEFORE the append so the
-    * lazy plan can never read the batch's own freshly-written rows. */
+    * itself, then append the batch's bands and signatures to the index.
+    * Returns (id_a, id_b, est_jaccard), materialized BEFORE the append
+    * so the lazy plan can never read the batch's own freshly-written
+    * rows. */
   def appendAndFindDups(spark: SparkSession, batch: DataFrame,
                         indexPath: String, text: String, id: String,
                         shingleWidth: Int = 3, k: Int = 64, bands: Int = 16,
                         threshold: Double = 0.5, maxBucket: Int = 200,
                         batchTag: Option[String] = None): DataFrame = {
     require(k % bands == 0, "bands must divide signature length")
-    val newBands = DedupOps.bandSignatures(batch, text, id, shingleWidth, k, bands)
-      .withColumn("is_new", lit(true))
-    newBands.persist()
+    val sigsNew = batch
+      .select(col(id), minhash_sig(split(col(text), " "), shingleWidth, k).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .persist() // safe to unpersist on exit: the result is materialized
     try {
       // empty batch (or all-empty signatures): nothing to pair, nothing
       // to append — and never CREATE a schema-less index directory that
       // would wedge the next call's parquet read
-      if (newBands.isEmpty)
-        return DedupOps.minhashPairsFromBanded(newBands, id, k, threshold,
-          maxBucket)
-      val p = new Path(indexPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val all =
-        if (!fs.exists(p)) newBands
+      if (sigsNew.isEmpty)
+        return sigsNew.select(col(id).as("id_a"), col(id).as("id_b"),
+          lit(0.0).as("est_jaccard")).filter(lit(false))
+      val newBands = sigsNew.select(col(id),
+        posexplode(band_keys(col("sig"), bands)).as(Seq("band", "bkey")))
+        .withColumn("is_new", lit(true))
+      val fs = new Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val indexExists = fs.exists(new Path(bandsPath(indexPath)))
+      val allBands =
+        if (!indexExists) newBands
         else {
           // map-side pruning of the historical index: broadcast the
           // batch's touched bucket keys, keep only matching index rows
           val newKeys = newBands.select("band", "bkey").distinct()
-          val oldHits = spark.read.parquet(indexPath)
+          val oldHits = spark.read.parquet(bandsPath(indexPath))
             .join(broadcast(newKeys), Seq("band", "bkey"), "left_semi")
-            .select(col(id), col("sig"), col("band"), col("bkey"))
+            .select(col(id), col("band"), col("bkey"))
             .withColumn("is_new", lit(false))
           newBands.unionByName(oldHits)
         }
-      val pairs = DedupOps
-        .minhashPairsFromBanded(all, id, k, threshold, maxBucket)
+      // capped-bucket candidate generation over id-only members — the
+      // same bucket/cap semantics as the batch path, minus the carried
+      // signatures (joined back below, for candidates only)
+      val buckets = allBands.groupBy("band", "bkey")
+        .agg(collect_list(struct(col(id), col("is_new"))).as("members"))
+        .filter(size(col("members")).between(2, maxBucket))
+      val cand = buckets.select(explode(
+        flatten(transform(col("members"), (x, i) =>
+          transform(slice(col("members"), i + 2, size(col("members"))),
+            y => struct(x.as("a"), y.as("b"))))))
+        .as("p"))
+        .filter(col("p.a.is_new") || col("p.b.is_new"))
+        .filter(col(s"p.a.$id") =!= col(s"p.b.$id")) // id re-appended over its own entry
+        .select(
+          least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
+          greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      // signature lookup: batch sigs ∪ stored sigs, deduped by id (a
+      // tagged replay sees its own ids on both sides — the sig bytes
+      // are identical, so any survivor is correct)
+      val sigSrc = (if (!indexExists) sigsNew.select(col(id), col("sig"))
+        else sigsNew.select(col(id), col("sig")).unionByName(
+          spark.read.parquet(sigsPath(indexPath)).select(col(id), col("sig"))))
+        .dropDuplicates(id)
+      val pairs = cand
+        .join(sigSrc.select(col(id).as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigSrc.select(col(id).as("id_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("est_jaccard", roundHalfUp(
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v) / lit(k.toDouble), 4))
+        .filter(col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
         .localCheckpoint(true) // pin results before the index mutates
       batchTag match {
         case Some(tag) =>
-          newBands
-            .select(col("band"), lit(tag).as("batch_tag"), col("bkey"),
-              col(id), col("sig"))
+          newBands.select(col("band"), lit(tag).as("batch_tag"),
+              col("bkey"), col(id))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("band", "batch_tag").parquet(indexPath)
+            .partitionBy("band", "batch_tag").parquet(bandsPath(indexPath))
+          sigsNew.select(lit(tag).as("batch_tag"), col(id), col("sig"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_tag").parquet(sigsPath(indexPath))
         case None =>
-          newBands.select(col("band"), col("bkey"), col(id), col("sig"))
-            .write.mode(SaveMode.Append).partitionBy("band").parquet(indexPath)
+          newBands.select(col("band"), col("bkey"), col(id))
+            .write.mode(SaveMode.Append).partitionBy("band")
+            .parquet(bandsPath(indexPath))
+          sigsNew.select(col(id), col("sig"))
+            .write.mode(SaveMode.Append).parquet(sigsPath(indexPath))
       }
       pairs
-    } finally { newBands.unpersist(); () }
+    } finally { sigsNew.unpersist(); () }
   }
 }

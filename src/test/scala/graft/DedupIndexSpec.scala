@@ -52,12 +52,14 @@ class DedupIndexSpec extends SparkSpec {
       "text", "doc_id", batchTag = Some("app-0")))
     val p2 = collectPairs(DedupIndex.appendAndFindDups(spark, batch2, idx,
       "text", "doc_id", batchTag = Some("app-1")))
-    val countBefore = spark.read.parquet(idx).count()
+    val countBefore = (spark.read.parquet(s"$idx/bands").count(),
+      spark.read.parquet(s"$idx/sigs").count())
     // at-least-once replay of batch 2: same tag → dynamic overwrite of
-    // exactly its own (band, batch_tag) partitions
+    // exactly its own tag-scoped partitions
     val p2replay = collectPairs(DedupIndex.appendAndFindDups(spark, batch2, idx,
       "text", "doc_id", batchTag = Some("app-1")))
-    assert(spark.read.parquet(idx).count() == countBefore,
+    assert((spark.read.parquet(s"$idx/bands").count(),
+      spark.read.parquet(s"$idx/sigs").count()) == countBefore,
       "replay grew the index")
     assert(p2replay == p2, "replayed pairs diverged")
     // tagged and untagged modes find the same pairs
@@ -69,18 +71,23 @@ class DedupIndexSpec extends SparkSpec {
     assert((p1 ++ p2) == (u1 ++ u2))
   }
 
-  test("index persists the band layout partitioned by band") {
+  test("index persists the split layout: thin bands by band, signatures once") {
     val idx = tmpDir() + "/idx"
     DedupIndex.appendAndFindDups(spark, batch1, idx, "text", "doc_id")
-    val bandDirs = new java.io.File(idx).listFiles()
+    val bandDirs = new java.io.File(s"$idx/bands").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("band="))
     assert(bandDirs.length == 16, s"expected 16 band partitions, got ${bandDirs.length}")
-    val stored = spark.read.parquet(idx)
-    assert(stored.columns.toSet == Set("band", "bkey", "doc_id", "sig"))
-    // one row per (doc, band) for every doc with a non-empty signature
-    assert(stored.count() == 3L * 16)
-    // appending batch2 only grows the index by batch2's bands
+    val bandsT = spark.read.parquet(s"$idx/bands")
+    assert(bandsT.columns.toSet == Set("band", "bkey", "doc_id"))
+    // one thin row per (doc, band) for every doc with a non-empty signature
+    assert(bandsT.count() == 3L * 16)
+    // the k-long signature is stored ONCE per doc, not once per band
+    val sigsT = spark.read.parquet(s"$idx/sigs")
+    assert(sigsT.columns.toSet == Set("doc_id", "sig"))
+    assert(sigsT.count() == 3L)
+    // appending batch2 only grows the index by batch2's rows
     DedupIndex.appendAndFindDups(spark, batch2, idx, "text", "doc_id")
-    assert(spark.read.parquet(idx).count() == 6L * 16)
+    assert(spark.read.parquet(s"$idx/bands").count() == 6L * 16)
+    assert(spark.read.parquet(s"$idx/sigs").count() == 6L)
   }
 }
