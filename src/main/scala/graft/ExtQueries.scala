@@ -516,6 +516,26 @@ object ExtQueries {
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rk").cast("long"))
         .orderBy("query_id", "rk")
+    }),
+
+    // Persisted ANN index: build (range-clustered on the LSH bucket so
+    // probe IN-lists prune files), search from disk. Rows-only — spec
+    // pins search == lshTopK under the same plane set.
+    "q_ann_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ann_idx").toString + "/ann"
+      graft.ops.AnnIndex.build(s, e, idx, "embedding", "vec_id",
+        numFiles = 8)
+      val out = graft.ops.AnnIndex.search(s, e.filter(col("vec_id") < 5),
+          idx, "embedding", "vec_id", 10)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+        .localCheckpoint(true) // materialize before the scratch index goes
+      new scala.reflect.io.Directory(
+        new java.io.File(idx).getParentFile).deleteRecursively()
+      out
     })
   )
 

@@ -41,7 +41,7 @@ object SimilarityOps {
     * corpus size. Identical output to
     * `row_number over (partition by query order by sim desc, id)`:
     * the buffer's ordering is the same total order. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKNeighbors.top_k_neighbors(
         col("sim"), col("neighbor_id"), k).as("_tk"))
@@ -165,7 +165,7 @@ object SimilarityOps {
     ivfSearch(buildIvfIndex(corpus, vec, id, nlist), queries, vec, id, k, nprobe)
 
   /** Keyspace sized to the corpus: ~targetBucket vectors per bucket. */
-  private def autoBits(n: Long, targetBucket: Long = 128L): Int =
+  private[ops] def autoBits(n: Long, targetBucket: Long = 128L): Int =
     math.max(8, math.min(24,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
         math.log(2.0)).toInt))
