@@ -178,9 +178,15 @@ object TextOps {
         .as("term"))
     val tf = terms.groupBy(col(id), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency as a window over tf — a separate
+    // groupBy("term") + self-join re-evaluates the whole explode +
+    // (id, term) aggregation subtree for BOTH join sides (the diamond
+    // is not reused); the window costs one term-keyed exchange over
+    // the already-aggregated tf rows instead
     val nDocs = df.select(countDistinct(col(id))).head().getLong(0)
-    val scored = tf.join(dfreq, Seq("term"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("term"))))
       .withColumn("tfidf",
         roundHalfUp(col("tf") *
           log(lit(nDocs.toDouble) / col("df").cast("double")), 6))
