@@ -153,7 +153,8 @@ object Multimodal {
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None
     var dataBytes: Option[Long] = None
-    while (i + 8 <= p.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+    var walk = true
+    while (walk && i + 8 <= p.length && (fmt.isEmpty || dataBytes.isEmpty)) {
       val id = fourCC(i)
       val size = le32(i + 4)
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= p.length)
@@ -161,10 +162,11 @@ object Multimodal {
       // the data chunk's DECLARED size is the payload length — the
       // bytes themselves need not be present to know the duration
       if (id == "data") dataBytes = Some(size)
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
-      if (size < 0 || size > Int.MaxValue) return fmt.map {
-        case (ch, sr, bits) => WavInfo(ch, sr, bits, None)
-      }
+      // next chunk offset in LONG arithmetic: a malformed/giant declared
+      // size must stop the walk, never overflow Int into a negative
+      // index (chunks pad to even per the RIFF spec)
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next > p.length) walk = false else i = next.toInt
     }
     fmt.map { case (ch, sr, bits) =>
       val dur = dataBytes.flatMap { db =>

@@ -109,6 +109,13 @@ class MultimodalSpec extends SparkSpec {
     val avi = wavBytes.clone(); "AVI ".getBytes.copyToArray(avi, 8)
     assert(Multimodal.wavInfo(avi).isEmpty)
     assert(Multimodal.wavInfo("RIFF".getBytes).isEmpty)
+    // a malformed chunk declaring a near-Int.MaxValue size must stop
+    // the walk cleanly (never overflow into a negative array index)
+    val evil = (cc("RIFF") ++ le32(100) ++ cc("WAVE") ++
+      cc("junk") ++ le32(0x7ffffff0L) ++
+      cc("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100L * 4) ++ le16(4) ++ le16(16)).map(_.toByte).toArray
+    assert(Multimodal.wavInfo(evil).isEmpty) // fmt sits past the bogus chunk
   }
 
   test("mp4Info: box walk yields brand, duration, and track dims") {
