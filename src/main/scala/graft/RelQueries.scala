@@ -211,6 +211,21 @@ object RelQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Nearest as-of: whichever click is closer in time, backward
+    // winning ties (pandas merge_asof semantics; oracle: two DuckDB
+    // ASOF joins + the same interval-compared CASE).
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.ops.AsofJoin.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+        Seq("click_value"), direction = "nearest")
+        .select(col("user_id"), col("event_id"), col("asof_click_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Forward as-of: earliest click at or after each purchase (the
     // next-touch attribution direction; oracle: DuckDB ASOF with <=).
     "q_asof_forward" -> ((s, dir) => {
@@ -823,6 +838,24 @@ object RelQueries {
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      s"""WITH $evCte,
+         |p AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, max(value) AS click_value FROM ev
+         |      WHERE event_type = 'click' GROUP BY 1, 2),
+         |b AS (SELECT p.user_id, p.event_id, p.ts, c.ts AS bts, c.click_value AS bval
+         |      FROM p ASOF LEFT JOIN c
+         |        ON p.user_id = c.user_id AND p.ts >= c.ts),
+         |f AS (SELECT p.event_id, c.ts AS fts, c.click_value AS fval
+         |      FROM p ASOF LEFT JOIN c
+         |        ON p.user_id = c.user_id AND p.ts <= c.ts)
+         |SELECT b.user_id, b.event_id,
+         |  CASE WHEN f.fts IS NULL
+         |         OR (b.bts IS NOT NULL AND (b.ts - b.bts) <= (f.fts - b.ts))
+         |       THEN b.bval ELSE f.fval END AS asof_click_value
+         |FROM b JOIN f ON b.event_id = f.event_id
+         |ORDER BY b.user_id, b.event_id""".stripMargin,
 
     "q_asof_forward" ->
       s"""WITH $evCte,
