@@ -78,6 +78,14 @@ object Layout {
   private def commitMarker(p: Path) = hiddenSibling(p, "swap_commit")
   private def compactTmpPath(p: Path) = hiddenSibling(p, "compact_tmp")
 
+  /** Staging-path helper for every writer that stages before a swap or
+    * a dynamic overwrite: the hidden-sibling rule above, shared so no
+    * caller invents a VISIBLE sibling (e.g. `table_name=t.stage` inside
+    * a checkpoint root) that a wholesale read would partition-discover
+    * as a bogus partition. */
+  private[graft] def stagingPath(p: Path, suffix: String): Path =
+    hiddenSibling(p, suffix)
+
   /** Repair the invariant after a crash mid-swap. Completion is
     * recorded by an explicit COMMIT MARKER, never inferred from the
     * live path existing — on stores whose rename is a copy (S3A) a

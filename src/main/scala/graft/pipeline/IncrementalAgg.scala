@@ -169,7 +169,8 @@ object IncrementalAgg {
           }
         // stage before the overwrite: Spark refuses, correctly, to
         // overwrite partitions of a path it is reading from
-        val stage = aggPath + ".stage_agg"
+        val stage = graft.ops.Layout.stagingPath(
+          new Path(aggPath), "stage_agg").toString
         merged.write.mode(SaveMode.Overwrite).parquet(stage)
         val staged = spark.read.parquet(stage)
         val n = staged.count()

@@ -108,7 +108,8 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
               val merged = Upsert.upsert(overlap, batch, keys)
               // stage the merged overlap, then dynamically overwrite just
               // those partitions from the staged copy
-              val stage = targetPath + ".stage"
+              val stage = graft.ops.Layout.stagingPath(
+                new org.apache.hadoop.fs.Path(targetPath), "stage").toString
               merged.write.mode(SaveMode.Overwrite).parquet(stage)
               val staged = spark.read.parquet(stage)
               val n = staged.count()
@@ -143,10 +144,10 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
                 s"$table: order column '$orderCol' has rows with NULL or " +
                   "unparseable dates; a watermark pipeline cannot window " +
                   "them — clean or default them upstream")
-              val stage = targetPath + ".stage_full"
+              val stage = graft.ops.Layout.stagingPath(tpath, "stage_full")
               batch.write.mode(SaveMode.Overwrite).partitionBy("dt")
-                .parquet(stage)
-              graft.ops.Layout.swapInPlace(hfs, new Path(stage), tpath)
+                .parquet(stage.toString)
+              graft.ops.Layout.swapInPlace(hfs, stage, tpath)
               batch.count()
             }
           }

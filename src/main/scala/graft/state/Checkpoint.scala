@@ -104,7 +104,7 @@ class Checkpoint(spark: SparkSession, dir: String) {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path(table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stage = new org.apache.hadoop.fs.Path(path(table) + ".stage")
+    val stage = graft.ops.Layout.stagingPath(p, "stage")
     Seq(latest).toDF("latest_timestamp")
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     graft.ops.Layout.swapInPlace(fs, stage, p)

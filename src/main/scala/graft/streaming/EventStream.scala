@@ -85,7 +85,7 @@ object EventStream {
             else batch.toDF()
           // the merge lazily READS the live target, so it must land in a
           // stage dir first; the swap then replaces the target whole
-          val stage = new org.apache.hadoop.fs.Path(targetPath + ".stage")
+          val stage = graft.ops.Layout.stagingPath(target, "stage")
           merged.write.mode("overwrite").parquet(stage.toString)
           graft.ops.Layout.swapInPlace(fs, stage, target)
         }
