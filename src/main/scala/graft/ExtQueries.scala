@@ -176,7 +176,10 @@ object ExtQueries {
     // split into two "daily" batches, each checked against history
     // without re-hashing it; the union of the calls equals the
     // full-batch minhash pair set (DedupIndexSpec pins the identity;
-    // rows-only here — the custom hash has no DuckDB mirror).
+    // rows-only here — the custom hash has no DuckDB mirror). The
+    // scratch index lives in a driver-local temp dir — demo plumbing
+    // for the local[n] harness; the operator itself takes any Hadoop
+    // path (HDFS/S3) in a real deployment.
     "q_dedup_incremental" -> ((s, dir) => {
       // batch 1 = the historical corpus (a half-sample — the key's cost
       // is rebuilding the index from scratch each run, which a real
@@ -520,7 +523,8 @@ object ExtQueries {
 
     // Persisted ANN index: build (range-clustered on the LSH bucket so
     // probe IN-lists prune files), search from disk. Rows-only — spec
-    // pins search == lshTopK under the same plane set.
+    // pins search == lshTopK under the same plane set. Driver-local
+    // scratch dir is demo plumbing; the operator takes any Hadoop path.
     "q_ann_index" -> ((s, dir) => {
       val e = emb(s, dir)
       val idx = java.nio.file.Files
