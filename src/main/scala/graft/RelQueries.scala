@@ -211,6 +211,36 @@ object RelQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Incrementally-maintained rollup under the oracle gate: two
+    // batches (split by a hash of event_id) fold into a date-
+    // partitioned rollup via IncrementalAgg.maintain; the finalized
+    // read must equal a from-scratch aggregation — DuckDB computes the
+    // latter directly. Scratch dir is local demo plumbing; the operator
+    // takes any Hadoop path.
+    "q_rollup_read" -> ((s, dir) => {
+      import graft.pipeline.IncrementalAgg
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("event_type"),
+          col("value"), col("event_id"))
+      val agg = java.nio.file.Files
+        .createTempDirectory("graft_rollup").toString + "/rollup"
+      val split = pmod(col("event_id") * lit(2654435761L), lit(2L))
+      IncrementalAgg.maintain(s, ev.filter(split === 0), agg, "d",
+        Seq("event_type"), "value")
+      IncrementalAgg.maintain(s, ev.filter(split === 1), agg, "d",
+        Seq("event_type"), "value")
+      val out = IncrementalAgg.finalized(s.read.parquet(agg))
+        .select(col("dt"), col("event_type"), col("n"),
+          roundHalfUp(col("sum_v").cast("double"), 4).as("sum_v"),
+          col("min_v"), col("max_v"),
+          roundHalfUp(col("avg_v"), 6).as("avg_v"))
+        .orderBy("dt", "event_type")
+        .localCheckpoint(true) // materialize before the scratch dir goes
+      new scala.reflect.io.Directory(
+        new java.io.File(agg).getParentFile).deleteRecursively()
+      out
+    }),
+
     // Nearest as-of: whichever click is closer in time, backward
     // winning ties (pandas merge_asof semantics; oracle: two DuckDB
     // ASOF joins + the same interval-compared CASE).
@@ -838,6 +868,16 @@ object RelQueries {
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q_rollup_read" ->
+      s"""WITH $evCte
+         |SELECT CAST(ts AS DATE) AS dt, event_type,
+         |  count(*) AS n,
+         |  ${sqlRound("sum(value)", 4)} AS sum_v,
+         |  min(value) AS min_v, max(value) AS max_v,
+         |  ${sqlRound("sum(value) / count(*)", 6)} AS avg_v
+         |FROM ev GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_asof_nearest" ->
       s"""WITH $evCte,
