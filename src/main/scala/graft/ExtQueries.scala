@@ -314,6 +314,50 @@ object ExtQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Deterministic 3-way train/val/test split: 80/10/10 by the same
+    // portable multiplicative hash — every engine (and every re-run)
+    // assigns each doc to the same split. Map-side only.
+    "q_split_assign" -> ((s, dir) => {
+      val b = hashMod(col("doc_id"), 100)
+      docs(s, dir)
+        .withColumn("bucket", b)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Canonical-URL dedup: crawl URLs normalized map-side (scheme/query/
+    // fragment stripped, host lower-cased, www. dropped), then one
+    // window exchange keeps the best doc per canonical URL (longest,
+    // tie-break smallest doc_id). The URL column is synthesized
+    // deterministically from doc_id (documents carries no url field);
+    // the oracle rebuilds the same URLs and the same normalization.
+    "q_url_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = col("doc_id")
+      val url = concat(
+        when(k % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(k % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (k % 7).cast("string"), lit(".com/page/"),
+        (k % 40).cast("string"),
+        when(k % 4 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+        when(k % 5 === 0, lit("#frag")).otherwise(lit("")))
+      docs(s, dir)
+        .withColumn("canon_url", TextOps.canonicalUrl(url))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("canon_url")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("canon_url"), col("doc_id"), col("n_chars"))
+        .orderBy("canon_url")
+    }),
+
+    // Unigram log-probability quality score (perplexity proxy).
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(docs(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // Text cleaning: lowercase, strip punctuation, collapse whitespace —
     // the standard pre-tokenization normalization pass (map-side only).
     "q_text_clean" -> ((s, dir) =>
@@ -957,6 +1001,50 @@ object ExtQueries {
          |c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
          |  ${sqlRound("ln(sum(c)) - sum(c * ln(c)) / sum(c)", 6)} AS entropy
-         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'Site' || (doc_id % 7) || '.com/page/' || (doc_id % 40) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |nt AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(regexp_replace(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*$', '') AS s
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(lower(regexp_extract(s, '^[^/]+')), '^www\.', '')
+        |      || regexp_replace(regexp_replace(s, '^[^/]+', ''), '/+$', '')
+        |      AS canon_url
+        |  FROM nt),
+        |r AS (
+        |  SELECT canon_url, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY canon_url ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM c)
+        |SELECT canon_url, doc_id, n_chars FROM r WHERE rk = 1
+        |ORDER BY canon_url""".stripMargin,
+
+    "q_unigram_logprob" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |pd AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         |g AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY tok) AS gf FROM pd),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM pd)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  ${sqlRound("sum(c * ln(gf / t)) / sum(c)", 6)} AS logprob
+         |FROM g, tot GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -292,24 +292,27 @@ object RelQueries {
     }),
 
     // Funnel analysis: strictly-ordered view -> click -> purchase per
-    // user; users counted at their deepest reached stage.
+    // user; users counted at their deepest reached stage. ONE exchange:
+    // the three stage timestamps are sequential full-partition windows
+    // over the same user_id partitioning (c1's predicate reads v1, which
+    // is per-user constant, so each stage is still a plain MIN), the
+    // per-user stage reuses that partitioning for its groupBy, and only
+    // the tiny per-stage count re-shuffles. The old form (3 filtered
+    // groupBys + 3 joins + a distinct) exchanged the events table 5x.
     "q_funnel" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("v1"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts") > col("v1"))
-        .groupBy("user_id").agg(min("ts").as("c1"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts") > col("c1"))
-        .groupBy("user_id").agg(min("ts").as("p1"))
-      ev.select("user_id").distinct()
-        .join(v, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
-        .withColumn("funnel_stage",
-          when(col("p1").isNotNull, 3L).when(col("c1").isNotNull, 2L)
-            .when(col("v1").isNotNull, 1L).otherwise(0L))
+      val wu = Window.partitionBy("user_id")
+      t(s, dir, "events").select("user_id", "event_type", "ts")
+        .withColumn("v1",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("c1",
+          min(when(col("event_type") === "click" && col("ts") > col("v1"),
+            col("ts"))).over(wu))
+        .withColumn("p1",
+          min(when(col("event_type") === "purchase" && col("ts") > col("c1"),
+            col("ts"))).over(wu))
+        .groupBy("user_id")
+        .agg(max(when(col("p1").isNotNull, 3L).when(col("c1").isNotNull, 2L)
+          .when(col("v1").isNotNull, 1L).otherwise(0L)).as("funnel_stage"))
         .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
         .orderBy("funnel_stage")
     }),
@@ -356,6 +359,37 @@ object RelQueries {
           .withColumn("o_orderkey", k + 100000000L))
       graft.ops.Diff.snapshotDiff(old, mutated, Seq("o_orderkey"))
         .orderBy("o_orderkey", "change_type")
+    }),
+
+    // SCD Type-2 dimension merge: an update batch closes changed keys'
+    // open rows at the effective date and opens new versions; history
+    // rows pass through untouched (graft.ops.Scd2, one key exchange).
+    // Fixture: customer as the dim; every 3rd key gets an update (every
+    // 6th actually changes, the rest are no-ops), every 97th key also
+    // arrives as a brand-new key, every 10th key carries a pre-existing
+    // closed history row.
+    "q_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+      val open = c
+        .withColumn("valid_from", to_date(lit("2020-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val hist = c.filter(col("k") % 10 === 0)
+        .withColumn("seg", lit("HISTORIC"))
+        .withColumn("valid_from", to_date(lit("2019-01-01")))
+        .withColumn("valid_to", to_date(lit("2020-01-01")))
+        .withColumn("is_current", lit(false))
+      val updates = c.filter(col("k") % 3 === 0)
+        .withColumn("seg", when(col("k") % 6 === 0,
+          concat(lit("X-"), col("seg"))).otherwise(col("seg")))
+        .unionByName(c.filter(col("k") % 97 === 0)
+          .withColumn("k", col("k") + 1000000L)
+          .withColumn("seg", lit("NEW")))
+        .withColumn("effective_date", to_date(lit("2021-06-01")))
+      graft.ops.Scd2.merge(open.unionByName(hist), updates, Seq("k"))
+        .orderBy("k", "valid_from", "is_current")
     }),
 
     // Cohort retention: users bucketed by first-seen week, distinct
@@ -523,6 +557,40 @@ object RelQueries {
             .as("corr_qp"),
           roundHalfUp(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
             .as("covar_qp"))
+        .orderBy("l_returnflag")),
+
+    // MODE with a pinned tie-break (most-frequent segment per nation,
+    // ties to the lexically smallest). Deliberately NOT the builtin
+    // mode() aggregate — its tie choice is engine-defined on both Spark
+    // and DuckDB, and a per-group value map doesn't partial-aggregate.
+    // Two-level shape instead: (nat, seg) counts combine map-side, then
+    // the winner is a row_number over the already-tiny count table.
+    "q_mode" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("rk", row_number().over(
+          Window.partitionBy("nat").orderBy(col("n").desc, col("seg"))))
+        .filter(col("rk") === 1)
+        .select(col("nat"), col("seg").as("mode_seg"), col("n"))
+        .orderBy("nat")
+    }),
+
+    // Linear-regression aggregates per group (slope/intercept/r2/count)
+    // — single partial-aggregated exchange; rounding absorbs the
+    // accumulation-order ulps between engines.
+    "q_regr" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          roundHalfUp(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          roundHalfUp(
+            regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("icept"),
+          roundHalfUp(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"))
         .orderBy("l_returnflag")),
 
     // Ordered string aggregation (LISTAGG WITHIN GROUP): each user's
@@ -724,6 +792,24 @@ object RelQueries {
       s"""SELECT l_returnflag,
          |  ${sqlRound("corr(l_quantity, l_extendedprice)", 6)} AS corr_qp,
          |  ${sqlRound("covar_samp(l_quantity, l_extendedprice)", 4)} AS covar_qp
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (SELECT nat, seg, n, row_number() OVER (
+        |    PARTITION BY nat ORDER BY n DESC, seg) AS rk FROM c)
+        |SELECT nat, seg AS mode_seg, n FROM r WHERE rk = 1
+        |ORDER BY nat""".stripMargin,
+
+    "q_regr" ->
+      s"""SELECT l_returnflag,
+         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+         |  ${sqlRound("regr_slope(l_extendedprice, l_quantity)", 4)} AS slope,
+         |  ${sqlRound("regr_intercept(l_extendedprice, l_quantity)", 2)} AS icept,
+         |  ${sqlRound("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_string_agg" ->
@@ -981,6 +1067,38 @@ object RelQueries {
         |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
         |SELECT o_orderkey, change_type FROM j
         |WHERE change_type <> 'unchanged' ORDER BY o_orderkey, change_type""".stripMargin,
+
+    "q_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |  CAST(c_nationkey AS BIGINT) AS nat FROM customer),
+        |op AS (SELECT k, seg, nat, DATE '2020-01-01' AS valid_from,
+        |  CAST(NULL AS DATE) AS valid_to, TRUE AS is_current FROM c),
+        |hist AS (SELECT k, 'HISTORIC' AS seg, nat,
+        |  DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to,
+        |  FALSE AS is_current FROM c WHERE k % 10 = 0),
+        |upd AS (
+        |  SELECT k, CASE WHEN k % 6 = 0 THEN 'X-' || seg ELSE seg END AS seg,
+        |    nat, DATE '2021-06-01' AS eff FROM c WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 1000000, 'NEW', nat, DATE '2021-06-01'
+        |  FROM c WHERE k % 97 = 0),
+        |j AS (SELECT coalesce(o.k, u.k) AS k, o.seg AS oseg, o.nat AS onat,
+        |    o.valid_from AS ovf, u.seg AS useg, u.nat AS unat, u.eff,
+        |    o.k IS NOT NULL AS has_open, u.k IS NOT NULL AS has_upd,
+        |    (o.seg IS DISTINCT FROM u.seg)
+        |      OR (o.nat IS DISTINCT FROM u.nat) AS changed
+        |  FROM op o FULL OUTER JOIN upd u ON o.k = u.k)
+        |SELECT * FROM hist
+        |UNION ALL
+        |SELECT k, oseg, onat, ovf, CAST(NULL AS DATE), TRUE FROM j
+        |WHERE has_open AND (NOT has_upd OR NOT changed)
+        |UNION ALL
+        |SELECT k, oseg, onat, ovf, eff, FALSE FROM j
+        |WHERE has_open AND has_upd AND changed
+        |UNION ALL
+        |SELECT k, useg, unat, eff, CAST(NULL AS DATE), TRUE FROM j
+        |WHERE has_upd AND (NOT has_open OR changed)
+        |ORDER BY k, valid_from, is_current""".stripMargin,
 
     "q_cohort_retention" ->
       s"""WITH $evCte,

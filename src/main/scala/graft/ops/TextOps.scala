@@ -203,4 +203,46 @@ object TextOps {
       .withColumn("n_fp", size(col("fp")))
       .withColumn("fp_min", array_min(col("fp")))
       .withColumn("fp_max", array_max(col("fp")))
+
+  /** Canonical URL for crawl dedup: scheme, query string, fragment and
+    * trailing slashes dropped, host lower-cased and `www.`-stripped,
+    * path kept case-sensitive. Pure map-side string ops (no UDF, no
+    * java.net.URI — its parser throws on the malformed URLs a crawl is
+    * full of; every regex here is total). The regexes are anchored or
+    * match-to-end so first-match (DuckDB) and all-match (Spark)
+    * regexp_replace semantics agree — keep it that way, the oracle
+    * mirrors them verbatim. */
+  def canonicalUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noTail = regexp_replace(noScheme, "[?#].*$", "")
+    val host = regexp_replace(lower(regexp_extract(noTail, "^[^/]+", 0)),
+      "^www\\.", "")
+    val path = regexp_replace(regexp_replace(noTail, "^[^/]+", ""), "/+$", "")
+    concat(host, path)
+  }
+
+  /** Unigram log-probability scoring — the cheap perplexity proxy of
+    * LLM-corpus quality filtering: score(doc) = mean over its tokens of
+    * ln(corpusFreq(token) / totalTokens); template spam scores high
+    * (common tokens), alphabet soup scores very low. Shape: per-(id,
+    * token) counts first (one exchange over aggregated pairs), corpus
+    * frequency as a window over those counts (one token-keyed exchange
+    * — a groupBy+self-join would re-run the explode for both sides),
+    * then the per-doc fold (one id-keyed exchange). The token text
+    * never crosses the last shuffle. `totalTokens` is a one-scalar
+    * driver read folded in as a literal, exactly like
+    * [[tfidfTopTerms]]'s corpus size. */
+  def unigramLogProb(df: DataFrame, text: String, id: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = df.select(sum(size(tokens(col(text)))))
+      .head().getLong(0).toDouble
+    df.select(col(id), explode(tokens(col(text))).as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("g", sum("c").over(Window.partitionBy("tok")))
+      .groupBy(col(id))
+      .agg(sum("c").as("n_tokens"),
+        roundHalfUp(
+          sum(col("c") * log(col("g").cast("double") / total)) / sum("c"),
+          6).as("logprob"))
+  }
 }

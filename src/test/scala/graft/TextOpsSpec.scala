@@ -149,6 +149,39 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(out(2)._4 - h) < 1e-6)
   }
 
+  test("canonical url: scheme/query/fragment/www/trailing-slash stripped, path case kept") {
+    val rows = Seq(
+      (1L, "https://WWW.Example.COM/Path/A?q=1#top"),
+      (2L, "http://example.com/Path/A/"),
+      (3L, "example.com/Path/A"),          // schemeless crawl entry
+      (4L, "ftp://files.example.com/x"),   // other schemes strip too
+      (5L, "https://example.com")          // bare host, no path
+    ).toDF("id", "url")
+      .select(col("id"), TextOps.canonicalUrl(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) == "example.com/Path/A")
+    assert(rows(2L) == "example.com/Path/A")
+    assert(rows(3L) == "example.com/Path/A")
+    assert(rows(4L) == "files.example.com/x")
+    assert(rows(5L) == "example.com")
+  }
+
+  test("unigram logprob: common-token docs outscore rare-token docs") {
+    // corpus: 'the' x4, 'rare' x1, 'unique' x1; total 6 tokens
+    val out = TextOps.unigramLogProb(Seq(
+      (1L, "the the the"), (2L, "the rare"), (3L, "unique")
+    ).toDF("id", "text"), "text", "id")
+      .select("id", "n_tokens", "logprob")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((1L, 3L, r6(math.log(4.0 / 6)))))
+    assert(out(1) == ((2L, 2L,
+      r6((math.log(4.0 / 6) + math.log(1.0 / 6)) / 2))))
+    assert(out(2) == ((3L, 1L, r6(math.log(1.0 / 6)))))
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3)
+  }
+
   test("repetition stats: NULL text stays NULL in every column") {
     val out = TextOps.repetitionStats(Seq(
       (1L, Option.empty[String]), (2L, Option("a a"))
