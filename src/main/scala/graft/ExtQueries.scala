@@ -105,6 +105,44 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Directional n-gram containment (|A∩B| / |A|) over a bounded
+    // candidate set — catches quote/prefix duplication whose Jaccard
+    // stays tiny.
+    "q_ngram_containment" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 40)
+      DedupOps.ngramContainment(d, d, "text", "doc_id")
+        .select(col("id_a"), col("id_b"), col("inter").cast("long"),
+          col("n_a").cast("long"), col("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Corpus-level repeated-line scrub over the mutant corpus (mutants
+    // share their 10-token lines with their source doc, so the
+    // boilerplate set is non-trivially populated at every sf).
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nLines = ceil(size(toks) / lit(10.0)).cast("int")
+      val withLines = docsWithMutants(s, dir).withColumn("text",
+        concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))))
+      TextOps.removeRepeatedLines(withLines, "text", "doc_id", minDocs = 2)
+        .select(col("doc_id"), col("n_kept"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Inverted index build: per-term document frequency + a capped,
+    // sorted posting list (serialized as CSV text — array columns break
+    // the driver's pandas compare). Two partial-aggregated exchanges.
+    "q_inverted_index" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 20))
+            .as("postings"))
+        .orderBy("term")),
+
     // MinHash+LSH near-dup pairs over docs+mutants (rows-only; exactness
     // validated in DedupOpsSpec against ngramJaccard ground truth).
     "q_dedup_minhash" -> ((s, dir) =>
@@ -1002,6 +1040,56 @@ object ExtQueries {
          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
          |  ${sqlRound("ln(sum(c)) - sum(c * ln(c)) / sum(c)", 6)} AS entropy
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_containment" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 40),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM d)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_distinct(list_intersect(a.s, b.s))) AS inter,
+         |  len(list_distinct(a.s)) AS n_a,
+         |  ${sqlRound(
+              "len(list_distinct(list_intersect(a.s, b.s))) / nullif(len(list_distinct(a.s)), 0)",
+              6)} AS containment
+         |FROM sh a, sh b WHERE a.doc_id <> b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |ln AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(toks[(pos*10+1):(pos*10+10)], ' ') AS line
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT)))
+        |            AS pos
+        |        FROM t)),
+        |bp AS (SELECT line FROM ln GROUP BY line
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT * FROM ln
+        |         WHERE line NOT IN (SELECT line FROM bp))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH e AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+        |FROM e GROUP BY term ORDER BY term""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,

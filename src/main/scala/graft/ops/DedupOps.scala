@@ -386,4 +386,24 @@ object DedupOps {
       .withColumn("jaccard", roundHalfUp(col("inter") / nullif(col("uni"), lit(0)), 6))
       .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
+
+  /** Exact n-gram CONTAINMENT for a bounded candidate set: |A∩B| / |A|
+    * per ORDERED pair — the partial-overlap measure Jaccard misses.
+    * A short doc quoted wholesale inside a long one scores containment
+    * ~1 while its Jaccard is tiny (the union is dominated by B), so
+    * quote/suffix/prefix duplication needs this directional form.
+    * Same contract as [[ngramJaccard]]: candidate sets are pre-bounded
+    * upstream (LSH buckets, an index probe), never the full corpus. */
+  def ngramContainment(a: DataFrame, b: DataFrame, text: String,
+                       id: String, w: Int = 3): DataFrame = {
+    val sa = a.select(col(id).as("id_a"), shingles(col(text), w).as("sh_a"))
+    val sb = b.select(col(id).as("id_b"), shingles(col(text), w).as("sh_b"))
+    sa.crossJoin(sb).filter(col("id_a") =!= col("id_b"))
+      .withColumn("inter",
+        size(array_distinct(array_intersect(col("sh_a"), col("sh_b")))))
+      .withColumn("n_a", size(array_distinct(col("sh_a"))))
+      .withColumn("containment",
+        roundHalfUp(col("inter") / nullif(col("n_a"), lit(0)), 6))
+      .select("id_a", "id_b", "inter", "n_a", "containment")
+  }
 }

@@ -204,6 +204,35 @@ object TextOps {
       .withColumn("fp_min", array_min(col("fp")))
       .withColumn("fp_max", array_max(col("fp")))
 
+  /** Corpus-level repeated-line removal (the CCNet/RefinedWeb boilerplate
+    * scrub): any line appearing in >= `minDocs` DISTINCT documents is
+    * dropped from every document; survivors are reassembled in original
+    * line order. Documents whose every line is boilerplate disappear
+    * from the output (they carry no signal), exactly like the SQL form.
+    *
+    * Shape: posexplode to (id, pos, line); the boilerplate set is a
+    * single-column count-distinct aggregate over the lines (two-phase,
+    * no Expand); occurrences anti-join it on the line key; the rebuild
+    * groups by document with an in-group sort on position. Three line-
+    * keyed/doc-keyed exchanges of (id, pos, line) rows — at 100 TB the
+    * anti-join key would carry an 8-byte line hash instead of the text
+    * (the [[DedupOps.boilerplateNgrams]] hashPrefilter precedent); here
+    * the text key keeps the op bit-identical to the DuckDB oracle. */
+  def removeRepeatedLines(df: DataFrame, text: String, id: String,
+                          minDocs: Int): DataFrame = {
+    val rows = df.select(col(id),
+      posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+    val boiler = rows.groupBy("line")
+      .agg(countDistinct(col(id)).as("nd"))
+      .filter(col("nd") >= minDocs).select("line")
+    rows.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line"))).as("clean_text"))
+  }
+
   /** Canonical URL for crawl dedup: scheme, query string, fragment and
     * trailing slashes dropped, host lower-cased and `www.`-stripped,
     * path kept case-sensitive. Pure map-side string ops (no UDF, no

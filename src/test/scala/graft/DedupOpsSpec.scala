@@ -45,6 +45,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(found.contains((0L, 1L)) && found.contains((2L, 3L)))
   }
 
+  test("containment: subset doc scores 1.0 against its superset, not vice versa") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // 3-grams: abc bcd cde
+      (2L, "a b c d e f g")       // 3-grams: + def efg
+    ).toDF("doc_id", "text")
+    val out = DedupOps.ngramContainment(docs, docs, "text", "doc_id")
+      .select("id_a", "id_b", "inter", "n_a", "containment")
+      .as[(Long, Long, Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out((1L, 2L)) == ((1L, 2L, 3, 3, 1.0)))   // A fully inside B
+    assert(out((2L, 1L)) == ((2L, 1L, 3, 5, 0.6)))   // B only 3/5 in A
+  }
+
   test("simhash: near-dups at small hamming, unrelated docs not paired") {
     val pairs = DedupOps.simhashDupPairs(corpus, "text", "doc_id",
       maxHamming = 12)  // adaptive banding: recall exact up to hamming 12

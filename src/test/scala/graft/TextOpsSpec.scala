@@ -149,6 +149,25 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(out(2)._4 - h) < 1e-6)
   }
 
+  test("repeated-line scrub: shared lines drop, fully-boilerplate docs vanish") {
+    val out = TextOps.removeRepeatedLines(Seq(
+      (1L, "x\ny\nz"), (2L, "x\nw"), (3L, "x\nz")
+    ).toDF("id", "text"), "text", "id", minDocs = 2)
+      .select("id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // 'x' is in 3 docs, 'z' in 2 -> both boilerplate; doc 3 loses every
+    // line and disappears
+    assert(out.toSeq == Seq((1L, 1L, "y"), (2L, 1L, "w")))
+  }
+
+  test("repeated-line scrub: line order survives reassembly") {
+    val out = TextOps.removeRepeatedLines(Seq(
+      (1L, "keep1\ndup\nkeep2\nkeep3"), (2L, "dup")
+    ).toDF("id", "text"), "text", "id", minDocs = 2)
+      .filter($"id" === 1).select("clean_text").as[String].head()
+    assert(out == "keep1\nkeep2\nkeep3")
+  }
+
   test("canonical url: scheme/query/fragment/www/trailing-slash stripped, path case kept") {
     val rows = Seq(
       (1L, "https://WWW.Example.COM/Path/A?q=1#top"),
