@@ -51,6 +51,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"topk plans a full sort:\n$p")
   }
 
+  test("funnel: chained stage windows share one user exchange") {
+    val p = planOf("q_funnel")
+    // user_id exchange (windows + per-user groupBy reuse it), the tiny
+    // per-stage count, and the final single-partition orderBy — the
+    // events table itself must cross exactly one exchange
+    assert(count(p, "Exchange") <= 3, s"funnel re-shuffles events:\n$p")
+    assert(count(p, "Window") >= 1, p)
+  }
+
+  test("scd2: open rows cross one key exchange; emission is map-side") {
+    val p = planOf("q_scd2")
+    // full-outer join on k (one exchange per side) + final orderBy;
+    // the inline() branch fan-out must not add exchanges
+    assert(count(p, "Generate") >= 1, s"inline() emission lost:\n$p")
+    assert(count(p, "Exchange") <= 4, s"scd2 grew extra exchanges:\n$p")
+  }
+
   test("exact dedup shuffles the digest, not the text") {
     val p = planOf("q_dedup_exact")
     // the exchange key is the 32-byte sha2 digest; document text must
@@ -63,15 +80,16 @@ class PlanSpec extends SparkSpec {
     // Whitelisted dense-scoring steps, each deliberate:
     //  - q_similarity_cosine / q_dedup_embed: brute-force oracle baseline
     //    (tiny broadcast query set × corpus — the documented ground truth);
-    //  - q_ngram_jaccard: exact all-pairs Jaccard over a bounded candidate
-    //    set, the ground truth the approximate dedup keys are tested against;
+    //  - q_ngram_jaccard / q_ngram_containment: exact all-pairs overlap
+    //    over a bounded candidate set, the ground truth the approximate
+    //    dedup keys are tested against;
     //  - q_ann_ivf: the IVF probe step scores every centroid per query
     //    (broadcast of nlist centroid rows) — the same dense centroid scan
     //    FAISS IVF performs; corpus-side scoring is hash-partitioned.
     //  - q_dq_checks: a 1-row x 1-row cross of two aggregate verdicts
     //    (metrics row assembly, not a data-scale join).
     val bruteForce = Set("q_similarity_cosine", "q_dedup_embed",
-      "q_ngram_jaccard", "q_ann_ivf", "q_dq_checks")
+      "q_ngram_jaccard", "q_ngram_containment", "q_ann_ivf", "q_dq_checks")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bruteForce)
       .filter { key =>
