@@ -117,7 +117,11 @@ object DedupIndex {
       // signature lookup: batch sigs ∪ stored sigs, deduped by id (a
       // tagged replay sees its own ids on both sides — the sig bytes
       // are identical, so any survivor is correct)
-      val sigSrc = (if (!indexExists) sigsNew.select(col(id), col("sig"))
+      // probed independently of `indexExists` (bands dir): a crash
+      // between the two appends can leave either table ahead of the
+      // other, and the read path must tolerate both states
+      val sigsExist = fs.exists(new Path(sigsPath(indexPath)))
+      val sigSrc = (if (!sigsExist) sigsNew.select(col(id), col("sig"))
         else sigsNew.select(col(id), col("sig")).unionByName(
           spark.read.parquet(sigsPath(indexPath)).select(col(id), col("sig"))))
         .dropDuplicates(id)
@@ -131,23 +135,30 @@ object DedupIndex {
         .filter(col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .localCheckpoint(true) // pin results before the index mutates
+      // Write order is load-bearing: SIGS FIRST. A crash between the two
+      // writes then leaves ids with a signature but no band rows — they
+      // are merely not-yet-findable, and the retry re-appends both
+      // (sig duplicates are healed by the dropDuplicates(id) read).
+      // Bands-first would leave ids discoverable as candidates with NO
+      // signature, and the inner sig join would silently drop every
+      // future pair involving them.
       batchTag match {
         case Some(tag) =>
+          sigsNew.select(lit(tag).as("batch_tag"), col(id), col("sig"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_tag").parquet(sigsPath(indexPath))
           newBands.select(col("band"), lit(tag).as("batch_tag"),
               col("bkey"), col(id))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("band", "batch_tag").parquet(bandsPath(indexPath))
-          sigsNew.select(lit(tag).as("batch_tag"), col(id), col("sig"))
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_tag").parquet(sigsPath(indexPath))
         case None =>
+          sigsNew.select(col(id), col("sig"))
+            .write.mode(SaveMode.Append).parquet(sigsPath(indexPath))
           newBands.select(col("band"), col("bkey"), col(id))
             .write.mode(SaveMode.Append).partitionBy("band")
             .parquet(bandsPath(indexPath))
-          sigsNew.select(col(id), col("sig"))
-            .write.mode(SaveMode.Append).parquet(sigsPath(indexPath))
       }
       pairs
     } finally { sigsNew.unpersist(); () }
