@@ -174,6 +174,17 @@ object ExtQueries {
         .orderBy("query_id", "rk")
     }),
 
+    // Hard centroid assignment (k-means E-step / IVF list assignment):
+    // first 8 vectors serve as deterministic centroids; every vector
+    // joins its best-cosine centroid, ties to the smallest centroid id.
+    "q_cluster_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.assignToCentroids(e, e.filter(col("vec_id") < 8),
+        "embedding", "vec_id", "vec_id")
+        .select(col("vec_id"), col("cluster_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal plumbing: text bytes stand in for media payloads;
     // decode is the deterministic stub (rows-only; see Multimodal docs).
     "q_multimodal_meta" -> ((s, dir) => {
@@ -718,6 +729,21 @@ object ExtQueries {
          |  FROM corpus c, q WHERE id_a < c.vec_id)
          |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_cluster_assign" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |v AS (SELECT vec_id, embedding AS ev FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, cid,
+         |    ${sqlRound(s"${dot("ev", "cvec")} / (sqrt(${dot("ev", "ev")}) * sqrt(${dot("cvec", "cvec")}))", 6)} AS sim
+         |  FROM v, c),
+         |r AS (SELECT vec_id, cid, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM s)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM r
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
     },
 
     "q_dedup_components" ->

@@ -61,6 +61,30 @@ object SimilarityOps {
     rankTopK(scored, k)
   }
 
+  /** Hard cluster assignment (the k-means E-step / IVF list assignment)
+    * against an EXPLICIT centroid table: every vector gets the centroid
+    * with the highest cosine, ties to the smallest centroid id. The
+    * centroid side broadcasts, scoring is map-side, and the arg-max is
+    * a partial-aggregating struct max — one vector-keyed exchange of
+    * (id, best) pairs, corpus never shuffled. At 100 TB this is one
+    * scan; it is the assignment kernel [[ivfTopK]]'s probe step uses,
+    * exposed for bulk (re-)clustering and cluster-stats jobs. */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+                        vec: String, id: String, cid: String): DataFrame = {
+    Reserved.requireAbsent(corpus, "assignToCentroids",
+      Seq("_cid", "_cvec", "_sim", "_best"))
+    val c = centroids.select(col(cid).as("_cid"), col(vec).as("_cvec"))
+    corpus.select(col(id), col(vec))
+      .crossJoin(broadcast(c))
+      .withColumn("_sim", roundHalfUp(cosine_sim(col(vec), col("_cvec")), 6))
+      .groupBy(col(id))
+      // max over (sim, -cid): highest similarity wins, ties go to the
+      // SMALLEST centroid id — deterministic under any merge order
+      .agg(max(struct(col("_sim"), (-col("_cid")).as("_ncid"))).as("_best"))
+      .select(col(id), (-col("_best._ncid")).as("cluster_id"),
+        col("_best._sim").as("sim"))
+  }
+
   /** A built IVF index: the corpus with cluster assignments, plus the
     * (tiny) centroid table. Build once, search many times; `assigned`
     * can be persisted/bucketed by `cluster` for repeated serving. */

@@ -263,8 +263,11 @@ object TextOps {
     * [[tfidfTopTerms]]'s corpus size. */
   def unigramLogProb(df: DataFrame, text: String, id: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val total = df.select(sum(size(tokens(col(text)))))
-      .head().getLong(0).toDouble
+    val totRow = df.select(sum(size(tokens(col(text))))).head()
+    // empty input (or all-null text): sum() is NULL — no token rows will
+    // flow anyway, so any nonzero divisor keeps the plan well-typed
+    val total =
+      if (totRow.isNullAt(0)) 1.0 else totRow.getLong(0).toDouble
     df.select(col(id), explode(tokens(col(text))).as("tok"))
       .groupBy(col(id), col("tok")).agg(count(lit(1)).as("c"))
       .withColumn("g", sum("c").over(Window.partitionBy("tok")))

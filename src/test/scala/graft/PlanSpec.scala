@@ -83,13 +83,16 @@ class PlanSpec extends SparkSpec {
     //  - q_ngram_jaccard / q_ngram_containment: exact all-pairs overlap
     //    over a bounded candidate set, the ground truth the approximate
     //    dedup keys are tested against;
+    //  - q_cluster_assign: the k-means E-step scores every (vector,
+    //    centroid) pair by definition — centroids broadcast, map-side;
     //  - q_ann_ivf: the IVF probe step scores every centroid per query
     //    (broadcast of nlist centroid rows) — the same dense centroid scan
     //    FAISS IVF performs; corpus-side scoring is hash-partitioned.
     //  - q_dq_checks: a 1-row x 1-row cross of two aggregate verdicts
     //    (metrics row assembly, not a data-scale join).
     val bruteForce = Set("q_similarity_cosine", "q_dedup_embed",
-      "q_ngram_jaccard", "q_ngram_containment", "q_ann_ivf", "q_dq_checks")
+      "q_ngram_jaccard", "q_ngram_containment", "q_ann_ivf", "q_dq_checks",
+      "q_cluster_assign")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bruteForce)
       .filter { key =>
