@@ -37,7 +37,16 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // between-key hygiene, OUTSIDE the timed window: several operators
+      // pin localCheckpoint blocks that only the ContextCleaner frees
+      // (on GC of the dropped DataFrame); across 100+ keys in one JVM
+      // the accumulation inflates later keys 3-4x with collection
+      // pressure that a per-query deployment never sees. The key's own
+      // GC time is still inside its measurement.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> (if (ok) dt else -1.0)
     }
     // failed keys carry -1 markers; they must not deflate the total
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -363,6 +363,16 @@ object ExtQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Context-window sequence packing: docs laid end-to-end into
+    // 512-token bins across 8 hash shards (per-shard running sums; one
+    // exchange).
+    "q_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir), "text", "doc_id",
+        capacity = 512, shards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"),
+          col("offset"))
+        .orderBy("doc_id")),
+
     // Deterministic 3-way train/val/test split: 80/10/10 by the same
     // portable multiplicative hash — every engine (and every re-run)
     // assigns each doc to the same split. Map-side only.
@@ -1116,6 +1126,23 @@ object ExtQueries {
         |SELECT term, count(*) AS df,
         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
         |FROM e GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (doc_id * 2654435761) % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |  CAST(cum - n_tokens - floor((cum - n_tokens) / 512) * 512 AS BIGINT)
+        |    AS offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,

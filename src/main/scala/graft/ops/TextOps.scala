@@ -204,6 +204,37 @@ object TextOps {
       .withColumn("fp_min", array_min(col("fp")))
       .withColumn("fp_max", array_max(col("fp")))
 
+  /** Greedy contiguous sequence packing — the context-window packing
+    * step of LLM training-data prep: documents are laid end-to-end into
+    * fixed-`capacity` token bins (documents may straddle a bin
+    * boundary), and each doc gets its (bin, offset) coordinates.
+    *
+    * A single global ordering would funnel the whole corpus through one
+    * window partition, so packing is SHARDED: a portable hash of the id
+    * places each doc in one of `shards` independent streams, each
+    * packed by a per-shard running token sum (one exchange; every shard
+    * a separate window partition). At 100 TB, shards ≈ executor count —
+    * each bin is still perfectly dense; only bin NUMBERING is
+    * shard-local, which training consumers don't care about. Output:
+    * (id, shard, n_tokens, bin, offset) with offset = the doc's start
+    * position inside its bin. */
+  def packSequences(df: DataFrame, text: String, id: String,
+                    capacity: Int, shards: Int): DataFrame = {
+    require(capacity > 0 && shards > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(id),
+        size(tokens(col(text))).cast("long").as("n_tokens"),
+        pmod(col(id) * lit(2654435761L), lit(shards.toLong)).as("shard"))
+      .withColumn("_cum", sum("n_tokens").over(w))
+      .withColumn("bin", floor((col("_cum") - col("n_tokens"))
+        / capacity.toLong))
+      .withColumn("offset",
+        col("_cum") - col("n_tokens") - col("bin") * capacity.toLong)
+      .drop("_cum")
+  }
+
   /** Corpus-level repeated-line removal (the CCNet/RefinedWeb boilerplate
     * scrub): any line appearing in >= `minDocs` DISTINCT documents is
     * dropped from every document; survivors are reassembled in original

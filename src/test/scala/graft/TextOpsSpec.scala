@@ -149,6 +149,19 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(out(2)._4 - h) < 1e-6)
   }
 
+  test("sequence packing: bins fill densely, docs straddle boundaries") {
+    // one shard; capacity 4. tokens: 3, 2, 4 -> cumsum 3, 5, 9
+    val out = TextOps.packSequences(Seq(
+      (0L, "a b c"), (8L, "d e"), (16L, "f g h i")  // ids hash to shard 0
+    ).toDF("id", "text"), "text", "id", capacity = 4, shards = 1)
+      .select("id", "n_tokens", "bin", "offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L, 0L),   // starts bin 0 at 0
+      (8L, 2L, 0L, 3L),   // starts at 3, straddles into bin 1
+      (16L, 4L, 1L, 1L))) // starts inside bin 1 at offset 1
+  }
+
   test("repeated-line scrub: shared lines drop, fully-boilerplate docs vanish") {
     val out = TextOps.removeRepeatedLines(Seq(
       (1L, "x\ny\nz"), (2L, "x\nw"), (3L, "x\nz")
