@@ -559,6 +559,46 @@ object RelQueries {
             .as("covar_qp"))
         .orderBy("l_returnflag")),
 
+    // Row-level quarantine: rows violating any DQ rule are routed aside
+    // with the violated rule names (map-side tag, one scan).
+    "q_quarantine" -> ((s, dir) => {
+      val rules = Seq(
+        "qty_high" -> (col("l_quantity") > 45),
+        "disc_high" -> (col("l_discount") > 0.08),
+        "tax_high" -> (col("l_tax") > 0.06))
+      val (_, bad) = graft.ops.Quarantine.split(t(s, dir, "lineitem"), rules)
+      // (l_orderkey, l_linenumber) is not unique in the synthetic
+      // testdata — reasons joins the sort key to pin tied rows
+      bad.select(col("l_orderkey"), col("l_linenumber"), col("reasons"))
+        .orderBy("l_orderkey", "l_linenumber", "reasons")
+    }),
+
+    // Robust outlier detection per group (median absolute deviation):
+    // median -> MAD -> count of |x - median| > 3 * MAD. Three passes by
+    // definition (each statistic conditions the next); the per-group
+    // statistics broadcast back, so the detail table never shuffles —
+    // at 100 TB the cost is three scans, zero exchanges of the data.
+    "q_anomaly_mad" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+      val dev = abs(col("l_extendedprice") - col("med"))
+      val med = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+      val mad = li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(percentile(dev, lit(0.5)).as("mad"))
+      li.join(broadcast(med), "l_returnflag")
+        .join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(first(col("med")).as("med_raw"), first(col("mad")).as("mad_raw"),
+          count(when(dev > lit(3) * col("mad"), 1)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          roundHalfUp(col("med_raw"), 4).as("median"),
+          roundHalfUp(col("mad_raw"), 4).as("mad"),
+          col("n_outliers"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // MODE with a pinned tie-break (most-frequent segment per nation,
     // ties to the lexically smallest). Deliberately NOT the builtin
     // mode() aggregate — its tie choice is engine-defined on both Spark
@@ -793,6 +833,34 @@ object RelQueries {
          |  ${sqlRound("corr(l_quantity, l_extendedprice)", 6)} AS corr_qp,
          |  ${sqlRound("covar_samp(l_quantity, l_extendedprice)", 4)} AS covar_qp
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  concat_ws(',',
+        |    CASE WHEN l_quantity > 45 THEN 'qty_high' END,
+        |    CASE WHEN l_discount > 0.08 THEN 'disc_high' END,
+        |    CASE WHEN l_tax > 0.06 THEN 'tax_high' END) AS reasons
+        |FROM lineitem
+        |WHERE l_quantity > 45 OR l_discount > 0.08 OR l_tax > 0.06
+        |ORDER BY l_orderkey, l_linenumber, reasons""".stripMargin,
+
+    "q_anomaly_mad" ->
+      s"""WITH med AS (
+         |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+         |  FROM lineitem GROUP BY 1),
+         |mad AS (
+         |  SELECT l.l_returnflag,
+         |    quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+         |  FROM lineitem l JOIN med USING (l_returnflag) GROUP BY 1)
+         |SELECT l.l_returnflag,
+         |  ${sqlRound("any_value(med)", 4)} AS median,
+         |  ${sqlRound("any_value(mad)", 4)} AS mad,
+         |  CAST(count(CASE WHEN abs(l_extendedprice - med) > 3 * mad
+         |    THEN 1 END) AS BIGINT) AS n_outliers,
+         |  count(*) AS n
+         |FROM lineitem l JOIN med USING (l_returnflag)
+         |  JOIN mad USING (l_returnflag)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (

@@ -150,9 +150,18 @@ object IncrementalAgg {
       else {
         val tpath = new Path(aggPath)
         val hfs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (!hfs.exists(tpath)) fresh
-          else {
+        if (!hfs.exists(tpath)) {
+          // first write: nothing to merge and nothing being read from
+          // the target, so the stage cycle below (full write + re-read +
+          // overwrite) would just double the IO — write directly.
+          // `fresh` is persisted, so the count costs no recompute.
+          val n = fresh.count()
+          fresh.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dt").parquet(aggPath)
+          return n
+        }
+        val merged = {
             val touched = fresh.select(col("dt")).distinct()
               .collect().map(r => if (r.isNullAt(0)) null else r.getDate(0))
             val dates = touched.filter(_ != null).toSeq
