@@ -169,6 +169,22 @@ class SimilaritySpec extends SparkSpec {
     assert(distinct > 64, s"bucket keyspace collapsed to $distinct values")
   }
 
+  test("centroid assignment: best cosine wins, ties to the smallest centroid id") {
+    val df = Seq(
+      (0L, Array(1f, 0f)),   // centroid 0
+      (1L, Array(0f, 1f)),   // centroid 1
+      (2L, Array(1f, 0f)),   // centroid 2: duplicate of centroid 0
+      (10L, Array(2f, 0f)),  // ties centroids 0 and 2 -> 0 wins
+      (11L, Array(0f, 3f)),  // -> centroid 1
+      (12L, Array(1f, 1f))   // equidistant from 0/1/2 -> 0 wins
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.assignToCentroids(
+      df.filter($"vec_id" >= 10), df.filter($"vec_id" < 3),
+      "embedding", "vec_id", "vec_id")
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+
   test("LSH ANN: duplicate query ids are deduped, never cross-joined") {
     val df = planted
     val queries = df.filter($"vec_id" < 3)
