@@ -38,11 +38,10 @@ object ExtQueries {
         greatest(floor((size(toks) * 4) / 5).cast("int"), lit(3)))).as("text")))
   }
 
-  /** The ONE multiplicative-hash sampling predicate (Knuth constant):
-    * every sampled key and its oracle SQL mirror this exact arithmetic —
-    * a drifted copy surfaces only as an oracle hash mismatch. */
+  /** The shared portable hash ([[graft.functions.PortableHash]]):
+    * every sampled key and its oracle SQL mirror its exact arithmetic. */
   private def hashMod(c: org.apache.spark.sql.Column, m: Long) =
-    pmod(c * lit(2654435761L), lit(m))
+    graft.functions.PortableHash.hashMod(c, m)
 
   private def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")

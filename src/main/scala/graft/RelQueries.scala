@@ -224,7 +224,7 @@ object RelQueries {
           col("value"), col("event_id"))
       val agg = java.nio.file.Files
         .createTempDirectory("graft_rollup").toString + "/rollup"
-      val split = pmod(col("event_id") * lit(2654435761L), lit(2L))
+      val split = graft.functions.PortableHash.hashMod(col("event_id"), 2L)
       IncrementalAgg.maintain(s, ev.filter(split === 0), agg, "d",
         Seq("event_type"), "value")
       IncrementalAgg.maintain(s, ev.filter(split === 1), agg, "d",

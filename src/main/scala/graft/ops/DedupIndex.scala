@@ -84,7 +84,11 @@ object DedupIndex {
         .withColumn("is_new", lit(true))
       val fs = new Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val indexExists = fs.exists(new Path(bandsPath(indexPath)))
+      // committed-data probes, not bare exists(): a crashed write leaves
+      // a schema-less directory (only _temporary/) that would wedge
+      // spark.read.parquet on every subsequent call
+      val indexExists =
+        Layout.hasCommittedFiles(fs, new Path(bandsPath(indexPath)))
       val allBands =
         if (!indexExists) newBands
         else {
@@ -120,7 +124,8 @@ object DedupIndex {
       // probed independently of `indexExists` (bands dir): a crash
       // between the two appends can leave either table ahead of the
       // other, and the read path must tolerate both states
-      val sigsExist = fs.exists(new Path(sigsPath(indexPath)))
+      val sigsExist =
+        Layout.hasCommittedFiles(fs, new Path(sigsPath(indexPath)))
       val sigSrc = (if (!sigsExist) sigsNew.select(col(id), col("sig"))
         else sigsNew.select(col(id), col("sig")).unionByName(
           spark.read.parquet(sigsPath(indexPath)).select(col(id), col("sig"))))

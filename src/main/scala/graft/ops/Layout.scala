@@ -86,6 +86,31 @@ object Layout {
   private[graft] def stagingPath(p: Path, suffix: String): Path =
     hiddenSibling(p, suffix)
 
+  /** True when `p` holds at least one COMMITTED data file. A bare
+    * `fs.exists(dir)` probe is the wrong "does this table exist" test
+    * for any writer that may have crashed mid-job: the parquet
+    * committer creates the directory (and `_temporary/`) before any
+    * file commits, so an existence probe routes the retry down the
+    * read-the-existing-table path and `spark.read.parquet` dies on
+    * 'unable to infer schema' — the table is wedged until manual
+    * cleanup. Scans the listing lazily and stops at the first real
+    * data file; `_`-prefixed (committer state, markers) and hidden
+    * entries don't count. */
+  def hasCommittedFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Boolean = {
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val inTemp = Iterator.iterate(f.getParent)(_.getParent)
+        .takeWhile(q => q != null && q.toString.length >= p.toString.length)
+        .exists(_.getName == "_temporary")
+      if (!inTemp && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        return true
+    }
+    false
+  }
+
   /** Repair the invariant after a crash mid-swap. Completion is
     * recorded by an explicit COMMIT MARKER, never inferred from the
     * live path existing — on stores whose rename is a copy (S3A) a

@@ -26,16 +26,21 @@ object Quarantine {
   def tag(df: DataFrame, rules: Seq[(String, Column)],
           reasonsCol: String = "reasons"): DataFrame = {
     require(rules.nonEmpty, "quarantine: at least one rule")
+    // the delimiter is load-bearing: a comma inside a rule name would
+    // make the reasons list unparseable downstream
+    val bad = rules.map(_._1).filter(n => n.isEmpty || n.contains(","))
+    require(bad.isEmpty,
+      s"quarantine: rule names must be non-empty and comma-free: $bad")
     Reserved.requireAbsent(df, "quarantineTag", Seq(reasonsCol))
     df.withColumn(reasonsCol,
       concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*))
   }
 
   /** (clean, quarantined) split over one tagged plan. */
-  def split(df: DataFrame, rules: Seq[(String, Column)])
-      : (DataFrame, DataFrame) = {
-    val tagged = tag(df, rules)
-    (tagged.filter(col("reasons") === "").drop("reasons"),
-      tagged.filter(col("reasons") =!= ""))
+  def split(df: DataFrame, rules: Seq[(String, Column)],
+            reasonsCol: String = "reasons"): (DataFrame, DataFrame) = {
+    val tagged = tag(df, rules, reasonsCol)
+    (tagged.filter(col(reasonsCol) === "").drop(reasonsCol),
+      tagged.filter(col(reasonsCol) =!= ""))
   }
 }

@@ -40,7 +40,12 @@ object Scd2 {
     require(Meta.forall(outCols.contains),
       s"current must carry ${Meta.mkString(", ")}")
     val tracked = outCols.filterNot(c => keys.contains(c) || Meta.contains(c))
-    Reserved.requireAbsent(current, "scd2Merge", Seq("_eff", "_upd", "_open"))
+    // the _u_<attr> rename namespace is reserved too: a current column
+    // literally named "_u_<tracked>" would collide with the renamed
+    // update attribute after the join and fail as an opaque
+    // ambiguous-reference error instead of this check
+    Reserved.requireAbsent(current, "scd2Merge",
+      Seq("_eff", "_upd", "_open") ++ tracked.map("_u_" + _))
 
     val open = current.filter(col("is_current")).withColumn("_open", lit(true))
     val hist = current.filter(!col("is_current"))

@@ -226,7 +226,8 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(id),
         size(tokens(col(text))).cast("long").as("n_tokens"),
-        pmod(col(id) * lit(2654435761L), lit(shards.toLong)).as("shard"))
+        graft.functions.PortableHash.hashMod(col(id), shards.toLong)
+          .as("shard"))
       .withColumn("_cum", sum("n_tokens").over(w))
       .withColumn("bin", floor((col("_cum") - col("n_tokens"))
         / capacity.toLong))

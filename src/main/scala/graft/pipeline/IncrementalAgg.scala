@@ -150,7 +150,11 @@ object IncrementalAgg {
       else {
         val tpath = new Path(aggPath)
         val hfs = tpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!hfs.exists(tpath)) {
+        // committed-data probe, not bare exists(): a first write that
+        // crashed mid-job leaves the directory (with only _temporary/)
+        // behind, and an existence probe would route the retry into
+        // spark.read.parquet on a schema-less dir — wedged forever
+        if (!graft.ops.Layout.hasCommittedFiles(hfs, tpath)) {
           // first write: nothing to merge and nothing being read from
           // the target, so the stage cycle below (full write + re-read +
           // overwrite) would just double the IO — write directly.

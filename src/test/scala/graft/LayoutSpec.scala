@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hasCommittedFiles: crashed-write residue is not an existing table") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Files.createTempDirectory("committed").toString
+    val t = new Path(root, "t")
+    assert(!Layout.hasCommittedFiles(fs, t)) // absent
+    // crash residue: directory with only committer state, no data
+    fs.mkdirs(new Path(t, "_temporary/0/task/attempt"))
+    fs.create(new Path(t, "_temporary/0/task/attempt/part-0.parquet"), true).close()
+    fs.create(new Path(t, "_SUCCESS"), true).close()
+    assert(!Layout.hasCommittedFiles(fs, t),
+      "_temporary content and markers must not count as data")
+    // one committed data file flips it — also nested (partitioned layout)
+    fs.create(new Path(t, "dt=2020-01-01/part-0.parquet"), true).close()
+    assert(Layout.hasCommittedFiles(fs, t))
+  }
+
   test("per-file key ranges are disjoint and filters reach the scan") {
     val dir = Files.createTempDirectory("layout").toString + "/t"
     val df = spark.range(10000).select(
