@@ -129,6 +129,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 retrieval scoring: rank the corpus against a fixed query
+    // term bag, top 20 (query terms broadcast; corpus never shuffles
+    // raw text — only matched (doc, term) counts cross the exchanges).
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25TopDocs(docs(s, dir), "text", "doc_id",
+        Seq("spark", "join", "fast"), k = 20)
+        .select(col("doc_id"), col("score"), col("n_terms"))),
+
     // Inverted index build: per-term document frequency + a capped,
     // sorted posting list (serialized as CSV text — array columns break
     // the driver's pandas compare). Two partial-aggregated exchanges.
@@ -1117,6 +1125,27 @@ object ExtQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH params AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${sqlRound("avg(len(string_split(text, ' ')))", 6)} AS avgdl
+         |  FROM documents),
+         |q AS (SELECT unnest(['spark', 'join', 'fast']) AS term),
+         |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |          unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+         |       FROM tok JOIN q USING (term) GROUP BY 1, 2),
+         |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         |s AS (SELECT doc_id,
+         |        sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+         |          * (tf * (1.2 + 1))
+         |          / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS raw,
+         |        count(*) AS n_terms
+         |      FROM d, params GROUP BY doc_id)
+         |SELECT doc_id, ${sqlRound("raw", 6)} AS score,
+         |  CAST(n_terms AS BIGINT) AS n_terms
+         |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_inverted_index" ->
       """WITH e AS (

@@ -204,6 +204,50 @@ object TextOps {
       .withColumn("fp_min", array_min(col("fp")))
       .withColumn("fp_max", array_max(col("fp")))
 
+  /** BM25 ranking of documents against a fixed bag of query terms — the
+    * classic retrieval scorer, run corpus-wide (score every matching
+    * doc, keep the top k). Shape: per-(doc, term) tf with doc length
+    * (one partial-aggregated exchange), query terms broadcast-joined
+    * (only matching rows survive the map side), document frequency as a
+    * window over the already-aggregated tf rows, per-doc score fold,
+    * then a bounded top-k sort. Corpus size and average doc length are
+    * one driver-side scalar read folded in as literals (same rationale
+    * as [[tfidfTopTerms]]). Standard parameters k1=1.2, b=0.75;
+    * idf = ln(1 + (N - df + 0.5) / (df + 0.5)). */
+  def bm25TopDocs(df: DataFrame, text: String, id: String,
+                  queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty && k > 0)
+    val stats = df.select(count(lit(1)).as("n"),
+      avg(size(tokens(col(text)))).as("avgdl")).head()
+    val nDocs = stats.getLong(0).toDouble
+    // avgdl is pinned to 6 decimals BEFORE folding into the plan: it is
+    // the one input whose accumulation order differs between engines,
+    // and feeding both sides the identical rounded literal keeps every
+    // downstream IEEE op bit-identical for the oracle compare
+    val avgdl = math.floor(stats.getDouble(1) * 1e6 + 0.5) / 1e6
+    val q = {
+      import df.sparkSession.implicits._
+      queryTerms.distinct.toDF("term")
+    }
+    val tf = df.select(col(id), size(tokens(col(text))).as("dl"),
+        explode(tokens(col(text))).as("term"))
+      .join(broadcast(q), "term")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("w", idf * (col("tf") * (lit(k1) + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col(id))
+      .agg(roundHalfUp(sum(col("w")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
   /** Greedy contiguous sequence packing — the context-window packing
     * step of LLM training-data prep: documents are laid end-to-end into
     * fixed-`capacity` token bins (documents may straddle a bin

@@ -149,6 +149,21 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(out(2)._4 - h) < 1e-6)
   }
 
+  test("bm25: rarer terms outweigh common ones; longer docs penalized") {
+    val docs = Seq(
+      (1L, "spark x x"),      // rare term (df=1), dl=3
+      (2L, "fast x x"),       // common term (df=2), dl=3
+      (3L, "fast y y y y y"), // same term, longer doc -> lower
+      (4L, "z z z")           // no match -> absent
+    ).toDF("id", "text")
+    val out = TextOps.bm25TopDocs(docs, "text", "id",
+      Seq("spark", "fast"), k = 10)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(!out.contains(4L))
+    assert(out(1L) > out(2L), "rare-term match must outscore common-term")
+    assert(out(2L) > out(3L), "longer doc must score lower at equal tf")
+  }
+
   test("sequence packing: bins fill densely, docs straddle boundaries") {
     // one shard; capacity 4. tokens: 3, 2, 4 -> cumsum 3, 5, 9
     val out = TextOps.packSequences(Seq(
