@@ -102,7 +102,8 @@ object CoreQueries {
           "l_partkey" -> "part_key", "l_quantity" -> "qty",
           "l_extendedprice" -> "price")),
         Seq("order_key", "line_no", "part_key", "qty", "price"))
-        .orderBy("order_key", "line_no")),
+        // full-row sort: (order_key, line_no) is not unique here
+        .orderBy("order_key", "line_no", "part_key", "qty", "price")),
 
     // F3: string -> timestamp round-trip (ISO text is the reference's
     // storage type for timestamps).
@@ -146,7 +147,11 @@ object CoreQueries {
       Enrich.enrich(li, part, "l_partkey", "p_partkey",
         dropDimCols = Seq("p_retailprice", "p_size", "p_type"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "p_name", "p_brand")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — without the full-row tie-break the dumped order of
+        // tied rows rests on both engines stable-sorting in file order
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "p_name",
+          "p_brand")
     }),
 
     // W1: LAG.
@@ -282,7 +287,8 @@ object CoreQueries {
     "q_project_rename" ->
       """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
         |       l_partkey AS part_key, l_quantity AS qty, l_extendedprice AS price
-        |FROM lineitem ORDER BY order_key, line_no""".stripMargin,
+        |FROM lineitem
+        |ORDER BY order_key, line_no, part_key, qty, price""".stripMargin,
 
     "q_cast_ts" ->
       s"""WITH $evCte
@@ -311,7 +317,7 @@ object CoreQueries {
     "q_join_enrich" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, p_name, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, p_name, p_brand""".stripMargin,
 
     "q_lag_prev" ->
       s"$prevCte SELECT * FROM prev ORDER BY event_type, ts, event_id",

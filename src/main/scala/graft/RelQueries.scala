@@ -325,7 +325,8 @@ object RelQueries {
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "val")
-        .orderBy("l_orderkey", "l_linenumber", "metric")),
+        // val completes the sort: (l_orderkey, l_linenumber) ties exist
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
 
     // Skew-safe COUNT(DISTINCT): same answer as q_count_distinct via
     // the two-phase plan whose both exchanges spread hot groups.
@@ -750,7 +751,9 @@ object RelQueries {
             .otherwise(col("l_tax")).as("tax_kept"))
       withNulls.na.fill(Map("disc_filled" -> 0.05))
         .na.drop(Seq("tax_kept"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // full-row sort: (l_orderkey, l_linenumber) is not unique in
+        // the synthetic lineitem (post-fill/drop, no nulls remain)
+        .orderBy("l_orderkey", "l_linenumber", "disc_filled", "tax_kept")
     }),
 
     // Bollinger bands: 20-row moving average ± 2 sample stddevs per
@@ -1108,7 +1111,7 @@ object RelQueries {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
         |  FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
 
     "q_distinct_skewsafe" ->
       s"""WITH $evCte
@@ -1387,7 +1390,7 @@ object RelQueries {
         |  NULLIF(l_tax, 0.0) AS tax_kept
         |FROM lineitem
         |WHERE NULLIF(l_tax, 0.0) IS NOT NULL
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, disc_filled, tax_kept""".stripMargin,
 
     "q_bollinger" ->
       s"""WITH $evCte,
