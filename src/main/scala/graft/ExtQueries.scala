@@ -370,6 +370,15 @@ object ExtQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Domain mixing: downsample three sources to a 50/30/20 target mix
+    // at the largest achievable size (binding source kept whole); the
+    // draw is a map-side hash threshold, never a per-source rank.
+    "q_domain_mix" -> ((s, dir) =>
+      graft.ops.Mixing.downsampleToWeights(docs(s, dir), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // Context-window sequence packing: docs laid end-to-end into
     // 512-token bins across 8 hash shards (per-shard running sums; one
     // exchange).
@@ -1154,6 +1163,23 @@ object ExtQueries {
         |SELECT term, count(*) AS df,
         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
         |FROM e GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_domain_mix" ->
+      """WITH w(source, wt) AS (VALUES
+        |    ('src0', CAST(0.5 AS DOUBLE)),
+        |    ('src1', CAST(0.3 AS DOUBLE)),
+        |    ('src2', CAST(0.2 AS DOUBLE))),
+        |c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |j AS (SELECT w.source, wt, n FROM w JOIN c USING (source)
+        |      WHERE n > 0),
+        |t AS (SELECT min(n / wt) AS total FROM j),
+        |r AS (SELECT source,
+        |        CAST(floor(wt * total / n * 1000000) AS BIGINT) AS thr
+        |      FROM j, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH d AS (
