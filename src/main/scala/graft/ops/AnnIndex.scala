@@ -49,10 +49,19 @@ object AnnIndex {
             vec: String, id: String, bits: Int = 0,
             numFiles: Int = 32): Int = {
     val b = if (bits > 0) bits else SimilarityOps.autoBits(corpus.count())
+    // REBUILD crash-safety: drop the old meta BEFORE touching vectors.
+    // Meta present == index complete; were the old meta left standing
+    // while vectors/ is overwritten under a NEW plane count, a crash
+    // mid-rebuild would leave readBits serving the old bit count over
+    // re-keyed (or partial) vectors — searches would silently return
+    // wrong neighbors. With the meta gone first, that crash makes
+    // readBits fail loudly until the rebuild is re-run.
+    val fs = fsFor(spark, indexPath)
+    fs.delete(metaPath(indexPath), false)
     val rows = corpus.select(col(id).as("neighbor_id"), col(vec).as("nvec"),
       hyperplane_lsh(col(vec), b).as("bucket"))
     Layout.writeRangeClustered(rows, vecsPath(indexPath), Seq("bucket"), numFiles)
-    val out = fsFor(spark, indexPath).create(metaPath(indexPath), true)
+    val out = fs.create(metaPath(indexPath), true)
     try out.write(b.toString.getBytes("UTF-8")) finally out.close()
     b
   }
@@ -73,11 +82,10 @@ object AnnIndex {
   def append(spark: SparkSession, batch: DataFrame, indexPath: String,
              vec: String, id: String, numFiles: Int = 4): Unit = {
     val b = readBits(spark, indexPath)
-    batch.select(col(id).as("neighbor_id"), col(vec).as("nvec"),
-        hyperplane_lsh(col(vec), b).as("bucket"))
-      .repartitionByRange(numFiles, col("bucket"))
-      .sortWithinPartitions(col("bucket"))
-      .write.mode(SaveMode.Append).parquet(vecsPath(indexPath))
+    Layout.writeRangeClustered(
+      batch.select(col(id).as("neighbor_id"), col(vec).as("nvec"),
+        hyperplane_lsh(col(vec), b).as("bucket")),
+      vecsPath(indexPath), Seq("bucket"), numFiles, SaveMode.Append)
   }
 
   /** Multi-probe cosine top-k against the stored index. Identical
@@ -90,8 +98,13 @@ object AnnIndex {
     // one row per query id, materialized ONCE to a driver-side local
     // relation (the lshTopK rationale: feeds two broadcasts that must
     // agree, and the query set is broadcast-small by contract)
-    val qPlan = queries.select(col(id).as("query_id"), col(vec).as("qvec"),
-      hyperplane_lsh(col(vec), b).as("_bucket0"))
+    // null-vector queries have no bucket (the LSH null-propagates) —
+    // drop them here like lshTopK leaves them unmatched; without the
+    // filter the driver-side getInt below NPEs on the whole search
+    val qPlan = queries.filter(col(vec).isNotNull)
+      .select(col(id).as("query_id"), col(vec).as("qvec"),
+        hyperplane_lsh(col(vec), b).as("_bucket0"))
+      .filter(col("_bucket0").isNotNull)
       .dropDuplicates("query_id")
     val qRows = qPlan.collect()
     val qBase = spark.createDataFrame(

@@ -95,7 +95,18 @@ object DedupIndex {
           // map-side pruning of the historical index: broadcast the
           // batch's touched bucket keys, keep only matching index rows
           val newKeys = newBands.select("band", "bkey").distinct()
-          val oldHits = spark.read.parquet(bandsPath(indexPath))
+          val stored = spark.read.parquet(bandsPath(indexPath))
+          // a tagged REPLAY sees its own first attempt in the index; it
+          // must be excluded or every batch doc counts twice in its
+          // buckets — sizes near maxBucket then cross the cap and get
+          // dropped, so the replayed pair set would silently differ
+          // from the first run's (breaking the replay contract)
+          val storedOthers = batchTag match {
+            case Some(tag) if stored.columns.contains("batch_tag") =>
+              stored.filter(col("batch_tag") =!= tag)
+            case _ => stored
+          }
+          val oldHits = storedOthers
             .join(broadcast(newKeys), Seq("band", "bkey"), "left_semi")
             .select(col(id), col("band"), col("bkey"))
             .withColumn("is_new", lit(false))
@@ -118,17 +129,29 @@ object DedupIndex {
           least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
           greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"))
         .dropDuplicates("id_a", "id_b")
-      // signature lookup: batch sigs ∪ stored sigs, deduped by id (a
-      // tagged replay sees its own ids on both sides — the sig bytes
-      // are identical, so any survivor is correct)
-      // probed independently of `indexExists` (bands dir): a crash
-      // between the two appends can leave either table ahead of the
-      // other, and the read path must tolerate both states
+        .persist() // read 3x below (two sig joins + the candidate-id
+                   // broadcast); without the pin the bucket aggregation
+                   // re-runs for each subtree
+      // signature lookup RESTRICTED to candidate ids before anything
+      // heavy: the candidate set is bounded (capped buckets × batch
+      // size), so it broadcasts into a semi-join that filters the
+      // stored sigs scan MAP-SIDE — a plain union+dropDuplicates(id)
+      // would hash-exchange the entire historical sigs table every
+      // batch, turning the O(batch) operator into O(corpus).
+      // dedup by id after the filter: a tagged replay sees its own ids
+      // on both sides with identical sig bytes, so any survivor is
+      // correct. Sigs presence probed independently of `indexExists`
+      // (bands dir): a crash between the two appends can leave either
+      // table ahead of the other.
+      val candIds = cand.select(col("id_a").as(id))
+        .unionByName(cand.select(col("id_b").as(id))).distinct()
       val sigsExist =
         Layout.hasCommittedFiles(fs, new Path(sigsPath(indexPath)))
       val sigSrc = (if (!sigsExist) sigsNew.select(col(id), col("sig"))
         else sigsNew.select(col(id), col("sig")).unionByName(
-          spark.read.parquet(sigsPath(indexPath)).select(col(id), col("sig"))))
+          spark.read.parquet(sigsPath(indexPath))
+            .join(broadcast(candIds), Seq(id), "left_semi")
+            .select(col(id), col("sig"))))
         .dropDuplicates(id)
       val pairs = cand
         .join(sigSrc.select(col(id).as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -140,6 +163,7 @@ object DedupIndex {
         .filter(col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .localCheckpoint(true) // pin results before the index mutates
+      cand.unpersist()
       // Write order is load-bearing: SIGS FIRST. A crash between the two
       // writes then leaves ids with a signature but no band rows — they
       // are merely not-yet-findable, and the retry re-appends both

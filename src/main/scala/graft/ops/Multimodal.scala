@@ -91,7 +91,10 @@ object Multimodal {
     rows.mapPartitions { it =>
       // real impl: initialize the pixel codec once here, per partition
       it.map { r =>
-        val (w, h, f) = imageDims(r.payload) match {
+        // real header parses first (PNG/JPEG, then GIF — same parsers
+        // probe() dispatches on); the fabricated stub only covers
+        // containers no parser understands
+        val (w, h, f) = imageDims(r.payload).orElse(gifDims(r.payload)) match {
           case Some((pw, ph)) => (pw, ph, 1)
           case None => decodeStub(r.payload)
         }
@@ -314,8 +317,10 @@ object Multimodal {
     def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def cc(sx: String) = sx.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val w = 16 + (id % 640).toInt
-    val h = 16 + (id % 360).toInt
+    // floorMod like the container selector: raw % on a negative id
+    // would serialize negative dims as wrapped u16/u32 fields
+    val w = 16 + math.floorMod(id, 640).toInt
+    val h = 16 + math.floorMod(id, 360).toInt
     (math.floorMod(id, 4): @unchecked) match {
       case 0 => // PNG signature + IHDR dims
         Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,

@@ -71,6 +71,27 @@ class DedupIndexSpec extends SparkSpec {
     assert((p1 ++ p2) == (u1 ++ u2))
   }
 
+  test("tagged replay at the bucket cap: own indexed copy excluded, pairs stable") {
+    import spark.implicits._
+    // 4 near-identical docs -> every bucket holds exactly the 4 of
+    // them; maxBucket = 4 sits right AT the cap. A replay that counted
+    // the batch's own indexed copies would see 8-member buckets, drop
+    // them all, and return zero pairs.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    val batch = (0L until 4L).map(i => (i, txt + s"tail$i"))
+      .toDF("doc_id", "text")
+    val idx = tmpDir() + "/idx_cap"
+    val first = collectPairs(DedupIndex.appendAndFindDups(spark, batch, idx,
+      "text", "doc_id", threshold = 0.2, maxBucket = 4,
+      batchTag = Some("app-0")))
+    assert(first.nonEmpty, "fixture must produce pairs on the first run")
+    val replay = collectPairs(DedupIndex.appendAndFindDups(spark, batch, idx,
+      "text", "doc_id", threshold = 0.2, maxBucket = 4,
+      batchTag = Some("app-0")))
+    assert(replay == first,
+      "replay must return the first run's pairs even at the bucket cap")
+  }
+
   test("index persists the split layout: thin bands by band, signatures once") {
     val idx = tmpDir() + "/idx"
     DedupIndex.appendAndFindDups(spark, batch1, idx, "text", "doc_id")
