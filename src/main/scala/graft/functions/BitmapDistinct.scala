@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.GraftBridge.{oneOf, AbstractType}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Growable fixed-stride bitset over a dense non-negative id domain.
   * One bit per id: 1500 users = 192 bytes, 10M users = 1.25 MB. Buffers
@@ -90,8 +91,14 @@ object LongBitmap {
   */
 case class BitmapDistinct(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[LongBitmap] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[LongBitmap] with UnaryLike[Expression]
+    with ExpectsInputTypes {
 
+  // analysis-time contract like every expression in Expressions.scala:
+  // a non-integral id column must fail BEFORE the job launches, not as
+  // a per-row IllegalArgumentException on an executor after retries
+  override def inputTypes: Seq[AbstractType] =
+    Seq(oneOf(ByteType, ShortType, IntegerType, LongType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def createAggregationBuffer(): LongBitmap = new LongBitmap()

@@ -34,12 +34,13 @@ object Expressions {
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      Kernels.cosine(a.asInstanceOf[ArrayData].toFloatArray(),
-        b.asInstanceOf[ArrayData].toFloatArray())
+      Kernels.cosine(Kernels.floatsStrict(a.asInstanceOf[ArrayData]),
+        Kernels.floatsStrict(b.asInstanceOf[ArrayData]))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"${ev.value} = graft.functions.Kernels.cosine(" +
-          s"$a.toFloatArray(), $b.toFloatArray());")
+          s"graft.functions.Kernels.floatsStrict($a), " +
+          s"graft.functions.Kernels.floatsStrict($b));")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -142,14 +143,15 @@ object Expressions {
     override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =
-      Kernels.argmaxCosine(input.asInstanceOf[ArrayData].toFloatArray(), cents)
+      Kernels.argmaxCosine(
+        Kernels.floatsStrict(input.asInstanceOf[ArrayData]), cents)
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
       nullSafeCodeGen(ctx, ev, a =>
         s"${ev.value} = graft.functions.Kernels.argmaxCosine(" +
-          s"$a.toFloatArray(), $centsRef);")
+          s"graft.functions.Kernels.floatsStrict($a), $centsRef);")
     }
   }
 
@@ -183,7 +185,7 @@ object Expressions {
     override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData].toFloatArray()
+      val v = Kernels.floatsStrict(input.asInstanceOf[ArrayData])
       HyperplaneLsh.bucket(v, bits)
     }
     override protected def withNewChildInternal(c: Expression): Expression =
@@ -208,11 +210,24 @@ object Expressions {
       h ^= h >>> 31
       if ((h & 1L) == 0L) 1.0 else -1.0
     }
+    /** The plane matrix is deterministic per (bits, dims) — cache it
+      * per executor (the minhashParams pattern) instead of re-running
+      * the splitmix finalizer bits×dims times for EVERY row: at 24
+      * bits × 768 dims that was ~18k hash finalizations per corpus
+      * row on the ANN hot path, ~10× the cost of the dot products. */
+    private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+      Long, Array[Array[Double]]]()
+    private def planes(bits: Int, dims: Int): Array[Array[Double]] =
+      planeCache.computeIfAbsent((bits.toLong << 32) | dims, _ =>
+        Array.tabulate(bits, dims)(rademacher))
+
     def bucket(v: Array[Float], bits: Int): Int = {
+      val m = planes(bits, v.length)
       var sig = 0; var j = 0
       while (j < bits) {
+        val row = m(j)
         var dot = 0.0; var i = 0
-        while (i < v.length) { dot += v(i) * rademacher(j, i); i += 1 }
+        while (i < v.length) { dot += v(i) * row(i); i += 1 }
         if (dot >= 0) sig |= (1 << j)
         j += 1
       }

@@ -10,6 +10,27 @@ package graft.functions
   */
 object Kernels {
 
+  /** ArrayData -> Array[Float] with a LOUD null-element check.
+    * `toFloatArray()` alone reads null slots as 0.0f (the unsafe format
+    * copies the primitive region, ignoring null bits) — a partially-null
+    * corrupt embedding would then score a plausible similarity and rank
+    * in top-k, the exact silent wrongness [[cosine]]'s dimension guard
+    * exists to prevent. The null-bit scan is O(n) bit tests, noise next
+    * to the O(n) multiply loops it protects. */
+  def floatsStrict(
+      a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Float] = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"embedding contains a NULL element at index $i — corrupt " +
+            "vector; clean or drop it upstream")
+      i += 1
+    }
+    a.toFloatArray()
+  }
+
   /** Cosine similarity, double accumulation in index order. Dimension
     * mismatch FAILS FAST: truncating to the shorter vector would score
     * a corrupt (e.g. upstream-truncated) embedding with a plausible
@@ -84,9 +105,11 @@ object Kernels {
     // loud guard, not silent wrongness: bands > n would give r = 0 and
     // every row the identical band-index-only keys (one giant bucket);
     // a non-dividing bands would silently drop the tail sig values
-    if (bands < 1 || n % bands != 0)
+    if (bands < 1 || n < 1 || n % bands != 0)
       throw new IllegalArgumentException(
-        s"band_keys: bands ($bands) must divide the signature length ($n)")
+        s"band_keys: bands ($bands) must divide the signature length ($n)" +
+          " and both must be positive (an empty signature would give" +
+          " every row the identical band-index-only keys)")
     val r = n / bands
     val out = new Array[Long](bands)
     var j = 0
@@ -104,6 +127,12 @@ object Kernels {
     * ranges (last chunk absorbs the remainder), chunk index NOT mixed in
     * (the pair (pos, key) is the bucket id downstream). */
   def chunkKeys(sig: Long, chunks: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // loud guard like bandKeys: chunks > 64 gives width 0 and
+    // constant-0 keys for every position but the last (giant buckets,
+    // silent recall collapse); chunks < 1 would divide by zero per row
+    if (chunks < 1 || chunks > 64)
+      throw new IllegalArgumentException(
+        s"chunk_keys: chunks must be in [1, 64], got $chunks")
     val width = 64 / chunks
     val out = new Array[Long](chunks)
     var j = 0
@@ -119,6 +148,10 @@ object Kernels {
   /** Index of the max-cosine centroid for `v` (first max wins). One pass
     * over the centroid matrix — the IVF assignment hot loop. */
   def argmaxCosine(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    if (cents.length == 0)
+      throw new IllegalArgumentException(
+        "argmax_cosine: empty centroid matrix (every vector would land" +
+          " in a phantom cluster 0)")
     var best = 0; var bestSim = Double.NegativeInfinity
     var c = 0
     while (c < cents.length) {
@@ -147,6 +180,11 @@ object Kernels {
     * table instead of the single-chunk scheme's `64/(h+1)` bits. */
   def permTableKeys(sig: Long, m: Int,
       keep: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // keep > m would yield ZERO subsets -> zero table keys -> zero
+    // candidate pairs, a silent recall collapse; fail like bandKeys
+    if (m < 1 || m > 64 || keep < 1 || keep > m)
+      throw new IllegalArgumentException(
+        s"perm_table_keys: need 1 <= keep <= m <= 64, got m=$m keep=$keep")
     val width = 64 / m
     val blocks = new Array[Long](m)
     var j = 0
@@ -229,12 +267,26 @@ object Kernels {
     * a gets the even positions, b the odd. Sorting by the key yields
     * the space-filling z-curve, so both dimensions cluster at once.
     * Inputs must be non-negative (callers offset/bucket first). */
-  def zorder(a: Long, b: Long): Long =
+  def zorder(a: Long, b: Long): Long = {
+    // enforce the documented contract instead of silently aliasing:
+    // values outside [0, 2^32) lose their high bits to the interleave
+    // mask and the "clustered" key becomes a scramble — every file
+    // then spans the whole domain and min/max skipping dies quietly
+    if (((a | b) & 0xFFFFFFFF00000000L) != 0L)
+      throw new IllegalArgumentException(
+        s"z_order: inputs must be in [0, 2^32), got ($a, $b) — offset" +
+          " or bucket them first")
     spreadBits(a) | (spreadBits(b) << 1)
+  }
 
   /** Winnowing fingerprints: rolling FNV over char k-grams, min per
     * window of w, distinct sorted. */
   def fingerprints(s: String, k: Int, w: Int): Array[Long] = {
+    // k < 1 would make every doc return the constant FNV-basis
+    // fingerprint (all-pairs match); w < 1 emits sentinel values
+    if (k < 1 || w < 1)
+      throw new IllegalArgumentException(
+        s"winnow_fingerprint: k and w must be >= 1, got k=$k w=$w")
     if (s.length < k) return Array.empty
     val n = s.length - k + 1
     val grams = new Array[Long](n)

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.GraftBridge.{column, expression}
+import org.apache.spark.sql.GraftBridge.{column, expression, oneOf, AbstractType}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -72,8 +72,15 @@ final class TopKBuffer(val k: Int) {
   * position for the ranked row form. */
 case class TopKNeighbors(sim: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+    extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+    with ExpectsInputTypes {
   require(k > 0, "top-k needs k > 0")
+
+  // analysis-time contract (the Expressions.scala convention): a wrong
+  // sim/id column type fails before the job launches instead of as a
+  // per-row executor exception
+  override def inputTypes: Seq[AbstractType] =
+    Seq(oneOf(FloatType, DoubleType), oneOf(IntegerType, LongType))
 
   override def left: Expression = sim
   override def right: Expression = id
