@@ -1305,7 +1305,7 @@ object RelQueries {
          |  last_value(daily.v IGNORE NULLS) OVER (
          |    PARTITION BY dense.user_id ORDER BY dense.d
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
-         |  CAST(CASE WHEN daily.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
+         |  CAST(CASE WHEN daily.d IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_filled
          |FROM dense LEFT JOIN daily
          |  ON dense.user_id = daily.user_id AND dense.d = daily.d
          |ORDER BY dense.user_id, dense.d""".stripMargin,
@@ -1329,9 +1329,9 @@ object RelQueries {
          |  FROM ev),
          |g AS (
          |  SELECT event_type, event_id, ts,
-         |    CASE WHEN prev IS NULL THEN NULL
+         |    CASE WHEN value IS NULL OR prev IS NULL THEN NULL
          |         WHEN value > prev THEN value - prev ELSE 0.0 END AS gain,
-         |    CASE WHEN prev IS NULL THEN NULL
+         |    CASE WHEN value IS NULL OR prev IS NULL THEN NULL
          |         WHEN value < prev THEN prev - value ELSE 0.0 END AS loss
          |  FROM p),
          |a AS (

@@ -91,24 +91,18 @@ object AsofJoin {
         val both = unioned
           .withColumn("_b", last(col("_r"), ignoreNulls = true).over(bwd))
           .withColumn("_f", first(col("_r"), ignoreNulls = true).over(fwd))
-        // distances compare in the ts type's own domain, exactly:
-        // timestamps (TZ and NTZ) subtract to DAY-TIME INTERVALs —
-        // exact microseconds, ZONE-INDEPENDENT. Casting NTZ through the
-        // session zone instead would let the backward and forward
-        // candidates straddle a DST transition with different offsets,
-        // skewing the comparison by the shift and picking the wrong
-        // nearest row. Integral ts subtract as exact longs (a double of
-        // fractional seconds has ~0.4us ulps near the current epoch —
-        // equidistant ties could round apart and violate the
-        // backward-wins rule).
-        val (distB, distF) = right.schema(rightTs).dataType match {
-          case org.apache.spark.sql.types.TimestampType |
-               org.apache.spark.sql.types.TimestampNTZType =>
-            (col("_ts") - col("_b._rts"), col("_f._rts") - col("_ts"))
-          case _ =>
-            (col("_ts").cast("long") - col("_b._rts").cast("long"),
-             col("_f._rts").cast("long") - col("_ts").cast("long"))
-        }
+        // distances compare in the ts type's OWN domain — native
+        // subtraction, no casts: timestamps (TZ and NTZ) subtract to
+        // DAY-TIME INTERVALs (exact microseconds, zone-independent —
+        // a session-zone cast would let backward/forward candidates
+        // straddle a DST transition with different offsets and pick
+        // the wrong row), dates subtract to day intervals, integrals
+        // to exact longs, and fractional numerics to doubles. A
+        // per-operand cast("long") here would TRUNCATE fractional ts
+        // before subtracting (ts 10.6 between rows at 10.0 and 11.0:
+        // truncated distB = 0 beats the true-nearer forward row).
+        val (distB, distF) =
+          (col("_ts") - col("_b._rts"), col("_f._rts") - col("_ts"))
         val useBwd = col("_f._rts").isNull ||
           (col("_b._rts").isNotNull && distB <= distF)
         both.withColumn("_r", when(useBwd, col("_b")).otherwise(col("_f")))

@@ -234,7 +234,9 @@ object DedupOps {
     *    scale-sane regime at billions of docs. */
   def simhashDupPairs(df: DataFrame, text: String, id: String,
                       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    require(maxHamming < 16, "maxHamming must leave blocks of >= 3 bits")
+    require(maxHamming >= 0 && maxHamming < 16,
+      "maxHamming must be in [0, 16) — negative values would fail " +
+        "per-row inside chunk_keys instead of here")
     val keys =
       if (maxHamming <= 3) chunk_keys(col("sig"), maxHamming + 1)
       else perm_table_keys(col("sig"), maxHamming + 2, 2)
@@ -335,6 +337,16 @@ object DedupOps {
       labels = next
       i += 1
     }
+    // partially-propagated labels are SILENT under-dedup downstream
+    // (several nodes of one cluster still read as their own
+    // representative) — refuse to return them. Duplicate clusters are
+    // near-cliques (diameter 2-3); a component needing > maxIter rounds
+    // means pathological chaining the caller must opt into via a
+    // larger maxIter, not a quietly wrong answer.
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it (or pre-split " +
+        "the pair set) rather than accept partially-merged components")
     val out = labels.select(col("id"), col("label").as("component"))
     freeCheckpoint(edges) // the result needs only the final labels
     out
@@ -380,11 +392,20 @@ object DedupOps {
                    w: Int = 3): DataFrame = {
     val sa = a.select(col(id).as("id_a"), shingles(col(text), w).as("sh_a"))
     val sb = b.select(col(id).as("id_b"), shingles(col(text), w).as("sh_b"))
-    sa.crossJoin(sb).filter(col("id_a") < col("id_b"))
+    // pairs are CANONICALIZED (least, greatest) + deduped, not filtered
+    // on id_a < id_b: Jaccard is symmetric, and with two DIFFERENT
+    // candidate frames a plain a<b filter would silently drop every
+    // pair whose a-side id happens to be the larger one — a real
+    // near-duplicate reported as no-match. Same-frame calls get the
+    // identical output (both orientations collapse to one row).
+    sa.crossJoin(sb).filter(col("id_a") =!= col("id_b"))
       .withColumn("inter", size(array_distinct(array_intersect(col("sh_a"), col("sh_b")))))
       .withColumn("uni", size(array_distinct(concat(col("sh_a"), col("sh_b")))))
       .withColumn("jaccard", roundHalfUp(col("inter") / nullif(col("uni"), lit(0)), 6))
-      .select("id_a", "id_b", "inter", "uni", "jaccard")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("inter"), col("uni"), col("jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram CONTAINMENT for a bounded candidate set: |A∩B| / |A|

@@ -26,8 +26,12 @@ object Diff {
       Seq("_v_old", "_v_new", "change_type"))
     Reserved.requireAbsent(newDf, "snapshotDiff",
       Seq("_v_old", "_v_new", "change_type"))
+    // case-INSENSITIVE intersection, matching Spark's resolver: a
+    // case-sensitive contains() would silently drop a differently-cased
+    // column from the payload and report its changes as 'unchanged'
+    val newLower = newDf.columns.map(_.toLowerCase).toSet
     val payload = oldDf.columns.filterNot(pk.contains)
-      .filter(newDf.columns.contains(_)).toSeq
+      .filter(c => newLower.contains(c.toLowerCase)).toSeq
     // struct built BEFORE the join: a PK absent from one side yields a
     // NULL struct there (join-filled), never a struct of nulls; the
     // lit marker keeps the struct non-empty when every column is a PK

@@ -87,6 +87,8 @@ object RangeJoin {
                           aLo: String, aHi: String, bLo: String, bHi: String,
                           bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
+    Reserved.requireAbsent(a, "intervalOverlapJoin", Seq("_bucket"))
+    Reserved.requireAbsent(b, "intervalOverlapJoin", Seq("_bucket"))
     val ab = a.filter(col(aHi) > col(aLo))
       .withColumn("_bucket",
         explode(sequence(bucketOf(col(aLo), bucketSize),

@@ -48,9 +48,13 @@ object Windows {
     * the value forward-filled from the last observation
     * (`last(ignoreNulls)` over an unbounded-preceding ROWS frame — the
     * streaming-friendly frame: one pass per partition, constant state).
-    * `is_filled` marks synthesized rows. The first row per key is always
-    * an observation (the span starts at the key's min date), so the
-    * filled value is never null.
+    * `is_filled` marks SYNTHESIZED rows — rows absent from the input —
+    * via a presence marker, never by a null value test: an OBSERVED row
+    * whose value is null keeps is_filled = 0 (and forward-fills like
+    * any gap), so observation-coverage audits stay truthful. The first
+    * row per key is always an observation (the span starts at the key's
+    * min date); v_filled can be null only until the key's first
+    * non-null observation.
     *
     * Scale notes: the dense calendar is generated from the per-key span
     * aggregate (`sequence` + `explode`) — rows created executor-side,
@@ -62,16 +66,16 @@ object Windows {
     * window sort; both partial-free and AQE-coalesced. */
   def gapFill(df: DataFrame, part: String, dateCol: String,
               value: String): DataFrame = {
-    Reserved.requireAbsent(df, "gapFill", Seq("v_filled", "is_filled"))
+    Reserved.requireAbsent(df, "gapFill", Seq("v_filled", "is_filled", "_obs"))
     val spans = df.groupBy(col(part))
       .agg(min(col(dateCol)).as("_lo"), max(col(dateCol)).as("_hi"))
     val dense = spans.select(col(part),
       explode(sequence(col("_lo"), col("_hi"))).as(dateCol))
     val w = Window.partitionBy(col(part)).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dense.join(df, Seq(part, dateCol), "left")
+    dense.join(df.withColumn("_obs", lit(1)), Seq(part, dateCol), "left")
       .withColumn("v_filled", last(col(value), ignoreNulls = true).over(w))
-      .withColumn("is_filled", when(col(value).isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("is_filled", when(col("_obs").isNull, lit(1L)).otherwise(lit(0L)))
       .select(col(part), col(dateCol), col("v_filled"), col("is_filled"))
   }
 
@@ -91,11 +95,15 @@ object Windows {
     val wn = w.rowsBetween(-(n - 1), Window.currentRow)
     val v = col(value)
     df.withColumn("_prev", lag(v, 1).over(w))
+      // a NULL current value propagates NULL (the frame AVG skips it) —
+      // without the explicit branch `v > _prev` is NULL and the
+      // otherwise(0.0) would count the missing observation as a
+      // zero-change day, deflating both trailing averages toward 50
       .withColumn("_gain",
-        when(col("_prev").isNull, lit(null).cast("double"))
+        when(v.isNull || col("_prev").isNull, lit(null).cast("double"))
           .when(v > col("_prev"), v - col("_prev")).otherwise(lit(0.0)))
       .withColumn("_loss",
-        when(col("_prev").isNull, lit(null).cast("double"))
+        when(v.isNull || col("_prev").isNull, lit(null).cast("double"))
           .when(v < col("_prev"), col("_prev") - v).otherwise(lit(0.0)))
       .withColumn("_avg_gain", avg(col("_gain")).over(wn))
       .withColumn("_avg_loss", avg(col("_loss")).over(wn))
@@ -129,6 +137,8 @@ object Windows {
     */
   def barAnalysis(df: DataFrame, part: String, order: String, tie: String,
                   value: String): DataFrame = {
+    Reserved.requireAbsent(df, "barAnalysis", Seq("dt", "prev_value",
+      "daily_return", "daily_return_pct", "moving_avg_5", "stddev_5"))
     val w = series(col(part), col(order), col(tie))
     val w5 = trailing5(col(part), col(order), col(tie))
     df
