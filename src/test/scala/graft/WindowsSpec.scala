@@ -138,4 +138,38 @@ class WindowsSpec extends SparkSpec {
       ("A", "2025-01-06", 60.0, 0L),
       ("B", "2025-02-01", 1.0, 0L)))
   }
+
+  test("gap fill: an observed NULL-valued row is NOT marked synthesized") {
+    val daily = Seq(
+      ("A", "2025-01-01", Option(10.0)),
+      ("A", "2025-01-02", Option.empty[Double]), // observed, value null
+      ("A", "2025-01-04", Option(40.0))          // Jan 3 truly missing
+    ).toDF("k", "d", "v").withColumn("d", to_date($"d"))
+    val out = Windows.gapFill(daily, "k", "d", "v")
+      .orderBy("d").select($"d".cast("string"), $"v_filled", $"is_filled")
+      .as[(String, Double, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("2025-01-01", 10.0, 0L),
+      ("2025-01-02", 10.0, 0L), // real observation: filled value, flag 0
+      ("2025-01-03", 10.0, 1L), // synthesized row: flag 1
+      ("2025-01-04", 40.0, 0L)))
+  }
+
+  test("rsi: a NULL mid-series value is skipped, not a zero-change day") {
+    val s = Seq(
+      ("X", 1L, "2025-01-01T10:00:00", Option(10.0)),
+      ("X", 2L, "2025-01-02T10:00:00", Option.empty[Double]),
+      ("X", 3L, "2025-01-03T10:00:00", Option(12.0))
+    ).toDF("stock", "event_id", "ts", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Windows.rsi(s, "stock", "ts", "event_id", "value", n = 14)
+      .orderBy("event_id").select("rsi").as[Option[Double]].collect()
+    // row 1: no prev -> null gain/loss -> frame avg over zero rows -> null RSI
+    assert(out(0).isEmpty)
+    // row 2 (null value): nothing to contribute -> still null RSI
+    assert(out(1).isEmpty)
+    // row 3: prev is the NULL row -> gain/loss null again -> RSI stays
+    // null rather than reading the gap as "no change" (RSI 50)
+    assert(out(2).isEmpty)
+  }
 }
