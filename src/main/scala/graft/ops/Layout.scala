@@ -102,13 +102,54 @@ object Layout {
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next().getPath
-      val inTemp = Iterator.iterate(f.getParent)(_.getParent)
-        .takeWhile(q => q != null && q.toString.length >= p.toString.length)
-        .exists(_.getName == "_temporary")
-      if (!inTemp && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      // a file only counts if NO ancestor inside p is committer/staging
+      // state: `_temporary/` (FileOutputCommitter) AND any `.`- or
+      // `_`-prefixed directory — dynamic partition overwrite stages
+      // task-committed files under `.spark-staging-<job>/`, which
+      // Spark's reader skips but a bare name check on the FILE would
+      // count, reproducing the exact unreadable-table wedge this
+      // helper exists to prevent
+      val hiddenAncestor = Iterator.iterate(f.getParent)(_.getParent)
+        .takeWhile(q => q != null && q.toString.length > p.toString.length)
+        .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
+      if (!hiddenAncestor && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
         return true
     }
     false
+  }
+
+  /** The staged dynamic-partition-overwrite cycle shared by
+    * Runner.loadIncremental and IncrementalAgg.maintain: a merged frame
+    * that lazily READS the live table cannot overwrite it directly
+    * (Spark refuses, correctly), so it lands in a hidden staging
+    * sibling first, is re-read, and only then dynamically overwrites
+    * exactly its partitions. ONE implementation on purpose — the crash
+    * windows of this cycle are subtle, and a drifted copy would get a
+    * fix to one call site only. Returns rows written.
+    *
+    * Crash honesty: dynamic overwrite's job commit deletes each matched
+    * live partition then renames the staged one in — a driver crash
+    * between the two loses that partition's previous contents. Callers
+    * must sequence their watermark/token updates AFTER this returns, so
+    * a retry re-derives the lost partitions from the source; where the
+    * source may not retain the overlap, a table format with atomic
+    * commits is the right tool. */
+  private[graft] def stagedDynamicOverwrite(spark: SparkSession,
+      merged: DataFrame, path: String, partCol: String,
+      stageSuffix: String): Long = {
+    val p = new Path(path)
+    val stage = stagingPath(p, stageSuffix)
+    merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString)
+    val n = staged.count()
+    staged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
+    stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stage, true)
+    n
   }
 
   /** Repair the invariant after a crash mid-swap. Completion is

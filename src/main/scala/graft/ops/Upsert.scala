@@ -51,7 +51,16 @@ object Upsert {
              keys: Seq[String]): DataFrame = {
     val cols = existing.columns.toSeq
     Reserved.requireAbsent(existing, "upsert", Seq("_src", "_rn"))
+    // the tie-break struct can only carry ORDERABLE columns — a map
+    // column in it fails the window's orderBy at analysis, breaking
+    // upsert for the whole table even though maps are never keys.
+    // Excluded columns weaken determinism only for same-PK duplicate
+    // rows that differ SOLELY in unorderable columns (documented).
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(dt)
     val rest = cols.filterNot(keys.contains)
+      .filter(c => orderable(existing.schema(c).dataType))
     val unioned = existing.withColumn("_src", lit(0))
       .unionByName(incoming.select(cols.map(col): _*).withColumn("_src", lit(1)))
     val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)

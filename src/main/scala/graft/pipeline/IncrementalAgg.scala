@@ -180,21 +180,8 @@ object IncrementalAgg {
               case None => merge(stored, fresh, keys)
             }
           }
-        // stage before the overwrite: Spark refuses, correctly, to
-        // overwrite partitions of a path it is reading from
-        val stage = graft.ops.Layout.stagingPath(
-          new Path(aggPath), "stage_agg").toString
-        merged.write.mode(SaveMode.Overwrite).parquet(stage)
-        val staged = spark.read.parquet(stage)
-        val n = staged.count()
-        staged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("dt")
-          .parquet(aggPath)
-        val spath = new Path(stage)
-        spath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(spath, true)
-        n
+        graft.ops.Layout.stagedDynamicOverwrite(
+          spark, merged, aggPath, "dt", "stage_agg")
       }
     } finally { fresh.unpersist(); () }
   }

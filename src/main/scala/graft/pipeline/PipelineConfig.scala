@@ -41,16 +41,21 @@ object PipelineConfig {
         // plain cut so the comment is still stripped.
         var inQ = false
         var q = ' '
+        var lastOpen = 0 // where the (possibly literal) quote opened
         val cut = l.indices.find { i =>
           val c = l(i)
           if (inQ) { if (c == q) inQ = false; false }
-          else if (c == '"' || c == '\'') { inQ = true; q = c; false }
+          else if (c == '"' || c == '\'') { inQ = true; q = c; lastOpen = i; false }
           // YAML: '#' starts a comment only at line start or after
           // whitespace — a bare value may contain one (url: a/b#frag)
           else c == '#' && (i == 0 || l(i - 1) == ' ' || l(i - 1) == '\t')
         }
         if (inQ) {
-          val j = (1 until l.length).find(i =>
+          // the fallback re-scan starts at the UNBALANCED quote, never
+          // index 0: everything before it was tracked consistently, and
+          // a '#' inside an earlier properly-closed pair (path: "a # b"
+          // o'brien) must stay part of the value
+          val j = (math.max(lastOpen, 1) until l.length).find(i =>
             l(i) == '#' && (l(i - 1) == ' ' || l(i - 1) == '\t'))
           j.map(l.substring(0, _)).getOrElse(l)
         }

@@ -35,8 +35,15 @@ import graft.state.Checkpoint
   *    the same runner works on local FS, HDFS, and S3A.
   *  - The merged overlap is staged to a side directory before the
   *    overwrite (Spark refuses, correctly, to overwrite a path it is
-  *    reading), and partition replacement is done by Spark's committer —
-  *    there is no delete-then-rename window that could lose the target.
+  *    reading; [[graft.ops.Layout.stagedDynamicOverwrite]], shared with
+  *    the rollup maintainer). Honesty about the commit: dynamic
+  *    overwrite's job commit deletes each matched live partition and
+  *    then renames the staged copy in — a driver crash between the two
+  *    loses that partition's PREVIOUS contents. The watermark only
+  *    advances after the overwrite returns, so the retry re-extracts
+  *    the overlap from the source and re-derives the partition; if the
+  *    source may not retain the overlap window, use a table format
+  *    with atomic commits instead.
   *
   * Contract: the PK `keys` must functionally determine the order column
   * (in the reference, `timestamp` IS part of the PK,
@@ -56,12 +63,6 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
   private def withDt(df: DataFrame, orderCol: String): DataFrame =
     df.withColumn("dt", to_date(substring(col(orderCol).cast("string"), 1, 10)))
 
-  private def writePartitioned(df: DataFrame, targetPath: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dt")
-      .parquet(targetPath)
-
   /** One incremental load round. `source` is the already-extracted batch
     * (the reference's API extract); returns the rows WRITTEN this run
     * (the merged overlap slice, or the whole batch on a full load) —
@@ -78,7 +79,10 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
     try {
       audit.log(s"$table: load starting")
       val (hfs, tpath) = fs(targetPath)
-      val exists = hfs.exists(tpath)
+      // committed-data probe, not bare exists(): a directory holding
+      // only crash residue must route to the self-healing full load,
+      // not into spark.read.parquet on a schema-less path
+      val exists = graft.ops.Layout.hasCommittedFiles(hfs, tpath)
       // the batch is consumed several times (emptiness probe, target
       // write, watermark max); cache it so an expensive source extract
       // runs ONCE per load and the watermark can't diverge from what
@@ -101,22 +105,24 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
             withDt(source.filter(col(orderCol) >= lit(fromDate)), orderCol)) { batch =>
             if (batch.isEmpty) 0L
             else {
+              // the SAME non-null/parseable-date contract the full load
+              // enforces — without it here, one garbage order value
+              // (e.g. a non-ISO string that sorts above the watermark)
+              // would land in the null partition AND poison the saved
+              // watermark, permanently stalling every later run on a
+              // lexicographic filter no real timestamp passes
+              require(batch.filter(col("dt").isNull).isEmpty,
+                s"$table: order column '$orderCol' has rows with NULL or " +
+                  "unparseable dates in the incremental batch; clean or " +
+                  "default them upstream")
               // only the overlap partitions of the target are read (pruned
-              // on the dt partition column) and only they are rewritten
+              // on the dt partition column) and only they are rewritten —
+              // via the shared staged dynamic-overwrite cycle
               val overlap = spark.read.parquet(targetPath)
                 .filter(col("dt") >= to_date(lit(fromDate)))
               val merged = Upsert.upsert(overlap, batch, keys)
-              // stage the merged overlap, then dynamically overwrite just
-              // those partitions from the staged copy
-              val stage = graft.ops.Layout.stagingPath(
-                new org.apache.hadoop.fs.Path(targetPath), "stage").toString
-              merged.write.mode(SaveMode.Overwrite).parquet(stage)
-              val staged = spark.read.parquet(stage)
-              val n = staged.count()
-              writePartitioned(staged, targetPath)
-              val (sfs, spath) = fs(stage)
-              sfs.delete(spath, true)
-              n
+              graft.ops.Layout.stagedDynamicOverwrite(
+                spark, merged, targetPath, "dt", "stage")
             }
           }
         case _ =>
@@ -155,10 +161,14 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
       // watermark advances monotonically; an empty batch leaves it
       // alone. Reuses the run-entry read — this Runner is the table's
       // sole checkpoint owner, so a second FS probe + parquet read
-      // could never observe a different value
+      // could never observe a different value. An UNCHANGED watermark
+      // is not re-saved: the save is a stage+swap with a transient
+      // no-live-path window, and an idle run (weekend, source outage)
+      // must not pay that risk for zero state change.
       val wm = (checkpointBefore.toSeq ++ Option(batchWm).toSeq)
         .sorted.lastOption.orNull
-      if (wm != null) checkpoint.save(table, wm)
+      if (wm != null && !checkpointBefore.contains(wm))
+        checkpoint.save(table, wm)
       audit.log(s"$table: load complete, $written rows written, watermark $wm")
       written
     } catch {
