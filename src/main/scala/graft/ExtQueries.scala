@@ -1137,7 +1137,7 @@ object ExtQueries {
 
     "q_bm25" ->
       s"""WITH params AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
          |    ${sqlRound("avg(len(string_split(text, ' ')))", 6)} AS avgdl
          |  FROM documents),
          |q AS (SELECT unnest(['spark', 'join', 'fast']) AS term),
@@ -1217,7 +1217,7 @@ object ExtQueries {
         |nt AS (
         |  SELECT doc_id, n_chars,
         |    regexp_replace(regexp_replace(url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*$', '') AS s
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)?://', ''), '[?#].*$', '') AS s
         |  FROM u),
         |c AS (
         |  SELECT doc_id, n_chars,

@@ -157,15 +157,22 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * then a hash key already exists (or this rule produced the join). */
   private def hasEquiKey(conjuncts: Seq[Expression], left: LogicalPlan,
                          right: LogicalPlan): Boolean =
-    conjuncts.exists {
-      case EqualTo(a, b) =>
+    conjuncts.exists { c =>
+      // EqualNullSafe too: ExtractEquiJoinKeys plans `<=>` as a hash
+      // key just like `=`, so such a join needs no bucket rewrite
+      val pair = c match {
+        case EqualTo(a, b) => Some((a, b))
+        case EqualNullSafe(a, b) => Some((a, b))
+        case _ => None
+      }
+      pair.exists { case (a, b) =>
         // both sides must actually REFERENCE their side: a literal's
         // empty reference set is a subset of anything, and `col = 5`
         // is a pushable filter, not a cross-side hash key
         (a.references.nonEmpty && b.references.nonEmpty) &&
           ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
             (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
-      case _ => false
+      }
     }
 
   /** True when THIS join is the wide-path join the rule created: its

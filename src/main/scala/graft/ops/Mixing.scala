@@ -31,6 +31,10 @@ object Mixing {
                           weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixing: weights must be positive")
+    require(df.schema(sourceCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"mixing: source column '$sourceCol' must be STRING, got " +
+        df.schema(sourceCol).dataType)
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
@@ -38,7 +42,12 @@ object Mixing {
     // largest total preserving the ratios: the binding source caps it
     val total = present.map { case (s, w) => counts(s) / w }.min
     val thr = present.map { case (s, w) =>
-      s -> math.floor(w * total / counts(s) * M).toLong
+      // the BINDING source (n/w == total) keeps threshold M exactly:
+      // floor(w * (n/w) / n * M) can round-trip to M-1 through IEEE
+      // ulps, silently dropping one hash bucket of the source the
+      // contract says is kept whole
+      s -> (if (counts(s) / w == total) M
+            else math.floor(w * total / counts(s) * M).toLong)
     }
     val thrCol = thr.foldLeft(lit(-1L)) { case (acc, (s, t)) =>
       when(col(sourceCol) === s, lit(t)).otherwise(acc)

@@ -18,10 +18,16 @@ object Restructure {
     * fully distributed (the reference loops in driver memory).
     */
   def flattenMapOfArrays(df: DataFrame, mapCol: String,
-                         keyName: String): DataFrame =
+                         keyName: String): DataFrame = {
+    // the working names and the key must not collide with the bar
+    // struct's fields — a clash would surface as an ambiguous-column
+    // failure (or a silent duplicate) downstream of the `_bar.*` expand
+    require(keyName != "_bars" && keyName != "_bar",
+      s"flattenMapOfArrays: keyName '$keyName' collides with a working column")
     df.select(explode(col(mapCol)).as(Seq(keyName, "_bars")))
       .select(col(keyName), explode(col("_bars")).as("_bar"))
       .select(col(keyName), col("_bar.*"))
+  }
 
   /** F2: bulk column rename (reference: etl_project/assets/assets.py:79-91).
     * The reference's raw-feed map: single-letter fields -> bar schema. */

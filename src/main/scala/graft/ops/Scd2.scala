@@ -47,8 +47,12 @@ object Scd2 {
     Reserved.requireAbsent(current, "scd2Merge",
       Seq("_eff", "_upd", "_open") ++ tracked.map("_u_" + _))
 
-    val open = current.filter(col("is_current")).withColumn("_open", lit(true))
-    val hist = current.filter(!col("is_current"))
+    // null-safe split: a row with is_current = NULL (externally built
+    // dims) must land in the HISTORY branch, not vanish — a plain
+    // filter(col) / filter(!col) pair excludes null from BOTH sides
+    val open = current.filter(col("is_current") <=> lit(true))
+      .withColumn("_open", lit(true))
+    val hist = current.filter(!(col("is_current") <=> lit(true)))
     // Updates: tracked attrs renamed so the post-join row carries both
     // versions; `_upd` marks presence (effectiveCol may be null-typed).
     val u = updates.select(

@@ -21,6 +21,8 @@ object TextOps {
 
   /** Char/token/shape statistics per document. */
   def textStats(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "textStats",
+      Seq("n_chars_calc", "n_tokens", "avg_token_len"))
     val toks = tokens(col(text))
     df.withColumn("n_chars_calc", length(col(text)))
       .withColumn("n_tokens", size(toks))
@@ -31,11 +33,14 @@ object TextOps {
 
   /** Token counting two ways: whitespace-regex tokens and a BPE-ish
     * word/digit/symbol segmentation (the classic pre-tokenizer shape). */
-  def tokenCounts(df: DataFrame, text: String): DataFrame =
+  def tokenCounts(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "tokenCounts",
+      Seq("n_ws_tokens", "n_bpe_tokens"))
     df.withColumn("n_ws_tokens", size(split(col(text), "\\s+")))
       .withColumn("n_bpe_tokens",
         size(regexp_extract_all(col(text),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+  }
 
   val stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -44,6 +49,8 @@ object TextOps {
     * density, clamped to [0,1]. Heuristic mirrors common LLM-corpus
     * quality filters (length/punct/stopword ratios). */
   def qualityScore(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "qualityScore",
+      Seq("n_tokens", "stop_hits", "punct_count", "quality"))
     val toks = tokens(col(text))
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(toks)
@@ -76,6 +83,8 @@ object TextOps {
     * `"und"` (undetermined, the BCP-47 code) when NO marker hits at
     * all, instead of silently crowning the first language tested. */
   def langId(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "langId",
+      langMarkers.map { case (l, _) => s"hits_$l" } :+ "predicted")
     val toks = tokens(lower(col(text)))
     val withHits = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
       val markArr = array(markers.map(lit): _*)
@@ -95,6 +104,8 @@ object TextOps {
     * plate / template / keyword-stuffed pages LLM-corpus filters drop.
     * Pure map-side array ops — scan-bound at any scale. */
   def repetitionStats(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "repetitionStats",
+      Seq("n_tokens", "dup_token_frac", "dup_bigram_frac"))
     val toks = split(lower(trim(col(text))), "\\s+")
     val n = size(toks)
     val nb = greatest(n - 1, lit(0))
@@ -198,11 +209,14 @@ object TextOps {
   }
 
   /** Winnowing fingerprint summary per document (k-gram 8, window 4). */
-  def fingerprints(df: DataFrame, text: String): DataFrame =
+  def fingerprints(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "fingerprints",
+      Seq("fp", "n_fp", "fp_min", "fp_max"))
     df.withColumn("fp", winnow_fingerprint(col(text), 8, 4))
       .withColumn("n_fp", size(col("fp")))
       .withColumn("fp_min", array_min(col("fp")))
       .withColumn("fp_max", array_max(col("fp")))
+  }
 
   /** BM25 ranking of documents against a fixed bag of query terms — the
     * classic retrieval scorer, run corpus-wide (score every matching
@@ -219,8 +233,13 @@ object TextOps {
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queryTerms.nonEmpty && k > 0)
-    val stats = df.select(count(lit(1)).as("n"),
+    val stats = df.select(countDistinct(col(id)).as("n"),
       avg(size(tokens(col(text)))).as("avgdl")).head()
+    // empty corpus / all-null text: nothing can match — return the
+    // empty result instead of NPE-ing on the null avg()
+    if (stats.isNullAt(1))
+      return df.select(col(id), lit(0.0).as("score"),
+        lit(0L).as("n_terms")).filter(lit(false))
     val nDocs = stats.getLong(0).toDouble
     // avgdl is pinned to 6 decimals BEFORE folding into the plan: it is
     // the one input whose accumulation order differs between engines,
@@ -318,7 +337,9 @@ object TextOps {
     * regexp_replace semantics agree — keep it that way, the oracle
     * mirrors them verbatim. */
   def canonicalUrl(url: Column): Column = {
-    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    // optional scheme: protocol-relative crawl URLs ("//host/path")
+    // must canonicalize to the same key as their https:// twins
+    val noScheme = regexp_replace(url, "^([A-Za-z][A-Za-z0-9+.-]*)?://", "")
     val noTail = regexp_replace(noScheme, "[?#].*$", "")
     val host = regexp_replace(lower(regexp_extract(noTail, "^[^/]+", 0)),
       "^www\\.", "")
