@@ -78,9 +78,19 @@ object CoreQueries {
       // zone: a fixture landed under another zone would poison a later
       // UTC-verified run.
       val tz = s.conf.get("spark.sql.session.timeZone", "local")
+      // CONTENT hash in the key, not just the row count: regenerated
+      // testdata with the same count would otherwise reuse a stale
+      // payload and the oracle (recomputed from the new table) would
+      // mismatch — or worse, false-pass against half-updated data
+      // bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI
+      // mode; xor is order-independent and cannot overflow
+      val chk = java.lang.Long.toHexString(
+        ev.agg(expr("bit_xor(xxhash64(event_id, value))"))
+          .head().getLong(0))
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_bars_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ev.count() + "_" + tz.replaceAll("[^A-Za-z0-9]", "_")
+        "_" + ev.count() + "_" + chk +
+        "_" + tz.replaceAll("[^A-Za-z0-9]", "_")
       val done = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
       val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(done)) {

@@ -23,9 +23,6 @@ object ExtQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
-  /** documents + a deterministic near-duplicate of each (doc_id+1e6,
-    * text truncated to the first 4/5 of its tokens) — guarantees the
-    * approximate-dedup keys have non-empty, data-independent output. */
   /** `base` plus 80%-prefix mutants of `mutate` (doc_id + 1,000,000):
     * deterministic planted near-dups. The mutation formula is mirrored
     * verbatim in the DuckDB oracle CTEs (q_boilerplate,
@@ -1174,7 +1171,9 @@ object ExtQueries {
         |      WHERE n > 0),
         |t AS (SELECT min(n / wt) AS total FROM j),
         |r AS (SELECT source,
-        |        CAST(floor(wt * total / n * 1000000) AS BIGINT) AS thr
+        |        CASE WHEN n / wt = total THEN 1000000
+        |             ELSE CAST(floor(wt * total / n * 1000000) AS BIGINT)
+        |        END AS thr
         |      FROM j, t)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN r USING (source)

@@ -582,21 +582,21 @@ object RelQueries {
     "q_anomaly_mad" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
       val dev = abs(col("l_extendedprice") - col("med"))
+      // med and mad are ROUNDED before any comparison consumes them:
+      // the discrete outlier count thresholds on them, and an unrounded
+      // percentile differing by an engine ulp would flip boundary rows
       val med = li.groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+        .agg(roundHalfUp(percentile(col("l_extendedprice"), lit(0.5)), 4)
+          .as("med"))
       val mad = li.join(broadcast(med), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(percentile(dev, lit(0.5)).as("mad"))
+        .agg(roundHalfUp(percentile(dev, lit(0.5)), 4).as("mad"))
       li.join(broadcast(med), "l_returnflag")
         .join(broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(first(col("med")).as("med_raw"), first(col("mad")).as("mad_raw"),
+        .agg(first(col("med")).as("median"), first(col("mad")).as("mad"),
           count(when(dev > lit(3) * col("mad"), 1)).as("n_outliers"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          roundHalfUp(col("med_raw"), 4).as("median"),
-          roundHalfUp(col("mad_raw"), 4).as("mad"),
-          col("n_outliers"), col("n"))
         .orderBy("l_returnflag")
     }),
 
@@ -766,13 +766,18 @@ object RelQueries {
       t(s, dir, "events")
         .withColumn("mavg", avg(col("value")).over(w20))
         .withColumn("sd", stddev_samp(col("value")).over(w20))
+        // breach thresholds on the ROUNDED bands: engines' stddev
+        // recurrences differ in the last ulp, and a value within an ulp
+        // of the raw band would flip the discrete flag between engines
+        // while every rounded column still matched
+        .withColumn("band_lo", roundHalfUp(col("mavg") - lit(2.0) * col("sd"), 4))
+        .withColumn("band_hi", roundHalfUp(col("mavg") + lit(2.0) * col("sd"), 4))
         .select(col("event_type"), col("event_id"),
           roundHalfUp(col("mavg"), 4).as("mavg"),
-          roundHalfUp(col("mavg") - lit(2.0) * col("sd"), 4).as("band_lo"),
-          roundHalfUp(col("mavg") + lit(2.0) * col("sd"), 4).as("band_hi"),
+          col("band_lo"), col("band_hi"),
           when(col("sd").isNull, lit(null).cast("long"))
-            .when(col("value") > col("mavg") + lit(2.0) * col("sd"), 1L)
-            .when(col("value") < col("mavg") - lit(2.0) * col("sd"), -1L)
+            .when(col("value") > col("band_hi"), 1L)
+            .when(col("value") < col("band_lo"), -1L)
             .otherwise(0L).as("breach"))
         .orderBy("event_type", "event_id")
     }),
@@ -849,15 +854,16 @@ object RelQueries {
 
     "q_anomaly_mad" ->
       s"""WITH med AS (
-         |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+         |  SELECT l_returnflag,
+         |    ${sqlRound("quantile_cont(l_extendedprice, 0.5)", 4)} AS med
          |  FROM lineitem GROUP BY 1),
          |mad AS (
          |  SELECT l.l_returnflag,
-         |    quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+         |    ${sqlRound("quantile_cont(abs(l_extendedprice - med), 0.5)", 4)} AS mad
          |  FROM lineitem l JOIN med USING (l_returnflag) GROUP BY 1)
          |SELECT l.l_returnflag,
-         |  ${sqlRound("any_value(med)", 4)} AS median,
-         |  ${sqlRound("any_value(mad)", 4)} AS mad,
+         |  any_value(med) AS median,
+         |  any_value(mad) AS mad,
          |  CAST(count(CASE WHEN abs(l_extendedprice - med) > 3 * mad
          |    THEN 1 END) AS BIGINT) AS n_outliers,
          |  count(*) AS n
@@ -1405,8 +1411,8 @@ object RelQueries {
          |  ${sqlRound("mavg - 2.0 * sd", 4)} AS band_lo,
          |  ${sqlRound("mavg + 2.0 * sd", 4)} AS band_hi,
          |  CAST(CASE WHEN sd IS NULL THEN NULL
-         |       WHEN value > mavg + 2.0 * sd THEN 1
-         |       WHEN value < mavg - 2.0 * sd THEN -1
+         |       WHEN value > ${sqlRound("mavg + 2.0 * sd", 4)} THEN 1
+         |       WHEN value < ${sqlRound("mavg - 2.0 * sd", 4)} THEN -1
          |       ELSE 0 END AS BIGINT) AS breach
          |FROM b ORDER BY event_type, event_id""".stripMargin,
 
