@@ -21,6 +21,12 @@ ties, skipped = [], []
 for name, sql in sorted(oracle.items()):
     m = re.search(r'ORDER BY\s+([^)]+?)(LIMIT\s+\d+)?\s*$', sql, re.S | re.I)
     if not m:
+        # the [^)]+? tail regex can't parse an ORDER BY containing ')'
+        # (function calls in the sort keys); that's a parse limitation,
+        # not a missing ORDER BY — report as skip, not actionable TIE
+        if re.search(r'ORDER BY', sql, re.I):
+            skipped.append(name)
+            continue
         df = con.sql(sql).df()
         if len(df) > 1:
             ties.append((name, "NO final ORDER BY and more than one row"))

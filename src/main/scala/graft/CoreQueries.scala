@@ -81,15 +81,22 @@ object CoreQueries {
       // CONTENT hash in the key, not just the row count: regenerated
       // testdata with the same count would otherwise reuse a stale
       // payload and the oracle (recomputed from the new table) would
-      // mismatch — or worse, false-pass against half-updated data
+      // mismatch — or worse, false-pass against half-updated data.
       // bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI
-      // mode; xor is order-independent and cannot overflow
-      val chk = java.lang.Long.toHexString(
-        ev.agg(expr("bit_xor(xxhash64(event_id, value))"))
-          .head().getLong(0))
+      // mode; xor is order-independent and cannot overflow. The count
+      // rides in the SAME aggregate (one events scan, not three), and
+      // it also covers xor's one blind spot — duplicated row PAIRS
+      // cancel in the xor but still move the count. coalesce guards the
+      // empty-table NULL (bit_xor over zero rows) from NPE-ing here
+      // before the read path can report the real problem.
+      val keyRow = ev.agg(
+        count(lit(1)).as("n"),
+        expr("coalesce(bit_xor(xxhash64(event_id, value)), 0L)").as("chk")
+      ).head()
+      val chk = java.lang.Long.toHexString(keyRow.getLong(1))
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_bars_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ev.count() + "_" + chk +
+        "_" + keyRow.getLong(0) + "_" + chk +
         "_" + tz.replaceAll("[^A-Za-z0-9]", "_")
       val done = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
       val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)

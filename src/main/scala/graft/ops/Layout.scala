@@ -99,6 +99,7 @@ object Layout {
   def hasCommittedFiles(fs: org.apache.hadoop.fs.FileSystem,
                         p: Path): Boolean = {
     if (!fs.exists(p)) return false
+    val qp = fs.makeQualified(p)
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next().getPath
@@ -108,9 +109,16 @@ object Layout {
       // task-committed files under `.spark-staging-<job>/`, which
       // Spark's reader skips but a bare name check on the FILE would
       // count, reproducing the exact unreadable-table wedge this
-      // helper exists to prevent
+      // helper exists to prevent. The walk must stop AT the table root
+      // by Path equality against the QUALIFIED root: listFiles returns
+      // scheme-qualified paths (file:/..., hdfs://host:port/...), so a
+      // string-length comparison against an unqualified `p` would keep
+      // walking into — and name-check — the table's own absolute path,
+      // and any hidden-prefixed ancestor ABOVE the table would discount
+      // every committed file (table treated as absent ⇒ first-write
+      // overwrite of merged history downstream).
       val hiddenAncestor = Iterator.iterate(f.getParent)(_.getParent)
-        .takeWhile(q => q != null && q.toString.length > p.toString.length)
+        .takeWhile(q => q != null && q != qp)
         .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
       if (!hiddenAncestor && !f.getName.startsWith("_") &&
           !f.getName.startsWith("."))

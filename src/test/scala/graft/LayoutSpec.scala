@@ -27,6 +27,29 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.hasCommittedFiles(fs, t))
   }
 
+  test("hasCommittedFiles: hidden-prefixed ANCESTOR of the table root is not staging state") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Files.createTempDirectory("committed2").toString
+    // the table legitimately lives under hidden-prefixed directories
+    // (e.g. a checkpoint root named _state, or a dotted app dir). Only
+    // ancestors BELOW the table root may discount files; the walk must
+    // stop AT the qualified root — listFiles returns file:/-qualified
+    // paths, so an unqualified string-length stop condition would keep
+    // walking up into `_state`/`.app` and report the table as absent.
+    val t = new Path(root, "_state/.app/table")
+    fs.mkdirs(new Path(t, "dt=2020-01-01"))
+    fs.create(new Path(t, "dt=2020-01-01/part-0.parquet"), true).close()
+    assert(Layout.hasCommittedFiles(fs, t),
+      "committed data under a hidden-prefixed ancestor must count")
+    // but hidden dirs INSIDE the table still discount their contents
+    val t2 = new Path(root, "_state/.app/table2")
+    fs.mkdirs(new Path(t2, ".spark-staging-1"))
+    fs.create(new Path(t2, ".spark-staging-1/part-0.parquet"), true).close()
+    assert(!Layout.hasCommittedFiles(fs, t2),
+      "staged-only content must not count even under a hidden ancestor")
+  }
+
   test("per-file key ranges are disjoint and filters reach the scan") {
     val dir = Files.createTempDirectory("layout").toString + "/t"
     val df = spark.range(10000).select(
