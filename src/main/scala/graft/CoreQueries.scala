@@ -71,43 +71,27 @@ object CoreQueries {
         col("user_id").as("v"),
         col("value").as("vw"))
       val ev = t(s, dir, "events")
-      // payload file is keyed by (dir, row count, session timezone) and
-      // reused when already landed — the operator under test is the
-      // read path; building the fixture is one-time setup. The tz is in
-      // the key because the 't' strings are rendered with the session
-      // zone: a fixture landed under another zone would poison a later
-      // UTC-verified run.
+      // payload file is keyed by (dir, content, session timezone) via
+      // the shared Fixtures helper and reused when already landed — the
+      // operator under test is the read path; building the fixture is
+      // one-time setup. The tz is in the key because the 't' strings
+      // are rendered with the session zone: a fixture landed under
+      // another zone would poison a later UTC-verified run. The content
+      // hash guards regenerated testdata: a stale payload would
+      // mismatch the oracle (recomputed from the new table) — or worse,
+      // false-pass against half-updated data.
       val tz = s.conf.get("spark.sql.session.timeZone", "local")
-      // CONTENT hash in the key, not just the row count: regenerated
-      // testdata with the same count would otherwise reuse a stale
-      // payload and the oracle (recomputed from the new table) would
-      // mismatch — or worse, false-pass against half-updated data.
-      // bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI
-      // mode; xor is order-independent and cannot overflow. The count
-      // rides in the SAME aggregate (one events scan, not three), and
-      // it also covers xor's one blind spot — duplicated row PAIRS
-      // cancel in the xor but still move the count. coalesce guards the
-      // empty-table NULL (bit_xor over zero rows) from NPE-ing here
-      // before the read path can report the real problem.
-      val keyRow = ev.agg(
-        count(lit(1)).as("n"),
-        expr("coalesce(bit_xor(xxhash64(event_id, value)), 0L)").as("chk")
-      ).head()
-      val chk = java.lang.Long.toHexString(keyRow.getLong(1))
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_bars_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + keyRow.getLong(0) + "_" + chk +
-        "_" + tz.replaceAll("[^A-Za-z0-9]", "_")
-      val done = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-      val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(done)) {
+      val fx = graft.Fixtures.ensure("bars_json",
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.Fixtures.contentKey(ev, "event_id", "value") +
+          "_" + tz.replaceAll("[^A-Za-z0-9]", "_")) { p =>
         ev.groupBy(col("event_type")).agg(collect_list(bar).as("arr"))
           .agg(map_from_entries(collect_list(struct(col("event_type"), col("arr"))))
             .as("bars"))
           .select(to_json(struct(col("bars"))).as("payload"))
-          .coalesce(1).write.mode("overwrite").text(path)
+          .coalesce(1).write.mode("overwrite").text(p + "/payload")
       }
-      graft.io.JsonSource.readBars(s, path)
+      graft.io.JsonSource.readBars(s, fx + "/payload")
         .orderBy("stock", "number_of_trades")
     }),
 
