@@ -25,6 +25,30 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Window") >= 1)
   }
 
+  test("window family: one key exchange + the final orderBy, nothing else") {
+    // every per-series window key shares its (stock) hash exchange
+    // across all window columns; only the presentation orderBy may add
+    // a range exchange. A third exchange means a window column grew its
+    // own partitioning — the q_funnel regression shape.
+    for (key <- Seq("q_moving_avg_5", "q_stddev_5", "q_lag_prev",
+        "q_daily_return", "q_ohlc_resample", "q_sessionize")) {
+      val p = planOf(key)
+      assert(count(p, "Exchange") <= 2, s"$key grew extra exchanges:\n$p")
+      assert(count(p, "Window") >= 1, s"$key lost its window:\n$p")
+    }
+  }
+
+  test("as-of join: single-shuffle carry-forward, no sort-merge or nested loop") {
+    val p = planOf("q_asof_join")
+    // union-tag-carry composition: both sides cross the user_id
+    // exchange once (plus the clicks pre-agg and final orderBy); an
+    // equi-join rewrite would show SortMergeJoin, a naive as-of shows
+    // a range nested-loop — both are regressions
+    assert(count(p, "Exchange") <= 3, s"as-of grew extra exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      s"as-of lost the carry-forward shape:\n$p")
+  }
+
   test("q_join_enrich: dimension join broadcasts, never sort-merges") {
     val p = planOf("q_join_enrich")
     assert(p.contains("BroadcastHashJoin"), s"broadcast join lost:\n$p")
