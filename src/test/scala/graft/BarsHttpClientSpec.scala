@@ -1,0 +1,100 @@
+package graft
+
+import graft.io.{BarsHttpClient, JsonSource}
+
+/** Offline contract tests for the paginated bars-API client: a scripted
+  * fake transport plays a three-page token chain, and the landed pages
+  * flow through the REAL scan path (schema-pinned JSON read + map
+  * explosion) to prove cross-page reassembly. The reference client
+  * (alpaca_api.py:25) ignores next_page_token — it would return only
+  * page 1 of this feed; the >1000-bar truncation fix is the point. */
+class BarsHttpClientSpec extends SparkSpec {
+
+  private def bar(o: Double, n: Long, t: String) =
+    s"""{"c":${o + 1},"h":${o * 2},"l":${o / 2},"n":$n,"o":$o,"t":"$t","v":${n * 10},"vw":$o}"""
+
+  // pages split MID-SYMBOL, like the real API under a small limit:
+  // AAPL spans pages 1-2, MSFT spans pages 2-3
+  private val page1 =
+    s"""{"bars":{"AAPL":[${bar(10.0, 1, "2024-01-02T05:00:00Z")}]},"next_page_token":"tok1"}"""
+  private val page2 =
+    s"""{"bars":{"AAPL":[${bar(11.0, 2, "2024-01-03T05:00:00Z")}],"MSFT":[${bar(20.0, 3, "2024-01-02T05:00:00Z")}]},"next_page_token":"tok2"}"""
+  private val page3 =
+    s"""{"bars":{"MSFT":[${bar(21.0, 4, "2024-01-03T05:00:00Z")}]},"next_page_token":null}"""
+
+  private def scripted(pages: Map[Option[String], (Int, String)],
+                       log: collection.mutable.Buffer[(String, Map[String, String])])
+      : BarsHttpClient.Transport = (url, headers) => {
+    log += ((url, headers))
+    val tok = "(?:\\?|&)page_token=([^&]+)".r.findFirstMatchIn(url).map(_.group(1))
+    pages(tok)
+  }
+
+  test("follows the next_page_token chain to exhaustion; auth + params on every request") {
+    val log = collection.mutable.Buffer.empty[(String, Map[String, String])]
+    val client = new BarsHttpClient("key", "secret", scripted(Map(
+      None -> ((200, page1)),
+      Some("tok1") -> ((200, page2)),
+      Some("tok2") -> ((200, page3))), log))
+    val pages = client.fetchAllPages("AAPL,MSFT", "1Day", "2024-01-02",
+      end = Some("2024-01-05"))
+    assert(pages == Seq(page1, page2, page3))
+    assert(log.size == 3, "one request per page, stop at null token")
+    log.foreach { case (url, headers) =>
+      assert(headers == Map("APCA-API-KEY-ID" -> "key",
+        "APCA-API-SECRET-KEY" -> "secret"))
+      assert(url.contains("limit=1000") && url.contains("timeframe=1Day"))
+      assert(url.contains("symbols=AAPL%2CMSFT"))
+      assert(url.contains("start=2024-01-02") && url.contains("end=2024-01-05"))
+    }
+    assert(!log.head._1.contains("page_token"), "first request has no token")
+  }
+
+  test("landed pages reassemble across the page split through the real scan path") {
+    val log = collection.mutable.Buffer.empty[(String, Map[String, String])]
+    val client = new BarsHttpClient("key", "secret", scripted(Map(
+      None -> ((200, page1)),
+      Some("tok1") -> ((200, page2)),
+      Some("tok2") -> ((200, page3))), log))
+    val dir = java.nio.file.Files.createTempDirectory("bars_pages").toString + "/pages"
+    client.landPages(spark, client.fetchAllPages("AAPL,MSFT", "1Day", "2024-01-02"), dir)
+    val rows = JsonSource.readBars(spark, dir)
+      .orderBy("stock", "timestamp")
+      .collect()
+    // 4 bars across 3 pages, both symbols whole despite the mid-symbol
+    // page splits — the reference's one-page client would see only 1
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("stock")).toSeq ==
+      Seq("AAPL", "AAPL", "MSFT", "MSFT"))
+    assert(rows.map(_.getAs[Long]("number_of_trades")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.head.getAs[Double]("open") == 10.0 &&
+      rows.head.getAs[Double]("close") == 11.0)
+  }
+
+  test("error contract: non-200, missing bars, and runaway token chains are loud") {
+    val log = collection.mutable.Buffer.empty[(String, Map[String, String])]
+    val e1 = intercept[RuntimeException] {
+      new BarsHttpClient("k", "s", scripted(Map(None -> ((403, "forbidden"))), log))
+        .fetchAllPages("AAPL", "1Day", "2024-01-02")
+    }
+    assert(e1.getMessage.contains("403"))
+    val e2 = intercept[RuntimeException] {
+      new BarsHttpClient("k", "s",
+        scripted(Map(None -> ((200, """{"message":"ok"}"""))), log))
+        .fetchAllPages("AAPL", "1Day", "2024-01-02")
+    }
+    assert(e2.getMessage.contains("bars"))
+    // a server echoing the same token forever must hit maxPages, not hang
+    val e3 = intercept[RuntimeException] {
+      new BarsHttpClient("k", "s", scripted(Map(
+        None -> ((200, page1)),
+        Some("tok1") ->
+          ((200, page1.replace("\"tok1\"", "\"tok1\"")))), log))
+        .fetchAllPages("AAPL", "1Day", "2024-01-02", maxPages = 5)
+    }
+    assert(e3.getMessage.contains("5 pages"))
+    // constructor nulls fail fast, matching the reference
+    intercept[IllegalArgumentException] { new BarsHttpClient(null, "s") }
+    intercept[IllegalArgumentException] { new BarsHttpClient("k", null) }
+  }
+}
