@@ -190,7 +190,10 @@ object ExtQueries {
     }),
 
     // Multimodal plumbing: text bytes stand in for media payloads;
-    // decode is the deterministic stub (rows-only; see Multimodal docs).
+    // decode is the deterministic stub (see Multimodal docs). Oracled:
+    // DuckDB re-derives the stub's FNV-1a arithmetic from the raw text
+    // bytes (HUGEINT mod-2^64 emulation), value-checking the whole
+    // binary-column -> mapPartitions -> meta pipeline.
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
       val media = graft.ops.Multimodal.fromBinaryColumn(
@@ -205,8 +208,11 @@ object ExtQueries {
 
     // Container-dispatching media probe: deterministic synthetic
     // payloads with REAL png/gif/wav/mp4 headers around the document
-    // bytes; the probe parses the containers map-side (rows-only —
-    // DuckDB has no binary container parsing to oracle against).
+    // bytes; the probe parses the containers map-side. Oracled: DuckDB
+    // can't parse binary containers, but it can recompute what the
+    // build->parse ROUND TRIP must yield from (doc_id, text) — the
+    // synthesis arithmetic mirrored in SQL, so a header-parser bug on
+    // either leg breaks the hash match.
     "q_media_probe" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir)
@@ -661,6 +667,65 @@ object ExtQueries {
   private val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    // Round-trip oracle for the synthetic-container probe: the payload
+    // builder's arithmetic (Multimodal.syntheticPayload — header sizes,
+    // id-derived dims, 8kHz/16-bit mono WAV duration, mvhd duration)
+    // recomputed from (doc_id, text) directly. Keep in lockstep with
+    // the builder.
+    "q_media_probe" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 44 ELSE 52 END
+        |       + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav' ELSE 'mp4' END AS container,
+        |  CAST(CASE WHEN doc_id % 4 IN (0,1) THEN 16 + doc_id % 640 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 IN (0,1) THEN 16 + doc_id % 360 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 1 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 16 END AS BIGINT) AS bits_per_sample,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN (octet_length(encode(text)) * 1000) // 16000
+        |       WHEN doc_id % 4 = 3 THEN (1 + doc_id % 30) * 1000 END AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'isom' END AS brand
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
+
+    // The decode stub's FNV-1a (64-bit wrapping) re-derived in DuckDB:
+    // HUGEINT mod-2^64 arithmetic, the multiply split as
+    // h*0x100000001b3 = (h mod 2^24)*2^40 + h*435 to stay inside 128
+    // bits, bytes pulled from hex(blob), arithmetic shifts as exact
+    // floor division (`//`, not `/` — float division would round near
+    // 2^63). Mirrors Multimodal.decodeStub; change both together.
+    "q_multimodal_meta" ->
+      """WITH raw AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         least(octet_length(encode(text)), 256) AS nb
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |fnv AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(
+        |        CAST('14695981039346656037' AS HUGEINT),
+        |        list_transform(range(1, nb + 1), i ->
+        |          CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+        |             + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT))),
+        |      (acc, b) ->
+        |        ((((acc - (acc % 256)) + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) % 16777216) * 1099511627776
+        |          + ((acc - (acc % 256)) + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 435)
+        |        % CAST('18446744073709551616' AS HUGEINT)
+        |    ) AS h
+        |  FROM raw),
+        |sgn AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS s
+        |  FROM fnv)
+        |SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + abs(s) % 1024 AS BIGINT) AS width,
+        |  CAST(64 + abs((s - ((s % 1024 + 1024) % 1024)) // 1024) % 1024 AS BIGINT) AS height,
+        |  CAST(1 + abs((s - ((s % 1048576 + 1048576) % 1048576)) // 1048576) % 16 AS BIGINT) AS n_frames
+        |FROM sgn JOIN documents USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+
     "q_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
