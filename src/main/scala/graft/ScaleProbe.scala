@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth probe for the approximate-dedup / ANN family: times the
+  * three scale-critical operators at 1× and N× (default 10×) of an sf
+  * directory and prints the growth ratios — the local evidence that the
+  * banded-LSH bucket cap, the O(batch) index probe, and the bounded
+  * top-k aggregate hold their sub-quadratic promise before anyone
+  * extrapolates to a 1000-executor cluster. An all-pairs shape would
+  * show ~N² ratios here; the expected signature is ~N (with constant
+  * overheads damping it below N at these sizes).
+  *
+  * The N× corpus derives deterministically from the testdata: copy k
+  * suffixes every token with `_k`, so copies are NOT cross-copy
+  * near-dups (every shingle differs) while each copy carries the full
+  * intra-copy duplicate structure — dup density stays constant as the
+  * corpus scales, which is the realistic crawl shape. Embeddings get a
+  * per-copy deterministic perturbation for the same reason.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [mult]
+  */
+object ScaleProbe {
+
+  private def time[A](a: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = a
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def scaledDocs(base: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { k =>
+      if (k == 0) base.select(col("doc_id"), col("text"))
+      else base.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k")))).as("text"))
+    }.reduce(_ unionByName _)
+
+  def scaledEmb(base: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { k =>
+      if (k == 0) base.select(col("vec_id"), col("embedding"))
+      else base.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + lit(0.001f) * (i % 7 - 3) * lit(k)).cast("float"))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs1 = graft.io.Tables.read(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val emb1 = graft.io.Tables.read(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+
+    // land both scales as parquet so every op starts from an identical
+    // scan shape (not an in-memory union plan)
+    val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    def land(df: DataFrame, name: String): String = {
+      val p = s"$root/$name"
+      df.write.mode("overwrite").parquet(p)
+      p
+    }
+    val dPaths = Map(1 -> land(docs1, "docs_x1"),
+      mult -> land(scaledDocs(docs1, mult), s"docs_x$mult"))
+    val ePaths = Map(1 -> land(emb1, "emb_x1"),
+      mult -> land(scaledEmb(emb1, mult), s"emb_x$mult"))
+
+    def run(scale: Int): Map[String, Double] = {
+      val d = spark.read.parquet(dPaths(scale))
+      val e = spark.read.parquet(ePaths(scale))
+      // banded-LSH near-dup pairs over the whole corpus
+      val (tMinhash, _) = time {
+        graft.ops.DedupOps.minhashDupPairs(d, "text", "doc_id").count()
+      }
+      // daily probe against a PRE-BUILT index at this scale: history
+      // indexed untimed, then the timed batch (1% of corpus, mutated)
+      val idx = s"$root/idx_x$scale"
+      val hist = d.filter(col("doc_id") % 100 =!= 0)
+      val batch = d.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          concat(lit("probe "), col("text")).as("text"))
+      graft.ops.DedupIndex.appendAndFindDups(spark, hist, idx,
+        "text", "doc_id", batchTag = Some("hist"))
+      val (tIncr, _) = time {
+        graft.ops.DedupIndex.appendAndFindDups(spark, batch, idx,
+          "text", "doc_id", batchTag = Some("daily")).count()
+      }
+      // IVF ANN: 50 broadcast queries against the corpus
+      val (tIvf, _) = time {
+        graft.ops.SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 50),
+          "embedding", "vec_id", 10).count()
+      }
+      spark.catalog.clearCache()
+      Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
+        "ann_ivf" -> tIvf)
+    }
+
+    run(1) // warm-up: JIT + codegen caches, discarded
+    val t1 = run(1)
+    val tN = run(mult)
+    val ratios = t1.keys.map(k =>
+      k -> BigDecimal(tN(k) / t1(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .toMap
+    println(s"""{"metric":"scale_probe","sf":"$sfDir","mult":$mult,""" +
+      s""""x1":{${t1.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")}},""" +
+      s""""x$mult":{${tN.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")}},""" +
+      s""""ratio":{${ratios.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    spark.stop()
+  }
+}
