@@ -161,7 +161,9 @@ object ExtQueries {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
         .orderBy("id_a", "id_b")),
 
-    // Winnowing fingerprints (rows-only; native Catalyst expression).
+    // Winnowing fingerprints (native Catalyst expression). Oracled:
+    // DuckDB replays the whole winnow — rolling FNV over char 8-grams,
+    // window-of-4 minima, distinct — in HUGEINT mod-2^64 arithmetic.
     "q_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir), "text")
         .select(col("doc_id"), col("n_fp").cast("long"), col("fp_min"),
@@ -725,6 +727,41 @@ object ExtQueries {
         |  CAST(1 + abs((s - ((s % 1048576 + 1048576) % 1048576)) // 1048576) % 16 AS BIGINT) AS n_frames
         |FROM sgn JOIN documents USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+
+    // Full winnowing replay (Kernels.fingerprints, k=8 w=4): FNV-1a per
+    // char 8-gram (chars are BMP codepoints == UTF-16 units for this
+    // corpus; the kernel masks chars to 16 bits), signed-long window
+    // minima, distinct. Same HUGEINT emulation tricks as
+    // q_multimodal_meta. Mirrors the kernel; change both together.
+    "q_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, length(text) - 8 + 1 AS n,
+        |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)), i ->
+        |      list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          list_transform(range(i, i + 8), j -> unicode(substr(text, CAST(j AS INT), 1)))),
+        |        (acc, c) ->
+        |          ((((acc - (acc % 65536)) + xor(CAST(acc % 65536 AS BIGINT), CAST(c AS BIGINT))) % 16777216) * 1099511627776
+        |            + ((acc - (acc % 65536)) + xor(CAST(acc % 65536 AS BIGINT), CAST(c AS BIGINT))) * 435)
+        |          % CAST('18446744073709551616' AS HUGEINT))) AS grams_u
+        |  FROM documents),
+        |sg AS (
+        |  SELECT doc_id, text, n,
+        |    list_transform(grams_u, h ->
+        |      CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |           THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS grams
+        |  FROM g),
+        |mins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         WHEN n < 1 THEN []
+        |         WHEN n <= 4 THEN [list_min(grams)]
+        |         ELSE list_distinct(list_transform(range(1, n - 4 + 2), j ->
+        |           list_min(grams[j:j+3]))) END AS fps
+        |  FROM sg)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM mins ORDER BY doc_id""".stripMargin,
 
     "q_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
