@@ -56,6 +56,45 @@ class RunnerSpec extends SparkSpec {
     assert(audit.read().filter($"log_message".contains("load complete")).count() == 3)
   }
 
+  test("extract->load end-to-end: paginated fetch, overlap re-extract, upsert dedup") {
+    import graft.io.BarsHttpClient
+    val dir = tmpDir()
+    val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"),
+      new AuditLog(spark, s"$dir/audit"))
+    val target = s"$dir/bars"
+    def bar(o: Double, t: String) =
+      s"""{"c":${o + 1},"h":$o,"l":$o,"n":1,"o":$o,"t":"$t","v":10,"vw":$o}"""
+    // day-1 feed split across two pages (the >limit case the reference
+    // truncates); day-2 feed re-delivers the overlap day with a revised
+    // close plus the new day — the reference's re-extract window
+    def client(pages: Map[Option[String], String]) =
+      new BarsHttpClient("k", "s",
+        (url, _) => (200, pages("(?:\\?|&)page_token=([^&]+)".r
+          .findFirstMatchIn(url).map(_.group(1)))))
+    val day1 = client(Map(
+      None -> s"""{"bars":{"TSLA":[${bar(250.0, "2025-10-01T10:00:00Z")}]},"next_page_token":"t1"}""",
+      Some("t1") -> s"""{"bars":{"AAPL":[${bar(170.0, "2025-10-01T10:00:00Z")}]},"next_page_token":null}"""))
+    val b1 = runner.extractBars(day1, s"$dir/land1", "TSLA,AAPL", "1Day",
+      "2025-09-30")
+    assert(runner.loadIncremental(b1, target, "bars",
+      Seq("stock", "timestamp"), "timestamp") == 2)
+    val day2 = client(Map(
+      None -> (s"""{"bars":{"TSLA":[${bar(260.0, "2025-10-01T10:00:00Z")},""" +
+        s"""${bar(262.0, "2025-10-02T10:00:00Z")}]},"next_page_token":null}""")))
+    val b2 = runner.extractBars(day2, s"$dir/land2", "TSLA,AAPL", "1Day",
+      "2025-10-01")
+    runner.loadIncremental(b2, target, "bars",
+      Seq("stock", "timestamp"), "timestamp")
+    val out = spark.read.parquet(target)
+    assert(out.count() == 3, "overlap deduped, new day added")
+    // the re-delivered overlap row WON (close revised 251.0 -> 261.0)
+    assert(out.filter(col("stock") === "TSLA" &&
+        col("timestamp") === "2025-10-01T10:00:00Z")
+      .select("close").as[Double].head() == 261.0)
+    // raw-zone archive: the landed payloads re-scan without a re-fetch
+    assert(graft.io.JsonSource.readBars(spark, s"$dir/land1").count() == 2)
+  }
+
   test("incremental run rewrites only overlap partitions (dynamic overwrite)") {
     val dir = tmpDir()
     val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"),
