@@ -23,8 +23,16 @@ for name, sql in sorted(oracle.items()):
     if not m:
         # the [^)]+? tail regex can't parse an ORDER BY containing ')'
         # (function calls in the sort keys); that's a parse limitation,
-        # not a missing ORDER BY — report as skip, not actionable TIE
-        if re.search(r'ORDER BY', sql, re.I):
+        # not a missing ORDER BY — report as skip, not actionable TIE.
+        # But only if the LAST ORDER BY is a top-level one: balanced
+        # parens after it. An ORDER BY living inside a window OVER(...)
+        # leaves an unmatched ')' in its tail and does NOT order the
+        # result — that stays an actionable finding.
+        last = None
+        for mm in re.finditer(r'ORDER BY', sql, re.I):
+            last = mm.end()
+        if last is not None and \
+                sql[last:].count('(') == sql[last:].count(')'):
             skipped.append(name)
             continue
         df = con.sql(sql).df()

@@ -83,7 +83,7 @@ object CoreQueries {
       val tz = s.conf.get("spark.sql.session.timeZone", "local")
       val fx = graft.Fixtures.ensure("bars_json",
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          graft.Fixtures.contentKey(ev, "event_id", "value") +
+          graft.Fixtures.contentKey(s"bars_json|$dir", ev, "event_id", "value") +
           "_" + tz.replaceAll("[^A-Za-z0-9]", "_")) { p =>
         ev.groupBy(col("event_type")).agg(collect_list(bar).as("arr"))
           .agg(map_from_entries(collect_list(struct(col("event_type"), col("arr"))))

@@ -253,7 +253,7 @@ object ExtQueries {
         d.filter(col("doc_id") % 20 === 0))
       val fx = graft.Fixtures.ensure("dedup_idx",
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          graft.Fixtures.contentKey(d, "doc_id", "text")) { p =>
+          graft.Fixtures.contentKey(s"dedup_idx|$dir", d, "doc_id", "text")) { p =>
         graft.ops.DedupIndex.appendAndFindDups(s, d, p + "/idx",
           "text", "doc_id", batchTag = Some("hist"))
           .write.parquet(p + "/hist_pairs")
@@ -654,7 +654,7 @@ object ExtQueries {
       val e = emb(s, dir)
       val fx = graft.Fixtures.ensure("ann_idx",
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          graft.Fixtures.contentKey(e, "vec_id", "embedding")) { p =>
+          graft.Fixtures.contentKey(s"ann_idx|$dir", e, "vec_id", "embedding")) { p =>
         graft.ops.AnnIndex.build(s, e, p + "/ann", "embedding", "vec_id",
           numFiles = 8)
       }
@@ -696,13 +696,19 @@ object ExtQueries {
     // bits, bytes pulled from hex(blob), arithmetic shifts as exact
     // floor division (`//`, not `/` — float division would round near
     // 2^63). Mirrors Multimodal.decodeStub; change both together.
+    // extractMeta tries the REAL header parsers before the stub; of
+    // those, only GIF magic is reachable from valid UTF-8 text (PNG's
+    // 0x89 and JPEG's 0xFF cannot start a UTF-8 string), so the oracle
+    // carries the gifDims branch: LE u16 pairs from bytes 7-10.
     "q_multimodal_meta" ->
       """WITH raw AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
-        |         least(octet_length(encode(text)), 256) AS nb
+        |         least(octet_length(encode(text)), 256) AS nb,
+        |         octet_length(encode(text)) >= 10 AND
+        |           (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%') AS is_gif
         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |fnv AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, hx, is_gif,
         |    list_reduce(
         |      list_prepend(
         |        CAST('14695981039346656037' AS HUGEINT),
@@ -716,15 +722,21 @@ object ExtQueries {
         |    ) AS h
         |  FROM raw),
         |sgn AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, is_gif,
+        |    list_transform(range(7, 11), i ->
+        |      16 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+        |       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS gb,
         |    CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
         |         THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS s
         |  FROM fnv)
         |SELECT doc_id AS media_id, 'image' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + abs(s) % 1024 AS BIGINT) AS width,
-        |  CAST(64 + abs((s - ((s % 1024 + 1024) % 1024)) // 1024) % 1024 AS BIGINT) AS height,
-        |  CAST(1 + abs((s - ((s % 1048576 + 1048576) % 1048576)) // 1048576) % 16 AS BIGINT) AS n_frames
+        |  CAST(CASE WHEN is_gif THEN gb[1] + 256 * gb[2]
+        |       ELSE 64 + abs(s) % 1024 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN is_gif THEN gb[3] + 256 * gb[4]
+        |       ELSE 64 + abs((s - ((s % 1024 + 1024) % 1024)) // 1024) % 1024 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN is_gif THEN 1
+        |       ELSE 1 + abs((s - ((s % 1048576 + 1048576) % 1048576)) // 1048576) % 16 END AS BIGINT) AS n_frames
         |FROM sgn JOIN documents USING (doc_id)
         |ORDER BY media_id""".stripMargin,
 

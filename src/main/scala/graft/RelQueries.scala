@@ -228,7 +228,8 @@ object RelQueries {
       val split = graft.functions.PortableHash.hashMod(col("event_id"), 2L)
       val fx = graft.Fixtures.ensure("rollup_b0",
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          graft.Fixtures.contentKey(ev, "d", "event_type", "value", "event_id")) { p =>
+          graft.Fixtures.contentKey(s"rollup_b0|$dir", ev,
+            "d", "event_type", "value", "event_id")) { p =>
         IncrementalAgg.maintain(s, ev.filter(split === 0), p + "/rollup",
           "d", Seq("event_type"), "value")
         ()

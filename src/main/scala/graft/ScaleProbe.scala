@@ -56,7 +56,8 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NB: driver heap cannot be set here (the JVM is already up in
+      // local mode) — size it via the launcher (sbt fork javaOptions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -111,12 +112,16 @@ object ScaleProbe {
     run(1) // warm-up: JIT + codegen caches, discarded
     val t1 = run(1)
     val tN = run(mult)
+    // Locale.ROOT formatting, like Bench.fmt: a comma-decimal default
+    // locale would render 1,234 and corrupt the JSON line
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val ratios = t1.keys.map(k =>
       k -> BigDecimal(tN(k) / t1(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
       .toMap
     println(s"""{"metric":"scale_probe","sf":"$sfDir","mult":$mult,""" +
-      s""""x1":{${t1.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")}},""" +
-      s""""x$mult":{${tN.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")}},""" +
+      s""""x1":{${t1.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")}},""" +
+      s""""x$mult":{${tN.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")}},""" +
       s""""ratio":{${ratios.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
     spark.stop()

@@ -19,11 +19,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *
   * Scale contract: the client is DRIVER-SIDE INGEST PLUMBING — it never
   * parses bars. Each page body lands verbatim as one line of a text
-  * file ([[landPages]]); parsing, the symbol-map explosion, and the
-  * cross-page union all happen inside the distributed JSON scan
-  * ([[JsonSource.readBars]] — the pinned-schema read ignores the extra
-  * `next_page_token` field). Fetch is O(pages) driver memory one page
-  * at a time; everything data-sized is Spark's problem.
+  * file; parsing, the symbol-map explosion, and the cross-page union
+  * all happen inside the distributed JSON scan ([[JsonSource.readBars]]
+  * — the pinned-schema read ignores the extra `next_page_token` field).
+  * Backfills stream page-at-a-time to the landing file (`fetchAndLand`,
+  * O(1) pages in driver memory); `fetchAllPages` materializes and is
+  * for bounded ranges and tests.
   */
 object BarsHttpClient {
 
@@ -99,15 +100,17 @@ final class BarsHttpClient(
     baseUrl + "?" + params.map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
   }
 
-  /** Fetch EVERY page of the requested range: one raw page body per
-    * element, in feed order. Throws on any non-200 page or a page with
-    * no `bars` (the reference's error contract, per page), and on a
-    * token chain longer than `maxPages` (a defensive bound — a buggy
-    * server echoing the same token forever must not hang ingest). */
-  def fetchAllPages(symbols: String, timeframe: String, start: String,
-                    end: Option[String] = None,
-                    maxPages: Int = 10000): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  /** Walk the token chain, handing each page body to `f` as it arrives
+    * — ONE page in driver memory at a time, the property that makes
+    * multi-year backfills (the very case the pagination fix exists for)
+    * O(1) instead of O(total feed bytes). Throws on any non-200 page or
+    * a page with no `bars` (the reference's error contract, per page),
+    * and on a token chain longer than `maxPages` (a defensive bound — a
+    * buggy server echoing the same token forever must not hang ingest).
+    * Returns the page count. */
+  def foreachPage(symbols: String, timeframe: String, start: String,
+                  end: Option[String] = None, maxPages: Int = 10000)
+                 (f: String => Unit): Int = {
     var token: Option[String] = None
     var pages = 0
     while ({
@@ -117,7 +120,7 @@ final class BarsHttpClient(
         .fold(err => throw new RuntimeException(
           s"Failed to extract data from bars API. Status Code: $status. " +
             s"Response: $err"), identity)
-      out += page.body
+      f(page.body)
       pages += 1
       if (pages > maxPages)
         throw new RuntimeException(
@@ -126,13 +129,55 @@ final class BarsHttpClient(
       token = page.nextPageToken
       token.isDefined
     }) ()
+    pages
+  }
+
+  /** All pages materialized in memory — fine for bounded ranges and
+    * tests; backfills should stream via [[fetchAndLand]]. */
+  def fetchAllPages(symbols: String, timeframe: String, start: String,
+                    end: Option[String] = None,
+                    maxPages: Int = 10000): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    foreachPage(symbols, timeframe, start, end, maxPages)(out += _)
     out.result()
   }
 
-  /** Land fetched pages as a line-delimited text file (one page body
-    * per line — page bodies are single-line JSON documents) and return
-    * the path, ready for [[JsonSource.readBars]]. Newlines inside a
-    * body would corrupt framing, so they are rejected loudly. */
+  /** Fetch + land in ONE streaming pass: each page body goes straight
+    * to a line of `path`/pages.jsonl as it arrives (written to a hidden
+    * temp name, renamed into place on success, so readers never see a
+    * partial landing). Any Hadoop filesystem. Returns the page count;
+    * the landed dir is ready for [[JsonSource.readBars]]. Newlines
+    * inside a body would corrupt line framing, so they are rejected
+    * loudly. */
+  def fetchAndLand(spark: org.apache.spark.sql.SparkSession, path: String,
+                   symbols: String, timeframe: String, start: String,
+                   end: Option[String] = None, maxPages: Int = 10000): Int = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".pages.jsonl.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, "pages.jsonl")
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    val n =
+      try {
+        val pages = foreachPage(symbols, timeframe, start, end, maxPages) { body =>
+          require(!body.contains("\n"),
+            "page bodies must be single-line JSON documents")
+          out.write(body); out.write("\n")
+        }
+        out.close()
+        pages
+      } catch { case e: Throwable => out.close(); fs.delete(tmp, false); throw e }
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new RuntimeException(s"could not commit landed pages to $dst")
+    n
+  }
+
+  /** Land already-fetched pages as a line-delimited text file (one page
+    * body per line — page bodies are single-line JSON documents) and
+    * return the path, ready for [[JsonSource.readBars]]. */
   def landPages(spark: org.apache.spark.sql.SparkSession,
                 pages: Seq[String], path: String): String = {
     require(pages.forall(!_.contains("\n")),

@@ -59,19 +59,45 @@ final class JdbcClient(url: String, user: Option[String] = None,
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
 
   /** Per-PK merge, batch winning conflicts. The merged frame is
-    * materialized BEFORE the overwrite — it lazily reads the table the
-    * overwrite is about to drop. */
+    * materialized BEFORE the swap — it lazily reads the table whose
+    * rows are about to be replaced.
+    *
+    * Crash safety: the merged rows land in a STAGING table first, then
+    * replace the target's rows inside one transaction (DELETE +
+    * INSERT ... SELECT, committed atomically). A drop-and-recreate
+    * overwrite here would open a window where the target does not
+    * exist at all — a crash inside it would lose every previously
+    * served row, and a retry would silently mask the loss by taking
+    * the table-absent insert branch. With the transactional swap a
+    * crash at any point leaves either the old rows or the new rows,
+    * never neither, and readers never see an absent table. */
   def upsert(spark: SparkSession, df: DataFrame, table: String,
              keys: Seq[String]): Unit =
     if (!tableExists(table)) insert(df, table)
     else {
       val existing = selectAll(spark, table)
       // align the batch to the table's column order so the unionByName
-      // inside the merge and the recreated table keep a stable layout
+      // inside the merge and the staged table keep a stable layout
+      // (INSERT ... SELECT below is positional)
       val merged = graft.ops.Upsert
         .upsert(existing, df.select(existing.columns.map(df.col).toSeq: _*), keys)
         .localCheckpoint(true)
-      overwrite(merged, table)
+      val stage = table + "_graft_stage"
+      dropTable(stage) // residue from a crashed previous upsert
+      merged.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
+      val conn = DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(s"DELETE FROM $table")
+          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally st.close()
+      } finally conn.close()
+      dropTable(stage)
     }
 
   /** Dialect-portable existence probe (`select 1 where 1=0` against the

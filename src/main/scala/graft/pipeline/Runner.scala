@@ -63,6 +63,24 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
   private def withDt(df: DataFrame, orderCol: String): DataFrame =
     df.withColumn("dt", to_date(substring(col(orderCol).cast("string"), 1, 10)))
 
+  /** The reference's extract step (pipelines/stock_bars.py:42-57) with
+    * the live connector: fetch every page of the requested range
+    * (pagination fixed vs the reference — see [[graft.io.BarsHttpClient]]),
+    * streaming each page straight to the landed payload file (O(1)
+    * driver memory for multi-year backfills), and return the bars frame
+    * through the distributed scan path. `start` is the INCLUSIVE
+    * watermark date — the overlap re-read the downstream upsert
+    * dedupes. The landed payload doubles as the raw-zone archive:
+    * re-running the transform needs no re-fetch. */
+  def extractBars(client: graft.io.BarsHttpClient, landDir: String,
+                  symbols: String, timeframe: String, start: String,
+                  end: Option[String] = None): DataFrame = {
+    val pages = client.fetchAndLand(spark, landDir, symbols, timeframe,
+      start, end)
+    audit.log(s"extract: $pages page(s) landed at $landDir")
+    graft.io.JsonSource.readBars(spark, landDir)
+  }
+
   /** One incremental load round. `source` is the already-extracted batch
     * (the reference's API extract); returns the rows WRITTEN this run
     * (the merged overlap slice, or the whole batch on a full load) —
@@ -74,23 +92,6 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
     * The order column must be NON-NULL and date-parseable: full loads
     * enforce it loudly, because the incremental watermark filter could
     * only drop such rows silently (null >= watermark is null). */
-  /** The reference's extract step (pipelines/stock_bars.py:42-57) with
-    * the live connector: fetch every page of the requested range
-    * (pagination fixed vs the reference — see [[graft.io.BarsHttpClient]]),
-    * land the raw payloads, and return the bars frame through the
-    * distributed scan path. `start` is the INCLUSIVE watermark date —
-    * the overlap re-read the downstream upsert dedupes. The landed
-    * payload doubles as the raw-zone archive: re-running the transform
-    * needs no re-fetch. */
-  def extractBars(client: graft.io.BarsHttpClient, landDir: String,
-                  symbols: String, timeframe: String, start: String,
-                  end: Option[String] = None): DataFrame = {
-    val pages = client.fetchAllPages(symbols, timeframe, start, end)
-    client.landPages(spark, pages, landDir)
-    audit.log(s"extract: ${pages.size} page(s) landed at $landDir")
-    graft.io.JsonSource.readBars(spark, landDir)
-  }
-
   def loadIncremental(source: DataFrame, targetPath: String, table: String,
                       keys: Seq[String], orderCol: String): Long = {
     try {

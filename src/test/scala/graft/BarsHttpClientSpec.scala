@@ -71,6 +71,35 @@ class BarsHttpClientSpec extends SparkSpec {
       rows.head.getAs[Double]("close") == 11.0)
   }
 
+  test("fetchAndLand streams pages to the landing file; partial landings invisible") {
+    val log = collection.mutable.Buffer.empty[(String, Map[String, String])]
+    val client = new BarsHttpClient("key", "secret", scripted(Map(
+      None -> ((200, page1)),
+      Some("tok1") -> ((200, page2)),
+      Some("tok2") -> ((200, page3))), log))
+    val dir = java.nio.file.Files.createTempDirectory("bars_land").toString + "/pages"
+    assert(client.fetchAndLand(spark, dir, "AAPL,MSFT", "1Day", "2024-01-02") == 3)
+    // committed exactly one VISIBLE file (the local FS adds hidden
+    // .crc checksum siblings; scans ignore dot-files) and no visible
+    // temp residue
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith("."))
+    assert(files == Seq("pages.jsonl"), s"unexpected landing contents: $files")
+    assert(JsonSource.readBars(spark, dir).count() == 4)
+    // a failing chain leaves NO visible landing (temp cleaned up)
+    val dir2 = java.nio.file.Files.createTempDirectory("bars_land2").toString + "/pages"
+    intercept[RuntimeException] {
+      new BarsHttpClient("k", "s", scripted(Map(
+        None -> ((200, page1)),
+        Some("tok1") -> ((500, "boom"))), log))
+        .fetchAndLand(spark, dir2, "AAPL", "1Day", "2024-01-02")
+    }
+    val residue = Option(new java.io.File(dir2).listFiles())
+      .map(_.map(_.getName).toSeq.filterNot(_.startsWith(".")))
+      .getOrElse(Seq.empty)
+    assert(residue.isEmpty, s"failed landing left residue: $residue")
+  }
+
   test("error contract: non-200, missing bars, and runaway token chains are loud") {
     val log = collection.mutable.Buffer.empty[(String, Map[String, String])]
     val e1 = intercept[RuntimeException] {

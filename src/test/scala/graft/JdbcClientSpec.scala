@@ -69,6 +69,8 @@ class JdbcClientSpec extends SparkSpec {
     client.upsert(spark, bars(tslaUpd, msft), "stock_data_test",
       Seq("stock", "ts"))
     assert(client.selectAll(spark, "stock_data_test").count() == 3)
+    // the transactional swap cleans its staging table up
+    assert(!client.tableExists("stock_data_test_graft_stage"))
   }
 
   test("partitioned read splits the scan without changing its contents") {
