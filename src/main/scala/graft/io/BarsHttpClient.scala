@@ -143,20 +143,27 @@ final class BarsHttpClient(
   }
 
   /** Fetch + land in ONE streaming pass: each page body goes straight
-    * to a line of `path`/pages.jsonl as it arrives (written to a hidden
+    * to a line of `path`/`fileName` as it arrives (written to a hidden
     * temp name, renamed into place on success, so readers never see a
     * partial landing). Any Hadoop filesystem. Returns the page count;
     * the landed dir is ready for [[JsonSource.readBars]]. Newlines
     * inside a body would corrupt line framing, so they are rejected
-    * loudly. */
+    * loudly.
+    *
+    * Give each fetch a DISTINCT `fileName` when the landing dir feeds a
+    * streaming reader ([[graft.streaming.BarsStream]]): Spark's file
+    * source tracks processed files BY NAME, so re-landing over an
+    * already-processed name makes the new fetch invisible to the
+    * stream. */
   def fetchAndLand(spark: org.apache.spark.sql.SparkSession, path: String,
                    symbols: String, timeframe: String, start: String,
-                   end: Option[String] = None, maxPages: Int = 10000): Int = {
+                   end: Option[String] = None, maxPages: Int = 10000,
+                   fileName: String = "pages.jsonl"): Int = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, ".pages.jsonl.tmp")
-    val dst = new org.apache.hadoop.fs.Path(dir, "pages.jsonl")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "." + fileName + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, fileName)
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
     val n =

@@ -65,33 +65,40 @@ object EventStream {
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // empty micro-batch (restart recovery, no new files) writes
-        // nothing — same contract as Runner.loadIncremental; without
-        // the guard an empty trigger would re-read and rewrite the
-        // whole target for zero new rows. (No `return` here: a return
-        // inside a lambda is a non-local return from the enclosing
-        // method, which has already returned — it would throw.)
-        if (!batch.isEmpty) {
-          val spark2 = batch.sparkSession
-          val target = new org.apache.hadoop.fs.Path(targetPath)
-          val fs = target
-            .getFileSystem(spark2.sparkContext.hadoopConfiguration)
-          graft.ops.Layout.recoverSwap(fs, target)
-          val merged =
-            if (fs.exists(target))
-              graft.ops.Upsert.upsert(
-                spark2.read.parquet(targetPath), batch.toDF(), keys)
-            else batch.toDF()
-          // the merge lazily READS the live target, so it must land in a
-          // stage dir first; the swap then replaces the target whole
-          val stage = graft.ops.Layout.stagingPath(target, "stage")
-          merged.write.mode("overwrite").parquet(stage.toString)
-          graft.ops.Layout.swapInPlace(fs, stage, target)
-        }
-        ()
-      }
+      .foreachBatch(upsertSink(targetPath, keys))
       .start()
+
+  /** The micro-batch upsert body shared by every streaming ingest
+    * ([[fileIngest]], [[BarsStream.ingest]]): dedup against the target
+    * with the batch [[graft.ops.Upsert]] operator, stage, swap. */
+  private[streaming] def upsertSink(targetPath: String, keys: Seq[String])
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => {
+      // empty micro-batch (restart recovery, no new files) writes
+      // nothing — same contract as Runner.loadIncremental; without
+      // the guard an empty trigger would re-read and rewrite the
+      // whole target for zero new rows. (No `return` here: a return
+      // inside a lambda is a non-local return from the enclosing
+      // method, which has already returned — it would throw.)
+      if (!batch.isEmpty) {
+        val spark2 = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = target
+          .getFileSystem(spark2.sparkContext.hadoopConfiguration)
+        graft.ops.Layout.recoverSwap(fs, target)
+        val merged =
+          if (fs.exists(target))
+            graft.ops.Upsert.upsert(
+              spark2.read.parquet(targetPath), batch.toDF(), keys)
+          else batch.toDF()
+        // the merge lazily READS the live target, so it must land in a
+        // stage dir first; the swap then replaces the target whole
+        val stage = graft.ops.Layout.stagingPath(target, "stage")
+        merged.write.mode("overwrite").parquet(stage.toString)
+        graft.ops.Layout.swapInPlace(fs, stage, target)
+      }
+      ()
+    }
 
   /** Gap-based sessionization on an unbounded stream: the streaming twin
     * of the batch `q_sessionize` key, expressed with Spark's native

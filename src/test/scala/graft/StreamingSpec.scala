@@ -151,6 +151,54 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter($"stock" === "TSLA").select("close").as[Double].head() == 260.0)
   }
 
+  test("bars payload stream: fetches land, parse through the pinned schema, upsert") {
+    import spark.implicits._
+    import graft.io.BarsHttpClient
+    val dir = tmpDir()
+    val land = s"$dir/landing"
+    def bar(o: Double, t: String) =
+      s"""{"c":${o + 1},"h":$o,"l":$o,"n":1,"o":$o,"t":"$t","v":10,"vw":$o}"""
+    def clientFor(body: String) =
+      new BarsHttpClient("k", "s", (_, _) => (200, body))
+    // fetch 1: two symbols, one bar each
+    clientFor(s"""{"bars":{"TSLA":[${bar(250.0, "2025-10-01T10:00:00Z")}],"AAPL":[${bar(170.0, "2025-10-01T10:00:00Z")}]},"next_page_token":null}""")
+      .fetchAndLand(spark, land, "TSLA,AAPL", "1Day", "2025-10-01",
+        fileName = "fetch-0.jsonl")
+    val q = graft.streaming.BarsStream.ingest(spark, land, s"$dir/bars",
+      s"$dir/cp")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/bars").count() == 2)
+      // fetch 2 under a NEW file name: revised TSLA close + a new day
+      clientFor(s"""{"bars":{"TSLA":[${bar(260.0, "2025-10-01T10:00:00Z")},${bar(262.0, "2025-10-02T10:00:00Z")}]},"next_page_token":null}""")
+        .fetchAndLand(spark, land, "TSLA", "1Day", "2025-10-01",
+          fileName = "fetch-1.jsonl")
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/bars")
+      assert(out.count() == 3, "overlap bar deduped, new day added")
+      assert(out.filter($"stock" === "TSLA" &&
+          $"timestamp" === "2025-10-01T10:00:00Z")
+        .select("close").as[Double].head() == 261.0, "re-fetched bar won")
+      assert(out.columns.toSeq == graft.io.JsonSource.barColumns,
+        "streaming parse must yield the batch scan's exact frame")
+    } finally q.stop()
+    // a malformed landed line fails the batch loudly (FAILFAST parity),
+    // never silently drops from the feed
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$land/fetch-2.jsonl"), "not json at all\n")
+    val q2 = graft.streaming.BarsStream.ingest(spark, land, s"$dir/bars2",
+      s"$dir/cp2")
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("malformed bars payload") ||
+        Option(e.getCause).exists(_.toString.contains("malformed bars payload")),
+        s"wrong failure: $e")
+    } finally q2.stop()
+  }
+
   test("session windows close on gap + watermark (streaming sessionization)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
