@@ -31,8 +31,10 @@ for name, sql in sorted(oracle.items()):
         last = None
         for mm in re.finditer(r'ORDER BY', sql, re.I):
             last = mm.end()
-        if last is not None and \
-                sql[last:].count('(') == sql[last:].count(')'):
+        # strip string literals before counting: a paren INSIDE a
+        # quoted literal must not make a top-level ORDER BY look nested
+        tail = re.sub(r"'[^']*'", "''", sql[last:]) if last is not None else ""
+        if last is not None and tail.count('(') == tail.count(')'):
             skipped.append(name)
             continue
         df = con.sql(sql).df()

@@ -22,23 +22,25 @@ object Bench {
         .join(broadcast((1 to 10).toDF("x")), "x")
         .groupBy("r").count().count()
     } catch { case _: Throwable => }
+    // optional comma-separated key filter for targeted perf iteration
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(",").map(_.trim).toSet)
     // fixture prelude: the incremental-operator keys probe a persisted
     // base state (dedup index / rollup / ANN index / landed payload)
     // that a deployment builds once, not per run. One UNTIMED pass here
     // makes a cold tmpdir pay the one-time build (and the content-key
     // guard scan) outside the measurement, so the timed loop below
     // sees each key's documented per-run semantics — the incremental
-    // operation only. Reuse is content-keyed and crash-safe; see
-    // graft.Fixtures.
+    // operation only. Reuse is content-keyed and crash-safe (see
+    // graft.Fixtures); keys excluded by the filter skip their prelude
+    // too — targeted iteration must not pay unrelated fixture builds.
     for (k <- Seq("q_scan_json_bars", "q_dedup_incremental",
-        "q_rollup_read", "q_ann_index"))
+        "q_rollup_read", "q_ann_index")
+        if keyFilter.forall(_.contains(k)))
       try SparkEntry.queries(k)(spark, sfDir).count()
       catch { case _: Throwable => }
     spark.catalog.clearCache()
     System.gc()
-    // optional comma-separated key filter for targeted perf iteration
-    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS")
-      .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -175,7 +175,15 @@ final class BarsHttpClient(
         }
         out.close()
         pages
-      } catch { case e: Throwable => out.close(); fs.delete(tmp, false); throw e }
+      } catch {
+        case e: Throwable =>
+          // close may throw AGAIN (its flush hits the same disk-full /
+          // dead-FS condition) — it must neither mask the root cause
+          // nor skip the tmp cleanup
+          try out.close() catch { case _: Throwable => () }
+          try { fs.delete(tmp, false); () } catch { case _: Throwable => () }
+          throw e
+      }
     if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new RuntimeException(s"could not commit landed pages to $dst")

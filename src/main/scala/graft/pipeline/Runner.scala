@@ -75,6 +75,14 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
   def extractBars(client: graft.io.BarsHttpClient, landDir: String,
                   symbols: String, timeframe: String, start: String,
                   end: Option[String] = None): DataFrame = {
+    // THIS extract owns the whole landing dir (overwrite semantics, as
+    // a batch extract must): stale files from a previous run would be
+    // unioned into the scan and could win the upsert tie-break over
+    // fresh rows. Callers keeping a raw-zone archive pass one landDir
+    // per run; the accumulating-directory shape belongs to the
+    // streaming ingest (BarsStream), which tracks files by name.
+    val (hfs, lpath) = fs(landDir)
+    if (hfs.exists(lpath)) hfs.delete(lpath, true)
     val pages = client.fetchAndLand(spark, landDir, symbols, timeframe,
       start, end)
     audit.log(s"extract: $pages page(s) landed at $landDir")

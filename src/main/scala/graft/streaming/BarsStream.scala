@@ -23,14 +23,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object BarsStream {
 
   /** Streaming twin of `JsonSource.readBars`. The batch scan uses
-    * FAILFAST; the streaming text source has no parse mode, so the
-    * equivalent loudness is explicit: a line `from_json` cannot parse
-    * (null struct, or a struct with a null `bars` map) raises inside
-    * the batch rather than silently vanishing from the feed. */
+    * FAILFAST; here the mode goes to `from_json` directly (a type-
+    * corrupt bar field must throw, not land as a silent null — the
+    * default PERMISSIVE parse would pass it), and the residual case
+    * FAILFAST does NOT cover — a well-formed document with no `bars`
+    * at all — raises explicitly. Either way a bad line fails the
+    * micro-batch loudly rather than vanishing from the feed. */
   def parsedBars(spark: SparkSession, landDir: String): DataFrame = {
     val parsed = spark.readStream.text(landDir)
       .select(col("value"),
-        from_json(col("value"), graft.io.Tables.rawBarsPayloadSchema).as("j"))
+        from_json(col("value"), graft.io.Tables.rawBarsPayloadSchema,
+          Map("mode" -> "FAILFAST")).as("j"))
       .filter(
         when(col("j").isNull || col("j.bars").isNull,
           raise_error(concat(lit("malformed bars payload line: "),

@@ -93,6 +93,11 @@ class RunnerSpec extends SparkSpec {
       .select("close").as[Double].head() == 261.0)
     // raw-zone archive: the landed payloads re-scan without a re-fetch
     assert(graft.io.JsonSource.readBars(spark, s"$dir/land1").count() == 2)
+    // REUSING a landing dir must not union stale files into the extract
+    // (a stale duplicate of a PK could win the upsert tie-break)
+    val b3 = runner.extractBars(day2, s"$dir/land1", "TSLA,AAPL", "1Day",
+      "2025-10-01")
+    assert(b3.count() == 2, "stale landing content leaked into a re-extract")
   }
 
   test("incremental run rewrites only overlap partitions (dynamic overwrite)") {
