@@ -46,6 +46,14 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE stays OFF here, deliberately diverging from the adoption
+      // path (Graft.session, AQE+skew on — the 100 TB-correct setting):
+      // measured at sf0.1/local[32], adaptive re-planning costs +28%
+      // total bench wall time (61s -> 78s, round 7) because per-stage
+      // re-optimization overhead dominates when every shuffle is tiny.
+      // Parity is config-independent either way (verified 117/117 with
+      // AQE on before reverting — the rounding contract absorbs
+      // partial-agg reordering).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
