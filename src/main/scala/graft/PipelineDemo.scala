@@ -78,6 +78,44 @@ object PipelineDemo {
         println(s"[demo] analysis FAILED: ${e.getMessage}")
     }
 
+    // Serving publish: the reference's final hop — the analysis result
+    // lands in the relational store through the JDBC connector
+    // (drop-and-recreate, the CTAS semantics of
+    // stock_bars_analysis.sql:2-3; connector mirrors
+    // connectors/postgresql.py). Derby embedded stands in for Postgres.
+    try {
+      val jdbc = new graft.io.JdbcClient(s"jdbc:derby:$work/serving;create=true")
+      jdbc.overwrite(spark.table(s"${table}_analysis"), s"${table}_analysis")
+      val served = jdbc.selectAll(spark, s"${table}_analysis").count()
+      println(s"[demo] published $served rows to the JDBC serving store")
+      audit.log(s"$table: analysis published to serving store ($served rows)")
+    } catch {
+      case e: Exception => println(s"[demo] serving publish FAILED: ${e.getMessage}")
+    }
+
+    // S1 live-extract demo: the paginated HTTP client against an
+    // offline scripted transport (two pages, split mid-symbol), landed,
+    // scanned, and loaded through the same incremental runner.
+    {
+      import graft.io.BarsHttpClient
+      def bar(o: Double, n: Long, t: String) =
+        s"""{"c":${o + 1},"h":$o,"l":$o,"n":$n,"o":$o,"t":"$t","v":${n * 10},"vw":$o}"""
+      val pages = Map(
+        Option.empty[String] ->
+          s"""{"bars":{"TSLA":[${bar(250.0, 1, "2025-10-01T10:00:00Z")}]},"next_page_token":"p2"}""",
+        Option("p2") ->
+          s"""{"bars":{"TSLA":[${bar(252.0, 2, "2025-10-02T10:00:00Z")}],"AAPL":[${bar(170.0, 3, "2025-10-01T10:00:00Z")}]},"next_page_token":null}""")
+      val client = new BarsHttpClient("demo-key", "demo-secret",
+        (url, _) => (200, pages("(?:\\?|&)page_token=([^&]+)".r
+          .findFirstMatchIn(url).map(_.group(1)))))
+      val barsFrame = runner.extractBars(client, s"$work/bars_landing",
+        "TSLA,AAPL", "1Day", "2025-10-01")
+      val nb = runner.loadIncremental(barsFrame, s"$work/stock_bars",
+        "stock_bars", Seq("stock", "timestamp"), "timestamp")
+      println(s"[demo] bars extract: paginated fetch -> $nb bars loaded " +
+        s"(reference client would have truncated to page 1)")
+    }
+
     println(s"[demo] audit trail:")
     audit.read().orderBy("timestamp")
       .collect().foreach(r => println(s"  ${r.get(0)}  ${r.get(1)}"))
