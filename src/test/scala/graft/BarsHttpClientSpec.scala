@@ -100,6 +100,42 @@ class BarsHttpClientSpec extends SparkSpec {
     assert(residue.isEmpty, s"failed landing left residue: $residue")
   }
 
+  test("pagination property: any page partitioning reassembles the exact bar set") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      // a random multi-symbol feed...
+      val all: Seq[(String, Long)] = for {
+        s <- 0 until (1 + rnd.nextInt(4))
+        b <- 0 until (1 + rnd.nextInt(6))
+      } yield (s"SYM$s", (s * 100 + b).toLong)
+      // ...cut into random pages at arbitrary positions (mid-symbol cuts
+      // included — the shape a real limit/token chain produces)
+      val cuts = all.indices.drop(1).filter(_ => rnd.nextInt(3) == 0)
+      val pageSlices = (Seq(0) ++ cuts :+ all.size).sliding(2).map {
+        case Seq(a, b) => all.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val pages = pageSlices.zipWithIndex.map { case (slice, i) =>
+        val bySym = slice.groupBy(_._1).toSeq.sortBy(_._1).map { case (sym, bs) =>
+          s""""$sym":[${bs.map { case (_, n) =>
+            bar(10.0 + n, n, f"2024-01-${(n % 27) + 1}%02dT05:00:00Z") }.mkString(",")}]"""
+        }.mkString(",")
+        val tok = if (i == pageSlices.size - 1) "null" else s""""t${i + 1}""""
+        s"""{"bars":{$bySym},"next_page_token":$tok}"""
+      }
+      val byToken = pages.zipWithIndex.map { case (p, i) =>
+        (if (i == 0) None else Some(s"t$i")) -> ((200, p)) }.toMap
+      val log = collection.mutable.Buffer.empty[(String, Map[String, String])]
+      val client = new BarsHttpClient("k", "s", scripted(byToken, log))
+      val dir = java.nio.file.Files.createTempDirectory("bars_prop").toString + "/p"
+      assert(client.fetchAndLand(spark, dir, "X", "1Day", "2024-01-01") ==
+        pageSlices.size)
+      val got = JsonSource.readBars(spark, dir)
+        .select("stock", "number_of_trades").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == all.toSet,
+        s"reassembled feed diverged for cut set $cuts")
+    }
+  }
+
   test("error contract: non-200, missing bars, and runaway token chains are loud") {
     val log = collection.mutable.Buffer.empty[(String, Map[String, String])]
     val e1 = intercept[RuntimeException] {

@@ -73,6 +73,22 @@ class JdbcClientSpec extends SparkSpec {
     assert(!client.tableExists("stock_data_test_graft_stage"))
   }
 
+  test("upsert heals a crashed predecessor's stale staging table") {
+    client.dropTable("t_heal")
+    client.dropTable("t_heal_graft_stage")
+    client.insert(bars(tsla, aapl), "t_heal")
+    // crash residue: a stale staging table with a DIFFERENT shape (an
+    // older run of an older schema died between stage and swap) — the
+    // next upsert must replace it, not trip over it
+    client.insert(spark.range(3).selectExpr("id AS wrong_shape"),
+      "t_heal_graft_stage")
+    val msft = ("MSFT", "Microsoft Corp", "2025-10-01T10:00:00Z",
+      300.0, 305.0, 295.0, 302.0, 700000L, 301.0, 3500L)
+    client.upsert(spark, bars(msft), "t_heal", Seq("stock", "ts"))
+    assert(client.selectAll(spark, "t_heal").count() == 3)
+    assert(!client.tableExists("t_heal_graft_stage"))
+  }
+
   test("partitioned read splits the scan without changing its contents") {
     client.dropTable("bars_part")
     client.insert(spark.range(100).selectExpr("id", "id * 2 AS v"), "bars_part")
