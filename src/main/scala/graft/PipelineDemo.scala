@@ -95,8 +95,10 @@ object PipelineDemo {
 
     // S1 live-extract demo: the paginated HTTP client against an
     // offline scripted transport (two pages, split mid-symbol), landed,
-    // scanned, and loaded through the same incremental runner.
-    {
+    // scanned, and loaded through the same incremental runner. Its own
+    // failure domain, like every other stage: the audit trail and the
+    // final verification below must print regardless.
+    try {
       import graft.io.BarsHttpClient
       def bar(o: Double, n: Long, t: String) =
         s"""{"c":${o + 1},"h":$o,"l":$o,"n":$n,"o":$o,"t":"$t","v":${n * 10},"vw":$o}"""
@@ -114,6 +116,8 @@ object PipelineDemo {
         "stock_bars", Seq("stock", "timestamp"), "timestamp")
       println(s"[demo] bars extract: paginated fetch -> $nb bars loaded " +
         s"(reference client would have truncated to page 1)")
+    } catch {
+      case e: Exception => println(s"[demo] bars extract FAILED: ${e.getMessage}")
     }
 
     println(s"[demo] audit trail:")

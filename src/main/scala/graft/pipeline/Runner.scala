@@ -78,13 +78,19 @@ class Runner(spark: SparkSession, checkpoint: Checkpoint, audit: AuditLog) {
     // THIS extract owns the whole landing dir (overwrite semantics, as
     // a batch extract must): stale files from a previous run would be
     // unioned into the scan and could win the upsert tie-break over
-    // fresh rows. Callers keeping a raw-zone archive pass one landDir
-    // per run; the accumulating-directory shape belongs to the
-    // streaming ingest (BarsStream), which tracks files by name.
+    // fresh rows. But the PREVIOUS landing is also the raw-zone
+    // archive, and a failed fetch must not destroy it — so the fetch
+    // lands in a hidden staging sibling and only a SUCCESSFUL fetch
+    // swaps it in (same recover/stage/swap cycle as the streaming
+    // sink). The accumulating-directory shape belongs to the streaming
+    // ingest (BarsStream), which tracks files by name.
     val (hfs, lpath) = fs(landDir)
-    if (hfs.exists(lpath)) hfs.delete(lpath, true)
-    val pages = client.fetchAndLand(spark, landDir, symbols, timeframe,
-      start, end)
+    graft.ops.Layout.recoverSwap(hfs, lpath)
+    val stage = graft.ops.Layout.stagingPath(lpath, "extract")
+    if (hfs.exists(stage)) hfs.delete(stage, true)
+    val pages = client.fetchAndLand(spark, stage.toString, symbols,
+      timeframe, start, end)
+    graft.ops.Layout.swapInPlace(hfs, stage, lpath)
     audit.log(s"extract: $pages page(s) landed at $landDir")
     graft.io.JsonSource.readBars(spark, landDir)
   }

@@ -10,8 +10,7 @@ import graft.io.{BarsHttpClient, JsonSource}
   * page 1 of this feed; the >1000-bar truncation fix is the point. */
 class BarsHttpClientSpec extends SparkSpec {
 
-  private def bar(o: Double, n: Long, t: String) =
-    s"""{"c":${o + 1},"h":${o * 2},"l":${o / 2},"n":$n,"o":$o,"t":"$t","v":${n * 10},"vw":$o}"""
+  import BarsTestFeed.{bar, scripted}
 
   // pages split MID-SYMBOL, like the real API under a small limit:
   // AAPL spans pages 1-2, MSFT spans pages 2-3
@@ -21,14 +20,6 @@ class BarsHttpClientSpec extends SparkSpec {
     s"""{"bars":{"AAPL":[${bar(11.0, 2, "2024-01-03T05:00:00Z")}],"MSFT":[${bar(20.0, 3, "2024-01-02T05:00:00Z")}]},"next_page_token":"tok2"}"""
   private val page3 =
     s"""{"bars":{"MSFT":[${bar(21.0, 4, "2024-01-03T05:00:00Z")}]},"next_page_token":null}"""
-
-  private def scripted(pages: Map[Option[String], (Int, String)],
-                       log: collection.mutable.Buffer[(String, Map[String, String])])
-      : BarsHttpClient.Transport = (url, headers) => {
-    log += ((url, headers))
-    val tok = "(?:\\?|&)page_token=([^&]+)".r.findFirstMatchIn(url).map(_.group(1))
-    pages(tok)
-  }
 
   test("follows the next_page_token chain to exhaustion; auth + params on every request") {
     val log = collection.mutable.Buffer.empty[(String, Map[String, String])]

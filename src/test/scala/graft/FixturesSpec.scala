@@ -5,11 +5,25 @@ import org.apache.spark.sql.functions._
 /** Contract tests for the content-keyed fixture helper: build-once
   * reuse, half-built residue rejection, scratch isolation, and the
   * memoized content key's guard semantics. */
-class FixturesSpec extends SparkSpec {
+class FixturesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private def freshKey(): String =
     "spec_" + java.util.UUID.randomUUID().toString.take(8)
+
+  // fresh UUID keys can never be reused, so this suite's fixture dirs
+  // (and .lock siblings) are pure garbage — clean them up, or every run
+  // leaks parquet trees into java.io.tmpdir forever
+  override def afterAll(): Unit = {
+    try {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().filter(_.getName.startsWith("graft_fx_fxspec_"))
+        .foreach(f =>
+          if (f.isDirectory)
+            new scala.reflect.io.Directory(f).deleteRecursively()
+          else f.delete())
+    } finally super.afterAll()
+  }
 
   test("ensure builds once, reuses thereafter, and keys isolate") {
     var builds = 0

@@ -62,15 +62,13 @@ class RunnerSpec extends SparkSpec {
     val runner = new Runner(spark, new Checkpoint(spark, s"$dir/cp"),
       new AuditLog(spark, s"$dir/audit"))
     val target = s"$dir/bars"
-    def bar(o: Double, t: String) =
-      s"""{"c":${o + 1},"h":$o,"l":$o,"n":1,"o":$o,"t":"$t","v":10,"vw":$o}"""
+    def bar(o: Double, t: String) = BarsTestFeed.bar(o, 1, t)
     // day-1 feed split across two pages (the >limit case the reference
     // truncates); day-2 feed re-delivers the overlap day with a revised
     // close plus the new day — the reference's re-extract window
     def client(pages: Map[Option[String], String]) =
       new BarsHttpClient("k", "s",
-        (url, _) => (200, pages("(?:\\?|&)page_token=([^&]+)".r
-          .findFirstMatchIn(url).map(_.group(1)))))
+        BarsTestFeed.scripted(pages.map { case (k, v) => k -> ((200, v)) }))
     val day1 = client(Map(
       None -> s"""{"bars":{"TSLA":[${bar(250.0, "2025-10-01T10:00:00Z")}]},"next_page_token":"t1"}""",
       Some("t1") -> s"""{"bars":{"AAPL":[${bar(170.0, "2025-10-01T10:00:00Z")}]},"next_page_token":null}"""))
@@ -98,6 +96,16 @@ class RunnerSpec extends SparkSpec {
     val b3 = runner.extractBars(day2, s"$dir/land1", "TSLA,AAPL", "1Day",
       "2025-10-01")
     assert(b3.count() == 2, "stale landing content leaked into a re-extract")
+    // ...but a FAILED re-fetch must leave the previous landing (the
+    // raw-zone archive) untouched: stage-then-swap, never
+    // delete-then-fetch
+    val broken = new BarsHttpClient("k", "s", (_, _) => (500, "outage"))
+    intercept[RuntimeException] {
+      runner.extractBars(broken, s"$dir/land1", "TSLA,AAPL", "1Day",
+        "2025-10-01")
+    }
+    assert(graft.io.JsonSource.readBars(spark, s"$dir/land1").count() == 2,
+      "failed fetch destroyed the raw-zone archive")
   }
 
   test("incremental run rewrites only overlap partitions (dynamic overwrite)") {

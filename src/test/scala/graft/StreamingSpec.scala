@@ -156,8 +156,7 @@ class StreamingSpec extends SparkSpec {
     import graft.io.BarsHttpClient
     val dir = tmpDir()
     val land = s"$dir/landing"
-    def bar(o: Double, t: String) =
-      s"""{"c":${o + 1},"h":$o,"l":$o,"n":1,"o":$o,"t":"$t","v":10,"vw":$o}"""
+    def bar(o: Double, t: String) = BarsTestFeed.bar(o, 1, t)
     def clientFor(body: String) =
       new BarsHttpClient("k", "s", (_, _) => (200, body))
     // fetch 1: two symbols, one bar each
