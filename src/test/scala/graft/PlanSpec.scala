@@ -156,6 +156,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text/dedup family: exchange budgets hold, no Expand ever") {
+    // The LLM-pipeline keys' scale story is "few exchanges of small
+    // keys/hashes, partial-aggregated": pin each key's exchange budget
+    // so a rewrite cannot silently re-shuffle the corpus, and assert no
+    // Expand node anywhere — a count-distinct that regresses into an
+    // Expand multiplies the exploded token/shingle stream before the
+    // exchange (the q_line_dedup rewrite this family deliberately
+    // avoids).
+    val budgets = Map(
+      "q_token_count" -> 1, "q_dedup_exact" -> 2, "q_boilerplate" -> 2,
+      "q_repeated_ngrams" -> 3, "q_line_dedup" -> 4, "q_tfidf" -> 4,
+      "q_decontaminate" -> 4, "q_curate" -> 5)
+    for ((key, maxEx) <- budgets) {
+      val p = planOf(key)
+      assert(count(p, "Exchange") <= maxEx,
+        s"$key exceeded its exchange budget ($maxEx):\n$p")
+      assert(count(p, "Expand") == 0,
+        s"$key grew an Expand (count-distinct regression):\n$p")
+    }
+  }
+
   test("incremental watermark filter prunes with pushdown") {
     // on a natively-typed order column the watermark predicate reaches
     // the scan (events.ts is a ns->µs conversion, so its filter runs
