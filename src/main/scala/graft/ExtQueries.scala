@@ -233,6 +233,29 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Resize stage over the synthetic media corpus, value-checked by
+    // RE-PROBING the resized payloads: images must read back the target
+    // dims with area-scaled byte counts, audio/video must pass through
+    // bit-identical. Oracled like q_media_probe — DuckDB recomputes
+    // what the build -> resize -> probe chain must yield from
+    // (doc_id, text).
+    "q_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.ops.Multimodal.MediaRow(id, "synth",
+            graft.ops.Multimodal.syntheticPayload(id, text.getBytes("UTF-8")))
+        }
+      graft.ops.Multimodal.probe(
+          graft.ops.Multimodal.resize(media, 64, 48)).toDF()
+        .select(col("media_id"), col("n_bytes"), col("container"),
+          col("width").cast("long"), col("height").cast("long"),
+          col("sample_rate").cast("long"), col("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // Incremental dedup against a persisted band index: the historical
     // corpus is indexed ONCE (a real deployment pays that build once,
     // not per day) under a content-keyed fixture path; each run then
@@ -689,6 +712,33 @@ object ExtQueries {
         |  CASE WHEN doc_id % 4 = 3 THEN 'isom' END AS brand
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY media_id""".stripMargin,
+
+    // The resize round trip recomputed: images read back the target
+    // 64x48 with area-scaled byte counts (body bytes scale by
+    // 3072/(w0*h0), floor, min 1 for a nonempty body — exactly the
+    // stub's Long arithmetic); audio/video rows are bit-identical to
+    // q_media_probe's. Keep in lockstep with Multimodal.resize and
+    // syntheticPayload.
+    "q_media_resize" -> {
+      val w0 = "(16 + doc_id % 640)"
+      val h0 = "(16 + doc_id % 360)"
+      val len = "octet_length(encode(text))"
+      val scaled = s"CASE WHEN $len = 0 THEN 0 ELSE greatest(1, ($len * 3072) // ($w0 * $h0)) END"
+      s"""SELECT doc_id AS media_id,
+         |  CAST(CASE doc_id % 4
+         |    WHEN 0 THEN 24 + $scaled
+         |    WHEN 1 THEN 10 + $scaled
+         |    WHEN 2 THEN 44 + $len
+         |    ELSE 52 + $len END AS BIGINT) AS n_bytes,
+         |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav' ELSE 'mp4' END AS container,
+         |  CAST(CASE WHEN doc_id % 4 IN (0,1) THEN 64 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN doc_id % 4 IN (0,1) THEN 48 END AS BIGINT) AS height,
+         |  CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 END AS BIGINT) AS sample_rate,
+         |  CAST(CASE WHEN doc_id % 4 = 2 THEN ($len * 1000) // 16000
+         |       WHEN doc_id % 4 = 3 THEN (1 + doc_id % 30) * 1000 END AS BIGINT) AS duration_ms
+         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |ORDER BY media_id""".stripMargin
+    },
 
     // The decode stub's FNV-1a (64-bit wrapping) re-derived in DuckDB:
     // HUGEINT mod-2^64 arithmetic, the multiply split as

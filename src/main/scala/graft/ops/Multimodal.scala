@@ -126,6 +126,62 @@ object Multimodal {
     }
   }
 
+  /** Resize image payloads to (w, h), one codec init per partition —
+    * the batched resize stage of a multimodal pipeline. The PIXEL
+    * kernel is a STUB (this container ships no codec libraries), but
+    * everything a real resize hands downstream is honest: the container
+    * magic is re-detected with the same parsers [[probe]] dispatches
+    * on, the header is rebuilt around the TARGET dimensions (a
+    * re-probe reads w×h back out), and the byte body is deterministic
+    * stride-resampled to the area-scaled length, so size accounting
+    * behaves like a real re-encode. PNG and GIF are re-headered;
+    * everything else (audio/video containers, JPEG's variable-offset
+    * SOFn, unknown bytes) passes through UNCHANGED — a resize never
+    * fabricates. Stub boundary: the body is taken as everything after
+    * the fixed header prefix (the synthetic-payload shape); a real
+    * codec swap replaces `scaledBody` + the re-headering with the
+    * encode call. */
+  def resize(rows: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    require(w > 0 && h > 0, s"resize: target dims must be positive, got ${w}x$h")
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // real impl: initialize the pixel codec once here, per partition
+      def scaledBody(body: Array[Byte], w0: Int, h0: Int): Array[Byte] = {
+        if (body.isEmpty || w0 <= 0 || h0 <= 0) return body
+        val n = math.max(1L, body.length.toLong * w * h /
+          (w0.toLong * h0)).toInt
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          out(i) = body((i.toLong * body.length / n).toInt); i += 1
+        }
+        out
+      }
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def cc(sx: String) = sx.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      it.map { r =>
+        val p = r.payload
+        def u8(i: Int) = p(i) & 0xff
+        val resized =
+          if (p.length >= 24 && u8(0) == 0x89 && p(1) == 'P')
+            imageDims(p).map { case (w0, h0) =>
+              Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+                0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+                be32(13) ++ cc("IHDR") ++ be32(w) ++ be32(h) ++
+                scaledBody(p.drop(24), w0, h0)
+            }
+          else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+            gifDims(p).map { case (w0, h0) =>
+              p.take(6) ++ le16(w) ++ le16(h) ++ scaledBody(p.drop(10), w0, h0)
+            }
+          else None
+        resized.fold(r)(bytes => r.copy(payload = bytes))
+      }
+    }
+  }
+
   /** Audio/video container probe results. All fields except identity
     * and byte count are per-container optional: images carry dims,
     * audio carries the PCM shape, video carries brand + duration + dims. */

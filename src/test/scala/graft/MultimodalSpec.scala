@@ -172,4 +172,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).media_id == 7L)
     assert(new String(rows(0).payload, "UTF-8") == "hello")
   }
+
+  test("resize: images re-probe at target dims with area-scaled bodies; rest pass through") {
+    import spark.implicits._
+    val body = ("x" * 600).getBytes("UTF-8")
+    // ids 0-3 cycle png/gif/wav/mp4 in syntheticPayload
+    val media = spark.createDataset((0L to 3L).map(id =>
+      Multimodal.MediaRow(id, "synth", Multimodal.syntheticPayload(id, body))))
+    val before = Multimodal.probe(media).collect().map(r => r.media_id -> r).toMap
+    val out = Multimodal.probe(Multimodal.resize(media, 64, 48))
+      .collect().map(r => r.media_id -> r).toMap
+    // png id=0: source dims 16x16 -> target read back, body scaled by
+    // 3072/256 = 12x (600 -> 7200), header 24
+    assert(out(0L).container == "png" &&
+      out(0L).width.contains(64) && out(0L).height.contains(48))
+    assert(out(0L).n_bytes == 24L + 600L * 3072 / (16 * 16))
+    // gif id=1: 17x17 source; floor(600*3072/289) + 10-byte header
+    assert(out(1L).container == "gif" &&
+      out(1L).width.contains(64) && out(1L).height.contains(48))
+    assert(out(1L).n_bytes == 10L + 600L * 3072 / (17 * 17))
+    // wav/mp4: bit-identical pass-through
+    assert(out(2L) == before(2L) && out(3L) == before(3L))
+    // unknown bytes pass through; empty image body stays empty
+    val odd = spark.createDataset(Seq(
+      Multimodal.MediaRow(10L, "synth", "plain text".getBytes("UTF-8")),
+      Multimodal.MediaRow(11L, "synth",
+        Multimodal.syntheticPayload(0L, Array.emptyByteArray))))
+    val odd2 = Multimodal.resize(odd, 64, 48).collect().map(r => r.media_id -> r).toMap
+    assert(new String(odd2(10L).payload, "UTF-8") == "plain text")
+    assert(odd2(11L).payload.length == 24, "empty body must stay empty after the header")
+    // deterministic: same input, same bytes
+    val again = Multimodal.resize(media, 64, 48).collect().map(r => r.media_id -> r.payload).toMap
+    val first = Multimodal.resize(media, 64, 48).collect().map(r => r.media_id -> r.payload).toMap
+    assert(again.forall { case (k, v) => java.util.Arrays.equals(v, first(k)) })
+  }
 }
