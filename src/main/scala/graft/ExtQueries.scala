@@ -45,6 +45,21 @@ object ExtQueries {
     withPrefixMutants(d, d)
   }
 
+  /** The synthetic media corpus shared by q_media_probe and
+    * q_media_resize: ONE construction so the two oracled keys can never
+    * silently drift apart in charset or null handling. */
+  private def synthMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow] = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        graft.ops.Multimodal.MediaRow(id, "synth",
+          graft.ops.Multimodal.syntheticPayload(id, text.getBytes("UTF-8")))
+      }
+  }
+
   /** Bounded clustering corpus with PLANTED near-dups: docs < 40 plus
     * 80%-prefix mutants of docs < 20 — guarantees non-trivial duplicate
     * clusters at every scale factor, so the components/apply oracle
@@ -216,15 +231,7 @@ object ExtQueries {
     // synthesis arithmetic mirrored in SQL, so a header-parser bug on
     // either leg breaks the hash match.
     "q_media_probe" -> ((s, dir) => {
-      import s.implicits._
-      val media = docs(s, dir)
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          graft.ops.Multimodal.MediaRow(id, "synth",
-            graft.ops.Multimodal.syntheticPayload(id, text.getBytes("UTF-8")))
-        }
-      graft.ops.Multimodal.probe(media).toDF()
+      graft.ops.Multimodal.probe(synthMedia(s, dir)).toDF()
         .select(col("media_id"), col("n_bytes"), col("container"),
           col("width").cast("long"), col("height").cast("long"),
           col("channels").cast("long"), col("sample_rate").cast("long"),
@@ -240,16 +247,8 @@ object ExtQueries {
     // what the build -> resize -> probe chain must yield from
     // (doc_id, text).
     "q_media_resize" -> ((s, dir) => {
-      import s.implicits._
-      val media = docs(s, dir)
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          graft.ops.Multimodal.MediaRow(id, "synth",
-            graft.ops.Multimodal.syntheticPayload(id, text.getBytes("UTF-8")))
-        }
       graft.ops.Multimodal.probe(
-          graft.ops.Multimodal.resize(media, 64, 48)).toDF()
+          graft.ops.Multimodal.resize(synthMedia(s, dir), 64, 48)).toDF()
         .select(col("media_id"), col("n_bytes"), col("container"),
           col("width").cast("long"), col("height").cast("long"),
           col("sample_rate").cast("long"), col("duration_ms"))
@@ -691,27 +690,36 @@ object ExtQueries {
 
   private val stopList = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  // floorMod emulation shared by the media oracles (Scala math.floorMod
+  // vs DuckDB's dividend-signed %), plus the id-derived synthetic dims.
+  private val M4 = "(((doc_id % 4) + 4) % 4)"
+  private val W0 = "(16 + ((doc_id % 640) + 640) % 640)"
+  private val H0 = "(16 + ((doc_id % 360) + 360) % 360)"
+
   val oracle: Map[String, String] = Map(
     // Round-trip oracle for the synthetic-container probe: the payload
     // builder's arithmetic (Multimodal.syntheticPayload — header sizes,
     // id-derived dims, 8kHz/16-bit mono WAV duration, mvhd duration)
     // recomputed from (doc_id, text) directly. Keep in lockstep with
-    // the builder.
-    "q_media_probe" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 44 ELSE 52 END
-        |       + octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav' ELSE 'mp4' END AS container,
-        |  CAST(CASE WHEN doc_id % 4 IN (0,1) THEN 16 + doc_id % 640 END AS BIGINT) AS width,
-        |  CAST(CASE WHEN doc_id % 4 IN (0,1) THEN 16 + doc_id % 360 END AS BIGINT) AS height,
-        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 1 END AS BIGINT) AS channels,
-        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 END AS BIGINT) AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 16 END AS BIGINT) AS bits_per_sample,
-        |  CAST(CASE WHEN doc_id % 4 = 2 THEN (octet_length(encode(text)) * 1000) // 16000
-        |       WHEN doc_id % 4 = 3 THEN (1 + doc_id % 30) * 1000 END AS BIGINT) AS duration_ms,
-        |  CASE WHEN doc_id % 4 = 3 THEN 'isom' END AS brand
-        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |ORDER BY media_id""".stripMargin,
+    // the builder — including floorMod: the builder uses math.floorMod,
+    // and DuckDB's % follows the dividend's sign, so a negative doc_id
+    // would otherwise pick a different container/dims than Scala.
+    "q_media_probe" -> {
+      s"""SELECT doc_id AS media_id,
+         |  CAST(CASE $M4 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 44 ELSE 52 END
+         |       + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CASE $M4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav' ELSE 'mp4' END AS container,
+         |  CAST(CASE WHEN $M4 IN (0,1) THEN $W0 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN $M4 IN (0,1) THEN $H0 END AS BIGINT) AS height,
+         |  CAST(CASE WHEN $M4 = 2 THEN 1 END AS BIGINT) AS channels,
+         |  CAST(CASE WHEN $M4 = 2 THEN 8000 END AS BIGINT) AS sample_rate,
+         |  CAST(CASE WHEN $M4 = 2 THEN 16 END AS BIGINT) AS bits_per_sample,
+         |  CAST(CASE WHEN $M4 = 2 THEN (octet_length(encode(text)) * 1000) // 16000
+         |       WHEN $M4 = 3 THEN (1 + ((doc_id % 30) + 30) % 30) * 1000 END AS BIGINT) AS duration_ms,
+         |  CASE WHEN $M4 = 3 THEN 'isom' END AS brand
+         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |ORDER BY media_id""".stripMargin
+    },
 
     // The resize round trip recomputed: images read back the target
     // 64x48 with area-scaled byte counts (body bytes scale by
@@ -720,22 +728,20 @@ object ExtQueries {
     // q_media_probe's. Keep in lockstep with Multimodal.resize and
     // syntheticPayload.
     "q_media_resize" -> {
-      val w0 = "(16 + doc_id % 640)"
-      val h0 = "(16 + doc_id % 360)"
       val len = "octet_length(encode(text))"
-      val scaled = s"CASE WHEN $len = 0 THEN 0 ELSE greatest(1, ($len * 3072) // ($w0 * $h0)) END"
+      val scaled = s"CASE WHEN $len = 0 THEN 0 ELSE greatest(1, ($len * 3072) // ($W0 * $H0)) END"
       s"""SELECT doc_id AS media_id,
-         |  CAST(CASE doc_id % 4
+         |  CAST(CASE $M4
          |    WHEN 0 THEN 24 + $scaled
          |    WHEN 1 THEN 10 + $scaled
          |    WHEN 2 THEN 44 + $len
          |    ELSE 52 + $len END AS BIGINT) AS n_bytes,
-         |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav' ELSE 'mp4' END AS container,
-         |  CAST(CASE WHEN doc_id % 4 IN (0,1) THEN 64 END AS BIGINT) AS width,
-         |  CAST(CASE WHEN doc_id % 4 IN (0,1) THEN 48 END AS BIGINT) AS height,
-         |  CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 END AS BIGINT) AS sample_rate,
-         |  CAST(CASE WHEN doc_id % 4 = 2 THEN ($len * 1000) // 16000
-         |       WHEN doc_id % 4 = 3 THEN (1 + doc_id % 30) * 1000 END AS BIGINT) AS duration_ms
+         |  CASE $M4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav' ELSE 'mp4' END AS container,
+         |  CAST(CASE WHEN $M4 IN (0,1) THEN 64 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN $M4 IN (0,1) THEN 48 END AS BIGINT) AS height,
+         |  CAST(CASE WHEN $M4 = 2 THEN 8000 END AS BIGINT) AS sample_rate,
+         |  CAST(CASE WHEN $M4 = 2 THEN ($len * 1000) // 16000
+         |       WHEN $M4 = 3 THEN (1 + ((doc_id % 30) + 30) % 30) * 1000 END AS BIGINT) AS duration_ms
          |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
          |ORDER BY media_id""".stripMargin
     },

@@ -142,14 +142,22 @@ object Multimodal {
     * codec swap replaces `scaledBody` + the re-headering with the
     * encode call. */
   def resize(rows: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
-    require(w > 0 && h > 0, s"resize: target dims must be positive, got ${w}x$h")
+    // upper bound serves three invariants at once: GIF's logical screen
+    // is u16 (a larger target would silently truncate), the scaled-body
+    // length stays far from Int wrap, and no stub ever allocates a
+    // pathological buffer
+    require(w > 0 && h > 0 && w <= 8192 && h <= 8192,
+      s"resize: target dims must be in [1, 8192], got ${w}x$h")
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       // real impl: initialize the pixel codec once here, per partition
       def scaledBody(body: Array[Byte], w0: Int, h0: Int): Array[Byte] = {
         if (body.isEmpty || w0 <= 0 || h0 <= 0) return body
-        val n = math.max(1L, body.length.toLong * w * h /
-          (w0.toLong * h0)).toInt
+        // cap guards the Int conversion against absurd blow-up factors
+        // (tiny source raster, huge target) — a real encoder bounds its
+        // own output; the stub must not wrap negative instead
+        val n = math.min(1L << 27,
+          math.max(1L, body.length.toLong * w * h / (w0.toLong * h0))).toInt
         val out = new Array[Byte](n)
         var i = 0
         while (i < n) {
@@ -157,19 +165,13 @@ object Multimodal {
         }
         out
       }
-      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-      def cc(sx: String) = sx.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       it.map { r =>
         val p = r.payload
         def u8(i: Int) = p(i) & 0xff
         val resized =
           if (p.length >= 24 && u8(0) == 0x89 && p(1) == 'P')
             imageDims(p).map { case (w0, h0) =>
-              Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
-                0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
-                be32(13) ++ cc("IHDR") ++ be32(w) ++ be32(h) ++
+              pngSig ++ be32(13) ++ cc("IHDR") ++ be32(w) ++ be32(h) ++
                 scaledBody(p.drop(24), w0, h0)
             }
           else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
@@ -360,6 +362,24 @@ object Multimodal {
     p.length >= i + 4 && p(i) == s(0) && p(i + 1) == s(1) &&
       p(i + 2) == s(2) && p(i + 3) == s(3)
 
+  // ONE copy of the header byte-packers, shared by syntheticPayload and
+  // resize: the header bytes resize emits must stay bit-identical to
+  // what the payload builder emits (the oracle round trip hashes them),
+  // so duplicated packers are exactly where a one-sided edit would
+  // break the gate.
+  private def le16(v: Int) =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long) =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def be32(v: Long) =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def cc(sx: String) =
+    sx.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val pngSig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte,
+    'G'.toByte, 0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+
   /** Deterministic synthetic media payload for the demo/bench key: REAL
     * container headers (the probe parses them exactly like files from a
     * crawl) around caller-supplied body bytes. `id % 4` picks the
@@ -367,21 +387,13 @@ object Multimodal {
     * byte-identical. This is demo-data generation, not a decode stub —
     * the parsing it exercises is the real thing. */
   def syntheticPayload(id: Long, body: Array[Byte]): Array[Byte] = {
-    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def cc(sx: String) = sx.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     // floorMod like the container selector: raw % on a negative id
     // would serialize negative dims as wrapped u16/u32 fields
     val w = 16 + math.floorMod(id, 640).toInt
     val h = 16 + math.floorMod(id, 360).toInt
     (math.floorMod(id, 4): @unchecked) match {
       case 0 => // PNG signature + IHDR dims
-        Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
-          0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
-          be32(13) ++ cc("IHDR") ++ be32(w) ++ be32(h) ++ body
+        pngSig ++ be32(13) ++ cc("IHDR") ++ be32(w) ++ be32(h) ++ body
       case 1 => // GIF logical screen
         cc("GIF89a") ++ le16(w) ++ le16(h) ++ body
       case 2 => // WAV: 16-bit mono 8 kHz PCM, data size = body length

@@ -166,6 +166,15 @@ class StreamingSpec extends SparkSpec {
     q1.processAllAvailable()
     q1.stop()
     assert(spark.read.parquet(s"$dir/bars").count() == 1)
+    // make reprocessing OBSERVABLE: mutate the already-ingested row in
+    // the target. If the restarted query re-read f0, its upsert would
+    // overwrite this back to 251.0 — the PK dedup alone cannot reveal a
+    // broken source checkpoint, a changed value can.
+    val poked = spark.read.parquet(s"$dir/bars")
+      .withColumn("close", org.apache.spark.sql.functions
+        .when($"stock" === "TSLA", 999.0).otherwise($"close"))
+      .localCheckpoint(true)
+    poked.write.mode("overwrite").parquet(s"$dir/bars")
     // land more while no query runs; restart from the SAME checkpoint
     landBody(s"""{"bars":{"MSFT":[${bar(300.0, "2025-10-01T10:00:00Z")}]},"next_page_token":null}""",
       "f1.jsonl")
@@ -173,13 +182,11 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     val out = spark.read.parquet(s"$dir/bars")
-    // file f0 was not re-read (the source checkpoint remembers it); and
-    // even if it were, the PK upsert makes re-delivery invisible — both
-    // layers of the exactly-once story
     assert(out.count() == 2)
     assert(out.select("stock").as[String].collect().sorted.toSeq ==
       Seq("MSFT", "TSLA"))
-    assert(out.filter($"stock" === "TSLA").select("close").as[Double].head() == 251.0)
+    assert(out.filter($"stock" === "TSLA").select("close").as[Double].head() == 999.0,
+      "restart re-read an already-processed landing file")
   }
 
   test("bars payload stream: fetches land, parse through the pinned schema, upsert") {
