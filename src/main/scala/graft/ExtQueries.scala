@@ -169,7 +169,11 @@ object ExtQueries {
         threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup pairs over docs+mutants (rows-only).
+    // SimHash near-dup pairs over docs+mutants. Oracled: the ENTIRE
+    // pipeline — per-token FNV, 64-bit vote signature, permuted-block
+    // table keys, capped buckets, hamming filter — replays in DuckDB
+    // HUGEINT SQL (pigeonhole banding is exact, not probabilistic, so
+    // the pair set is deterministic).
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashDupPairs(docsWithMutants(s, dir), "text", "doc_id",
         maxHamming = 4, maxBucket = 64)
@@ -696,6 +700,18 @@ object ExtQueries {
   private val W0 = "(16 + ((doc_id % 640) + 640) % 640)"
   private val H0 = "(16 + ((doc_id % 360) + 360) % 360)"
 
+  /** One wrapping FNV-1a step in DuckDB HUGEINT mod-2^64 arithmetic,
+    * valid for xor operands < 2^16 (bytes, chars, block values): xor on
+    * the low 16 bits, multiply split as (x%2^24)*2^40 + x*435 to stay
+    * inside 128 bits. The same emulation the fingerprint/decode-stub
+    * oracles use, shared here because the simhash oracle composes it
+    * both in lambdas and nested literally. */
+  private def fnvStep(h: String, v: String): String = {
+    val x = s"((($h) - (($h) % 65536)) + xor(CAST(($h) % 65536 AS BIGINT), CAST(($v) AS BIGINT)))"
+    s"(((($x) % 16777216) * 1099511627776 + ($x) * 435) % CAST('18446744073709551616' AS HUGEINT))"
+  }
+  private val fnvBasis = "CAST('14695981039346656037' AS HUGEINT)"
+
   val oracle: Map[String, String] = Map(
     // Round-trip oracle for the synthetic-container probe: the payload
     // builder's arithmetic (Multimodal.syntheticPayload — header sizes,
@@ -795,6 +811,77 @@ object ExtQueries {
         |       ELSE 1 + abs((s - ((s % 1048576 + 1048576) % 1048576)) // 1048576) % 16 END AS BIGINT) AS n_frames
         |FROM sgn JOIN documents USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+
+    // Full SimHash-banding replay (Kernels.simhashFromArrayData +
+    // permTableKeys at m=6 keep=2, DedupOps.simhashDupPairs at
+    // maxHamming=4 maxBucket=64): per-token FNV-1a over UTF-8 bytes,
+    // per-bit majority vote -> 64-bit signature, 15 permuted-block
+    // table keys (3 chained FNV steps each — subset index then the two
+    // intact blocks, all xor operands < 2^16), bucket-capped pair
+    // generation, bit_count(xor) hamming filter. Mirrors the kernels;
+    // change all together. Validated stage-by-stage against a Python
+    // reference of the Scala kernels before landing.
+    "q_dedup_simhash" -> {
+      val powList = (0 until 64)
+        .map(b => s"CAST('${BigInt(1) << b}' AS HUGEINT)")
+        .mkString("[", ",", "]")
+      // subset enumeration order MUST match Kernels.blockSubsets
+      // ((0 until m).combinations(keep), lexicographic) — the subset
+      // index t is mixed into the key
+      val subsetVals = (0 until 6).combinations(2).zipWithIndex
+        .map { case (s, t) => s"($t,${s(0)},${s(1)})" }.mkString(",")
+      // 64 bits into 6 blocks: width 10, last block carries the top 14
+      val blockArr = (0 until 6).map { j =>
+        val w = if (j == 5) 14 else 10
+        s"(sig_u // CAST('${BigInt(1) << (j * 10)}' AS HUGEINT)) % ${1 << w}"
+      }.mkString("[", ",", "]")
+      val keyExpr = fnvStep(fnvStep(fnvStep(fnvBasis, "t"), "blk[i1+1]"), "blk[i2+1]")
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    array_to_string(toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)], ' ')
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '), tk ->
+         |      list_reduce(
+         |        list_prepend($fnvBasis,
+         |          list_transform(range(1, octet_length(encode(tk)) + 1), i ->
+         |            CAST(16 * (strpos('0123456789ABCDEF', substr(hex(encode(tk)), 2*i - 1, 1)) - 1)
+         |               + (strpos('0123456789ABCDEF', substr(hex(encode(tk)), 2*i, 1)) - 1) AS HUGEINT))),
+         |        (acc, b) -> ${fnvStep("acc", "b")})) AS hs
+         |  FROM base),
+         |sg AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_transform(range(1, 65), bi ->
+         |      CASE WHEN 2 * len(list_filter(hs, x -> (x // ($powList)[bi]) % 2 = 1)) > len(hs)
+         |           THEN ($powList)[bi] ELSE CAST(0 AS HUGEINT) END),
+         |      (a, b) -> a + b) AS sig_u
+         |  FROM th),
+         |sig AS (
+         |  SELECT doc_id, sig_u,
+         |    CAST(CASE WHEN sig_u >= CAST('9223372036854775808' AS HUGEINT)
+         |         THEN sig_u - CAST('18446744073709551616' AS HUGEINT) ELSE sig_u END AS BIGINT) AS s,
+         |    $blockArr AS blk
+         |  FROM sg),
+         |keys AS (
+         |  SELECT doc_id, s, t, $keyExpr AS ckey
+         |  FROM sig, (VALUES $subsetVals) sub(t, i1, i2)),
+         |ok_buckets AS (
+         |  SELECT t, ckey FROM keys GROUP BY t, ckey
+         |  HAVING count(*) BETWEEN 2 AND 64),
+         |pairs AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+         |         greatest(a.doc_id, b.doc_id) AS id_b,
+         |         bit_count(xor(a.s, b.s)) AS hamming
+         |  FROM keys a
+         |  JOIN keys b ON a.t = b.t AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+         |  JOIN ok_buckets ob ON ob.t = a.t AND ob.ckey = a.ckey)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM pairs WHERE hamming <= 4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // Full winnowing replay (Kernels.fingerprints, k=8 w=4): FNV-1a per
     // char 8-gram (chars are BMP codepoints == UTF-16 units for this
