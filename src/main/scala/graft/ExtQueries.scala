@@ -162,8 +162,11 @@ object ExtQueries {
             .as("postings"))
         .orderBy("term")),
 
-    // MinHash+LSH near-dup pairs over docs+mutants (rows-only; exactness
-    // validated in DedupOpsSpec against ngramJaccard ground truth).
+    // MinHash+LSH near-dup pairs over docs+mutants. Oracled: the whole
+    // pipeline (token FNV, shingle combine, 64 universal hashes, band
+    // keys, capped buckets, estimated Jaccard) replays in DuckDB
+    // HUGEINT SQL — see minhashOracleSql. Recall exactness additionally
+    // validated in DedupOpsSpec against ngramJaccard ground truth.
     "q_dedup_minhash" -> ((s, dir) =>
       DedupOps.minhashDupPairs(docsWithMutants(s, dir), "text", "doc_id",
         threshold = 0.3)
@@ -266,8 +269,9 @@ object ExtQueries {
     // (10% of history) probed against the index without re-hashing
     // history. The union of the historical pairs (landed beside the
     // index at build time) and the daily pairs equals the full-batch
-    // minhash pair set (DedupIndexSpec pins the identity; rows-only
-    // here — the custom hash has no DuckDB mirror). Tagged batches make
+    // minhash pair set (DedupIndexSpec pins the identity, and the
+    // DuckDB oracle now value-checks it: the full-batch MinHash replay
+    // over the accumulated corpus). Tagged batches make
     // the daily re-run replay-idempotent: the probe excludes the
     // previous run's own tag partitions and the append overwrites
     // exactly them, so every run returns the identical pair set over a
@@ -711,6 +715,92 @@ object ExtQueries {
     s"(((($x) % 16777216) * 1099511627776 + ($x) * 435) % CAST('18446744073709551616' AS HUGEINT))"
   }
   private val fnvBasis = "CAST('14695981039346656037' AS HUGEINT)"
+  private val u64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val h63 = "CAST('9223372036854775808' AS HUGEINT)"
+
+  /** FNV step for FULL-64-bit xor operands (token hashes, signature
+    * values): both sides round-trip through signed BIGINT where native
+    * xor exists. `acc`/`v` MUST be plain lambda-variable names — the
+    * emulation repeats each operand textually, so handing it a nested
+    * expression tree multiplies evaluation exponentially (measured:
+    * the nested form of the minhash oracle ran >600s; the
+    * list_reduce-over-variables form runs in ~80s). */
+  private def fnvStep64(acc: String, v: String): String = {
+    def sgn(x: String) =
+      s"CAST(CASE WHEN $x >= $h63 THEN $x - $u64 ELSE $x END AS BIGINT)"
+    val x = s"(CASE WHEN xor(${sgn(acc)}, ${sgn(v)}) < 0" +
+      s" THEN CAST(xor(${sgn(acc)}, ${sgn(v)}) AS HUGEINT) + $u64" +
+      s" ELSE CAST(xor(${sgn(acc)}, ${sgn(v)}) AS HUGEINT) END)"
+    s"((($x) % 16777216) * 1099511627776 + ($x) * 435) % $u64"
+  }
+
+  /** The full MinHash+LSH pipeline replayed in SQL for a given corpus
+    * CTE: per-token FNV over UTF-8 bytes, 3-token shingle combine,
+    * k=64 universal hashes (the a/b constants come from
+    * [[graft.functions.Kernels.minhashParams]] AT ORACLE-CONSTRUCTION
+    * TIME — never a hardcoded copy that could drift from the kernel),
+    * 16 band keys, capped buckets, signature-estimated Jaccard.
+    * Mirrors Kernels.minhashFromTokenHashes/bandKeys +
+    * DedupOps.minhashPairsFromBanded; change together. */
+  private def minhashOracleSql(baseCte: String, threshold: Double): String = {
+    val (as_, bs_) = graft.functions.Kernels.minhashParams(64)
+    val aarr = as_.mkString("[", ",", "]")
+    val barr = bs_.mkString("[", ",", "]")
+    val bandVals = (0 until 16).map(j => s"($j)").mkString(",")
+    val est = graft.functions.Rounding.sqlRound("matches/64.0", 4)
+    s"""WITH base AS ($baseCte),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), tk ->
+       |      list_reduce(
+       |        list_prepend($fnvBasis,
+       |          list_transform(range(1, octet_length(encode(tk)) + 1), i ->
+       |            CAST(16 * (strpos('0123456789ABCDEF', substr(hex(encode(tk)), 2*i - 1, 1)) - 1)
+       |               + (strpos('0123456789ABCDEF', substr(hex(encode(tk)), 2*i, 1)) - 1) AS HUGEINT))),
+       |        (acc, b) -> ${fnvStep("acc", "b")})) AS th
+       |  FROM base),
+       |shs AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(range(1, len(th) - 1), i ->
+       |        list_reduce(list_prepend($fnvBasis, [th[i], th[i+1], th[i+2]]),
+       |          (acc, v) -> ${fnvStep64("acc", "v")})),
+       |      sh -> ((CAST(CASE WHEN sh >= $h63 THEN sh - $u64 ELSE sh END AS BIGINT) % 2147483647) + 2147483647) % 2147483647)
+       |    AS hps
+       |  FROM th WHERE len(th) >= 3),
+       |sg AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, 65), t ->
+       |      list_min(list_transform(hps, hp -> (($aarr)[t] * hp + ($barr)[t]) % 2147483647))) AS sig
+       |  FROM shs),
+       |keys AS (
+       |  SELECT doc_id, sig, j,
+       |    list_reduce(
+       |      list_prepend($fnvBasis, [CAST(j AS HUGEINT), CAST(sig[4*j+1] AS HUGEINT),
+       |        CAST(sig[4*j+2] AS HUGEINT), CAST(sig[4*j+3] AS HUGEINT), CAST(sig[4*j+4] AS HUGEINT)]),
+       |      (acc, v) -> ${fnvStep64("acc", "v")}) AS bkey
+       |  FROM sg, (VALUES $bandVals) bands(j)),
+       |ok_buckets AS (
+       |  SELECT j, bkey FROM keys GROUP BY j, bkey HAVING count(*) BETWEEN 2 AND 200),
+       |pairs AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+       |         greatest(a.doc_id, b.doc_id) AS id_b,
+       |         len(list_filter(range(1, 65), t -> a.sig[t] = b.sig[t])) AS matches
+       |  FROM keys a
+       |  JOIN keys b ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN ok_buckets ob ON ob.j = a.j AND ob.bkey = a.bkey)
+       |SELECT id_a, id_b, $est AS est_jaccard
+       |FROM pairs
+       |WHERE $est >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val mutantCte =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Round-trip oracle for the synthetic-container probe: the payload
@@ -812,6 +902,24 @@ object ExtQueries {
         |FROM sgn JOIN documents USING (doc_id)
         |ORDER BY media_id""".stripMargin,
 
+    // Full MinHash+LSH replay over docs+mutants (threshold 0.3): see
+    // minhashOracleSql. The universal-hash constants are read from the
+    // kernel at construction time, so they can never drift.
+    "q_dedup_minhash" -> minhashOracleSql(mutantCte, 0.3),
+
+    // The incremental index's pair set equals the FULL-BATCH pair set
+    // over the accumulated corpus (the DedupIndex contract, asserted
+    // in DedupIndexSpec and now value-checked against DuckDB): oracle
+    // = the same MinHash replay over history ∪ daily mutants at the
+    // index default threshold 0.5.
+    "q_dedup_incremental" -> minhashOracleSql(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |        WHERE doc_id % 20 = 0)""".stripMargin, 0.5),
+
     // Full SimHash-banding replay (Kernels.simhashFromArrayData +
     // permTableKeys at m=6 keep=2, DedupOps.simhashDupPairs at
     // maxHamming=4 maxBucket=64): per-token FNV-1a over UTF-8 bytes,
@@ -836,12 +944,7 @@ object ExtQueries {
         s"(sig_u // CAST('${BigInt(1) << (j * 10)}' AS HUGEINT)) % ${1 << w}"
       }.mkString("[", ",", "]")
       val keyExpr = fnvStep(fnvStep(fnvStep(fnvBasis, "t"), "blk[i1+1]"), "blk[i2+1]")
-      s"""WITH base AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000,
-         |    array_to_string(toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)], ' ')
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      s"""WITH base AS ($mutantCte),
          |th AS (
          |  SELECT doc_id,
          |    list_transform(string_split(text, ' '), tk ->
