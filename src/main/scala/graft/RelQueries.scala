@@ -432,6 +432,63 @@ object RelQueries {
             .as("sum_price"))
         .orderBy("c_mktsegment")),
 
+    // Bloom-pruned selective join (the explicit runtime-filter pattern,
+    // ops/Prune): the dimension is a ~1%-of-keys slice of orders; its
+    // bloom prefilters the lineitem side MAP-SIDE, before the join
+    // exchange — at 100 TB that is the difference between shuffling the
+    // whole fact table and shuffling ~1% of it. Bloom filters have no
+    // false negatives and the join discards false positives, so the
+    // result is row-identical to the plain join: the oracle IS the
+    // plain join.
+    "q_bloom_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      graft.ops.Prune.bloomPrunedJoin(fact, dim, "k")
+        .orderBy("k", "l_quantity")
+    }),
+
+    // Link-graph centrality (ops/Graph): fixed-point integer PageRank,
+    // 5 iterations, over the undirected customer–supplier interaction
+    // graph for one trade year (curation link graphs are always
+    // windowed; the shipdate predicate reaches the parquet scan).
+    // Supplier ids are offset into their own key space. Symmetrization
+    // is a map-side explode — a union of two selects would evaluate
+    // the join subtree twice (union branches share no subplan) — and
+    // dedup is left to pagerank's own edge distinct. Integer
+    // arithmetic makes the ranks bit-exact under ANY partitioning —
+    // the oracle replays the identical div/sum ops in unrolled SQL
+    // (pagerankOracleSql).
+    //
+    // Bench note: this is launch-bound, not plan-bound. An iterative
+    // operator is ~10 sequential Spark jobs (graph build + one per
+    // round + final checkpoint); measured floor for ANY exchange-
+    // bearing job on this 32-thread local session is ~0.3-0.8 s even
+    // on a 16k-row cache, so the key's wall time is mostly fixed
+    // launch/codegen tax that amortizes away on a cluster where each
+    // round does minutes of real shuffle work. The per-round plan is
+    // the right one: edge cache scanned once, rank side auto-broadcast
+    // off cache statistics, exactly one |V|-row exchange per round.
+    "q_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey")
+      val und = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      val ranks = graft.ops.Graph.pagerank(und, "src", "dst", iters = 5)
+      ranks.orderBy("node")
+    }),
+
     // Range (interval) join with no equi-key: lineitems shipped within
     // 7 days of a sampled order's date, counted per interval. The naive
     // inequality join is a nested-loop; RangeJoin bucketizes to an
@@ -842,6 +899,43 @@ object RelQueries {
   // files' oracle semantics
   private val evCte = CoreQueries.evCte
 
+  /** [[graft.ops.Graph.pagerank]] replayed in SQL: the directed-edge
+    * CTE is symmetrized, degree-joined, and the fixed-point iteration
+    * unrolled (`iters` CTEs), every step in the SAME exact integer
+    * arithmetic as the operator — per-edge `pr // outdeg`, exact sum,
+    * `base + (damp * Σ) // 100`. `base` is computed HERE in Scala long
+    * arithmetic and emitted as a literal so the two sides cannot
+    * disagree on its rounding. Positive operands throughout, where
+    * DuckDB `//` and Spark `div` coincide. Mirrors Graph.pagerank;
+    * change together. */
+  private def pagerankOracleSql(edgeCte: String, iters: Int, scale: Long,
+                                damp: Int): String = {
+    val base = (100L - damp) * scale / 100L
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT n.node,
+         |    $base + CAST(($damp * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.pr // e.d) AS c
+         |    FROM ewd e JOIN p${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  $edgeCte),
+       |edges AS (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |ewd AS (
+       |  SELECT e.src, e.dst, d.d
+       |  FROM edges e JOIN (
+       |    SELECT src, count(*) AS d FROM edges GROUP BY src) d
+       |  ON d.src = e.src),
+       |p0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM nodes),
+       |$steps
+       |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_corr_covar" ->
       s"""SELECT l_returnflag,
@@ -1201,6 +1295,22 @@ object RelQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bloom prefilter is transparent (no false negatives; join drops
+    // false positives) — the oracle is the plain selective join.
+    "q_bloom_join" ->
+      """SELECT l_orderkey AS k, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0
+        |ORDER BY k, l_quantity""".stripMargin,
+
+    "q_pagerank" -> pagerankOracleSql(
+      """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin,
+      iters = 5, scale = 1000000000L, damp = 85),
 
     "q_range_join" ->
       """WITH iv AS (

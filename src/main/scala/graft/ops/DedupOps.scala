@@ -280,7 +280,7 @@ object DedupOps {
     * job with truncated lineage cannot otherwise recover from. Without
     * one, fall back to an eager localCheckpoint — correct in local/test
     * mode where losing an executor is losing the driver anyway. */
-  private def cut(df: DataFrame): DataFrame =
+  private[ops] def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       val cp = df.checkpoint(eager = true)
       // checkpoint alone re-reads the DISTRIBUTED-FS files on every use
@@ -304,7 +304,7 @@ object DedupOps {
     * space — harmless at test scale, a storage-eviction fight at
     * 100 TB. Only called on frames no later step can recompute from
     * (lineage is truncated). */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[ops] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.getCheckpointFile.foreach { f =>

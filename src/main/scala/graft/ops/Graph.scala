@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus curation. Web-scale training
+  * pipelines rank hosts/documents by link centrality (the CommonCrawl
+  * lineage: harmonic/PageRank centrality as a crawl-frontier and
+  * quality signal) — this is that operator, Spark-first.
+  *
+  * Determinism contract: the classic float PageRank is NOT
+  * reproducible across engines or even across runs — double summation
+  * order differs per partitioning, and a hash-compare oracle would
+  * flap. This implementation runs in FIXED-POINT INTEGER arithmetic
+  * (`scale` ≈ 1e9 means pr carries 9 fractional digits): every
+  * per-edge contribution is an integer `div`, every reduce is an exact
+  * long sum (order-independent), so the result is bit-identical on any
+  * cluster size, any partitioning, any engine that replays the same
+  * integer ops — which is exactly what the DuckDB oracle does
+  * (RelQueries.pagerankOracleSql unrolls the iterations in SQL).
+  * Mass is NOT exactly conserved (each `div` floors; dangling nodes
+  * drop their mass — the standard simplification): the contract is
+  * determinism and ranking fidelity, not stochastic-matrix exactness.
+  *
+  * Scale design (the 100 TB story):
+  *  - One shuffle per iteration: the (dst, contribution) partial
+  *    aggregate. The rank table is |V| rows of two longs — for
+  *    billion-node graphs that's ~16 GB, far under shuffle capacity,
+  *    and typically broadcast-able per iteration at the 10^7 scale.
+  *  - Out-degrees are joined onto the edge list ONCE, outside the
+  *    loop; iterations never recompute degree.
+  *  - Lineage is truncated every `checkpointEvery` iterations and on
+  *    the final one (reliable checkpoint when a checkpoint dir is set,
+  *    eager localCheckpoint otherwise — the [[DedupOps.cut]] policy
+  *    shared with connectedComponents), and superseded cuts release
+  *    their storage immediately: an unbounded plan tree or
+  *    O(iters × |V|) of pinned blocks is the classic iterative-Spark
+  *    failure at scale. Between cuts the plan is deep but LINEAR (each
+  *    rank frame feeds exactly one successor), so batching rounds into
+  *    one job trades no recomputation for far fewer job launches.
+  *  - Overflow headroom: a node's contribution sum is bounded by total
+  *    mass |V| × scale, and the damping step multiplies by `damp`
+  *    (≤ 100). Keep |V| × scale × 100 < 2^63 — for |V| up to ~10^9,
+  *    scale = 10^7 still leaves 7 fractional digits. The default
+  *    scale = 10^9 is sized for |V| ≤ ~10^8.
+  */
+object Graph {
+
+  /** Fixed-point PageRank over a directed edge list. Edges are
+    * deduplicated; nodes are the union of both endpoint columns; every
+    * node starts at `pr = scale`. Per iteration:
+    * `pr'(v) = base + (damp * Σ_{(u,v)∈E} (pr(u) div outdeg(u))) div 100`
+    * with `base = ((100 - damp) * scale) div 100`, all in exact long
+    * arithmetic. Returns (node: long, pr: long), pr in units of
+    * 1/scale. Release the result's checkpoint storage with
+    * [[releaseRanks]] when done. */
+  def pagerank(edges: DataFrame, src: String = "src", dst: String = "dst",
+               iters: Int = 5, scale: Long = 1000000000L,
+               damp: Int = 85, checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
+    require(scale > 0, s"pagerank: scale must be positive, got $scale")
+    require(damp >= 0 && damp <= 100,
+      s"pagerank: damp is a percentage, got $damp")
+    require(checkpointEvery >= 1,
+      s"pagerank: checkpointEvery must be >= 1, got $checkpointEvery")
+    val base = (100L - damp) * scale / 100L
+    // Loop invariants, cached once — and built in as FEW Spark jobs as
+    // possible: an iterative operator's local-mode cost is dominated
+    // by job launches, not rows, so every separate materialization
+    // here is a fixed tax. Two jobs build everything: (1) ewd — the
+    // deduplicated edge list with its source's out-degree joined on
+    // (the degree aggregate deliberately joins rather than
+    // collect_set-ing adjacency: a hub's full neighbor array in one
+    // row is the classic web-graph skew bomb); (2) nodes — endpoint
+    // union read back off the ewd CACHE, never re-deriving the input.
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .distinct()
+    // degree joined on once — the loop below never touches raw edges
+    val ewd = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("d")), "src").persist()
+    val nodes = ewd.select(col("src").as("node"))
+      .unionByName(ewd.select(col("dst").as("node"))).distinct().persist()
+    // Each iteration is materialized EAGERLY (persist + count): the
+    // rank frame then carries accurate cache statistics, so Catalyst
+    // broadcasts it against the edge cache while it fits the
+    // autoBroadcast threshold and falls back to a shuffled join for
+    // billion-node graphs — the right strategy at both ends with no
+    // hint to mis-set. (A fully lazy loop was measured 2x slower here:
+    // every nested broadcast subtree launches its own sequential
+    // driver-side job at materialization time, and nothing reuses
+    // them.) The per-round job is tiny — it reads two caches and
+    // exchanges |V| partial-aggregate rows, the iteration's ONE
+    // shuffle.
+    // round 0 is just the node cache with a literal column — no
+    // materialization job of its own; iteration 1 reads it through
+    // nodes' cache, whose statistics already drive the join strategy
+    nodes.count() // one job materializes ewd (its parent) and nodes
+    var ranks = nodes.withColumn("pr", lit(scale))
+    var ranksIsCut = false
+    for (i <- 1 to iters) {
+      // per-edge integer contribution, summed exactly per target
+      val contrib = ewd.join(ranks, ewd("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("pr div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      val next0 = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($damp * coalesce(c, 0L)) div 100")).as("pr"))
+      // persist materializes blocks but leaves lineage in place, so the
+      // plan tree grows ~linearly with rounds: truncate it with a real
+      // checkpoint every `checkpointEvery` rounds (unbounded trees
+      // stall the optimizer and, at cluster scale, cannot survive
+      // executor loss once ancestors are unpersisted) — and ALWAYS on
+      // the last round, so the returned frame stands alone and the
+      // loop invariants' storage can be released below.
+      val doCut = i % checkpointEvery == 0 || i == iters
+      val next = if (doCut) DedupOps.cut(next0)
+        else { val p = next0.persist(); p.count(); p }
+      if (ranksIsCut) DedupOps.freeCheckpoint(ranks) // superseded
+      else if (i > 1) ranks.unpersist(blocking = false) // round 0 IS nodes
+      ranks = next
+      ranksIsCut = doCut
+    }
+    // the result is checkpointed: its inputs' storage can go now
+    ewd.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
+
+  /** Release the checkpoint storage behind a [[pagerank]] result once
+    * every action on frames derived from it has run. */
+  def releaseRanks(ranks: DataFrame): Unit = DedupOps.freeCheckpoint(ranks)
+}

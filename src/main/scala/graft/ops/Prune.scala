@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.functions.Expressions.bloom_might_contain
 
 /** Pre-shuffle join pruning. In a selective join (fact table vs a
@@ -43,6 +43,14 @@ object Prune {
       s"bloomPrunedJoin: key '$key' must be int/long, got $kt")
     val s = small.localCheckpoint(true)
     val n = if (expectedItems > 0) expectedItems else s.count()
+    // an empty small side has no sketch to build (Spark's bloomFilter
+    // aggregate returns a null buffer and NPEs on deserialize) and no
+    // rows to match: the join result is definitionally empty. Keep the
+    // same plan shape minus the probe so callers still get the joined
+    // schema. The isEmpty probe is one cheap job over the checkpointed
+    // rows and also guards an over-trusting expectedItems > 0 on data
+    // that turned out empty.
+    if (s.isEmpty) return big.filter(lit(false)).join(s, Seq(key))
     val bloom = s.stat.bloomFilter(key, math.max(n, 1L), fpp)
     big.filter(bloom_might_contain(col(key), bloom)).join(s, Seq(key))
   }

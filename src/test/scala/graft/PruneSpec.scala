@@ -38,4 +38,16 @@ class PruneSpec extends SparkSpec {
     assert(filterLine >= 0, plan)
     assert(scanLine == filterLine + 1, s"probe not on the scan:\n$plan")
   }
+
+  test("an empty small side yields an empty join, not a crash") {
+    // Spark's bloomFilter aggregate NPEs deserializing the null sketch
+    // of a zero-row input — the operator must short-circuit instead
+    // (regression: q_bloom_join's dimension slice is empty at sf0.001)
+    val small = spark.range(10).select(col("id").as("k"), lit("d").as("tag"))
+      .filter(col("k") < 0)
+    val out = Prune.bloomPrunedJoin(
+      spark.range(100).select(col("id").as("k")), small, "k")
+    assert(out.columns.toSeq == Seq("k", "tag"))
+    assert(out.count() == 0)
+  }
 }
