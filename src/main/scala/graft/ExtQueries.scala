@@ -912,6 +912,18 @@ object ExtQueries {
     // in DedupIndexSpec and now value-checked against DuckDB): oracle
     // = the same MinHash replay over history ∪ daily mutants at the
     // index default threshold 0.5.
+    //
+    // Boundary assumption, stated explicitly: the identity holds while
+    // no (band, key) bucket CROSSES maxBucket (200) between the
+    // historical build and the accumulated corpus — a bucket that was
+    // under the cap at build time but over it after the daily append
+    // would keep its build-time pairs in the incremental output while
+    // the full-batch replay drops the whole bucket. That needs a
+    // ~200-doc near-dup cluster sharing one band key; this corpus's
+    // clusters are size ~2 (per-doc prefix mutants), so the gate is
+    // safe at every driver scale. If the testdata generator ever
+    // plants mega-clusters, cap-crossing buckets must be excluded on
+    // BOTH sides rather than assumed absent.
     "q_dedup_incremental" -> minhashOracleSql(
       """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL

@@ -478,9 +478,14 @@ object RelQueries {
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .select("l_orderkey", "l_suppkey")
+      // the 1e9 offset keeps supplier ids disjoint from customer keys
+      // up to sf ~6600 (TPC-H custkey max = 150k x sf); a collision
+      // would alias two distinct nodes AND break oracle parity (the
+      // operator dedups symmetrized edges, the oracle's UNION ALL
+      // assumes the directed pair sets are disjoint by construction)
       val und = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + lit(1000000L)).as("dst"))
+          (col("l_suppkey") + lit(1000000000L)).as("dst"))
         .select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
@@ -1306,7 +1311,7 @@ object RelQueries {
 
     "q_pagerank" -> pagerankOracleSql(
       """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-        |    CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+        |    CAST(l_suppkey AS BIGINT) + 1000000000 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin,

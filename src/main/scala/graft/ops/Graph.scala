@@ -98,6 +98,7 @@ object Graph {
     nodes.count() // one job materializes ewd (its parent) and nodes
     var ranks = nodes.withColumn("pr", lit(scale))
     var ranksIsCut = false
+    var lastCut: Option[DataFrame] = None
     for (i <- 1 to iters) {
       // per-edge integer contribution, summed exactly per target
       val contrib = ewd.join(ranks, ewd("src") === ranks("node"))
@@ -116,8 +117,20 @@ object Graph {
       val doCut = i % checkpointEvery == 0 || i == iters
       val next = if (doCut) DedupOps.cut(next0)
         else { val p = next0.persist(); p.count(); p }
-      if (ranksIsCut) DedupOps.freeCheckpoint(ranks) // superseded
-      else if (i > 1) ranks.unpersist(blocking = false) // round 0 IS nodes
+      // Storage release discipline: a persist-only predecessor may be
+      // unpersisted as soon as its successor is materialized (eviction
+      // just recomputes through it, down to the last live checkpoint).
+      // A CHECKPOINTED predecessor must stay alive until the NEXT cut
+      // truncates lineage past it: persist-only successors still root
+      // their recompute path in it, and freeing it early would turn an
+      // executor-loss (or block-eviction) recompute into a read of
+      // deleted checkpoint files — the exact failure the reliable-
+      // checkpoint path exists to survive.
+      if (!ranksIsCut && i > 1) ranks.unpersist(blocking = false) // round 0 IS nodes
+      if (doCut) {
+        lastCut.foreach(DedupOps.freeCheckpoint) // lineage now truncated past it
+        lastCut = Some(next)
+      }
       ranks = next
       ranksIsCut = doCut
     }

@@ -47,10 +47,12 @@ object Prune {
     // aggregate returns a null buffer and NPEs on deserialize) and no
     // rows to match: the join result is definitionally empty. Keep the
     // same plan shape minus the probe so callers still get the joined
-    // schema. The isEmpty probe is one cheap job over the checkpointed
-    // rows and also guards an over-trusting expectedItems > 0 on data
-    // that turned out empty.
-    if (s.isEmpty) return big.filter(lit(false)).join(s, Seq(key))
+    // schema. The sizing count already answers emptiness on the
+    // default path; only an expectedItems caller pays the one-job
+    // isEmpty probe (which also guards an over-trusting estimate on
+    // data that turned out empty).
+    val empty = if (expectedItems > 0) s.isEmpty else n == 0
+    if (empty) return big.filter(lit(false)).join(s, Seq(key))
     val bloom = s.stat.bloomFilter(key, math.max(n, 1L), fpp)
     big.filter(bloom_might_contain(col(key), bloom)).join(s, Seq(key))
   }

@@ -72,6 +72,21 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) == 150000000L + 85L * 150000000L / 100L)
   }
 
+  test("mid-run checkpoint cadence does not change the result") {
+    // exercises the mixed persist/checkpoint path (cuts at rounds 2, 4
+    // and the final 5) — a superseded checkpoint must survive until
+    // the next cut truncates lineage past it, so eviction/recompute
+    // between cuts stays possible; the ranks must be identical
+    val edges = (1L to 150L).map(i => (i, (i * 11) % 150 + 1))
+    val a = Graph.pagerank(edges.toDF("src", "dst"), iters = 5)
+    val b = Graph.pagerank(edges.toDF("src", "dst"), iters = 5,
+      checkpointEvery = 2)
+    val ra = a.as[(Long, Long)].collect().toMap
+    val rb = b.as[(Long, Long)].collect().toMap
+    Graph.releaseRanks(a); Graph.releaseRanks(b)
+    assert(ra == rb)
+  }
+
   test("parameter validation rejects nonsense") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pagerank(e, iters = 0))
