@@ -60,6 +60,48 @@ object ExtQueries {
       }
   }
 
+  /** Shared CTE chain replaying [[graft.ops.Clustering.kmeans]] in
+    * DuckDB: `v` (non-null corpus), `vq` (components quantized to
+    * BIGINT at 1e6, floor(x*1e6+0.5) — the operator's exact formula),
+    * `c0` (seeds = k smallest ids), then per round i: `a_i`/`b_i`
+    * (rounded-cosine arg-max, ties to smallest cid), `m_i` (exact
+    * integer component sums + counts), `c_i` (truncating `//` mean
+    * re-scaled to REAL; absent clusters inherit c_{i-1}), ending with
+    * `af`/`bf` — the final assignment against `c_iters`. Callers append
+    * their SELECT (and extra CTEs) after this. */
+  private def kmeansCtes(corpusSql: String, k: Int, iters: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    val simExpr = sqlRound(
+      s"${dot("ev", "cvec")} / (sqrt(${dot("ev", "ev")}) * sqrt(${dot("cvec", "cvec")}))", 6)
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, cid, $simExpr AS sim FROM v, c${i - 1}),
+         |b$i AS (SELECT vec_id, cid, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM a$i),
+         |m$i AS (SELECT b.cid, q.pos, sum(q.q) AS s, count(*) AS n
+         |  FROM b$i b JOIN vq q ON b.vec_id = q.vec_id WHERE b.rk = 1
+         |  GROUP BY b.cid, q.pos),
+         |c$i AS (
+         |  SELECT cid,
+         |    list(CAST(CAST(s // n AS DOUBLE) / 1000000.0 AS REAL) ORDER BY pos) AS cvec
+         |  FROM m$i GROUP BY cid
+         |  UNION ALL
+         |  SELECT cid, cvec FROM c${i - 1}
+         |  WHERE cid NOT IN (SELECT cid FROM m$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS ($corpusSql),
+       |v AS (SELECT vec_id, embedding AS ev FROM corpus
+       |      WHERE embedding IS NOT NULL),
+       |vq AS (SELECT vec_id, pos,
+       |    CAST(floor(CAST(ev[pos] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, ev, unnest(range(1, len(ev) + 1)) AS pos FROM v)),
+       |c0 AS (SELECT vec_id AS cid, ev AS cvec FROM v ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |af AS (SELECT vec_id, cid, $simExpr AS sim FROM v, c$iters),
+       |bf AS (SELECT vec_id, cid, sim, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM af)""".stripMargin
+  }
+
   /** Bounded clustering corpus with PLANTED near-dups: docs < 40 plus
     * 80%-prefix mutants of docs < 20 — guarantees non-trivial duplicate
     * clusters at every scale factor, so the components/apply oracle
@@ -210,6 +252,34 @@ object ExtQueries {
       SimilarityOps.assignToCentroids(e, e.filter(col("vec_id") < 8),
         "embedding", "vec_id", "vec_id")
         .select(col("vec_id"), col("cluster_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // Distributed deterministic k-means (full-corpus Lloyd's — the
+    // SemDeDup clustering step): seeds = 8 smallest vec_ids, 3
+    // exact-integer update rounds, final hard assignment. The oracle
+    // replays every round in SQL — quantized long sums, truncating
+    // integer division, rounded arg-max — so the hash gate checks the
+    // whole iteration, not just the final projection.
+    "q_kmeans" -> ((s, dir) => {
+      graft.ops.Clustering.kmeans(emb(s, dir), "embedding", "vec_id",
+        k = 8, iters = 3)
+        .assignments
+        .select(col("vec_id"), col("cluster_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup over the planted-near-dup corpus (q_dedup_embed's
+    // construction): cluster with 2 Lloyd rounds, then drop the larger
+    // id of every intra-cluster pair at rounded cosine >= 0.95 — the
+    // mutants (vec_id + 1,000,000) should fall to their originals.
+    "q_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val mutants = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
+      graft.ops.Clustering.semdedup(e.unionByName(mutants), "embedding",
+        "vec_id", k = 8, iters = 2, threshold = 0.95)
         .orderBy("vec_id")
     }),
 
@@ -1138,6 +1208,38 @@ object ExtQueries {
          |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM s)
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM r
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    // Full Lloyd's replay: every k-means round unrolled as CTEs — the
+    // rounded arg-max assignment (b_i), the quantized exact-integer mean
+    // (m_i: BIGINT sums, `//` truncating division — verified identical
+    // to Java long division on both signs), and the float32 re-scale
+    // (c_i). Empty clusters inherit their previous centroid via the
+    // UNION ALL branch, mirroring Clustering.kmeans.
+    "q_kmeans" -> s"""${kmeansCtes("SELECT vec_id, embedding FROM embeddings", k = 8, iters = 3)}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM bf
+       |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_semdedup" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      val pairSim = sqlRound(
+        s"${dot("x.ev", "y.ev")} / (sqrt(${dot("x.ev", "x.ev")}) * sqrt(${dot("y.ev", "y.ev")}))", 6)
+      s"""${kmeansCtes(
+        """SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |         list_transform(embedding, x -> CAST(x * 1.1 + 0.01 AS REAL))
+          |  FROM embeddings""".stripMargin, k = 8, iters = 2)},
+         |asg AS (SELECT vec_id, cid FROM bf WHERE rk = 1),
+         |pv AS (SELECT a.vec_id, a.cid, v.ev
+         |       FROM asg a JOIN v ON v.vec_id = a.vec_id),
+         |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb, $pairSim AS psim
+         |       FROM pv x JOIN pv y
+         |       ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |dr AS (SELECT DISTINCT idb FROM pr WHERE psim >= 0.95)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id FROM asg a
+         |WHERE a.vec_id NOT IN (SELECT idb FROM dr) ORDER BY a.vec_id""".stripMargin
     },
 
     "q_dedup_components" ->

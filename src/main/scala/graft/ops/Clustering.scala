@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions.cosine_sim
+import graft.functions.Rounding.roundHalfUp
+
+/** Distributed k-means over an embedding column, plus the SemDeDup-style
+  * semantic dedup built on it (cluster the corpus, then drop near-identical
+  * pairs WITHIN a cluster — Abbas et al. 2023, "SemDeDup": all-pairs cosine
+  * is intractable at corpus scale, but pairs across clusters are almost
+  * never near-dups, so confining the pair search to clusters makes the
+  * quadratic term local and bounded).
+  *
+  * This is the FULL-CORPUS counterpart of
+  * [[SimilarityOps.buildIvfIndex]]'s driver-side sampled trainer: every
+  * vector votes in every Lloyd round. Use the sampled trainer when
+  * centroids only need to be representative (IVF routing); use this when
+  * the assignment itself is the product (semantic dedup, corpus curation,
+  * diversity sampling) and must be reproducible.
+  *
+  * Determinism contract (the [[Graph.pagerank]] policy applied to
+  * clustering): classic float k-means is not reproducible across engines
+  * or partitionings — float summation order differs per partition layout.
+  * Here every Lloyd round is exact-integer:
+  *  - assignment: cosine in double, HALF_UP-rounded to 6 digits BEFORE
+  *    the arg-max (ties to the smallest centroid id) — the exact
+  *    comparison the DuckDB oracle replays; an unrounded arg-max could
+  *    flip on last-ulp noise between engines.
+  *  - update: each component is quantized to a long at `quantScale`
+  *    (floor(x*scale+0.5), round-half-up), per-cluster component sums are
+  *    exact long adds (order-independent), and the mean is one long
+  *    division (Java truncation-toward-zero — identical to DuckDB `//`)
+  *    re-scaled to float32. Bit-identical on any cluster size, any
+  *    partitioning, any engine replaying the same integer ops.
+  *
+  * Scale design (the 100 TB story):
+  *  - The corpus NEVER shuffles. Assignment is a map-side expression
+  *    against k broadcast centroid literals (k×dim floats — tiny);
+  *    the update's posexplode is map-side and partial-aggregated, so the
+  *    per-round exchange is partitions × k × dim partial-sum rows —
+  *    independent of corpus size.
+  *  - Driver state is k × dim floats per round (the collected sums are
+  *    k × dim rows) — bounded by the model, not the data.
+  *  - Overflow headroom: a component sum is bounded by
+  *    |cluster| × quantScale × max|x|. At quantScale = 1e6 and unit-norm
+  *    embeddings, clusters up to ~10^12 vectors fit a long.
+  *  - Iteration count is a fixed hyperparameter (SemDeDup uses a handful
+  *    of Lloyd rounds), so there is no unbounded-lineage concern: each
+  *    round starts from a fresh scan plus a driver-held centroid array.
+  */
+object Clustering {
+
+  /** Trained model: the final centroids (driver-side, k × dim — bounded
+    * by the model) and the final hard assignment of every corpus vector
+    * (id, cluster_id, sim), computed against those centroids. */
+  final case class KmeansModel(centroids: Seq[(Long, Array[Float])],
+                               assignments: DataFrame)
+
+  /** Arg-max-cosine against driver-held centroids as ONE map-side
+    * expression: a struct max over (rounded sim, -cid), so the highest
+    * similarity wins and exact ties go to the smallest centroid id —
+    * [[SimilarityOps.assignToCentroids]]'s total order, without its
+    * aggregate (no exchange at all). Deterministic expressions, so
+    * whole-stage codegen's subexpression elimination evaluates each
+    * cosine once even when the caller projects both struct fields. */
+  private def bestCentroid(vec: Column,
+                           cents: Seq[(Long, Array[Float])]): Column =
+    cents.map { case (cid, cv) =>
+      struct(
+        roundHalfUp(cosine_sim(vec, typedlit(cv.toSeq)), 6).as("sim"),
+        lit(-cid).as("ncid"))
+    }.reduce((a, b) => when(b > a, b).otherwise(a))
+      // the CASE-WHEN fold merges branch structs under generic field
+      // names (col1/col2); the cast restores (sim, ncid) for getField
+      .cast("struct<sim:double,ncid:bigint>")
+
+  /** Lloyd's k-means: seeds = the k smallest-id vectors (deterministic,
+    * oracle-replayable init), `iters` exact-integer update rounds, then a
+    * final hard assignment against the trained centroids. Null vectors
+    * are dropped; ragged vectors fail fast in the cosine kernel; `id`
+    * must be unique (duplicate ids would make the seed order ambiguous).
+    * An empty cluster keeps its previous centroid. */
+  def kmeans(corpus: DataFrame, vec: String, id: String, k: Int, iters: Int,
+             quantScale: Long = 1000000L): KmeansModel = {
+    require(k >= 1, s"kmeans: k must be >= 1, got $k")
+    require(iters >= 0, s"kmeans: iters must be >= 0, got $iters")
+    require(quantScale > 0, s"kmeans: quantScale must be positive, got $quantScale")
+    Reserved.requireAbsent(corpus, "kmeans", Seq("_kid", "_kvec"))
+    val base = corpus.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("_kid"), col(vec).as("_kvec"))
+    val init = base.orderBy("_kid").limit(k).collect()
+    require(init.length == k,
+      s"kmeans: corpus has only ${init.length} non-null vectors, need k=$k")
+    var cents: Seq[(Long, Array[Float])] =
+      init.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    for (_ <- 1 to iters) {
+      val best = bestCentroid(col("_kvec"), cents)
+      // quantize map-side, partial-aggregate the long sums: the exchange
+      // is partitions × k × dim rows, never the corpus
+      val sums = base
+        .select((-best.getField("ncid")).as("_cid"), posexplode(col("_kvec")))
+        .select(col("_cid"), col("pos"),
+          floor(col("col").cast("double") * lit(quantScale.toDouble) + lit(0.5d))
+            .cast("long").as("_q"))
+        .groupBy("_cid", "pos")
+        .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case None => (cid, old) // empty cluster: keep its centroid
+          case Some(rows) =>
+            val arr = new Array[Float](old.length)
+            rows.foreach { r =>
+              // Java long division truncates toward zero — the exact
+              // semantics of DuckDB's integer `//` (verified both signs)
+              val q = r.getLong(2) / r.getLong(3)
+              arr(r.getInt(1)) = (q.toDouble / quantScale).toFloat
+            }
+            (cid, arr)
+        }
+      }
+    }
+    val best = bestCentroid(col("_kvec"), cents)
+    val assignments = base.select(col("_kid").as(id),
+      (-best.getField("ncid")).as("cluster_id"),
+      best.getField("sim").as("sim"))
+    KmeansModel(cents, assignments)
+  }
+
+  /** SemDeDup: k-means the corpus, then inside each cluster drop the
+    * LARGER id of every pair with rounded cosine >= `threshold` (greedy
+    * single pass, the paper's policy — not transitive closure; use
+    * [[DedupOps.connectedComponents]] when cluster-level transitivity is
+    * wanted). Returns the survivors as (id, cluster_id), i.e. the
+    * semantically-deduplicated corpus keyed to its cluster.
+    *
+    * Scale: the only corpus-wide exchanges are (a) one shuffle of
+    * (cluster, id, vec) per side for the intra-cluster self-join and
+    * (b) the id-keyed anti-join of the drop set — both linear. The pair
+    * comparison is quadratic ONLY within a cluster: size k to the corpus
+    * (SemDeDup uses k ≈ corpus/10^3..10^4) so clusters stay bounded; a
+    * degenerate cluster shows up as a straggler task, the signal to
+    * raise k — the same explicit-cap philosophy as
+    * [[DedupOps.minhashDupPairs]]'s maxBucket. */
+  def semdedup(corpus: DataFrame, vec: String, id: String, k: Int,
+               iters: Int, threshold: Double,
+               quantScale: Long = 1000000L): DataFrame = {
+    val model = kmeans(corpus, vec, id, k, iters, quantScale)
+    // cluster recomputed MAP-SIDE from the driver-held centroids rather
+    // than joining model.assignments back by id: same deterministic
+    // arg-max, k×dim flops per row instead of an id-keyed corpus shuffle
+    val best = bestCentroid(col("_svec"), model.centroids)
+    val vecs = corpus.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("_sid"), col(vec).as("_svec"))
+      .withColumn("cluster_id", -best.getField("ncid"))
+    val a = vecs.select(col("_sid").as("_ida"), col("_svec").as("_va"),
+      col("cluster_id"))
+    val b = vecs.select(col("_sid").as("_idb"), col("_svec").as("_vb"),
+      col("cluster_id"))
+    val drops = a.join(b, Seq("cluster_id"))
+      .filter(col("_ida") < col("_idb") &&
+        roundHalfUp(cosine_sim(col("_va"), col("_vb")), 6) >= lit(threshold))
+      .select(col("_idb").as("_sid")).distinct()
+    vecs.join(drops, Seq("_sid"), "left_anti")
+      .select(col("_sid").as(id), col("cluster_id"))
+  }
+}

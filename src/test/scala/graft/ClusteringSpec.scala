@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Clustering
+
+/** Distributed deterministic k-means + SemDeDup: planted-cluster
+  * recovery, partitioning invariance (the determinism contract), empty-
+  * cluster survival, and the dedup drop policy. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two tight planted clusters around orthogonal axes plus a little
+    * deterministic per-id jitter — far enough apart that any sane
+    * Lloyd's run separates them. */
+  private def planted() = {
+    val rows = (0L until 40L).map { i =>
+      val axis = (i % 2).toInt // even ids cluster 0, odd ids cluster 1
+      val jitter = 0.01f * ((i % 7).toInt - 3)
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v(2 + axis) = jitter
+      (i, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans recovers planted clusters and converges") {
+    val m = Clustering.kmeans(planted(), "embedding", "vec_id", k = 2, iters = 4)
+    val byCluster = m.assignments.select("vec_id", "cluster_id")
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(byCluster.size == 2)
+    // every cluster is parity-pure: the planted structure was found
+    byCluster.values.foreach { ids =>
+      assert(ids.map(_ % 2).size == 1, s"mixed-parity cluster: $ids")
+    }
+    assert(byCluster.values.map(_.size).sum == 40)
+  }
+
+  test("kmeans is invariant to input partitioning (determinism contract)") {
+    val base = planted()
+    def runAt(parts: Int) = {
+      val m = Clustering.kmeans(base.repartition(parts), "embedding",
+        "vec_id", k = 3, iters = 3)
+      (m.centroids.map { case (cid, v) => (cid, v.toSeq) },
+        m.assignments.orderBy("vec_id")
+          .as[(Long, Long, Double)].collect().toSeq)
+    }
+    val (c1, a1) = runAt(1)
+    val (c13, a13) = runAt(13)
+    assert(c1 == c13, "centroids must be bit-identical across partitionings")
+    assert(a1 == a13, "assignments must be bit-identical across partitionings")
+  }
+
+  test("kmeans survives an empty cluster by keeping its previous centroid") {
+    // seed 0 and seed 1 are IDENTICAL vectors: every point scores them
+    // equally and ties go to the smaller cid, so cluster 1 starves
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val m = Clustering.kmeans(dup, "embedding", "vec_id", k = 2, iters = 3)
+    // the starved centroid survives untouched (= its seed vector) —
+    // no crash, no NaN centroid
+    assert(m.centroids.exists { case (cid, v) =>
+      cid == 1L && v.toSeq == Seq(1.0f, 0.0f) })
+    // Lloyd's then puts the preserved centroid back to work: once
+    // cluster 0's mean drifts toward (0.925, 0.075), the exact (1,0)
+    // vectors re-assign to the untouched centroid 1
+    val byId = m.assignments.select("vec_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    assert(byId(0L) == 1L && byId(1L) == 1L)
+    assert(byId(2L) == 0L && byId(3L) == 0L)
+  }
+
+  test("kmeans rejects a corpus smaller than k and null vectors are dropped") {
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeans(tiny, "embedding", "vec_id", k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("need k=2"))
+    // with k=1 the null row is silently dropped, not scored
+    val m = Clustering.kmeans(tiny, "embedding", "vec_id", k = 1, iters = 1)
+    assert(m.assignments.count() == 1)
+  }
+
+  test("semdedup drops the larger id of a near-identical pair, keeps the rest") {
+    val corpus = planted().unionByName(
+      // near-identical copies of ids 0 and 1 at high ids
+      Seq((1000L, Array(1.0f, 0.0f, 0.0001f, 0.0f)),
+        (1001L, Array(0.0f, 1.0f, 0.0f, 0.0001f)))
+        .toDF("vec_id", "embedding"))
+    val out = Clustering.semdedup(corpus, "embedding", "vec_id",
+      k = 2, iters = 3, threshold = 0.9999)
+    val survivors = out.select("vec_id").as[Long].collect().toSet
+    assert(!survivors.contains(1000L) && !survivors.contains(1001L),
+      "planted near-dup copies must be dropped")
+    assert(survivors.contains(0L) && survivors.contains(1L),
+      "originals (smaller ids) must survive")
+  }
+}
