@@ -155,6 +155,39 @@ object Expressions {
     }
   }
 
+  /** K-means assignment: struct(sim, cid) of the best centroid by
+    * (rounded cosine DESC, id ASC) — see [[Kernels.bestCentroid]]. A
+    * plan-level formulation of this arg-max (a CASE-WHEN fold over k
+    * struct candidates with the centroid literals inlined) was measured
+    * to blow the janino method-size limit at k=8, dims=64, dropping the
+    * whole map stage out of codegen; one kernel call per row keeps the
+    * stage compiled at any k. `ids` must be sorted ascending — that is
+    * what makes first-max-wins equal ties-to-smallest-id. */
+  case class BestCentroid(child: Expression, cents: Array[Array[Float]],
+                          ids: Array[Long])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(ids.length == cents.length,
+      s"best_centroid: ${cents.length} centroids vs ${ids.length} ids")
+    require(ids.isEmpty || ids.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "best_centroid: ids must be strictly ascending (tie-break contract)")
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("sim", DoubleType, nullable = false),
+      StructField("cid", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bestCentroid(
+        Kernels.floatsStrict(input.asInstanceOf[ArrayData]), cents, ids)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.bestCentroid(" +
+          s"graft.functions.Kernels.floatsStrict($a), $centsRef, $idsRef);")
+    }
+  }
+
   /** Permuted-block table keys for SimHash banding at radius >= 4 (see
     * [[Kernels.permTableKeys]]): C(m, keep) keys per signature, exact
     * recall for Hamming <= m - keep with a keep*64/m-bit keyspace. */
@@ -307,6 +340,9 @@ object Expressions {
     column(PermTableKeys(expression(sig), m, keep))
   def argmax_cosine(vec: Column, cents: Array[Array[Float]]): Column =
     column(ArgMaxCosine(expression(vec), cents))
+  def best_centroid(vec: Column, cents: Seq[(Long, Array[Float])]): Column =
+    column(BestCentroid(expression(vec),
+      cents.map(_._2).toArray, cents.map(_._1).toArray))
   def z_order(a: Column, b: Column): Column =
     column(ZOrderKey(expression(a.cast("long")), expression(b.cast("long"))))
   def bloom_might_contain(key: Column,

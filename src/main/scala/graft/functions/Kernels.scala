@@ -162,6 +162,30 @@ object Kernels {
     best
   }
 
+  /** Best centroid by (HALF_UP-6-rounded cosine DESC, centroid id ASC)
+    * in one compiled pass — the k-means assignment hot loop
+    * ([[graft.ops.Clustering]]). Differs from [[argmaxCosine]] on
+    * purpose: the similarity is rounded BEFORE the comparison (the
+    * DuckDB-oracle total order — an unrounded arg-max could flip on
+    * last-ulp noise between engines), and ties go to the smallest id,
+    * which `ids` being sorted ascending plus the strict `>` delivers
+    * for free. Returns struct(sim, cid). */
+  def bestCentroid(v: Array[Float], cents: Array[Array[Float]],
+                   ids: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (cents.length == 0 || cents.length != ids.length)
+      throw new IllegalArgumentException(
+        s"best_centroid: ${cents.length} centroids vs ${ids.length} ids")
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val s = graft.functions.Rounding.roundHalfUpDouble(cosine(v, cents(c)), 6)
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSim, ids(best)))
+  }
+
   /** All `keep`-element subsets of 0..m-1 in lexicographic order
     * (cached): the block-combination tables for SimHash banding. */
   private val subsetCache =

@@ -44,4 +44,18 @@ object Rounding {
     val num = if (castDouble) s"CAST($cased AS DOUBLE)" else s"($cased)"
     s"(($num) / $f + 0.0)"
   }
+
+  /** Scalar twin of [[roundHalfUp]]: the SAME IEEE double expression
+    * evaluated in JVM arithmetic, for native kernels that fold the
+    * rounding inside a compiled loop (e.g. Kernels.bestCentroid). The
+    * Column version's floor lands in a BIGINT before the division; here
+    * it stays a double — identical values for |scaled| < 2^53, which
+    * |cosine| * 10^n at any sane n satisfies by orders of magnitude.
+    * ONE definition pair on purpose — see the class doc: this rounding
+    * is the bit-parity linchpin. */
+  def roundHalfUpDouble(x: Double, n: Int): Double = {
+    val f = math.pow(10, n)
+    val s = if (x < 0) -math.floor((-x) * f + 0.5) else math.floor(x * f + 0.5)
+    s / f + 0.0
+  }
 }

@@ -58,22 +58,15 @@ object Clustering {
                                assignments: DataFrame)
 
   /** Arg-max-cosine against driver-held centroids as ONE map-side
-    * expression: a struct max over (rounded sim, -cid), so the highest
-    * similarity wins and exact ties go to the smallest centroid id —
-    * [[SimilarityOps.assignToCentroids]]'s total order, without its
-    * aggregate (no exchange at all). Deterministic expressions, so
-    * whole-stage codegen's subexpression elimination evaluates each
-    * cosine once even when the caller projects both struct fields. */
+    * native kernel call per row returning struct(sim, cid):
+    * [[SimilarityOps.assignToCentroids]]'s total order (rounded sim
+    * DESC, cid ASC) without its aggregate — no exchange at all. A
+    * plan-level CASE-WHEN fold over k struct candidates was measured to
+    * blow the janino method-size limit at k=8/dims=64 and drop the map
+    * stage out of whole-stage codegen; the kernel keeps it compiled. */
   private def bestCentroid(vec: Column,
                            cents: Seq[(Long, Array[Float])]): Column =
-    cents.map { case (cid, cv) =>
-      struct(
-        roundHalfUp(cosine_sim(vec, typedlit(cv.toSeq)), 6).as("sim"),
-        lit(-cid).as("ncid"))
-    }.reduce((a, b) => when(b > a, b).otherwise(a))
-      // the CASE-WHEN fold merges branch structs under generic field
-      // names (col1/col2); the cast restores (sim, ncid) for getField
-      .cast("struct<sim:double,ncid:bigint>")
+    graft.functions.Expressions.best_centroid(vec, cents)
 
   /** Lloyd's k-means: seeds = the k smallest-id vectors (deterministic,
     * oracle-replayable init), `iters` exact-integer update rounds, then a
@@ -99,7 +92,7 @@ object Clustering {
       // quantize map-side, partial-aggregate the long sums: the exchange
       // is partitions × k × dim rows, never the corpus
       val sums = base
-        .select((-best.getField("ncid")).as("_cid"), posexplode(col("_kvec")))
+        .select(best.getField("cid").as("_cid"), posexplode(col("_kvec")))
         .select(col("_cid"), col("pos"),
           floor(col("col").cast("double") * lit(quantScale.toDouble) + lit(0.5d))
             .cast("long").as("_q"))
@@ -124,7 +117,7 @@ object Clustering {
     }
     val best = bestCentroid(col("_kvec"), cents)
     val assignments = base.select(col("_kid").as(id),
-      (-best.getField("ncid")).as("cluster_id"),
+      best.getField("cid").as("cluster_id"),
       best.getField("sim").as("sim"))
     KmeansModel(cents, assignments)
   }
@@ -154,7 +147,7 @@ object Clustering {
     val best = bestCentroid(col("_svec"), model.centroids)
     val vecs = corpus.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("_sid"), col(vec).as("_svec"))
-      .withColumn("cluster_id", -best.getField("ncid"))
+      .withColumn("cluster_id", best.getField("cid"))
     val a = vecs.select(col("_sid").as("_ida"), col("_svec").as("_va"),
       col("cluster_id"))
     val b = vecs.select(col("_sid").as("_idb"), col("_svec").as("_vb"),

@@ -177,6 +177,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("kmeans assignment: map-side kernel, one presentation exchange, no join") {
+    // the whole scale story of Clustering.kmeans is that assignment
+    // never shuffles the corpus: the trained centroids ride inside the
+    // BestCentroid kernel expression, so the final-assignment plan must
+    // be scan -> filter -> project (+ the presentation orderBy's range
+    // exchange) with no join of any kind
+    val p = planOf("q_kmeans")
+    assert(count(p, "Exchange") <= 1, s"kmeans assignment shuffled:\n$p")
+    assert(!p.contains("Join"), s"kmeans assignment grew a join:\n$p")
+  }
+
+  test("semdedup: pair search confined to clusters — no cartesian, no nested loop") {
+    // the quadratic term must stay local to a cluster: the self-join
+    // keys on cluster_id (hash or broadcast are both fine), and nothing
+    // may regress into the all-pairs shapes
+    val p = planOf("q_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup regressed to an all-pairs join:\n$p")
+  }
+
   test("incremental watermark filter prunes with pushdown") {
     // on a natively-typed order column the watermark predicate reaches
     // the scan (events.ts is a ns->µs conversion, so its filter runs
