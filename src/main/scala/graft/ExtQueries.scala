@@ -60,6 +60,15 @@ object ExtQueries {
       }
   }
 
+  /** In-order double dot product over two SQL list columns — the DuckDB
+    * twin of [[graft.functions.Kernels.cosine]]'s accumulation (index
+    * order, every element promoted to DOUBLE before multiply). ONE
+    * definition on purpose: this string is the oracle side of the
+    * cosine bit-parity contract, and the five keys that embed it must
+    * never drift apart. */
+  private def sqlDot(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
   /** Shared CTE chain replaying [[graft.ops.Clustering.kmeans]] in
     * DuckDB: `v` (non-null corpus), `vq` (components quantized to
     * BIGINT at 1e6, floor(x*1e6+0.5) — the operator's exact formula),
@@ -70,10 +79,8 @@ object ExtQueries {
     * `af`/`bf` — the final assignment against `c_iters`. Callers append
     * their SELECT (and extra CTEs) after this. */
   private def kmeansCtes(corpusSql: String, k: Int, iters: Int): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
     val simExpr = sqlRound(
-      s"${dot("ev", "cvec")} / (sqrt(${dot("ev", "ev")}) * sqrt(${dot("cvec", "cvec")}))", 6)
+      s"${sqlDot("ev", "cvec")} / (sqrt(${sqlDot("ev", "ev")}) * sqrt(${sqlDot("cvec", "cvec")}))", 6)
     val rounds = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, cid, $simExpr AS sim FROM v, c${i - 1}),
          |b$i AS (SELECT vec_id, cid, sim, row_number() OVER (
@@ -89,6 +96,10 @@ object ExtQueries {
          |  SELECT cid, cvec FROM c${i - 1}
          |  WHERE cid NOT IN (SELECT cid FROM m$i))""".stripMargin
     }.mkString(",\n")
+    // iters = 0 (assignment against the raw seeds) is a supported
+    // Clustering.kmeans configuration: emit no round CTEs rather than a
+    // dangling comma that would fail at DuckDB parse time
+    val roundsSeg = if (iters == 0) "" else s"$rounds,\n"
     s"""WITH corpus AS ($corpusSql),
        |v AS (SELECT vec_id, embedding AS ev FROM corpus
        |      WHERE embedding IS NOT NULL),
@@ -96,8 +107,7 @@ object ExtQueries {
        |    CAST(floor(CAST(ev[pos] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
        |  FROM (SELECT vec_id, ev, unnest(range(1, len(ev) + 1)) AS pos FROM v)),
        |c0 AS (SELECT vec_id AS cid, ev AS cvec FROM v ORDER BY vec_id LIMIT $k),
-       |$rounds,
-       |af AS (SELECT vec_id, cid, $simExpr AS sim FROM v, c$iters),
+       |${roundsSeg}af AS (SELECT vec_id, cid, $simExpr AS sim FROM v, c$iters),
        |bf AS (SELECT vec_id, cid, sim, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM af)""".stripMargin
   }
@@ -1178,31 +1188,27 @@ object ExtQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_embed" -> {
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 1000000,
-         |         list_transform(embedding, x -> CAST(x * 1.1 + 0.01 AS REAL))
+         |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.1 + 0.01 AS REAL))
          |  FROM embeddings),
          |q AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id < 50),
          |p AS (
          |  SELECT id_a, c.vec_id AS id_b,
-         |    ${sqlRound(s"${dot("q.va", "c.embedding")} / (sqrt(${dot("q.va", "q.va")}) * sqrt(${dot("c.embedding", "c.embedding")}))", 6)} AS sim
+         |    ${sqlRound(s"${sqlDot("q.va", "c.embedding")} / (sqrt(${sqlDot("q.va", "q.va")}) * sqrt(${sqlDot("c.embedding", "c.embedding")}))", 6)} AS sim
          |  FROM corpus c, q WHERE id_a < c.vec_id)
          |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
          |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_cluster_assign" -> {
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
          |v AS (SELECT vec_id, embedding AS ev FROM embeddings),
          |s AS (
          |  SELECT vec_id, cid,
-         |    ${sqlRound(s"${dot("ev", "cvec")} / (sqrt(${dot("ev", "ev")}) * sqrt(${dot("cvec", "cvec")}))", 6)} AS sim
+         |    ${sqlRound(s"${sqlDot("ev", "cvec")} / (sqrt(${sqlDot("ev", "ev")}) * sqrt(${sqlDot("cvec", "cvec")}))", 6)} AS sim
          |  FROM v, c),
          |r AS (SELECT vec_id, cid, sim, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM s)
@@ -1221,15 +1227,13 @@ object ExtQueries {
        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "q_semdedup" -> {
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
       val pairSim = sqlRound(
-        s"${dot("x.ev", "y.ev")} / (sqrt(${dot("x.ev", "x.ev")}) * sqrt(${dot("y.ev", "y.ev")}))", 6)
+        s"${sqlDot("x.ev", "y.ev")} / (sqrt(${sqlDot("x.ev", "x.ev")}) * sqrt(${sqlDot("y.ev", "y.ev")}))", 6)
       s"""${kmeansCtes(
         """SELECT vec_id, embedding FROM embeddings
           |  UNION ALL
           |  SELECT vec_id + 1000000,
-          |         list_transform(embedding, x -> CAST(x * 1.1 + 0.01 AS REAL))
+          |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.1 + 0.01 AS REAL))
           |  FROM embeddings""".stripMargin, k = 8, iters = 2)},
          |asg AS (SELECT vec_id, cid FROM bf WHERE rk = 1),
          |pv AS (SELECT a.vec_id, a.cid, v.ev
@@ -1522,13 +1526,11 @@ object ExtQueries {
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_similarity_cosine" -> {
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nvec FROM embeddings),
          |s AS (
          |  SELECT query_id, neighbor_id,
-         |    ${sqlRound(s"${dot("qvec", "nvec")} / (sqrt(${dot("qvec", "qvec")}) * sqrt(${dot("nvec", "nvec")}))", 6)} AS sim
+         |    ${sqlRound(s"${sqlDot("qvec", "nvec")} / (sqrt(${sqlDot("qvec", "qvec")}) * sqrt(${sqlDot("nvec", "nvec")}))", 6)} AS sim
          |  FROM c, q)
          |SELECT query_id, neighbor_id, sim,
          |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk

@@ -11,6 +11,15 @@ object Verify {
       case Array(s, o)       => (s, o, None)
       case Array(s, o, keys) => (s, o, Some(keys.split(',').toSet))
     }
+    // a typo'd key must fail loudly here — silently matching nothing
+    // would dump zero queries AND overwrite a previous full run's
+    // oracle_sql.json with {}, turning the next check.py into a
+    // vacuous pass
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"Verify: unknown key(s) ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def wanted(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.harnessSession(cpus)
