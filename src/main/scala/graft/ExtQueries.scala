@@ -279,6 +279,17 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // One representative per semantic cluster (diversity sampling):
+    // the member closest to its centroid, ties to the smallest id —
+    // same trained model as q_kmeans, so the oracle replays the same
+    // rounds and adds one ranked pick per cluster.
+    "q_cluster_medoids" -> ((s, dir) => {
+      val m = graft.ops.Clustering.kmeans(emb(s, dir), "embedding",
+        "vec_id", k = 8, iters = 3)
+      graft.ops.Clustering.medoids(m.assignments, "vec_id")
+        .orderBy("cluster_id")
+    }),
+
     // SemDeDup over the planted-near-dup corpus (q_dedup_embed's
     // construction): cluster with 2 Lloyd rounds, then drop the larger
     // id of every intra-cluster pair at rounded cosine >= 0.95 — the
@@ -1225,6 +1236,14 @@ object ExtQueries {
     "q_kmeans" -> s"""${kmeansCtes("SELECT vec_id, embedding FROM embeddings", k = 8, iters = 3)}
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM bf
        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_cluster_medoids" ->
+      s"""${kmeansCtes("SELECT vec_id, embedding FROM embeddings", k = 8, iters = 3)},
+         |asg AS (SELECT vec_id, cid, sim FROM bf WHERE rk = 1),
+         |md AS (SELECT vec_id, cid, sim, row_number() OVER (
+         |    PARTITION BY cid ORDER BY sim DESC, vec_id) AS mrk FROM asg)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id AS medoid_id, sim
+         |FROM md WHERE mrk = 1 ORDER BY cluster_id""".stripMargin,
 
     "q_semdedup" -> {
       val pairSim = sqlRound(

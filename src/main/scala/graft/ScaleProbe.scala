@@ -171,9 +171,17 @@ object ScaleProbe {
         r.count()
         graft.ops.Graph.releaseRanks(r)
       }
+      scrub()
+      // full-corpus k-means: 2 Lloyd rounds + final assignment; the
+      // corpus never shuffles, so expected growth is the linear scan
+      // cost of 3 assignment passes, damped by job-launch overhead
+      val tKm = best2 {
+        graft.ops.Clustering.kmeans(e, "embedding", "vec_id",
+          k = 16, iters = 2).assignments.count()
+      }
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
-        "ann_ivf" -> tIvf, "pagerank" -> tPr)
+        "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm)
     }
 
     run(1, "w") // warm-up: JIT + codegen caches, discarded

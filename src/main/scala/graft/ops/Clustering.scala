@@ -122,6 +122,20 @@ object Clustering {
     KmeansModel(cents, assignments)
   }
 
+  /** One representative per cluster — the diversity-sampling /
+    * curation primitive (pick the most central member of each semantic
+    * cluster): the member with the highest rounded similarity to its
+    * centroid, ties to the smallest id. Input is a [[KmeansModel]]'s
+    * `assignments` frame (or anything shaped (id, cluster_id, sim)).
+    * Scale: one partial-aggregated struct-max — the exchange carries k
+    * rows per partition, never members. */
+  def medoids(assignments: DataFrame, id: String): DataFrame =
+    assignments
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("sim"), (-col(id)).as("nid"))).as("_b"))
+      .select(col("cluster_id"), (-col("_b.nid")).as("medoid_id"),
+        col("_b.sim").as("sim"))
+
   /** SemDeDup: k-means the corpus, then inside each cluster drop the
     * LARGER id of every pair with rounded cosine >= `threshold` (greedy
     * single pass, the paper's policy — not transitive closure; use

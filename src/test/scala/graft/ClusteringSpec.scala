@@ -84,6 +84,23 @@ class ClusteringSpec extends SparkSpec {
     assert(m.assignments.count() == 1)
   }
 
+  test("medoids picks the most-central member per cluster, ties to smallest id") {
+    val m = Clustering.kmeans(planted(), "embedding", "vec_id", k = 2, iters = 4)
+    val med = Clustering.medoids(m.assignments, "vec_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(med.length == 2)
+    // each medoid must be a member of its own cluster with the cluster's max sim
+    val asg = m.assignments.as[(Long, Long, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.map(r => (r._1, r._3))).toMap
+    med.foreach { case (cid, mid, sim) =>
+      val members = asg(cid)
+      assert(members.exists(_._1 == mid))
+      assert(sim == members.map(_._2).max)
+      // ties broken to the smallest id
+      assert(mid == members.filter(_._2 == sim).map(_._1).min)
+    }
+  }
+
   test("semdedup drops the larger id of a near-identical pair, keeps the rest") {
     val corpus = planted().unionByName(
       // near-identical copies of ids 0 and 1 at high ids
