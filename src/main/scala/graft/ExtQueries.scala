@@ -321,6 +321,26 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Frame sampling (every 2nd frame of the decode-stub's frame count)
+    // with the per-frame 8-dim stub feature vector, unnested to one row
+    // per component so the hash gate value-checks every float. The
+    // oracle replays the stub end-to-end: payload FNV -> frame count,
+    // stride enumeration, then the per-dim FNV chain and the
+    // float32(q/1000) quantization.
+    "q_media_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.ops.Multimodal.fromBinaryColumn(
+        docs(s, dir), "doc_id", "text", "video")
+        .as[graft.ops.Multimodal.MediaRow]
+      graft.ops.Multimodal.frameFeatures(media, stride = 2).toDF()
+        .select(col("media_id"), col("frame_id").cast("long"),
+          posexplode(col("feature")))
+        .select(col("media_id"), col("frame_id"),
+          col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("value"))
+        .orderBy("media_id", "frame_id", "dim")
+    }),
+
     // Container-dispatching media probe: deterministic synthetic
     // payloads with REAL png/gif/wav/mp4 headers around the document
     // bytes; the probe parses the containers map-side. Oracled: DuckDB
@@ -992,6 +1012,60 @@ object ExtQueries {
         |       ELSE 1 + abs((s - ((s % 1048576 + 1048576) % 1048576)) // 1048576) % 16 END AS BIGINT) AS n_frames
         |FROM sgn JOIN documents USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+
+    // frameFeatures replay: the decode-stub FNV gives the frame count
+    // (identical CTE chain to q_multimodal_meta, minus the real-parser
+    // branches — frameFeatures never dispatches them); per sampled
+    // frame the 8-dim chain is h0 = prime * (fi+1), then per dim
+    // h ^= media_id + i; h *= prime, feature = float32((h % 1000)/1000)
+    // with Java's dividend-signed % (DuckDB's % matches). The xor rides
+    // the low 24 bits — valid while media_id + 7 < 2^24, orders of
+    // magnitude above any driver scale. Per-dim prefixes re-reduce the
+    // chain (36 tiny steps per frame) to keep every operand a plain
+    // lambda variable (the fnvStep64 textual-repetition rule).
+    "q_media_frames" -> {
+      val step = { (acc: String, v: String) =>
+        val x = s"((($acc) - (($acc) % 16777216)) + xor(CAST(($acc) % 16777216 AS BIGINT), CAST(($v) AS BIGINT)))"
+        s"(((($x) % 16777216) * 1099511627776 + ($x) * 435) % $u64)"
+      }
+      s"""WITH raw AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         least(octet_length(encode(text)), 256) AS nb
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |fnv AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend($fnvBasis,
+         |        list_transform(range(1, nb + 1), i ->
+         |          CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+         |             + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT))),
+         |      (acc, b) -> ${fnvStep("acc", "b")}) AS h
+         |  FROM raw),
+         |fr AS (
+         |  SELECT doc_id,
+         |    CAST(1 + abs((s - ((s % 1048576 + 1048576) % 1048576)) // 1048576) % 16 AS BIGINT) AS frames
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN h >= $h63 THEN h - $u64 ELSE h END AS s FROM fnv)),
+         |fid AS (SELECT doc_id, unnest(range(0, frames, 2)) AS fi FROM fr),
+         |ft AS (
+         |  SELECT doc_id, fi,
+         |    list_transform(range(0, 8), d ->
+         |      list_reduce(
+         |        list_prepend(CAST(1099511628211 AS HUGEINT) * (fi + 1),
+         |          list_transform(range(0, d + 1), i -> doc_id + i)),
+         |        (acc, v) -> ${step("acc", "v")})) AS hs
+         |  FROM fid),
+         |qv AS (
+         |  SELECT doc_id, fi,
+         |    list_transform(hs, hh ->
+         |      CAST(CASE WHEN hh >= $h63 THEN hh - $u64 ELSE hh END AS BIGINT) % 1000) AS qs
+         |  FROM ft)
+         |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_id,
+         |  CAST(dim AS BIGINT) AS dim,
+         |  CAST(CAST(CAST(qs[dim + 1] AS DOUBLE) / 1000 AS REAL) AS DOUBLE) AS value
+         |FROM (SELECT doc_id, fi, qs, unnest(range(0, 8)) AS dim FROM qv)
+         |ORDER BY media_id, frame_id, dim""".stripMargin
+    },
 
     // Full MinHash+LSH replay over docs+mutants (threshold 0.3): see
     // minhashOracleSql. The universal-hash constants are read from the
