@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Clustering
+import graft.ops.{Clustering, SimilarityOps}
 
 /** Distributed deterministic k-means + SemDeDup: planted-cluster
   * recovery, partitioning invariance (the determinism contract), empty-
@@ -82,6 +82,33 @@ class ClusteringSpec extends SparkSpec {
     // with k=1 the null row is silently dropped, not scored
     val m = Clustering.kmeans(tiny, "embedding", "vec_id", k = 1, iters = 1)
     assert(m.assignments.count() == 1)
+  }
+
+  test("BestCentroid kernel matches assignToCentroids on every vector (shared total order)") {
+    // two independent implementations claim (rounded sim DESC, cid ASC):
+    // the map-side kernel (Clustering's hot path) and the struct-max
+    // aggregate (SimilarityOps.assignToCentroids). Pin them to each
+    // other on data with planted exact ties (duplicate centroid vectors)
+    // and near-ties (jittered vectors).
+    val corpus = planted().unionByName(
+      Seq((500L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val cents = corpus.filter(col("vec_id") < 6)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val viaKernel = {
+      val b = graft.functions.Expressions.best_centroid(col("embedding"), cents)
+      corpus.select(col("vec_id"), b.getField("cid").as("cluster_id"),
+        b.getField("sim").as("sim"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    }
+    val viaAgg = {
+      val cdf = cents.toDF("vec_id", "embedding")
+      SimilarityOps.assignToCentroids(corpus, cdf,
+        "embedding", "vec_id", "vec_id")
+        .select(col("vec_id"), col("cluster_id"), col("sim"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    }
+    assert(viaKernel == viaAgg)
   }
 
   test("medoids picks the most-central member per cluster, ties to smallest id") {
