@@ -64,8 +64,10 @@ object ExtQueries {
     * twin of [[graft.functions.Kernels.cosine]]'s accumulation (index
     * order, every element promoted to DOUBLE before multiply). ONE
     * definition on purpose: this string is the oracle side of the
-    * cosine bit-parity contract, and the five keys that embed it must
-    * never drift apart. */
+    * cosine bit-parity contract, embedded (directly or via kmeansCtes)
+    * in q_dedup_embed, q_cluster_assign, q_similarity_cosine, q_kmeans,
+    * q_cluster_medoids and q_semdedup — keys that must never drift
+    * apart. */
   private def sqlDot(x: String, y: String): String =
     s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 

@@ -3,18 +3,19 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-growth probe for the approximate-dedup / ANN / graph family:
-  * times four scale-critical operators (banded-LSH near-dup pairs, the
-  * incremental dedup-index probe, IVF top-k, fixed-point PageRank) at
-  * 1× and N× (default 30× — at ≤10× of sf0.1 the per-op cost is within
-  * noise of the 1× baseline, job-launch overhead dominating; see
-  * SURVEY §6) of an sf directory and prints the growth ratios — the
-  * local evidence that the bucket cap, the O(batch) index probe, the
-  * bounded top-k aggregate, and the per-round |V|-row exchange hold
-  * their sub-quadratic promise before anyone extrapolates to a
-  * 1000-executor cluster. An all-pairs shape would show ~N² ratios
-  * here; the expected signature is ~N (with constant overheads damping
-  * it below N at these sizes).
+/** Scale-growth probe for the approximate-dedup / ANN / graph /
+  * clustering family: times five scale-critical operators (banded-LSH
+  * near-dup pairs, the incremental dedup-index probe, IVF top-k,
+  * fixed-point PageRank, full-corpus k-means) at 1× and N× (default
+  * 30× — at ≤10× of sf0.1 the per-op cost is within noise of the 1×
+  * baseline, job-launch overhead dominating; see SURVEY §6) of an sf
+  * directory and prints the growth ratios — the local evidence that
+  * the bucket cap, the O(batch) index probe, the bounded top-k
+  * aggregate, the per-round |V|-row exchange, and the partitions×k×dim
+  * k-means update hold their sub-quadratic promise before anyone
+  * extrapolates to a 1000-executor cluster. An all-pairs shape would
+  * show ~N² ratios here; the expected signature is ~N (with constant
+  * overheads damping it below N at these sizes).
   *
   * The N× corpus derives deterministically from the testdata: copy k
   * suffixes every token with `_k`, so copies are NOT cross-copy
