@@ -188,6 +188,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"kmeans assignment grew a join:\n$p")
   }
 
+  test("medoids: one partial-aggregated exchange over the map-side assignment") {
+    // struct-max per cluster_id partial-aggregates map-side, so the
+    // only exchanges are the k-row aggregate and the presentation
+    // orderBy; a window-rank rewrite would exchange every member row
+    val p = planOf("q_cluster_medoids")
+    assert(count(p, "Exchange") <= 2, s"medoids re-shuffled members:\n$p")
+    assert(!p.contains("Join") && count(p, "Window") == 0,
+      s"medoids lost the aggregate shape:\n$p")
+  }
+
   test("semdedup: pair search confined to clusters — no cartesian, no nested loop") {
     // the quadratic term must stay local to a cluster: the self-join
     // keys on cluster_id (hash or broadcast are both fine), and nothing
