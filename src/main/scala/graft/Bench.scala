@@ -41,20 +41,18 @@ object Bench {
       catch { case _: Throwable => }
     spark.catalog.clearCache()
     System.gc()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failure must never masquerade as a fast success: report -1
-      // for the key and shout on stderr so a broken build can't read
-      // as a perf win
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          false
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // between-key hygiene, OUTSIDE the timed window: several operators
+    // min-of-2 threshold: a key whose first run exceeds this is timed a
+    // second time and reports the MIN. Rationale (r7→r8 drift autopsy):
+    // ~20 unchanged keys drifted a uniform 1.2-1.4x between full runs
+    // while their isolated times matched the faster round exactly — the
+    // variance is run-level JVM/ambient state, not plans. The min of two
+    // back-to-back runs is the JMH-standard estimator for that noise
+    // shape; confining it to >1s keys bounds the added wall-clock to
+    // roughly the slow keys' (warmer, so cheaper) second runs.
+    val rep2Threshold =
+      sys.env.get("SPARK_GRAFT_MIN2_SEC").map(_.toDouble).getOrElse(1.0)
+    def hygiene(): Unit = {
+      // between-run hygiene, OUTSIDE the timed window: several operators
       // pin localCheckpoint blocks that only the ContextCleaner frees
       // (on GC of the dropped DataFrame); across 100+ keys in one JVM
       // the accumulation inflates later keys 3-4x with collection
@@ -62,7 +60,32 @@ object Bench {
       // GC time is still inside its measurement.
       spark.catalog.clearCache()
       System.gc()
-      name -> (if (ok) dt else -1.0)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+      def timedRun(): Double = {
+        val t0 = System.nanoTime()
+        // a failure must never masquerade as a fast success: report -1
+        // for the key and shout on stderr so a broken build can't read
+        // as a perf win
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        hygiene()
+        if (ok) dt else -1.0
+      }
+      val first = timedRun()
+      val dt = if (first >= rep2Threshold) {
+        val second = timedRun()
+        // a failure on EITHER run poisons the key: min(-1, t) would let
+        // a flaky second run report the healthy first time
+        if (second < 0) -1.0 else math.min(first, second)
+      } else first
+      name -> dt
     }
     // failed keys carry -1 markers; they must not deflate the total
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -100,11 +100,17 @@ object Fixtures {
     }
   }
 
-  /** Delete a scratch tree (the PARENT temp dir created by
-    * [[scratchCopy]], or any throwaway dir). */
+  /** Delete a scratch tree returned by [[scratchCopy]] — and ONLY that:
+    * drop removes the PARENT temp dir (scratchCopy nests the copy one
+    * level inside its fresh temp dir), so calling it on an arbitrary
+    * path would silently delete unrelated siblings. Guarded: refuses
+    * any path whose parent is not a `graft_scratch*` temp dir. */
   def drop(path: String): Unit = {
-    new scala.reflect.io.Directory(
-      new java.io.File(path).getParentFile).deleteRecursively()
+    val parent = new java.io.File(path).getParentFile
+    require(parent != null && parent.getName.startsWith("graft_scratch"),
+      s"Fixtures.drop only accepts scratchCopy results (got $path — " +
+        "parent is not a graft_scratch temp dir)")
+    new scala.reflect.io.Directory(parent).deleteRecursively()
     ()
   }
 }

@@ -44,9 +44,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+    // A key-filtered run MERGES into an existing oracle_sql.json rather
+    // than replacing it: the other keys' parquet dumps from the previous
+    // full run are still sitting in outDir, so shrinking the json would
+    // make the next check.py silently validate a subset that still looks
+    // like a full pass.
+    val path = Paths.get(s"$outDir/oracle_sql.json")
+    val subset = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+    val merged: Map[String, String] =
+      if (only.isDefined && Files.exists(path)) {
+        import scala.jdk.CollectionConverters._
+        val prev = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(path))
+        prev.fields().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap ++ subset
+      } else subset
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(path, json)
     spark.stop()
   }
 }

@@ -114,6 +114,13 @@ final class BarsHttpClient(
     var token: Option[String] = None
     var pages = 0
     while ({
+      // guard BEFORE the request: exactly maxPages pages are ever
+      // fetched (and handed to f) — the cap bounds server traffic,
+      // not just the loop
+      if (pages >= maxPages)
+        throw new RuntimeException(
+          s"bars API pagination exceeded $maxPages pages — token chain " +
+            "is not terminating (server bug or maxPages set too low)")
       val u = url(symbols, timeframe, start, end, token)
       val (status, body) = transport(u, headers)
       val page = (if (status == 200) parsePage(body) else Left(body))
@@ -122,10 +129,6 @@ final class BarsHttpClient(
             s"Response: $err"), identity)
       f(page.body)
       pages += 1
-      if (pages > maxPages)
-        throw new RuntimeException(
-          s"bars API pagination exceeded $maxPages pages — token chain " +
-            "is not terminating (server bug or maxPages set too low)")
       token = page.nextPageToken
       token.isDefined
     }) ()
