@@ -114,6 +114,89 @@ object ExtQueries {
        |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM af)""".stripMargin
   }
 
+  /** ANN-family hyperparameters, defined ONCE for both the query keys
+    * and their oracle SQL so the two sides cannot drift. `annBits` must
+    * stay explicit (never autoBits) in the keys: the oracle's plane
+    * literal is generated for exactly this plane count. `annDims` is
+    * the embeddings table's fixed vector width (the oracle embeds a
+    * bits×dims sign matrix; the Spark side reads dims per row, so only
+    * the oracle depends on it — TESTDATA generates 64-dim at every SF). */
+  private val annBits = 8
+  private val annDims = 64
+  private val annK = 8
+  private val annIvfIters = 2
+  private val annNprobe = 3
+  private val annTopK = 10
+
+  /** DuckDB replay of [[SimilarityOps.lshTopK]] (= AnnIndex.search —
+    * AnnIndexSpec pins the equality): hyperplane buckets from the
+    * kernel's own ±1 sign matrix ([[graft.functions.Expressions
+    * .HyperplaneLsh.signs]] embedded as a literal — the minhashParams
+    * no-drift pattern), in-order double dots (sqlDot = the kernel's
+    * accumulation), sign test `dot >= 0` setting bit `1 << j`, 1-bit
+    * multi-probe via xor, then rounded-cosine row_number (sim DESC,
+    * neighbor_id) — the TopKNeighbors total order. */
+  private def lshAnnOracleSql: String = {
+    val planeRows = graft.functions.Expressions.HyperplaneLsh
+      .signs(annBits, annDims).zipWithIndex.map { case (row, j) =>
+        s"($j, [${row.map(v => s"$v.0").mkString(",")}])"
+      }.mkString(",\n    ")
+    val simExpr = sqlRound(
+      s"${sqlDot("qv.ev", "nv.ev")} / (sqrt(${sqlDot("qv.ev", "qv.ev")}) * sqrt(${sqlDot("nv.ev", "nv.ev")}))", 6)
+    s"""WITH v AS (SELECT vec_id, embedding AS ev FROM embeddings
+       |      WHERE embedding IS NOT NULL),
+       |pl AS (SELECT * FROM (VALUES
+       |    $planeRows) AS t(j, p)),
+       |bkt AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN ${sqlDot("ev", "p")} >= 0
+       |             THEN 1 << j ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM v, pl GROUP BY vec_id),
+       |qb AS (SELECT vec_id AS query_id, bucket FROM bkt WHERE vec_id < 5),
+       |pr AS (SELECT query_id, bucket FROM qb
+       |       UNION
+       |       SELECT query_id,
+       |              xor(bucket, CAST(1 << (f.range - 1) AS INTEGER))
+       |       FROM qb, range(1, ${annBits + 1}) f),
+       |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+       |         FROM pr p JOIN bkt c ON c.bucket = p.bucket),
+       |s AS (SELECT ca.query_id, ca.neighbor_id, $simExpr AS sim
+       |      FROM cand ca JOIN v qv ON qv.vec_id = ca.query_id
+       |                   JOIN v nv ON nv.vec_id = ca.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+       |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= $annTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** DuckDB replay of the deterministic-IVF search (q_ann_ivf):
+    * kmeansCtes trains the centroids and assigns the corpus (bf rk=1 =
+    * the map-side best_centroid assignment), the probe step ranks
+    * centroids per query by rounded cosine (ties to smallest cid,
+    * crk <= nprobe — ivfSearch's exact window), and candidates are the
+    * probed clusters' members under the rounded-cosine top-k order. */
+  private def ivfAnnOracleSql: String = {
+    val probeSim = sqlRound(
+      s"${sqlDot("q.qvec", "c.cvec")} / (sqrt(${sqlDot("q.qvec", "q.qvec")}) * sqrt(${sqlDot("c.cvec", "c.cvec")}))", 6)
+    val simExpr = sqlRound(
+      s"${sqlDot("qv.ev", "nv.ev")} / (sqrt(${sqlDot("qv.ev", "qv.ev")}) * sqrt(${sqlDot("nv.ev", "nv.ev")}))", 6)
+    s"""${kmeansCtes("SELECT vec_id, embedding FROM embeddings", k = annK, iters = annIvfIters)},
+       |asg AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM bf WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, ev AS qvec FROM v WHERE vec_id < 5),
+       |ps AS (SELECT q.query_id, c.cid, $probeSim AS csim
+       |       FROM q, c$annIvfIters c),
+       |pp AS (SELECT query_id, cid, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY csim DESC, cid) AS crk FROM ps),
+       |s AS (SELECT p.query_id, a.neighbor_id, $simExpr AS sim
+       |      FROM pp p JOIN asg a ON a.cluster = p.cid
+       |        JOIN v qv ON qv.vec_id = p.query_id
+       |        JOIN v nv ON nv.vec_id = a.neighbor_id
+       |      WHERE p.crk <= $annNprobe),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+       |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= $annTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Bounded clustering corpus with PLANTED near-dups: docs < 40 plus
     * 80%-prefix mutants of docs < 20 — guarantees non-trivial duplicate
     * clusters at every scale factor, so the components/apply oracle
@@ -681,13 +764,23 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // HLL approximate distinct vs exact (sketch aggregate; rows-only --
-    // HLL implementations differ across engines by design).
+    // HLL approximate distinct vs exact. HLL register values differ
+    // across engines by design, so the raw estimate can never hash-match
+    // DuckDB — instead the key emits the VALUE-BOUNDED check: the
+    // estimate must land within 3×rsd of the exact count (rsd is the
+    // one-sigma relative error, so 3σ ≈ 99.7% — and Spark's HLL++ is
+    // deterministic per input, so the check is stable, not flaky). The
+    // oracle asserts within_rsd = TRUE against its own exact count;
+    // a broken sketch fails the hash gate instead of hiding in
+    // rows-only territory.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.read(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("_approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("_approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= lit(0.15)).as("within_rsd"))
         .orderBy("l_returnflag")),
 
     // Symmetric int8 embedding quantization: per-vector absmax scale,
@@ -766,22 +859,34 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
-    // IVF (k-means inverted file) ANN -- the billion-scale layout
-    // (rows-only; recall vs brute force tested in SimilaritySpec).
+    // IVF (k-means inverted file) ANN -- the billion-scale layout.
+    // Oracled: the index comes from the deterministic full-corpus
+    // k-means (Clustering.kmeans — seeds = k smallest ids, exact-integer
+    // Lloyd rounds), so DuckDB replays the ENTIRE search: training via
+    // kmeansCtes, the map-side assignment, the rounded nprobe routing,
+    // and the final rounded-cosine top-k. The sampled trainer
+    // (buildIvfIndex) stays the operator-surface default; recall vs
+    // brute force for both paths is tested in SimilaritySpec.
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 5),
-        "embedding", "vec_id", 10)
+      val model = graft.ops.Clustering.kmeans(e, "embedding", "vec_id",
+        k = annK, iters = annIvfIters)
+      val idx = SimilarityOps.ivfIndexFromModel(e, "embedding", "vec_id", model)
+      SimilarityOps.ivfSearch(idx, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", annTopK, nprobe = annNprobe)
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rk").cast("long"))
         .orderBy("query_id", "rk")
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only, recall tested vs brute).
+    // LSH-bucketed ANN (scale path). bits is EXPLICIT, not autoBits:
+    // the plane set must match the static oracle (which embeds the
+    // sign matrix from HyperplaneLsh.signs), and skipping the sizing
+    // count() drops a whole corpus pass from the key.
     "q_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       SimilarityOps.lshTopK(e, e.filter(col("vec_id") < 5),
-        "embedding", "vec_id", 10)
+        "embedding", "vec_id", annTopK, bits = annBits)
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rk").cast("long"))
         .orderBy("query_id", "rk")
@@ -790,19 +895,21 @@ object ExtQueries {
     // Persisted ANN index: built ONCE (range-clustered on the LSH
     // bucket so probe IN-lists prune files) under a content-keyed
     // fixture path — a deployment builds nightly, queries all day — and
-    // each run times ONLY the disk search. Rows-only — spec pins
-    // search == lshTopK under the same plane set. Driver-local fixture
-    // dir is demo plumbing; the operator takes any Hadoop path.
+    // each run times ONLY the disk search. Oracled with the SAME SQL as
+    // q_ann_lsh: search ≡ lshTopK under one plane set (AnnIndexSpec
+    // pins the equality), and bits is pinned to annBits at build time
+    // so the stored buckets match the oracle's sign matrix. Driver-local
+    // fixture dir is demo plumbing; the operator takes any Hadoop path.
     "q_ann_index" -> ((s, dir) => {
       val e = emb(s, dir)
       val fx = graft.Fixtures.ensure("ann_idx",
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + s"_b$annBits" + "_" +
           graft.Fixtures.contentKey(s"ann_idx|$dir", e, "vec_id", "embedding")) { p =>
         graft.ops.AnnIndex.build(s, e, p + "/ann", "embedding", "vec_id",
-          numFiles = 8)
+          bits = annBits, numFiles = 8)
       }
       graft.ops.AnnIndex.search(s, e.filter(col("vec_id") < 5),
-          fx + "/ann", "embedding", "vec_id", 10)
+          fx + "/ann", "embedding", "vec_id", annTopK)
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rk").cast("long"))
         .orderBy("query_id", "rk")
@@ -1302,6 +1409,20 @@ object ExtQueries {
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM r
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin
     },
+
+    // The ANN family under the hash gate: buckets/routing and the
+    // final top-k replayed end-to-end (see the builders' scaladoc).
+    "q_ann_lsh" -> lshAnnOracleSql,
+    "q_ann_index" -> lshAnnOracleSql,
+    "q_ann_ivf" -> ivfAnnOracleSql,
+
+    // The HLL key's oracle asserts the 3×rsd bound (within_rsd must be
+    // TRUE) plus the exact counts — the estimate itself is engine-
+    // specific and stays out of the hash.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS within_rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Full Lloyd's replay: every k-means round unrolled as CTEs — the
     // rounded arg-max assignment (b_i), the quantized exact-integer mean

@@ -254,6 +254,13 @@ object Expressions {
       planeCache.computeIfAbsent((bits.toLong << 32) | dims, _ =>
         Array.tabulate(bits, dims)(rademacher))
 
+    /** The ±1 plane matrix, exposed so the DuckDB oracle can embed the
+      * SAME signs as a literal table (the minhashParams pattern: the
+      * oracle reads constants from the kernel, so the two can never
+      * drift). Row j is plane j — the bit `bucket` sets via `1 << j`. */
+    def signs(bits: Int, dims: Int): Array[Array[Int]] =
+      planes(bits, dims).map(_.map(_.toInt))
+
     def bucket(v: Array[Float], bits: Int): Int = {
       val m = planes(bits, v.length)
       var sig = 0; var j = 0

@@ -172,8 +172,13 @@ object SimilarityOps {
   def ivfSearch(index: IvfIndex, queries: DataFrame, vec: String,
                 id: String, k: Int, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("qvec"))
+    // probe routing under the determinism policy (Clustering.kmeans):
+    // HALF_UP-round the centroid similarity to 6 digits BEFORE the
+    // rank, ties to the smallest cluster id — an unrounded rank could
+    // flip probe sets on last-ulp noise between engines, and the DuckDB
+    // oracle replays exactly this comparison
     val qProbes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("csim", cosine_sim(col("qvec"), col("centroid")))
+      .withColumn("csim", roundHalfUp(cosine_sim(col("qvec"), col("centroid")), 6))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster"))))
       .filter(col("crk") <= nprobe)
@@ -187,6 +192,27 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vec: String,
               id: String, k: Int, nlist: Int = 0, nprobe: Int = 4): DataFrame =
     ivfSearch(buildIvfIndex(corpus, vec, id, nlist), queries, vec, id, k, nprobe)
+
+  /** IVF index from a full-corpus deterministic k-means model
+    * ([[Clustering.kmeans]]) instead of the driver-sampled trainer:
+    * same search path, but the cluster layout is reproducible across
+    * runs/partitionings/engines — the DuckDB oracle replays the whole
+    * routing (Lloyd rounds via kmeansCtes, assignment, probe rank).
+    * Assignment is recomputed MAP-SIDE from the driver-held centroids
+    * (the [[Clustering.semdedup]] rationale: k×dim flops per row
+    * beats an id-keyed corpus shuffle to reuse model.assignments),
+    * so the corpus still never shuffles. */
+  def ivfIndexFromModel(corpus: DataFrame, vec: String, id: String,
+                        model: Clustering.KmeansModel): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = model.centroids.toDF("cluster", "centroid")
+    val best = graft.functions.Expressions.best_centroid(col(vec), model.centroids)
+    val assigned = corpus.filter(col(vec).isNotNull)
+      .select(col(id).as("neighbor_id"), col(vec).as("nvec"),
+        best.getField("cid").as("cluster"))
+    IvfIndex(assigned, centDf, model.centroids.size)
+  }
 
   /** Keyspace sized to the corpus: ~targetBucket vectors per bucket. */
   private[ops] def autoBits(n: Long, targetBucket: Long = 128L): Int =
