@@ -80,9 +80,42 @@ object ExtQueries {
     * re-scaled to REAL; absent clusters inherit c_{i-1}), ending with
     * `af`/`bf` — the final assignment against `c_iters`. Callers append
     * their SELECT (and extra CTEs) after this. */
-  private def kmeansCtes(corpusSql: String, k: Int, iters: Int): String = {
+  private def kmeansCtes(corpusSql: String, k: Int, iters: Int,
+                         init: String = "minid"): String = {
     val simExpr = sqlRound(
       s"${sqlDot("ev", "cvec")} / (sqrt(${sqlDot("ev", "ev")}) * sqrt(${sqlDot("cvec", "cvec")}))", 6)
+    // Clustering.seedPlusPlus replay: per seeding round j, the unchosen
+    // vector maximizing the exact-integer draw key dq²·(1+hash) — dq
+    // from the best rounded cosine against the seeds so far, hash =
+    // PortableHash((vec_id + j) mod 2^20). ORDER BY key DESC, vec_id
+    // is the max(struct(key, -id)) total order.
+    // AS MATERIALIZED is load-bearing: each sd references sd_{j-1}
+    // twice (UNION branch + NOT IN), so inlined CTEs would expand the
+    // chain 2^(k-1)-fold — at k=8 DuckDB then opens the corpus parquet
+    // hundreds of times and dies on the fd limit
+    val seedRounds = (2 to k).map { j =>
+      s"""sd$j AS MATERIALIZED (SELECT cid, cvec FROM sd${j - 1}
+         |  UNION ALL
+         |  SELECT vec_id AS cid, ev AS cvec FROM (
+         |    SELECT t.vec_id, t.ev,
+         |      (1000000 - CAST(round(t.mx * 1000000) AS BIGINT)) AS dq,
+         |      ((t.vec_id + $j) * 2654435761) % 1048576 AS hm
+         |    FROM (SELECT v.vec_id, v.ev, max($simExpr) AS mx
+         |          FROM v, sd${j - 1} c(cid, cvec)
+         |          WHERE v.vec_id NOT IN (SELECT cid FROM sd${j - 1})
+         |          GROUP BY v.vec_id, v.ev) t
+         |    ORDER BY dq * dq * (1 + hm) DESC, t.vec_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    val c0 = init match {
+      case "minid" =>
+        s"c0 AS (SELECT vec_id AS cid, ev AS cvec FROM v ORDER BY vec_id LIMIT $k)"
+      case "kmeanspp" if k == 1 =>
+        "c0 AS (SELECT vec_id AS cid, ev AS cvec FROM v ORDER BY vec_id LIMIT 1)"
+      case "kmeanspp" =>
+        s"""sd1 AS MATERIALIZED (SELECT vec_id AS cid, ev AS cvec FROM v ORDER BY vec_id LIMIT 1),
+           |$seedRounds,
+           |c0 AS (SELECT cid, cvec FROM sd$k)""".stripMargin
+    }
     val rounds = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, cid, $simExpr AS sim FROM v, c${i - 1}),
          |b$i AS (SELECT vec_id, cid, sim, row_number() OVER (
@@ -108,7 +141,7 @@ object ExtQueries {
        |vq AS (SELECT vec_id, pos,
        |    CAST(floor(CAST(ev[pos] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
        |  FROM (SELECT vec_id, ev, unnest(range(1, len(ev) + 1)) AS pos FROM v)),
-       |c0 AS (SELECT vec_id AS cid, ev AS cvec FROM v ORDER BY vec_id LIMIT $k),
+       |$c0,
        |${roundsSeg}af AS (SELECT vec_id, cid, $simExpr AS sim FROM v, c$iters),
        |bf AS (SELECT vec_id, cid, sim, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM af)""".stripMargin
@@ -195,6 +228,90 @@ object ExtQueries {
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
        |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= $annTopK
        |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** ExactSubstr-span hyperparameters ([[graft.ops.DedupOps
+    * .exactSubstrSpans]]), defined once for the key and its oracle. */
+  private val esK = 8
+  private val esW = 4
+  private val esExt = 48
+  // 24, not the operator's 16 default: the generated corpus is phrase-y
+  // (54k pairs share a 16-23 char stock phrase vs ~1.5k real spans) —
+  // the key should surface the dedup signal, not the phrase book
+  private val esMinLen = 24
+  private val esMaxBucket = 64
+
+  /** Char-exact longest-common-prefix length in DuckDB: index of the
+    * first mismatching char minus one, or the full shorter length when
+    * no mismatch. Chars compared as 1-char substrings — identical to
+    * the kernels' charAt on the ASCII corpus (the q_fingerprint
+    * charset status). */
+  private def lcpSql(a: String, b: String): String =
+    s"coalesce(list_min(list_filter(range(1, least(length($a), length($b)) + 1), " +
+      s"i -> substr($a, CAST(i AS INT), 1) <> substr($b, CAST(i AS INT), 1))) - 1, " +
+      s"least(length($a), length($b)))"
+
+  /** Char-exact longest-common-suffix length (compared from the ends). */
+  private def lcsufSql(a: String, b: String): String =
+    s"coalesce(list_min(list_filter(range(1, least(length($a), length($b)) + 1), " +
+      s"i -> substr($a, CAST(length($a) - i + 1 AS INT), 1) <> " +
+      s"substr($b, CAST(length($b) - i + 1 AS INT), 1))) - 1, " +
+      s"least(length($a), length($b)))"
+
+  /** DuckDB replay of [[graft.ops.DedupOps.exactSubstrSpans]] over the
+    * docs+mutants corpus: FNV char-gram hashes (the q_fingerprint
+    * HUGEINT emulation via [[fnvStep]]), windowed first-argmin anchor
+    * selection (list_position = the kernel's smallest-position
+    * tie-break), bounded context windows, bucket cap, gram-text
+    * equality guard, and char-exact common-affix extension. */
+  private def exactSubstrOracleSql: String = {
+    val (k, w, me, ml, mb) = (esK, esW, esExt, esMinLen, esMaxBucket)
+    def winMin(i: String) = s"list_min(grams[$i:$i+${w - 1}])"
+    s"""WITH d AS ($mutantCte),
+       |g AS (SELECT doc_id, text, length(text) - $k + 1 AS n,
+       |    list_transform(range(1, greatest(length(text) - $k + 2, 1)), i ->
+       |      list_reduce(
+       |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |          list_transform(range(i, i + $k), j -> unicode(substr(text, CAST(j AS INT), 1)))),
+       |        (acc, c) -> ${fnvStep("acc", "c")})) AS grams_u
+       |  FROM d WHERE text IS NOT NULL),
+       |sg AS (SELECT doc_id, text, n,
+       |    list_transform(grams_u, h ->
+       |      CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+       |           THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS grams
+       |  FROM g),
+       |an AS (SELECT doc_id, text,
+       |    CASE WHEN n < 1 THEN CAST([] AS STRUCT(p INTEGER, h BIGINT)[])
+       |         WHEN n <= $w THEN [struct_pack(
+       |             p := CAST(list_position(grams, list_min(grams)) - 1 AS INTEGER),
+       |             h := list_min(grams))]
+       |         ELSE list_transform(range(1, n - $w + 2), i ->
+       |           struct_pack(
+       |             p := CAST(i - 1 + list_position(grams[i:i+${w - 1}], ${winMin("i")}) - 1 AS INTEGER),
+       |             h := ${winMin("i")})) END AS anchors
+       |  FROM sg),
+       |ax AS (SELECT DISTINCT doc_id, struct_extract(a, 'p') AS pos,
+       |              struct_extract(a, 'h') AS h, text
+       |       FROM (SELECT doc_id, text, unnest(anchors) AS a FROM an)),
+       |cx AS (SELECT doc_id, h,
+       |    substr(text, CAST(pos + 1 - least(pos, $me) AS INT),
+       |           CAST(least(pos, $me) AS INT)) AS pre,
+       |    substr(text, CAST(pos + 1 AS INT), ${k + me}) AS post
+       |  FROM ax),
+       |bk AS (SELECT h FROM cx GROUP BY h HAVING count(*) BETWEEN 2 AND $mb),
+       |kp AS (SELECT cx.* FROM cx JOIN bk USING (h)),
+       |pp AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |              x.pre AS pre_a, x.post AS post_a,
+       |              y.pre AS pre_b, y.post AS post_b
+       |       FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
+       |       WHERE substr(x.post, 1, $k) = substr(y.post, 1, $k)),
+       |ee AS (SELECT id_a, id_b,
+       |    $k + ${lcsufSql("pre_a", "pre_b")}
+       |       + ${lcpSql(s"substr(post_a, ${k + 1})", s"substr(post_b, ${k + 1})")} AS ext
+       |  FROM pp)
+       |SELECT id_a, id_b, count(*) AS n_anchors, CAST(max(ext) AS BIGINT) AS max_len
+       |FROM ee GROUP BY id_a, id_b HAVING max(ext) >= $ml
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Bounded clustering corpus with PLANTED near-dups: docs < 40 plus
@@ -359,6 +476,19 @@ object ExtQueries {
     "q_kmeans" -> ((s, dir) => {
       graft.ops.Clustering.kmeans(emb(s, dir), "embedding", "vec_id",
         k = 8, iters = 3)
+        .assignments
+        .select(col("vec_id"), col("cluster_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // k-means under the deterministic k-means++-style init (seed 1 =
+    // smallest id, then exact-integer distance-weighted draws — fixes
+    // the smallest-k-ids quality degeneracy on id-sorted corpora while
+    // staying bit-replayable). The oracle unrolls the SEEDING rounds
+    // too, so the hash gate covers the whole init, not just Lloyd.
+    "q_kmeans_pp" -> ((s, dir) => {
+      graft.ops.Clustering.kmeans(emb(s, dir), "embedding", "vec_id",
+        k = 8, iters = 2, init = "kmeanspp")
         .assignments
         .select(col("vec_id"), col("cluster_id"), col("sim"))
         .orderBy("vec_id")
@@ -732,6 +862,20 @@ object ExtQueries {
       DedupOps.repeatedNgrams(docs(s, dir), "text", "doc_id",
           w = 8, minDocs = 2)
         .orderBy("gram")),
+
+    // Variable-length exact-substring spans (ExactSubstr, Lee et al.
+    // ACL'22) over docs+mutants: winnow anchors seed cross-doc
+    // collisions, bounded re-comparison extends them to span lengths.
+    // Oracled end-to-end — DuckDB replays gram hashing, windowed
+    // first-argmin anchor selection, the bucket cap, the gram-text
+    // collision guard, and the char-exact affix extension.
+    "q_exact_substr" -> ((s, dir) =>
+      DedupOps.exactSubstrSpans(docsWithMutants(s, dir), "text", "doc_id",
+          k = esK, w = esW, maxExt = esExt, minLen = esMinLen,
+          maxBucket = esMaxBucket)
+        .select(col("id_a"), col("id_b"), col("n_anchors"),
+          col("max_len").cast("long"))
+        .orderBy("id_a", "id_b")),
 
     // Token-distribution Shannon entropy per document (low-entropy =
     // template/spam filter signal).
@@ -1307,6 +1451,8 @@ object ExtQueries {
         |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
         |FROM mins ORDER BY doc_id""".stripMargin,
 
+    "q_exact_substr" -> exactSubstrOracleSql,
+
     "q_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
@@ -1431,6 +1577,11 @@ object ExtQueries {
     // (c_i). Empty clusters inherit their previous centroid via the
     // UNION ALL branch, mirroring Clustering.kmeans.
     "q_kmeans" -> s"""${kmeansCtes("SELECT vec_id, embedding FROM embeddings", k = 8, iters = 3)}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM bf
+       |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_kmeans_pp" -> s"""${kmeansCtes("SELECT vec_id, embedding FROM embeddings",
+         k = 8, iters = 2, init = "kmeanspp")}
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, sim FROM bf
        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 

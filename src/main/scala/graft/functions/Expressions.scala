@@ -84,6 +84,63 @@ object Expressions {
           s"graft.functions.Kernels.fingerprints($a.toString(), $k, $w));")
   }
 
+  /** Winnowing anchors: [[WinnowFingerprint]] keeping the POSITIONS —
+    * per window of w gram hashes, the smallest position holding the
+    * window minimum, as (pos, h) structs in ascending-pos order. The
+    * seed points for variable-length exact-substring extension
+    * ([[graft.ops.DedupOps.exactSubstrSpans]]): two documents sharing
+    * a verbatim run of >= k+w-1 chars are guaranteed to share an
+    * anchor hash inside it (the winnowing guarantee, SIGMOD'03 §3). */
+  case class WinnowAnchors(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.winnowAnchorRows(input.asInstanceOf[UTF8String].toString, k, w)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.winnowAnchorRows(" +
+          s"$a.toString(), $k, $w);")
+  }
+
+  /** Longest common prefix length of two strings — the bounded span
+    * extension step of exact-substring dedup. Codegen'd char loop; a
+    * HOF formulation (filter over sequence of per-char substrings)
+    * allocates a UTF8String per compared char and trips over Spark's
+    * descending-sequence inference on empty inputs. */
+  case class CommonPrefixLen(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType, StringType)
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.commonPrefixLen(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Kernels.commonPrefixLen($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Longest common suffix length (see [[CommonPrefixLen]]). */
+  case class CommonSuffixLen(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType, StringType)
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.commonSuffixLen(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Kernels.commonSuffixLen($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** One-pass MinHash signature from a token array (see
     * [[Kernels.minhashFromTokenHashes]]). Stays in whole-stage codegen.
     */
@@ -333,6 +390,12 @@ object Expressions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def winnow_anchors(text: Column, k: Int, w: Int): Column =
+    column(WinnowAnchors(expression(text), k, w))
+  def common_prefix_len(a: Column, b: Column): Column =
+    column(CommonPrefixLen(expression(a), expression(b)))
+  def common_suffix_len(a: Column, b: Column): Column =
+    column(CommonSuffixLen(expression(a), expression(b)))
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
     column(WinnowFingerprint(expression(text), k, w))
   def hyperplane_lsh(vec: Column, bits: Int): Column =

@@ -303,6 +303,76 @@ object Kernels {
     spreadBits(a) | (spreadBits(b) << 1)
   }
 
+  /** Winnowing anchors: the positions [[fingerprints]] discards. Per
+    * sliding window of `w` gram hashes, the SMALLEST position holding
+    * the window minimum (signed compare, like fingerprints); distinct
+    * (pos, hash) pairs in ascending-pos order. `pos` is the 0-based
+    * char offset of the k-gram. Returned pre-packed as ArrayData of
+    * (pos INT, h LONG) rows so the expression wrapper is a one-line
+    * static call that stays inside whole-stage codegen. */
+  def winnowAnchorRows(s: String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (k < 1 || w < 1)
+      throw new IllegalArgumentException(
+        s"winnow_anchors: k and w must be >= 1, got k=$k w=$w")
+    if (s.length < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val n = s.length - k + 1
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { h ^= (s.charAt(i + j) & 0xffffL); h *= 0x100000001b3L; j += 1 }
+      grams(i) = h; i += 1
+    }
+    // ascending-pos dedup: window starts only move right, and each
+    // window's argmin is >= the previous window's start, so a TreeSet
+    // of positions yields the distinct anchors already pos-sorted
+    val sel = scala.collection.mutable.TreeSet.empty[Int]
+    if (n <= w) {
+      var m = Long.MaxValue; var best = 0; i = 0
+      while (i < n) { if (grams(i) < m) { m = grams(i); best = i }; i += 1 }
+      sel += best
+    } else {
+      i = 0
+      while (i + w <= n) {
+        var m = Long.MaxValue; var best = i; var j = i
+        while (j < i + w) { if (grams(j) < m) { m = grams(j); best = j }; j += 1 }
+        sel += best
+        i += 1
+      }
+    }
+    val rows = sel.toArray.map { p =>
+      org.apache.spark.sql.catalyst.InternalRow(p, grams(p)): Any
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Longest common prefix length in chars (UTF-16 units — identical to
+    * codepoints on the ASCII corpora the oracle contract covers, same
+    * status as [[fingerprints]]' charAt hashing). */
+  def commonPrefixLen(a: org.apache.spark.unsafe.types.UTF8String,
+                      b: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val sa = a.toString; val sb = b.toString
+    val n = math.min(sa.length, sb.length)
+    var i = 0
+    while (i < n && sa.charAt(i) == sb.charAt(i)) i += 1
+    i
+  }
+
+  /** Longest common suffix length in chars (see [[commonPrefixLen]]). */
+  def commonSuffixLen(a: org.apache.spark.unsafe.types.UTF8String,
+                      b: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val sa = a.toString; val sb = b.toString
+    val la = sa.length; val lb = sb.length
+    val n = math.min(la, lb)
+    var i = 0
+    while (i < n && sa.charAt(la - 1 - i) == sb.charAt(lb - 1 - i)) i += 1
+    i
+  }
+
   /** Winnowing fingerprints: rolling FNV over char k-grams, min per
     * window of w, distinct sorted. */
   def fingerprints(s: String, k: Int, w: Int): Array[Long] = {

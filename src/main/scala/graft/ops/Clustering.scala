@@ -68,25 +68,76 @@ object Clustering {
                            cents: Seq[(Long, Array[Float])]): Column =
     graft.functions.Expressions.best_centroid(vec, cents)
 
-  /** Lloyd's k-means: seeds = the k smallest-id vectors (deterministic,
-    * oracle-replayable init), `iters` exact-integer update rounds, then a
-    * final hard assignment against the trained centroids. Null vectors
-    * are dropped; ragged vectors fail fast in the cosine kernel; `id`
-    * must be unique (duplicate ids would make the seed order ambiguous).
-    * An empty cluster keeps its previous centroid. */
+  /** Deterministic distance-weighted seeding (the k-means++ shape made
+    * oracle-replayable): seed 1 = the smallest id; each later seed is
+    * the unchosen vector maximizing the EXACT-INTEGER draw key
+    * `dq² · (1 + hash)` where `dq = 10^6 − round(maxsim·10^6)` (maxsim
+    * = best rounded cosine against the seeds so far — zero for an
+    * already-chosen vector, so re-picks are impossible even without
+    * the explicit exclusion) and `hash = ((id + round) · 2654435761)
+    * mod 2^20` (PortableHash, varied per round). The hash factor
+    * spreads picks across similarly-far vectors instead of pure
+    * farthest-first outlier-chasing; the integer key keeps the argmax
+    * bit-identical on any engine (ties → smallest id). Fixes the
+    * smallest-k-ids degeneracy on corpora where id order correlates
+    * with content (crawl order does). Cost: k−1 map-side corpus scans,
+    * each exchanging one partial-max row per partition — for large k
+    * seed on a sample instead. Bound check: dq ≤ 2·10^6, so
+    * dq²·(1+2^20) < 2^63 — no wrap on either engine. */
+  private def seedPlusPlus(base: DataFrame, k: Int): Seq[(Long, Array[Float])] = {
+    val first = base.orderBy("_kid").limit(1).collect()
+    require(first.nonEmpty, "kmeans: corpus has no non-null vectors")
+    var chosen: Seq[(Long, Array[Float])] =
+      Seq((first(0).getLong(0), first(0).getSeq[Float](1).toArray))
+    for (j <- 2 to k) {
+      val sorted = chosen.sortBy(_._1) // best_centroid's ascending-ids contract
+      val best = graft.functions.Expressions.best_centroid(col("_kvec"), sorted)
+      val dq = lit(1000000L) -
+        round(best.getField("sim") * lit(1000000d)).cast("long")
+      val h = graft.functions.PortableHash.hashMod(
+        col("_kid") + lit(j.toLong), 1048576L)
+      val key = dq * dq * (lit(1L) + h)
+      val picked = base
+        .filter(!col("_kid").isInCollection(chosen.map(_._1)))
+        .agg(max(struct(key.as("_key"), (-col("_kid")).as("_nid"),
+          col("_kvec"))).as("_b"))
+        .head().getStruct(0)
+      require(picked != null,
+        s"kmeans: corpus exhausted after ${chosen.length} seeds, need k=$k")
+      chosen :+= (-picked.getLong(1), picked.getSeq[Float](2).toArray)
+    }
+    chosen
+  }
+
+  /** Lloyd's k-means: deterministic seeding (`init = "minid"`: the k
+    * smallest-id vectors; `init = "kmeanspp"`: the distance-weighted
+    * [[seedPlusPlus]] draw — both oracle-replayable), `iters`
+    * exact-integer update rounds, then a final hard assignment against
+    * the trained centroids. Null vectors are dropped; ragged vectors
+    * fail fast in the cosine kernel; `id` must be unique (duplicate ids
+    * would make the seed order ambiguous). An empty cluster keeps its
+    * previous centroid. Centroids always carry ascending seed ids, so
+    * the kernel's first-max tie-break IS the smallest-cid tie-break the
+    * oracle replays — regardless of the order seeding chose them. */
   def kmeans(corpus: DataFrame, vec: String, id: String, k: Int, iters: Int,
-             quantScale: Long = 1000000L): KmeansModel = {
+             quantScale: Long = 1000000L,
+             init: String = "minid"): KmeansModel = {
     require(k >= 1, s"kmeans: k must be >= 1, got $k")
     require(iters >= 0, s"kmeans: iters must be >= 0, got $iters")
     require(quantScale > 0, s"kmeans: quantScale must be positive, got $quantScale")
+    require(init == "minid" || init == "kmeanspp",
+      s"kmeans: init must be minid or kmeanspp, got $init")
     Reserved.requireAbsent(corpus, "kmeans", Seq("_kid", "_kvec"))
     val base = corpus.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("_kid"), col(vec).as("_kvec"))
-    val init = base.orderBy("_kid").limit(k).collect()
-    require(init.length == k,
-      s"kmeans: corpus has only ${init.length} non-null vectors, need k=$k")
     var cents: Seq[(Long, Array[Float])] =
-      init.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      if (init == "kmeanspp") seedPlusPlus(base, k).sortBy(_._1)
+      else {
+        val rows = base.orderBy("_kid").limit(k).collect()
+        require(rows.length == k,
+          s"kmeans: corpus has only ${rows.length} non-null vectors, need k=$k")
+        rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      }
     for (_ <- 1 to iters) {
       val best = bestCentroid(col("_kvec"), cents)
       // quantize map-side, partial-aggregate the long sums: the exchange

@@ -192,4 +192,30 @@ object DedupIndex {
       pairs
     } finally { sigsNew.unpersist(); () }
   }
+
+  /** Steady-state maintenance: compact the small files daily appends
+    * accrete under `bands/` and `sigs/`. Layout-preserving — every
+    * band / batch_tag partition is rewritten in place through
+    * [[Layout.compactPartitions]]' stage-and-swap (flat untagged
+    * `sigs/` counts as its own single leaf), so probe pruning and the
+    * tagged replay contract are untouched, and a crash leaves each
+    * partition either old or new, never half (the swap heals on the
+    * next call). Pair results are bit-identical before and after
+    * (DedupIndexSpec pins it): compaction moves bytes, not rows.
+    * Returns the number of directories rewritten. */
+  def compact(spark: SparkSession, indexPath: String,
+              targetFileBytes: Long = 512L << 20): Int = {
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(sigsPath(indexPath), bandsPath(indexPath)).map { t =>
+      val tp = new Path(t)
+      // a crash mid-swap of a FLAT table renames it aside whole — heal
+      // before probing, or the committed-files check reads "no table"
+      // and silently skips the directory that most needs recovery
+      Layout.recoverSwap(fs, tp)
+      if (Layout.hasCommittedFiles(fs, tp))
+        Layout.compactPartitions(spark, t, targetFileBytes)
+      else 0
+    }.sum
+  }
 }

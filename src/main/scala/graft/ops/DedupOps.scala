@@ -149,6 +149,82 @@ object DedupOps {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Variable-length exact-substring spans across documents — the
+    * ExactSubstr signal of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL'22 §4.1). [[repeatedNgrams]] is
+    * the fixed-width approximation; this recovers variable-length span
+    * LENGTHS by seeding at winnowing anchors
+    * ([[graft.functions.Expressions.WinnowAnchors]]) and extending each
+    * cross-document anchor collision by bounded re-comparison. The
+    * winnowing guarantee makes the seeding sound: any verbatim run of
+    * >= k+w-1 chars shared by two documents contains a shared anchor,
+    * so no qualifying span is missed — only measured, capped.
+    *
+    * Scale design (suffix arrays do not distribute; this does):
+    *  - anchors are map-side (~2/(w+1) density per char), and each ships
+    *    ONLY a bounded context window (maxExt chars either side of its
+    *    k-gram) through the anchor-hash shuffle — full text never
+    *    crosses an exchange;
+    *  - same-hash anchors pair up INSIDE the bucket aggregate (the
+    *    [[minhashDupPairs]] idiom: capped collect_list, in-array
+    *    combinatorics — no second self-join shuffle), with buckets
+    *    capped at maxBucket so one boilerplate gram cannot go quadratic
+    *    (a dropped giant bucket is near-certain boilerplate — route it
+    *    through [[boilerplateNgrams]]);
+    *  - the k-gram text is compared exactly (FNV-collision guard), then
+    *    span = k + longest common suffix of left contexts + longest
+    *    common prefix of right contexts — native codegen'd kernels.
+    *
+    * Spans longer than k + 2*maxExt are reported capped at that bound —
+    * the honesty line: a longer true span shows as several capped
+    * anchors (n_anchors counts them), never as a wrong length.
+    *
+    * Returns (id_a, id_b, n_anchors, max_len): per cross-doc pair, the
+    * number of colliding anchor pairs and the longest extended span,
+    * filtered to max_len >= minLen. */
+  def exactSubstrSpans(df: DataFrame, text: String, id: String,
+                       k: Int = 8, w: Int = 4, maxExt: Int = 48,
+                       minLen: Int = 16, maxBucket: Int = 64): DataFrame = {
+    Reserved.requireAbsent(df, "exactSubstrSpans",
+      Seq("_a", "h", "pos", "pre", "post"))
+    val preLen = least(col("pos"), lit(maxExt))
+    val ctx = df.filter(col(text).isNotNull)
+      .select(col(id), col(text),
+        explode(graft.functions.Expressions.winnow_anchors(col(text), k, w)).as("_a"))
+      .select(col(id), col("_a.h").as("h"), col("_a.pos").as("pos"), col(text))
+      .select(col(id), col("h"),
+        col(text).substr(col("pos") + lit(1) - preLen, preLen).as("pre"),
+        col(text).substr(col("pos") + lit(1), lit(k + maxExt)).as("post"))
+    val buckets = ctx.groupBy("h")
+      .agg(collect_list(struct(col(id), col("pre"), col("post"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    // unordered in-array combinations + id-normalized orientation: the
+    // emitted pair SET is independent of collect_list's arrival order,
+    // and ext is symmetric in (a, b) — deterministic under any
+    // partitioning, which is what lets DuckDB replay it with a plain
+    // self-join on (h, doc_a < doc_b)
+    val pairs = buckets.select(explode(
+        flatten(transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + 2, size(col("xs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col(s"p.a.$id") =!= col(s"p.b.$id"))
+      .select(
+        least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
+        greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"),
+        col("p.a.pre").as("pre_a"), col("p.a.post").as("post_a"),
+        col("p.b.pre").as("pre_b"), col("p.b.post").as("post_b"))
+      .filter(col("post_a").substr(lit(1), lit(k)) ===
+        col("post_b").substr(lit(1), lit(k)))
+      .withColumn("ext", lit(k) +
+        graft.functions.Expressions.common_suffix_len(col("pre_a"), col("pre_b")) +
+        graft.functions.Expressions.common_prefix_len(
+          col("post_a").substr(lit(k + 1), lit(maxExt)),
+          col("post_b").substr(lit(k + 1), lit(maxExt))))
+    pairs.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_anchors"), max(col("ext")).as("max_len"))
+      .filter(col("max_len") >= minLen)
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * Jaccard. bands*rowsPerBand must equal the signature length.
     * Returns (idA, idB, est_jaccard) with idA < idB, est >= threshold.

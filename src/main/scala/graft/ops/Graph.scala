@@ -56,7 +56,35 @@ object Graph {
     * [[releaseRanks]] when done. */
   def pagerank(edges: DataFrame, src: String = "src", dst: String = "dst",
                iters: Int = 5, scale: Long = 1000000000L,
-               damp: Int = 85, checkpointEvery: Int = 8): DataFrame = {
+               damp: Int = 85, checkpointEvery: Int = 8): DataFrame =
+    core(edges, src, dst, iters, scale, damp, checkpointEvery, tol = None)._1
+
+  /** Convergence-reporting / early-stopping variant: per round, the L1
+    * rank movement Σ|pr_i − pr_{i−1}| is computed as an EXACT long sum
+    * (units of 1/scale — order-independent, so the stop round is
+    * deterministic under any partitioning, the [[pagerank]] contract
+    * extended to the stopping rule). Runs at most `maxIters` rounds,
+    * stopping after the first whose delta < `tolL1`; `tolL1 = 0` never
+    * stops early and just reports. Stopping after round r returns
+    * BIT-IDENTICAL ranks to `pagerank(iters = r)` (GraphSpec pins it),
+    * so an oracle replay just unrolls to the reported round count.
+    * Returns (ranks, deltas) — `deltas.length` = rounds actually run.
+    * Cost: one extra |V|-row join-aggregate per round (both sides read
+    * from cache; the delta is the round's second |V|-row job). */
+  def pagerankWithDeltas(edges: DataFrame, src: String = "src",
+                         dst: String = "dst", maxIters: Int = 20,
+                         tolL1: Long = 0L, scale: Long = 1000000000L,
+                         damp: Int = 85, checkpointEvery: Int = 8)
+      : (DataFrame, Seq[Long]) = {
+    require(tolL1 >= 0L, s"pagerank: tolL1 must be >= 0, got $tolL1")
+    core(edges, src, dst, maxIters, scale, damp, checkpointEvery,
+      tol = Some(tolL1))
+  }
+
+  private def core(edges: DataFrame, src: String, dst: String,
+                   iters: Int, scale: Long, damp: Int,
+                   checkpointEvery: Int, tol: Option[Long])
+      : (DataFrame, Seq[Long]) = {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
     require(scale > 0, s"pagerank: scale must be positive, got $scale")
     require(damp >= 0 && damp <= 100,
@@ -99,7 +127,10 @@ object Graph {
     var ranks = nodes.withColumn("pr", lit(scale))
     var ranksIsCut = false
     var lastCut: Option[DataFrame] = None
-    for (i <- 1 to iters) {
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var stopped = false
+    var i = 1
+    while (i <= iters && !stopped) {
       // per-edge integer contribution, summed exactly per target
       val contrib = ewd.join(ranks, ewd("src") === ranks("node"))
         .select(col("dst").as("node"), expr("pr div d").as("c"))
@@ -117,6 +148,17 @@ object Graph {
       val doCut = i % checkpointEvery == 0 || i == iters
       val next = if (doCut) DedupOps.cut(next0)
         else { val p = next0.persist(); p.count(); p }
+      // L1 movement BEFORE the predecessor is unpersisted: both sides
+      // read caches, and the exact long sum makes the stop decision
+      // identical on any partition layout
+      tol.foreach { t =>
+        val d = next.join(
+            ranks.select(col("node"), col("pr").as("_prev")), Seq("node"))
+          .agg(coalesce(sum(abs(col("pr") - col("_prev"))), lit(0L)).as("d"))
+          .head().getLong(0)
+        deltas += d
+        if (t > 0L && d < t) stopped = true
+      }
       // Storage release discipline: a persist-only predecessor may be
       // unpersisted as soon as its successor is materialized (eviction
       // just recomputes through it, down to the last live checkpoint).
@@ -133,11 +175,25 @@ object Graph {
       }
       ranks = next
       ranksIsCut = doCut
+      i += 1
+    }
+    // an early stop can land on a persist-only round: give the result
+    // its own checkpoint so it stands alone (the same
+    // survive-without-ancestors contract the final-round cut provides),
+    // THEN release the superseded cut — freeing it before the new cut
+    // materializes would strand the recompute path
+    if (!ranksIsCut) {
+      val c = DedupOps.cut(ranks)
+      ranks.unpersist(blocking = false)
+      lastCut.foreach(DedupOps.freeCheckpoint)
+      lastCut = Some(c)
+      ranks = c
+      ranksIsCut = true
     }
     // the result is checkpointed: its inputs' storage can go now
     ewd.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    ranks
+    (ranks, deltas.toSeq)
   }
 
   /** Release the checkpoint storage behind a [[pagerank]] result once

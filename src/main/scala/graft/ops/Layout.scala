@@ -306,8 +306,15 @@ object Layout {
       if (sub.isEmpty) Seq(dir) else sub.flatMap(leaves)
     }
     val top = partitionDirs(p)
+    // an UNPARTITIONED table is its own single leaf (flat append-only
+    // tables accrete small files exactly like a partition does): heal
+    // any crashed root swap first — the root's swap state lives in its
+    // PARENT, which no partitionDirs call inspects
+    val leafDirs =
+      if (top.isEmpty) { recoverSwap(fs, p); if (fs.exists(p)) Seq(p) else Nil }
+      else top.flatMap(leaves)
     var done = 0
-    top.flatMap(leaves).foreach { part =>
+    leafDirs.foreach { part =>
       val files = fs.listStatus(part)
         .filter(_.getPath.getName.endsWith(".parquet"))
       val bytes = files.map(_.getLen).sum

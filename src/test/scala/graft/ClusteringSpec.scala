@@ -111,6 +111,54 @@ class ClusteringSpec extends SparkSpec {
     assert(viaKernel == viaAgg)
   }
 
+  /** Id-SORTED skewed corpus: the first k ids all live in one tight
+    * blob (crawl order correlating with content — the minid-seeding
+    * failure mode), with three more well-separated blobs behind them. */
+  private def idSorted() = {
+    val rows = (0L until 80L).map { i =>
+      val blob = if (i < 20) 0 else 1 + ((i - 20) % 3).toInt // ids 0..19 all blob 0
+      val v = Array.fill(8)(0.0f)
+      v(blob * 2) = 1.0f
+      v(blob * 2 + 1) = 0.02f * ((i % 5).toInt - 2)
+      (i, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeanspp seeding beats minid on an id-sorted skewed corpus") {
+    def meanSim(init: String): Double = {
+      val m = Clustering.kmeans(idSorted(), "embedding", "vec_id",
+        k = 4, iters = 2, init = init)
+      m.assignments.agg(avg("sim")).head().getDouble(0)
+    }
+    val minid = meanSim("minid")
+    val pp = meanSim("kmeanspp")
+    // minid puts all 4 seeds inside blob 0 (ids 0..3); Lloyd's from a
+    // degenerate start cannot split the other three blobs apart, so
+    // mean within-cluster similarity stays low. kmeans++ spreads seeds
+    // across blobs and lands near 1.0.
+    assert(pp > minid + 0.05,
+      s"kmeanspp ($pp) should clearly beat minid ($minid) here")
+    assert(pp > 0.95, s"kmeanspp should recover the blob structure, got $pp")
+  }
+
+  test("kmeanspp seeding is invariant to input partitioning") {
+    def runAt(parts: Int) = {
+      val m = Clustering.kmeans(idSorted().repartition(parts), "embedding",
+        "vec_id", k = 4, iters = 2, init = "kmeanspp")
+      (m.centroids.map { case (cid, v) => (cid, v.toSeq) },
+        m.assignments.orderBy("vec_id")
+          .as[(Long, Long, Double)].collect().toSeq)
+    }
+    assert(runAt(1) == runAt(7))
+  }
+
+  test("kmeans rejects an unknown init name") {
+    intercept[IllegalArgumentException](
+      Clustering.kmeans(planted(), "embedding", "vec_id", k = 2, iters = 1,
+        init = "random"))
+  }
+
   test("medoids picks the most-central member per cluster, ties to smallest id") {
     val m = Clustering.kmeans(planted(), "embedding", "vec_id", k = 2, iters = 4)
     val med = Clustering.medoids(m.assignments, "vec_id")

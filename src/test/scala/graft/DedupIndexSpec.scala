@@ -111,4 +111,63 @@ class DedupIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/bands").count() == 6L * 16)
     assert(spark.read.parquet(s"$idx/sigs").count() == 6L)
   }
+
+  private def batch3 = Seq(
+    (20L, base + "yet another divergent tail of tokens"),
+    (21L, "fresh standalone words nothing shares with anything else")
+  ).toDF("doc_id", "text")
+
+  private def parquetCount(dir: String): Int = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) 0
+    else d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  test("compaction shrinks files, preserves future pairs exactly, and is idempotent") {
+    // two identical indexes, three appends each — b gets compacted
+    val a = tmpDir() + "/idx_a"
+    val b = tmpDir() + "/idx_b"
+    Seq(batch1, batch2, batch3).foreach { df =>
+      DedupIndex.appendAndFindDups(spark, df, a, "text", "doc_id").count()
+      DedupIndex.appendAndFindDups(spark, df, b, "text", "doc_id").count()
+    }
+    val sigsBefore = parquetCount(s"$b/sigs")
+    val bandBefore = parquetCount(s"$b/bands/band=0")
+    assert(sigsBefore >= 3, "three appends should leave >= 3 sigs files")
+    assert(bandBefore >= 3)
+    val rewritten = DedupIndex.compact(spark, b)
+    assert(rewritten >= 17, // sigs root + 16 band partitions
+      s"expected every fragmented dir rewritten, got $rewritten")
+    assert(parquetCount(s"$b/sigs") < sigsBefore)
+    assert(parquetCount(s"$b/bands/band=0") < bandBefore)
+    // compaction moved bytes, not rows: identical tables...
+    assert(spark.read.parquet(s"$b/sigs").orderBy("doc_id").collect().toSeq ==
+      spark.read.parquet(s"$a/sigs").orderBy("doc_id").collect().toSeq)
+    // already-compact dirs are left alone (1 file each, nothing to do)
+    assert(DedupIndex.compact(spark, b) == 0, "second compact must be a no-op")
+    // ...and an identical NEXT probe (the operator-level contract)
+    val probe = Seq((30L, base + "post compaction probe tail")).toDF("doc_id", "text")
+    val pa = collectPairs(DedupIndex.appendAndFindDups(spark, probe, a, "text", "doc_id"))
+    val pb = collectPairs(DedupIndex.appendAndFindDups(spark, probe, b, "text", "doc_id"))
+    assert(pa == pb)
+    assert(pa.nonEmpty, "probe should pair with the indexed near-dups")
+  }
+
+  test("crash mid-compact heals: a flat table renamed aside is restored") {
+    val idx = tmpDir() + "/idx_crash"
+    Seq(batch1, batch2).foreach { df =>
+      DedupIndex.appendAndFindDups(spark, df, idx, "text", "doc_id").count()
+    }
+    // simulate swapInPlace dying right after moving the live sigs dir
+    // aside (no commit marker): the table looks absent
+    val sigs = new java.io.File(s"$idx/sigs")
+    val aside = new java.io.File(s"$idx/.sigs.swap_old")
+    assert(sigs.renameTo(aside), "test setup: could not stage the crash")
+    assert(!sigs.exists())
+    DedupIndex.compact(spark, idx)
+    assert(sigs.exists() && !aside.exists(), "recoverSwap must restore sigs")
+    val probe = Seq((40L, base + "post crash probe")).toDF("doc_id", "text")
+    assert(collectPairs(
+      DedupIndex.appendAndFindDups(spark, probe, idx, "text", "doc_id")).nonEmpty)
+  }
 }

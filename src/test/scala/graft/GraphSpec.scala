@@ -92,5 +92,47 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pagerank(e, iters = 0))
     intercept[IllegalArgumentException](Graph.pagerank(e, scale = 0L))
     intercept[IllegalArgumentException](Graph.pagerank(e, damp = 101))
+    intercept[IllegalArgumentException](Graph.pagerankWithDeltas(e, tolL1 = -1L))
+  }
+
+  private val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+    (1L, 3L), (2L, 4L))
+
+  test("deltas are reported per round and a cycle converges to delta 0") {
+    val (r, ds) = Graph.pagerankWithDeltas(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"),
+      maxIters = 4, tolL1 = 0L)
+    r.count(); Graph.releaseRanks(r)
+    assert(ds.length == 4, "tolL1 = 0 must never stop early")
+    // the 3-cycle is a fixed point from round 1: every later delta is 0
+    assert(ds.tail.forall(_ == 0L), s"expected zero movement, got $ds")
+  }
+
+  test("early stop after round r is bit-identical to pagerank(iters = r)") {
+    val e = chain.toDF("src", "dst")
+    // deltas shrink ~damp^round from ~|V|·scale: 1e8 trips well inside
+    // 20 rounds on this 4-node graph, 2e6 would not
+    val tol = 100000000L
+    val (r, ds) = Graph.pagerankWithDeltas(e, maxIters = 20, tolL1 = tol)
+    val stopped = r.as[(Long, Long)].collect().toMap
+    Graph.releaseRanks(r)
+    assert(ds.length < 20, "tolerance should trip before maxIters on a small graph")
+    assert(ds.last < tol && ds.init.forall(_ >= tol),
+      s"stop must fire on exactly the first sub-tolerance round: $ds")
+    val fixed = Graph.pagerank(e, iters = ds.length)
+    val ref = fixed.as[(Long, Long)].collect().toMap
+    Graph.releaseRanks(fixed)
+    assert(stopped == ref)
+  }
+
+  test("early stop round and deltas are identical across partitionings") {
+    val e = chain.toDF("src", "dst")
+    val (r1, d1) = Graph.pagerankWithDeltas(e.repartition(1), tolL1 = 100000000L)
+    val (r2, d2) = Graph.pagerankWithDeltas(e.repartition(13), tolL1 = 100000000L)
+    val m1 = r1.as[(Long, Long)].collect().toMap
+    val m2 = r2.as[(Long, Long)].collect().toMap
+    Graph.releaseRanks(r1); Graph.releaseRanks(r2)
+    assert(d1 == d2, "exact-integer L1 deltas must not depend on layout")
+    assert(m1 == m2)
   }
 }
