@@ -34,4 +34,32 @@ object CatalogOps {
 
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** L4, lakehouse-register shape: an EXTERNAL parquet table over data
+    * that already exists on storage (`CREATE TABLE ... USING PARQUET
+    * LOCATION path`) — the catalog half of every operator here that
+    * writes paths ([[graft.ops.Layout]], AnnIndex, DedupIndex):
+    * register once, then every engine session (and SQL-only readers)
+    * addresses the data by name. Schema is inferred from the files;
+    * dropping the table never deletes the data (external semantics).
+    * For hive-partitioned layouts pass `partitionedBy` AND call this —
+    * it runs the partition-discovery pass (`recoverPartitions`), the
+    * step a bare CREATE skips, without which the table reads empty. */
+  def createExternalTable(spark: SparkSession, table: String, path: String,
+                          partitionedBy: Seq[String] = Nil): Unit = {
+    // explicit schema from the files so the PARTITIONED BY clause can
+    // name its columns even when they only exist as directory names
+    val inferred = spark.read.parquet(path).schema
+    val partCols = partitionedBy.map(c =>
+      inferred.find(_.name == c).getOrElse(sys.error(
+        s"createExternalTable: partition column $c not in $path's schema")))
+    val dataCols = inferred.filterNot(f => partitionedBy.contains(f.name))
+    val partClause =
+      if (partitionedBy.isEmpty) ""
+      else s" PARTITIONED BY (${partitionedBy.mkString(", ")})"
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $table (${StructType(dataCols ++ partCols).toDDL})" +
+        s" USING PARQUET$partClause LOCATION '$path'")
+    if (partitionedBy.nonEmpty) spark.catalog.recoverPartitions(table)
+  }
 }

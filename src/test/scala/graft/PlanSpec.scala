@@ -208,6 +208,30 @@ class PlanSpec extends SparkSpec {
       s"semdedup regressed to an all-pairs join:\n$p")
   }
 
+  test("exact-substr spans: two aggregations, in-bucket pairs, no join") {
+    // the operator's scale story: anchors shuffle once (bucket groupBy
+    // on h, carrying bounded context windows), pairs are generated
+    // INSIDE the bucket aggregate (no self-join shuffle), and the pair
+    // aggregate + presentation orderBy close it out. A join anywhere
+    // means the in-array combinatorics regressed to the self-join the
+    // design exists to avoid.
+    val p = planOf("q_exact_substr")
+    assert(!p.contains("Join"), s"exact_substr grew a self-join:\n$p")
+    assert(count(p, "Exchange") <= 4, // union'd mutant corpus: each
+      // leg re-keys through the bucket groupBy; then pair agg + orderBy
+      s"exact_substr exceeded its exchange budget:\n$p")
+    assert(count(p, "Expand") == 0, s"exact_substr grew an Expand:\n$p")
+  }
+
+  test("kmeanspp final assignment keeps the map-side kernel shape") {
+    // seeding runs driver-side at construction; the RETURNED plan must
+    // be exactly the q_kmeans shape — scan -> kernel project (+ the
+    // presentation orderBy), no join, regardless of init
+    val p = planOf("q_kmeans_pp")
+    assert(count(p, "Exchange") <= 1, s"kmeanspp assignment shuffled:\n$p")
+    assert(!p.contains("Join"), s"kmeanspp assignment grew a join:\n$p")
+  }
+
   test("incremental watermark filter prunes with pushdown") {
     // on a natively-typed order column the watermark predicate reaches
     // the scan (events.ts is a ns->µs conversion, so its filter runs
