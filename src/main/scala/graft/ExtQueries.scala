@@ -147,6 +147,53 @@ object ExtQueries {
        |    PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM af)""".stripMargin
   }
 
+  /** Shared CTE chain replaying [[graft.ops.Clustering.kmeansTree]] in
+    * DuckDB — [[kmeansCtes]] with k = g trains the coarse stage (its
+    * `bf` rk=1 rows ARE the fixed group routing), then: `gasg`
+    * (vec_id → gid), `fsd`/`f0` (per-group minid seeds, ceil(k/g) per
+    * group), per round i `fa_i`/`fb_i` (rounded-cosine arg-max
+    * restricted to the row's OWN group — the kernel's routed
+    * assignment), `fm_i`/`f_i` (the same exact-integer update), ending
+    * with `faf`/`fbf` — the final routed assignment against `f_iters`.
+    * Callers append their SELECT after this. */
+  private def treeKmeansCtes(corpusSql: String, k: Int, g: Int,
+                             iters: Int): String = {
+    val perGroup = (k + g - 1) / g
+    val simExpr = sqlRound(
+      s"${sqlDot("ev", "cvec")} / (sqrt(${sqlDot("ev", "ev")}) * sqrt(${sqlDot("cvec", "cvec")}))", 6)
+    val rounds = (1 to iters).map { i =>
+      s"""fa$i AS (SELECT v.vec_id, f.fid, $simExpr AS sim
+         |  FROM v JOIN gasg a ON a.vec_id = v.vec_id
+         |         JOIN f${i - 1} f ON f.gid = a.gid),
+         |fb$i AS (SELECT vec_id, fid, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, fid) AS rk FROM fa$i),
+         |fm$i AS (SELECT b.fid, q.pos, sum(q.q) AS s, count(*) AS n
+         |  FROM fb$i b JOIN vq q ON b.vec_id = q.vec_id WHERE b.rk = 1
+         |  GROUP BY b.fid, q.pos),
+         |f$i AS (
+         |  SELECT m.fid, s0.gid,
+         |    list(CAST(CAST(m.s // m.n AS DOUBLE) / 1000000.0 AS REAL) ORDER BY m.pos) AS cvec
+         |  FROM fm$i m JOIN (SELECT DISTINCT fid, gid FROM f0) s0 ON s0.fid = m.fid
+         |  GROUP BY m.fid, s0.gid
+         |  UNION ALL
+         |  SELECT fid, gid, cvec FROM f${i - 1}
+         |  WHERE fid NOT IN (SELECT fid FROM fm$i))""".stripMargin
+    }.mkString(",\n")
+    val roundsSeg = if (iters == 0) "" else s"$rounds,\n"
+    s"""${kmeansCtes(corpusSql, k = g, iters = iters)},
+       |gasg AS (SELECT vec_id, cid AS gid FROM bf WHERE rk = 1),
+       |fsd AS (SELECT vec_id, gid, row_number() OVER (
+       |    PARTITION BY gid ORDER BY vec_id) AS srk FROM gasg),
+       |f0 AS (SELECT s.vec_id AS fid, s.gid, v.ev AS cvec
+       |       FROM fsd s JOIN v ON v.vec_id = s.vec_id
+       |       WHERE s.srk <= $perGroup),
+       |${roundsSeg}faf AS (SELECT v.vec_id, f.fid, $simExpr AS sim
+       |  FROM v JOIN gasg a ON a.vec_id = v.vec_id
+       |         JOIN f$iters f ON f.gid = a.gid),
+       |fbf AS (SELECT vec_id, fid, sim, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, fid) AS rk FROM faf)""".stripMargin
+  }
+
   /** ANN-family hyperparameters, defined ONCE for both the query keys
     * and their oracle SQL so the two sides cannot drift. `annBits` must
     * stay explicit (never autoBits) in the keys: the oracle's plane

@@ -245,6 +245,50 @@ object Expressions {
     }
   }
 
+  /** Two-level routed k-means assignment: struct(sim, cid) of the best
+    * fine centroid reached through the coarse-group arg-max — see
+    * [[Kernels.bestCentroidRouted]]. Same determinism contract as
+    * [[BestCentroid]] (rounded cosine DESC, id ASC at both levels, both
+    * id arrays ascending so first-max-wins is the tie-break), at
+    * g + |group| cosines per row instead of k. */
+  case class BestCentroidRouted(child: Expression,
+      coarse: Array[Array[Float]], coarseIds: Array[Long],
+      fine: Array[Array[Float]], fineIds: Array[Long],
+      fineGroup: Array[Long])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(coarseIds.length == coarse.length && fineIds.length == fine.length
+      && fineGroup.length == fine.length,
+      s"best_centroid_routed: ${coarse.length}/${coarseIds.length} coarse, " +
+        s"${fine.length}/${fineIds.length}/${fineGroup.length} fine")
+    require(coarseIds.isEmpty ||
+      coarseIds.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "best_centroid_routed: coarse ids must be strictly ascending")
+    require(fineIds.isEmpty ||
+      fineIds.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "best_centroid_routed: fine ids must be strictly ascending")
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("sim", DoubleType, nullable = false),
+      StructField("cid", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bestCentroidRouted(
+        Kernels.floatsStrict(input.asInstanceOf[ArrayData]),
+        coarse, coarseIds, fine, fineIds, fineGroup)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val coarseRef = ctx.addReferenceObj("coarse", coarse, "float[][]")
+      val coarseIdsRef = ctx.addReferenceObj("coarseIds", coarseIds, "long[]")
+      val fineRef = ctx.addReferenceObj("fine", fine, "float[][]")
+      val fineIdsRef = ctx.addReferenceObj("fineIds", fineIds, "long[]")
+      val fineGroupRef = ctx.addReferenceObj("fineGroup", fineGroup, "long[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.bestCentroidRouted(" +
+          s"graft.functions.Kernels.floatsStrict($a), $coarseRef, " +
+          s"$coarseIdsRef, $fineRef, $fineIdsRef, $fineGroupRef);")
+    }
+  }
+
   /** Permuted-block table keys for SimHash banding at radius >= 4 (see
     * [[Kernels.permTableKeys]]): C(m, keep) keys per signature, exact
     * recall for Hamming <= m - keep with a keep*64/m-bit keyspace. */
@@ -413,6 +457,12 @@ object Expressions {
   def best_centroid(vec: Column, cents: Seq[(Long, Array[Float])]): Column =
     column(BestCentroid(expression(vec),
       cents.map(_._2).toArray, cents.map(_._1).toArray))
+  /** `fine` rows are (cid, gid, vec), cid-ascending. */
+  def best_centroid_routed(vec: Column, coarse: Seq[(Long, Array[Float])],
+      fine: Seq[(Long, Long, Array[Float])]): Column =
+    column(BestCentroidRouted(expression(vec),
+      coarse.map(_._2).toArray, coarse.map(_._1).toArray,
+      fine.map(_._3).toArray, fine.map(_._1).toArray, fine.map(_._2).toArray))
   def z_order(a: Column, b: Column): Column =
     column(ZOrderKey(expression(a.cast("long")), expression(b.cast("long"))))
   def bloom_might_contain(key: Column,

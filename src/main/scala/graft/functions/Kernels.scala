@@ -186,6 +186,54 @@ object Kernels {
       Array[Any](bestSim, ids(best)))
   }
 
+  /** Best centroid via a two-level route — the hierarchical (IVF-style)
+    * answer to [[bestCentroid]]'s flat k-flop scan: arg-max over the g
+    * coarse group centroids first (rounded cosine DESC, group id ASC —
+    * the same total order), then arg-max over only the fine centroids
+    * belonging to that group. Per-row cost is g + |group| ≈ 2·sqrt(k)
+    * cosines instead of k. `fineGroup(i)` is the group id of fine
+    * centroid i; both id arrays are ascending so first-max-wins IS the
+    * smallest-id tie-break the DuckDB oracle replays. Every reachable
+    * group must hold at least one fine centroid ([[graft.ops.Clustering
+    * .kmeansTree]] guarantees it: seeds come from group members under
+    * the SAME fixed coarse routing); an empty route fails loud. */
+  def bestCentroidRouted(v: Array[Float], coarse: Array[Array[Float]],
+      coarseIds: Array[Long], fine: Array[Array[Float]], fineIds: Array[Long],
+      fineGroup: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (coarse.length == 0 || coarse.length != coarseIds.length)
+      throw new IllegalArgumentException(
+        s"best_centroid_routed: ${coarse.length} coarse centroids vs " +
+          s"${coarseIds.length} ids")
+    if (fine.length == 0 || fine.length != fineIds.length ||
+        fine.length != fineGroup.length)
+      throw new IllegalArgumentException(
+        s"best_centroid_routed: ${fine.length} fine centroids vs " +
+          s"${fineIds.length} ids vs ${fineGroup.length} groups")
+    var bg = 0; var bgSim = Double.NegativeInfinity
+    var c = 0
+    while (c < coarse.length) {
+      val s = graft.functions.Rounding.roundHalfUpDouble(cosine(v, coarse(c)), 6)
+      if (s > bgSim) { bgSim = s; bg = c }
+      c += 1
+    }
+    val gid = coarseIds(bg)
+    var best = -1; var bestSim = Double.NegativeInfinity
+    c = 0
+    while (c < fine.length) {
+      if (fineGroup(c) == gid) {
+        val s = graft.functions.Rounding.roundHalfUpDouble(cosine(v, fine(c)), 6)
+        if (s > bestSim) { bestSim = s; best = c }
+      }
+      c += 1
+    }
+    if (best < 0)
+      throw new IllegalStateException(
+        s"best_centroid_routed: group $gid holds no fine centroid — " +
+          "the routing table is inconsistent with the seeding contract")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSim, fineIds(best)))
+  }
+
   /** All `keep`-element subsets of 0..m-1 in lexicographic order
     * (cached): the block-combination tables for SimHash banding. */
   private val subsetCache =

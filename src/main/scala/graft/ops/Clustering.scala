@@ -109,6 +109,40 @@ object Clustering {
     chosen
   }
 
+  /** One Lloyd update's exact-integer sufficient statistics: quantize
+    * map-side, partial-aggregate the long sums — the exchange is
+    * partitions × k × dim rows, never the corpus. `best` must evaluate
+    * to the struct(sim, cid) assignment of `_kvec`. */
+  private def lloydSums(base: DataFrame, best: Column,
+      quantScale: Long): Map[Long, Array[org.apache.spark.sql.Row]] =
+    base
+      .select(best.getField("cid").as("_cid"), posexplode(col("_kvec")))
+      .select(col("_cid"), col("pos"),
+        floor(col("col").cast("double") * lit(quantScale.toDouble) + lit(0.5d))
+          .cast("long").as("_q"))
+      .groupBy("_cid", "pos")
+      .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+      .collect()
+      .groupBy(_.getLong(0))
+
+  /** The centroid for `cid` after one Lloyd round: the truncating
+    * integer mean of its members re-scaled to float32, or `old` when
+    * the cluster went empty. Java long division truncates toward zero —
+    * the exact semantics of DuckDB's integer `//` (verified both
+    * signs). */
+  private def updatedCentroid(byCid: Map[Long, Array[org.apache.spark.sql.Row]],
+      cid: Long, old: Array[Float], quantScale: Long): Array[Float] =
+    byCid.get(cid) match {
+      case None => old // empty cluster: keep its centroid
+      case Some(rows) =>
+        val arr = new Array[Float](old.length)
+        rows.foreach { r =>
+          val q = r.getLong(2) / r.getLong(3)
+          arr(r.getInt(1)) = (q.toDouble / quantScale).toFloat
+        }
+        arr
+    }
+
   /** Lloyd's k-means: deterministic seeding (`init = "minid"`: the k
     * smallest-id vectors; `init = "kmeanspp"`: the distance-weighted
     * [[seedPlusPlus]] draw — both oracle-replayable), `iters`
@@ -140,30 +174,9 @@ object Clustering {
       }
     for (_ <- 1 to iters) {
       val best = bestCentroid(col("_kvec"), cents)
-      // quantize map-side, partial-aggregate the long sums: the exchange
-      // is partitions × k × dim rows, never the corpus
-      val sums = base
-        .select(best.getField("cid").as("_cid"), posexplode(col("_kvec")))
-        .select(col("_cid"), col("pos"),
-          floor(col("col").cast("double") * lit(quantScale.toDouble) + lit(0.5d))
-            .cast("long").as("_q"))
-        .groupBy("_cid", "pos")
-        .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
-        .collect()
-      val byCid = sums.groupBy(_.getLong(0))
+      val byCid = lloydSums(base, best, quantScale)
       cents = cents.map { case (cid, old) =>
-        byCid.get(cid) match {
-          case None => (cid, old) // empty cluster: keep its centroid
-          case Some(rows) =>
-            val arr = new Array[Float](old.length)
-            rows.foreach { r =>
-              // Java long division truncates toward zero — the exact
-              // semantics of DuckDB's integer `//` (verified both signs)
-              val q = r.getLong(2) / r.getLong(3)
-              arr(r.getInt(1)) = (q.toDouble / quantScale).toFloat
-            }
-            (cid, arr)
-        }
+        (cid, updatedCentroid(byCid, cid, old, quantScale))
       }
     }
     val best = bestCentroid(col("_kvec"), cents)
@@ -171,6 +184,94 @@ object Clustering {
       best.getField("cid").as("cluster_id"),
       best.getField("sim").as("sim"))
     KmeansModel(cents, assignments)
+  }
+
+  /** Two-level tree model: the g coarse routing centroids, the fine
+    * centroids tagged with their coarse group (`(cid, gid, vec)`,
+    * cid-ascending), and the final routed hard assignment. */
+  final case class TreeKmeansModel(coarse: Seq[(Long, Array[Float])],
+                                   fine: Seq[(Long, Long, Array[Float])],
+                                   assignments: DataFrame) {
+    /** Map-side routed assignment of an arbitrary vector column —
+      * g + |group| cosines per row (see
+      * [[graft.functions.Kernels.bestCentroidRouted]]). */
+    def assignColumn(vec: Column): Column =
+      graft.functions.Expressions.best_centroid_routed(vec, coarse, fine)
+  }
+
+  /** Hierarchical (tree) k-means — the scale answer to [[kmeans]]'s
+    * flat k-cosine assignment, and the "assign against a centroid
+    * tree" move SemDeDup needs once k scales with the corpus (Abbas et
+    * al. use k ≈ corpus/10^3..10^4, so flat assignment is k×N flops):
+    *
+    *  1. Stage 1 trains `g` COARSE centroids with the plain
+    *     deterministic [[kmeans]] (g ≈ sqrt(k)); every row's group is
+    *     its rounded-arg-max coarse centroid, fixed from here on.
+    *  2. Stage 2 seeds ceil(k/g) fine centroids per reachable group
+    *     (the group's smallest member ids — minid per group) and runs
+    *     `iters` Lloyd rounds where each row competes ONLY against its
+    *     own group's fine centroids, via one map-side
+    *     [[graft.functions.Kernels.bestCentroidRouted]] kernel call:
+    *     g + ceil(k/g) ≈ 2·sqrt(k) cosines per row instead of k.
+    *
+    * Same determinism contract as [[kmeans]] (rounded arg-max at both
+    * levels, exact-integer updates) — the DuckDB oracle replays both
+    * stages. Same scale shape too: the corpus never shuffles for
+    * assignment or update (the per-round exchange is partitions × fine
+    * × dim partial sums); the one extra linear shuffle is stage 2's
+    * seed selection, a window over (gid, id) PAIRS — 16 bytes/row, no
+    * vectors. Fine cluster count is min(ceil(k/g), |group|) per group,
+    * so up to g·ceil(k/g) total (slightly above k when g ∤ k).
+    *
+    * Approximation note (the IVF trade-off, stated not hidden): a row
+    * whose nearest fine centroid lives OUTSIDE its coarse group is
+    * routed to its in-group best instead — same policy as
+    * [[SimilarityOps]]'s IVF probe with nprobe=1. SemDeDup tolerates
+    * this by construction (near-identical pairs co-route: their
+    * rounded coarse sims agree). Driver state: (g + fine) × dim
+    * floats — bounded by the model. */
+  def kmeansTree(corpus: DataFrame, vec: String, id: String, k: Int, g: Int,
+                 iters: Int, quantScale: Long = 1000000L): TreeKmeansModel = {
+    require(g >= 1, s"kmeansTree: g must be >= 1, got $g")
+    require(k >= g, s"kmeansTree: k ($k) must be >= g ($g)")
+    require(iters >= 0, s"kmeansTree: iters must be >= 0, got $iters")
+    val coarseModel = kmeans(corpus, vec, id, k = g, iters = iters, quantScale)
+    val coarse = coarseModel.centroids
+    val base = corpus.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("_kid"), col(vec).as("_kvec"))
+    val gidOf = bestCentroid(col("_kvec"), coarse).getField("cid")
+    val perGroup = (k + g - 1) / g
+    // seed ids per group: a window over 16-byte (gid, id) pairs — the
+    // only corpus-wide shuffle in the whole operator, and a narrow one
+    val seedPairs = base.select(col("_kid"), gidOf.as("_gid"))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_gid").orderBy("_kid")))
+      .filter(col("_rn") <= perGroup)
+      .select(col("_kid"), col("_gid")).collect()
+    require(seedPairs.nonEmpty, "kmeansTree: corpus has no non-null vectors")
+    val gidOfSeed = seedPairs.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fetch the ≤ g·perGroup seed vectors map-side (ids broadcast)
+    val seedVecs = base.filter(col("_kid").isInCollection(gidOfSeed.keys.toSeq))
+      .collect()
+    var fine: Seq[(Long, Long, Array[Float])] = seedVecs
+      .map(r => (r.getLong(0), gidOfSeed(r.getLong(0)),
+        r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq // ascending cids: first-max-wins = smallest-id ties
+    for (_ <- 1 to iters) {
+      val best = graft.functions.Expressions
+        .best_centroid_routed(col("_kvec"), coarse, fine)
+      val byCid = lloydSums(base, best, quantScale)
+      fine = fine.map { case (cid, gid, old) =>
+        (cid, gid, updatedCentroid(byCid, cid, old, quantScale))
+      }
+    }
+    val best = graft.functions.Expressions
+      .best_centroid_routed(col("_kvec"), coarse, fine)
+    val assignments = base.select(col("_kid").as(id),
+      best.getField("cid").as("cluster_id"),
+      best.getField("sim").as("sim"))
+    TreeKmeansModel(coarse, fine, assignments)
   }
 
   /** One representative per cluster — the diversity-sampling /
@@ -201,15 +302,34 @@ object Clustering {
     * (SemDeDup uses k ≈ corpus/10^3..10^4) so clusters stay bounded; a
     * degenerate cluster shows up as a straggler task, the signal to
     * raise k — the same explicit-cap philosophy as
-    * [[DedupOps.minhashDupPairs]]'s maxBucket. */
+    * [[DedupOps.minhashDupPairs]]'s maxBucket.
+    *
+    * `routing = "flat"` (default) trains with [[kmeans]] and assigns at
+    * k cosines per row; `routing = "tree"` trains with [[kmeansTree]]
+    * (g = `treeG`, or round(sqrt(k)) when 0) and assigns at
+    * ~2·sqrt(k) cosines per row — the move to make once k scales with
+    * the corpus, because the Abbas et al. k-policy that keeps the pair
+    * term linear makes FLAT assignment the k×N bottleneck. */
   def semdedup(corpus: DataFrame, vec: String, id: String, k: Int,
                iters: Int, threshold: Double,
-               quantScale: Long = 1000000L): DataFrame = {
-    val model = kmeans(corpus, vec, id, k, iters, quantScale)
+               quantScale: Long = 1000000L,
+               routing: String = "flat", treeG: Int = 0): DataFrame = {
+    require(routing == "flat" || routing == "tree",
+      s"semdedup: routing must be flat or tree, got $routing")
     // cluster recomputed MAP-SIDE from the driver-held centroids rather
     // than joining model.assignments back by id: same deterministic
-    // arg-max, k×dim flops per row instead of an id-keyed corpus shuffle
-    val best = bestCentroid(col("_svec"), model.centroids)
+    // arg-max, k×dim (tree: ~2·sqrt(k)×dim) flops per row instead of an
+    // id-keyed corpus shuffle
+    val best =
+      if (routing == "tree") {
+        val g = if (treeG > 0) treeG
+          else math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+        kmeansTree(corpus, vec, id, k, g, iters, quantScale)
+          .assignColumn(col("_svec"))
+      } else {
+        val model = kmeans(corpus, vec, id, k, iters, quantScale)
+        bestCentroid(col("_svec"), model.centroids)
+      }
     val vecs = corpus.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("_sid"), col(vec).as("_svec"))
       .withColumn("cluster_id", best.getField("cid"))
