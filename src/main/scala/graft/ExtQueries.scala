@@ -566,6 +566,37 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // Hierarchical (tree-routed) k-means — the scale answer to the flat
+    // k-cosine assignment once k scales with the corpus (the honest
+    // ceiling ScaleProbe's semdedup row exposes): g coarse routing
+    // centroids, ceil(k/g) minid fine seeds per reachable group, routed
+    // exact-integer Lloyd rounds at g + ceil(k/g) cosines per row. The
+    // oracle replays BOTH stages — the coarse kmeansCtes chain, the
+    // fixed routing, the per-group seeds, and every routed update — so
+    // the hash gate covers the whole tree, not just the projection.
+    "q_kmeans_tree" -> ((s, dir) => {
+      graft.ops.Clustering.kmeansTree(emb(s, dir), "embedding", "vec_id",
+        k = 8, g = 3, iters = 2)
+        .assignments
+        .select(col("vec_id"), col("cluster_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup under tree routing (routing = "tree", g = 3): identical
+    // drop policy to q_semdedup, but assignment goes through the routed
+    // kernel — the move that keeps the Abbas et al. scale-k-with-corpus
+    // policy affordable (~2·sqrt(k) instead of k cosines per row).
+    "q_semdedup_tree" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val mutants = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
+      graft.ops.Clustering.semdedup(e.unionByName(mutants), "embedding",
+        "vec_id", k = 8, iters = 2, threshold = 0.95,
+        routing = "tree", treeG = 3)
+        .orderBy("vec_id")
+    }),
+
     // Multimodal plumbing: text bytes stand in for media payloads;
     // decode is the deterministic stub (see Multimodal docs). Oracled:
     // DuckDB re-derives the stub's FNV-1a arithmetic from the raw text
