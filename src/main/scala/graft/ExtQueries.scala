@@ -23,6 +23,27 @@ object ExtQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
+  /** Embeddings plus deterministic affine mutants (vec_id + 1,000,000,
+    * each component x*1.1 + 0.01 re-cast to float32): the planted
+    * near-dup corpus shared by q_dedup_embed, q_semdedup and
+    * q_semdedup_tree. ONE construction on purpose — its DuckDB twin is
+    * [[affineMutantCorpusSql]]; change both together. */
+  private def embWithAffineMutants(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    e.unionByName(e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding")))
+  }
+
+  /** DuckDB twin of [[embWithAffineMutants]] — the corpus CTE body the
+    * three near-dup oracles share. */
+  private val affineMutantCorpusSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.1 + 0.01 AS REAL))
+      |  FROM embeddings""".stripMargin
+
   /** `base` plus 80%-prefix mutants of `mutate` (doc_id + 1,000,000):
     * deterministic planted near-dups. The mutation formula is mirrored
     * verbatim in the DuckDB oracle CTEs (q_boilerplate,
@@ -556,15 +577,10 @@ object ExtQueries {
     // construction): cluster with 2 Lloyd rounds, then drop the larger
     // id of every intra-cluster pair at rounded cosine >= 0.95 — the
     // mutants (vec_id + 1,000,000) should fall to their originals.
-    "q_semdedup" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val mutants = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
-        transform(col("embedding"),
-          x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
-      graft.ops.Clustering.semdedup(e.unionByName(mutants), "embedding",
-        "vec_id", k = 8, iters = 2, threshold = 0.95)
-        .orderBy("vec_id")
-    }),
+    "q_semdedup" -> ((s, dir) =>
+      graft.ops.Clustering.semdedup(embWithAffineMutants(s, dir),
+        "embedding", "vec_id", k = 8, iters = 2, threshold = 0.95)
+        .orderBy("vec_id")),
 
     // Hierarchical (tree-routed) k-means — the scale answer to the flat
     // k-cosine assignment once k scales with the corpus (the honest
@@ -586,16 +602,11 @@ object ExtQueries {
     // drop policy to q_semdedup, but assignment goes through the routed
     // kernel — the move that keeps the Abbas et al. scale-k-with-corpus
     // policy affordable (~2·sqrt(k) instead of k cosines per row).
-    "q_semdedup_tree" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val mutants = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
-        transform(col("embedding"),
-          x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
-      graft.ops.Clustering.semdedup(e.unionByName(mutants), "embedding",
-        "vec_id", k = 8, iters = 2, threshold = 0.95,
+    "q_semdedup_tree" -> ((s, dir) =>
+      graft.ops.Clustering.semdedup(embWithAffineMutants(s, dir),
+        "embedding", "vec_id", k = 8, iters = 2, threshold = 0.95,
         routing = "tree", treeG = 3)
-        .orderBy("vec_id")
-    }),
+        .orderBy("vec_id")),
 
     // Multimodal plumbing: text bytes stand in for media payloads;
     // decode is the deterministic stub (see Multimodal docs). Oracled:
@@ -717,10 +728,7 @@ object ExtQueries {
     // deterministic affine mutant (x*1.1 + 0.01) -- high-cosine pairs.
     "q_dedup_embed" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val mutants = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
-        transform(col("embedding"),
-          x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
-      val corpus = e.unionByName(mutants)
+      val corpus = embWithAffineMutants(s, dir)
       val q = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("id_a"), col("embedding").as("va"))
       corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -1607,11 +1615,7 @@ object ExtQueries {
 
     "q_dedup_embed" -> {
       s"""WITH corpus AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000000,
-         |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.1 + 0.01 AS REAL))
-         |  FROM embeddings),
+         |  $affineMutantCorpusSql),
          |q AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id < 50),
          |p AS (
          |  SELECT id_a, c.vec_id AS id_b,
@@ -1674,13 +1678,37 @@ object ExtQueries {
     "q_semdedup" -> {
       val pairSim = sqlRound(
         s"${sqlDot("x.ev", "y.ev")} / (sqrt(${sqlDot("x.ev", "x.ev")}) * sqrt(${sqlDot("y.ev", "y.ev")}))", 6)
-      s"""${kmeansCtes(
-        """SELECT vec_id, embedding FROM embeddings
-          |  UNION ALL
-          |  SELECT vec_id + 1000000,
-          |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.1 + 0.01 AS REAL))
-          |  FROM embeddings""".stripMargin, k = 8, iters = 2)},
+      s"""${kmeansCtes(affineMutantCorpusSql, k = 8, iters = 2)},
          |asg AS (SELECT vec_id, cid FROM bf WHERE rk = 1),
+         |pv AS (SELECT a.vec_id, a.cid, v.ev
+         |       FROM asg a JOIN v ON v.vec_id = a.vec_id),
+         |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb, $pairSim AS psim
+         |       FROM pv x JOIN pv y
+         |       ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |dr AS (SELECT DISTINCT idb FROM pr WHERE psim >= 0.95)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id FROM asg a
+         |WHERE a.vec_id NOT IN (SELECT idb FROM dr) ORDER BY a.vec_id""".stripMargin
+    },
+
+    // Tree-routed k-means, BOTH stages replayed: treeKmeansCtes trains
+    // the coarse kmeansCtes chain, fixes the routing (gasg), seeds
+    // ceil(k/g) minid fine centroids per group (f0), and unrolls every
+    // routed exact-integer Lloyd round — fbf rk=1 is the final routed
+    // assignment the Spark kernel emits.
+    "q_kmeans_tree" ->
+      s"""${treeKmeansCtes("SELECT vec_id, embedding FROM embeddings",
+           k = 8, g = 3, iters = 2)}
+         |SELECT vec_id, CAST(fid AS BIGINT) AS cluster_id, sim FROM fbf
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup under tree routing: identical drop CTEs to q_semdedup,
+    // but the cluster assignment comes from the routed tree (fbf) over
+    // the same planted-mutant corpus.
+    "q_semdedup_tree" -> {
+      val pairSim = sqlRound(
+        s"${sqlDot("x.ev", "y.ev")} / (sqrt(${sqlDot("x.ev", "x.ev")}) * sqrt(${sqlDot("y.ev", "y.ev")}))", 6)
+      s"""${treeKmeansCtes(affineMutantCorpusSql, k = 8, g = 3, iters = 2)},
+         |asg AS (SELECT vec_id, fid AS cid FROM fbf WHERE rk = 1),
          |pv AS (SELECT a.vec_id, a.cid, v.ev
          |       FROM asg a JOIN v ON v.vec_id = a.vec_id),
          |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb, $pairSim AS psim

@@ -94,7 +94,8 @@ object RelQueries {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("is_new",
           when(col("prev_ts").isNull, 1L)
-            .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            .when(unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) >
               lit(1800L * 1000000L), 1L)
             .otherwise(0L))
         .withColumn("session_id",
@@ -583,7 +584,7 @@ object RelQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-3600L * 1000000L, Window.currentRow)
       t(s, dir, "events")
-        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
         .withColumn("hour_sum",
           sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
         .withColumn("hour_n", count(lit(1)).over(w))
