@@ -195,9 +195,23 @@ object DedupOps {
       .select(col(id), col("h"),
         col(text).substr(col("pos") + lit(1) - preLen, preLen).as("pre"),
         col(text).substr(col("pos") + lit(1), lit(k + maxExt)).as("post"))
-    val buckets = ctx.groupBy("h")
-      .agg(collect_list(struct(col(id), col("pre"), col("post"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
+    // Duplicate-context collapse: a document whose text repeats (menus,
+    // table rows, boilerplate lines) emits MANY anchors with identical
+    // (h, pre, post); pairing those instance-by-instance is c_a×c_b
+    // identical ext computations. Collapse them to one row carrying a
+    // multiplicity c BEFORE the bucket shuffle — one doc's anchors sit
+    // in one input partition, so the partial aggregate does the
+    // collapse map-side and the exchange ships distinct contexts only.
+    // Every downstream count is reweighted by c, so the output is
+    // bit-identical to the instance-level pairing the oracle replays:
+    // the bucket cap gates on sum(c) (= the raw anchor count) and
+    // n_anchors sums c_a×c_b (= the raw pair count).
+    val ctxd = ctx.groupBy(col(id), col("h"), col("pre"), col("post"))
+      .agg(count(lit(1)).as("c"))
+    val buckets = ctxd.groupBy("h")
+      .agg(collect_list(struct(col(id), col("c"), col("pre"), col("post"))).as("xs"),
+        sum(col("c")).as("raw"))
+      .filter(col("raw").between(2, maxBucket))
     // unordered in-array combinations + id-normalized orientation: the
     // emitted pair SET is independent of collect_list's arrival order,
     // and ext is symmetric in (a, b) — deterministic under any
@@ -211,6 +225,7 @@ object DedupOps {
       .select(
         least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
         greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"),
+        (col("p.a.c") * col("p.b.c")).as("w"),
         col("p.a.pre").as("pre_a"), col("p.a.post").as("post_a"),
         col("p.b.pre").as("pre_b"), col("p.b.post").as("post_b"))
       .filter(col("post_a").substr(lit(1), lit(k)) ===
@@ -221,7 +236,7 @@ object DedupOps {
           col("post_a").substr(lit(k + 1), lit(maxExt)),
           col("post_b").substr(lit(k + 1), lit(maxExt))))
     pairs.groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_anchors"), max(col("ext")).as("max_len"))
+      .agg(sum(col("w")).as("n_anchors"), max(col("ext")).as("max_len"))
       .filter(col("max_len") >= minLen)
   }
 

@@ -208,17 +208,19 @@ class PlanSpec extends SparkSpec {
       s"semdedup regressed to an all-pairs join:\n$p")
   }
 
-  test("exact-substr spans: two aggregations, in-bucket pairs, no join") {
-    // the operator's scale story: anchors shuffle once (bucket groupBy
-    // on h, carrying bounded context windows), pairs are generated
-    // INSIDE the bucket aggregate (no self-join shuffle), and the pair
-    // aggregate + presentation orderBy close it out. A join anywhere
-    // means the in-array combinatorics regressed to the self-join the
-    // design exists to avoid.
+  test("exact-substr spans: three aggregations, in-bucket pairs, no join") {
+    // the operator's scale story: duplicate (h, pre, post) contexts
+    // collapse map-side in the per-doc dedup aggregate (partial agg
+    // before its exchange), anchors shuffle to buckets (groupBy on h,
+    // carrying distinct bounded context windows only), pairs are
+    // generated INSIDE the bucket aggregate (no self-join shuffle), and
+    // the weighted pair aggregate + presentation orderBy close it out.
+    // A join anywhere means the in-array combinatorics regressed to the
+    // self-join the design exists to avoid.
     val p = planOf("q_exact_substr")
     assert(!p.contains("Join"), s"exact_substr grew a self-join:\n$p")
-    assert(count(p, "Exchange") <= 4, // union'd mutant corpus: each
-      // leg re-keys through the bucket groupBy; then pair agg + orderBy
+    assert(count(p, "Exchange") <= 4, // dedup agg + bucket groupBy
+      // (AQE coalesces the union legs) + pair agg + orderBy
       s"exact_substr exceeded its exchange budget:\n$p")
     assert(count(p, "Expand") == 0, s"exact_substr grew an Expand:\n$p")
   }
