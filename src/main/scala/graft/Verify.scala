@@ -11,6 +11,16 @@ object Verify {
       case Array(s, o)       => (s, o, None)
       case Array(s, o, keys) => (s, o, Some(keys.split(',').toSet))
     }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.harnessSession(cpus)
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The whole dump pass minus session ownership — what main wraps and
+    * the merge-semantics regression spec drives with the suite session. */
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+          outDir: String, only: Option[Set[String]]): Unit = {
     // a typo'd key must fail loudly here — silently matching nothing
     // would dump zero queries AND overwrite a previous full run's
     // oracle_sql.json with {}, turning the next check.py into a
@@ -21,8 +31,6 @@ object Verify {
         s"Verify: unknown key(s) ${unknown.toSeq.sorted.mkString(", ")}")
     }
     def wanted(name: String) = only.forall(_.contains(name))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Graft.harnessSession(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (wanted(name))
@@ -62,6 +70,6 @@ object Verify {
     val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(path, json)
-    spark.stop()
+    ()
   }
 }

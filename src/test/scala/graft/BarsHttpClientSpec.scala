@@ -141,14 +141,19 @@ class BarsHttpClientSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("bars"))
     // a server echoing the same token forever must hit maxPages, not hang
+    val loopLog = collection.mutable.Buffer.empty[(String, Map[String, String])]
     val e3 = intercept[RuntimeException] {
       new BarsHttpClient("k", "s", scripted(Map(
         None -> ((200, page1)),
         Some("tok1") ->
-          ((200, page1.replace("\"tok1\"", "\"tok1\"")))), log))
+          ((200, page1.replace("\"tok1\"", "\"tok1\"")))), loopLog))
         .fetchAllPages("AAPL", "1Day", "2024-01-02", maxPages = 5)
     }
     assert(e3.getMessage.contains("5 pages"))
+    // the cap bounds SERVER TRAFFIC, not just the loop: the guard runs
+    // before the request, so exactly maxPages fetches ever happen
+    assert(loopLog.size == 5,
+      s"maxPages=5 must mean 5 requests, saw ${loopLog.size}")
     // constructor nulls fail fast, matching the reference
     intercept[IllegalArgumentException] { new BarsHttpClient(null, "s") }
     intercept[IllegalArgumentException] { new BarsHttpClient("k", null) }

@@ -82,6 +82,20 @@ class FixturesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!new java.io.File(scratch).exists())
   }
 
+  test("drop refuses any path that is not a scratchCopy result") {
+    // drop deletes the PARENT dir (scratchCopy nests one level inside
+    // its temp dir) — pointed at an arbitrary path it would silently
+    // delete unrelated siblings, so the guard must reject it untouched
+    val outside = java.nio.file.Files.createTempDirectory("fx_not_scratch")
+    val victim = outside.resolve("data")
+    java.nio.file.Files.createDirectory(victim)
+    java.nio.file.Files.writeString(outside.resolve("sibling.txt"), "keep")
+    intercept[IllegalArgumentException] { Fixtures.drop(victim.toString) }
+    assert(java.nio.file.Files.exists(victim) &&
+      java.nio.file.Files.exists(outside.resolve("sibling.txt")),
+      "guard rejected the path but something was deleted")
+  }
+
   test("contentKey: memoized per tag; count+xor key distinguishes content") {
     val tag1 = "fxspec_" + freshKey()
     val df1 = Seq((1L, 2.0), (3L, 4.0)).toDF("event_id", "value")
