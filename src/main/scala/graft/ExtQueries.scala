@@ -332,8 +332,11 @@ object ExtQueries {
     * selection (list_position = the kernel's smallest-position
     * tie-break), bounded context windows, bucket cap, gram-text
     * equality guard, and char-exact common-affix extension. */
-  private def exactSubstrOracleSql: String = {
-    val (k, w, me, ml, mb) = (esK, esW, esExt, esMinLen, esMaxBucket)
+  /** The shared detection chain of the ExactSubstr oracles, ending at
+    * `kp` (capped-bucket anchors with pos + bounded contexts): both the
+    * spans oracle and the apply oracle append their tails to this. */
+  private def exactSubstrCtes: String = {
+    val (k, w, me, mb) = (esK, esW, esExt, esMaxBucket)
     def winMin(i: String) = s"list_min(grams[$i:$i+${w - 1}])"
     s"""WITH d AS ($mutantCte),
        |g AS (SELECT doc_id, text, length(text) - $k + 1 AS n,
@@ -361,13 +364,18 @@ object ExtQueries {
        |ax AS (SELECT DISTINCT doc_id, struct_extract(a, 'p') AS pos,
        |              struct_extract(a, 'h') AS h, text
        |       FROM (SELECT doc_id, text, unnest(anchors) AS a FROM an)),
-       |cx AS (SELECT doc_id, h,
+       |cx AS (SELECT doc_id, h, pos,
        |    substr(text, CAST(pos + 1 - least(pos, $me) AS INT),
        |           CAST(least(pos, $me) AS INT)) AS pre,
        |    substr(text, CAST(pos + 1 AS INT), ${k + me}) AS post
        |  FROM ax),
        |bk AS (SELECT h FROM cx GROUP BY h HAVING count(*) BETWEEN 2 AND $mb),
-       |kp AS (SELECT cx.* FROM cx JOIN bk USING (h)),
+       |kp AS (SELECT cx.* FROM cx JOIN bk USING (h))""".stripMargin
+  }
+
+  private def exactSubstrOracleSql: String = {
+    val (k, ml) = (esK, esMinLen)
+    s"""$exactSubstrCtes,
        |pp AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        |              x.pre AS pre_a, x.post AS post_a,
        |              y.pre AS pre_b, y.post AS post_b
@@ -380,6 +388,59 @@ object ExtQueries {
        |SELECT id_a, id_b, count(*) AS n_anchors, CAST(max(ext) AS BIGINT) AS max_len
        |FROM ee GROUP BY id_a, id_b HAVING max(ext) >= $ml
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.DedupOps.exactSubstrApply]]: the same
+    * detection chain, then per qualifying instance pair an interval
+    * [pos - sfx, pos - sfx + ext) on the HIGHER-id side, classic
+    * running-max island merge, and a lag-windowed segment splice
+    * (string_agg of the text between merged cuts + the tail). Docs
+    * with no cuts pass through via the LEFT JOIN coalesce. */
+  private def exactSubstrApplyOracleSql: String = {
+    val (k, ml) = (esK, esMinLen)
+    s"""$exactSubstrCtes,
+       |pp AS (SELECT y.doc_id AS doc_id, y.pos AS pos,
+       |              ${lcsufSql("x.pre", "y.pre")} AS sfx,
+       |              $k + sfx + ${lcpSql(s"substr(x.post, ${k + 1})",
+                        s"substr(y.post, ${k + 1})")} AS ext
+       |       FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
+       |       WHERE substr(x.post, 1, $k) = substr(y.post, 1, $k)),
+       |iv AS (SELECT doc_id, pos - sfx AS s, pos - sfx + ext AS e
+       |       FROM pp WHERE ext >= $ml),
+       |mi AS (SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+       |              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+       |              AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+       |       FROM iv),
+       |isl AS (SELECT doc_id, s, e,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |        FROM mi),
+       |seg AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e
+       |        FROM isl GROUP BY doc_id, grp),
+       |segl AS (SELECT doc_id, s, e,
+       |           coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+       |         FROM seg),
+       |pieces AS (
+       |  SELECT sl.doc_id, sl.pe AS ord,
+       |         substr(d.text, CAST(sl.pe + 1 AS INT), CAST(sl.s - sl.pe AS INT)) AS piece
+       |  FROM segl sl JOIN d ON d.doc_id = sl.doc_id
+       |  UNION ALL
+       |  SELECT g.doc_id, g.me AS ord, substr(d.text, CAST(g.me + 1 AS INT)) AS piece
+       |  FROM (SELECT doc_id, max(e) AS me FROM seg GROUP BY doc_id) g
+       |  JOIN d ON d.doc_id = g.doc_id),
+       |cln AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS text_clean
+       |        FROM pieces GROUP BY doc_id),
+       |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |         CAST(sum(e - s) AS BIGINT) AS n_chars_removed
+       |       FROM seg GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
+       |       coalesce(st.n_chars_removed, 0) AS n_chars_removed,
+       |       coalesce(cln.text_clean, d.text) AS text_clean
+       |FROM d LEFT JOIN st ON st.doc_id = d.doc_id
+       |       LEFT JOIN cln ON cln.doc_id = d.doc_id
+       |WHERE d.text IS NOT NULL
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Bounded clustering corpus with PLANTED near-dups: docs < 40 plus
@@ -963,6 +1024,23 @@ object ExtQueries {
           col("max_len").cast("long"))
         .orderBy("id_a", "id_b")),
 
+    // ExactSubstr dedup APPLIED (Lee et al. remove, not just flag):
+    // every >= minLen cross-doc span is cut from the higher-id doc of
+    // its colliding pair, overlapping cuts merged, lowest id keeping
+    // the canonical occurrence. Oracled end-to-end including the
+    // interval merge and the spliced text.
+    "q_exact_substr_apply" -> ((s, dir) =>
+      DedupOps.exactSubstrApply(docsWithMutants(s, dir), "text", "doc_id",
+          k = esK, w = esW, maxExt = esExt, minLen = esMinLen,
+          maxBucket = esMaxBucket)
+        // always-true guard referencing the join-derived columns: the
+        // interval side of the operator's left join is unique per key,
+        // so a bare count() (Bench's action) would ELIMINATE the join
+        // and time an empty corpus scan instead of the detection chain
+        // + splice. Row set and values are unchanged.
+        .filter(col("n_spans") >= 0 && length(col("text_clean")) >= 0)
+        .orderBy("doc_id")),
+
     // Token-distribution Shannon entropy per document (low-entropy =
     // template/spam filter signal).
     "q_entropy" -> ((s, dir) =>
@@ -1538,6 +1616,7 @@ object ExtQueries {
         |FROM mins ORDER BY doc_id""".stripMargin,
 
     "q_exact_substr" -> exactSubstrOracleSql,
+    "q_exact_substr_apply" -> exactSubstrApplyOracleSql,
 
     "q_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -182,19 +182,28 @@ object DedupOps {
     * Returns (id_a, id_b, n_anchors, max_len): per cross-doc pair, the
     * number of colliding anchor pairs and the longest extended span,
     * filtered to max_len >= minLen. */
+  /** The shared anchor-context stage of the ExactSubstr family: winnow
+    * anchors exploded to (id, h, pos, pre, post) rows, each carrying
+    * ONLY the bounded context window (maxExt chars either side of the
+    * k-gram) — full text never leaves this projection. */
+  private def anchorContexts(df: DataFrame, text: String, id: String,
+                             k: Int, w: Int, maxExt: Int): DataFrame = {
+    val preLen = least(col("pos"), lit(maxExt))
+    df.filter(col(text).isNotNull)
+      .select(col(id), col(text),
+        explode(graft.functions.Expressions.winnow_anchors(col(text), k, w)).as("_a"))
+      .select(col(id), col("_a.h").as("h"), col("_a.pos").as("pos"), col(text))
+      .select(col(id), col("h"), col("pos"),
+        col(text).substr(col("pos") + lit(1) - preLen, preLen).as("pre"),
+        col(text).substr(col("pos") + lit(1), lit(k + maxExt)).as("post"))
+  }
+
   def exactSubstrSpans(df: DataFrame, text: String, id: String,
                        k: Int = 8, w: Int = 4, maxExt: Int = 48,
                        minLen: Int = 16, maxBucket: Int = 64): DataFrame = {
     Reserved.requireAbsent(df, "exactSubstrSpans",
       Seq("_a", "h", "pos", "pre", "post"))
-    val preLen = least(col("pos"), lit(maxExt))
-    val ctx = df.filter(col(text).isNotNull)
-      .select(col(id), col(text),
-        explode(graft.functions.Expressions.winnow_anchors(col(text), k, w)).as("_a"))
-      .select(col(id), col("_a.h").as("h"), col("_a.pos").as("pos"), col(text))
-      .select(col(id), col("h"),
-        col(text).substr(col("pos") + lit(1) - preLen, preLen).as("pre"),
-        col(text).substr(col("pos") + lit(1), lit(k + maxExt)).as("post"))
+    val ctx = anchorContexts(df, text, id, k, w, maxExt).drop("pos")
     // Duplicate-context collapse: a document whose text repeats (menus,
     // table rows, boilerplate lines) emits MANY anchors with identical
     // (h, pre, post); pairing those instance-by-instance is c_a×c_b
@@ -238,6 +247,103 @@ object DedupOps {
     pairs.groupBy("id_a", "id_b")
       .agg(sum(col("w")).as("n_anchors"), max(col("ext")).as("max_len"))
       .filter(col("max_len") >= minLen)
+  }
+
+  /** The REMOVAL stage of ExactSubstr dedup (Lee et al. ACL'22 train
+    * their models on the corpus with duplicate spans cut out, not just
+    * flagged): every cross-document extended span of length >= minLen
+    * is removed from the HIGHER-id document of each colliding pair —
+    * the lowest-id document keeps the canonical occurrence — and
+    * overlapping removal intervals are merged before splicing, so
+    * nested/chained collisions cut each char at most once. Every input
+    * document comes back (id, n_spans, n_chars_removed, text_clean);
+    * untouched docs pass through with zero spans and their text intact.
+    *
+    * Same detection chain and caps as [[exactSubstrSpans]] (same
+    * anchors, same bucket cap on the raw anchor count, same bounded
+    * ext) — what that operator reports, this one cuts. Scale shape:
+    * the anchor/bucket stages are identical; the removal intervals are
+    * pair-bounded (tiny next to the corpus), so the corpus-side cost is
+    * ONE join of the interval aggregate against the corpus — document
+    * text never shuffles, and the splice itself is map-side fold over
+    * each doc's merged interval list. */
+  def exactSubstrApply(df: DataFrame, text: String, id: String,
+                       k: Int = 8, w: Int = 4, maxExt: Int = 48,
+                       minLen: Int = 16, maxBucket: Int = 64): DataFrame = {
+    Reserved.requireAbsent(df, "exactSubstrApply",
+      Seq("_a", "h", "pos", "pre", "post"))
+    val ctx = anchorContexts(df, text, id, k, w, maxExt)
+    // duplicate contexts collapse to one entry carrying ALL positions:
+    // a pair's (sfx, ext) depends only on the contexts, so it applies
+    // to every instance position at once
+    val ctxd = ctx.groupBy(col(id), col("h"), col("pre"), col("post"))
+      .agg(collect_list(col("pos")).as("ps"))
+    val buckets = ctxd.groupBy("h")
+      .agg(collect_list(struct(col(id), col("ps"), col("pre"), col("post"))).as("xs"),
+        sum(size(col("ps"))).as("raw"))
+      .filter(col("raw").between(2, maxBucket))
+    val sfx = graft.functions.Expressions.common_suffix_len(
+      col("p.a.pre"), col("p.b.pre"))
+    val pfx = graft.functions.Expressions.common_prefix_len(
+      col("p.a.post").substr(lit(k + 1), lit(maxExt)),
+      col("p.b.post").substr(lit(k + 1), lit(maxExt)))
+    // per colliding entry pair: the HIGHER id's positions each yield a
+    // removal interval [pos - sfx, pos - sfx + ext) — 0-based, end
+    // exclusive
+    val intervals = buckets.select(explode(
+        flatten(transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + 2, size(col("xs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col(s"p.a.$id") =!= col(s"p.b.$id"))
+      .filter(col("p.a.post").substr(lit(1), lit(k)) ===
+        col("p.b.post").substr(lit(1), lit(k)))
+      .select(
+        greatest(col(s"p.a.$id"), col(s"p.b.$id")).as(id),
+        when(col(s"p.a.$id") < col(s"p.b.$id"), col("p.b.ps"))
+          .otherwise(col("p.a.ps")).as("ps"),
+        sfx.as("sfx"), (lit(k) + sfx + pfx).as("ext"))
+      .filter(col("ext") >= minLen)
+      .select(col(id), explode(col("ps")).as("pos"),
+        col("sfx"), col("ext"))
+      .select(col(id), (col("pos") - col("sfx")).as("s"),
+        (col("pos") - col("sfx") + col("ext")).as("e"))
+    val perDoc = intervals.groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    val ivT = "array<struct<s:int,e:int>>"
+    // classic sorted-interval merge as a fold: extend the open interval
+    // while the next one starts at or before its end, else start a new
+    // island
+    val merged = aggregate(
+      coalesce(col("ivs"), array().cast(ivT)),
+      array().cast(ivT),
+      (acc, x) => when(
+        size(acc) === 0 || x.getField("s") > element_at(acc, -1).getField("e"),
+        concat(acc, array(x.cast("struct<s:int,e:int>"))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(
+            element_at(acc, -1).getField("s").as("s"),
+            greatest(element_at(acc, -1).getField("e"),
+              x.getField("e")).as("e"))))))
+    df.filter(col(text).isNotNull)
+      .join(perDoc, Seq(id), "left")
+      .withColumn("_m", merged)
+      .select(col(id),
+        size(col("_m")).cast("long").as("n_spans"),
+        aggregate(col("_m"), lit(0),
+          (acc, iv) => acc + iv.getField("e") - iv.getField("s"))
+          .cast("long").as("n_chars_removed"),
+        // splice: concatenate the segments BETWEEN merged intervals
+        // (cursor fold), then the tail after the last one
+        aggregate(col("_m"),
+          struct(lit(0).as("cur"), lit("").as("txt")),
+          (acc, iv) => struct(
+            iv.getField("e").as("cur"),
+            concat(acc.getField("txt"),
+              col(text).substr(acc.getField("cur") + lit(1),
+                iv.getField("s") - acc.getField("cur"))).as("txt")),
+          acc => concat(acc.getField("txt"),
+            col(text).substr(acc.getField("cur") + lit(1),
+              length(col(text)) - acc.getField("cur")))).as("text_clean"))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated

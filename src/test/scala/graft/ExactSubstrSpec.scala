@@ -130,4 +130,57 @@ class ExactSubstrSpec extends SparkSpec {
     assert(expected.subsetOf(found),
       s"missed planted minimal runs: ${(expected -- found).toSeq.sorted.take(5)}")
   }
+
+  test("apply: higher-id doc loses the span, canonical keeps it, others pass through") {
+    val shared = "this exact sentence appears verbatim in both documents"
+    val d1 = filler(1, 80) + shared + filler(2, 80)
+    val d2 = filler(3, 80) + shared + filler(4, 80)
+    val d3 = filler(5, 200)
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = DedupOps.exactSubstrApply(docs, "text", "doc_id",
+      k = 8, w = 4, maxExt = 64, minLen = 16, maxBucket = 64)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3, "every input doc comes back")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is canonical: untouched
+    assert(byId(1L) == ((0L, 0L, d1)), "canonical doc must keep its span")
+    // doc 2: exactly the shared span cut out, splice preserves the rest
+    val (n2, c2, t2) = byId(2L)
+    assert(n2 == 1L && c2 == shared.length.toLong,
+      s"doc 2 expected one ${shared.length}-char cut, got $n2 spans / $c2 chars")
+    assert(t2 == filler(3, 80) + filler(4, 80),
+      "splice must remove the span and nothing else")
+    // doc 3 never collided: identity
+    assert(byId(3L) == ((0L, 0L, d3)))
+  }
+
+  test("apply: overlapping intervals merge — each char cut at most once") {
+    // doc 3 shares its span with BOTH doc 1 and doc 2 (identical span),
+    // and a long run saturating the ext budget produces many
+    // overlapping per-anchor intervals; the merge must collapse them to
+    // one contiguous cut
+    val shared = filler(9, 300)
+    val docs = Seq(
+      (1L, filler(1, 40) + shared + filler(2, 40)),
+      (2L, filler(3, 40) + shared + filler(4, 40)),
+      (3L, filler(5, 40) + shared + filler(6, 40))).toDF("doc_id", "text")
+    val out = DedupOps.exactSubstrApply(docs, "text", "doc_id",
+      k = 8, w = 4, maxExt = 32, minLen = 16, maxBucket = 64)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byId(1L)._2 == 0L, "lowest id keeps the canonical occurrence")
+    for (i <- Seq(2L, 3L)) {
+      val (n, c, t) = byId(i)
+      assert(n == 1L, s"doc $i: overlapping anchor intervals must merge, got $n")
+      // the whole shared run is covered by saturated overlapping spans;
+      // the cut can spill into the flanking filler only by < k+2*maxExt
+      assert(c >= shared.length.toLong && c <= shared.length.toLong + 2 * (8 + 64),
+        s"doc $i cut $c chars vs shared ${shared.length}")
+      assert(!t.contains(shared.substring(50, 150)),
+        s"doc $i still contains the run")
+      assert(t.length.toLong == (40 + shared.length + 40).toLong - c)
+    }
+  }
 }
