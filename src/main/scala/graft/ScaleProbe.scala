@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-growth probe for the approximate-dedup / ANN / graph /
-  * clustering family: times five scale-critical operators (banded-LSH
+  * clustering family: times the scale-critical operators (banded-LSH
   * near-dup pairs, the incremental dedup-index probe, IVF top-k,
-  * fixed-point PageRank, full-corpus k-means) at 1× and N× (default
+  * fixed-point PageRank, full-corpus k-means + medoids, semdedup under
+  * flat AND tree routing, exact-substring spans) at 1× and N× (default
   * 30× — at ≤10× of sf0.1 the per-op cost is within noise of the 1×
   * baseline, job-launch overhead dominating; see SURVEY §6) of an sf
   * directory and prints the growth ratios — the local evidence that
@@ -197,15 +198,24 @@ object ScaleProbe {
       // ~N, not N². Probing with k FIXED would measure the quadratic
       // failure mode the policy exists to prevent (cluster size ×N ⇒
       // pairs ×N² — the raise-k signal, not the operator's shape).
-      // Honest residual (r8 probe: 21.8× at 30×, the family's highest):
-      // linear k keeps the PAIR term linear but makes the FLAT centroid
-      // assignment k×N flops — at far larger N the next move is
-      // hierarchical centroid routing (assign against a centroid tree,
-      // log k per row), the standard IVF answer; at probe sizes the
-      // pair term still dominates, which is what the ratio shows.
+      // Honest residual of FLAT routing (r8: 21.8×, r10: 13.8× at 30×,
+      // the family's highest): linear k keeps the PAIR term linear but
+      // makes the flat centroid assignment k×N flops. The tree row
+      // below measures the fix.
       val tSem = best2 {
         graft.ops.Clustering.semdedup(e, "embedding", "vec_id",
           k = 16 * scale, iters = 2, threshold = 0.95).count()
+      }
+      scrub()
+      // SemDeDup under TREE routing at the same scaled-k policy — the
+      // hierarchical-centroid move the flat row's residual calls for:
+      // assignment costs g + ceil(k/g) ≈ 2·sqrt(k) cosines per row
+      // instead of k, so the k×N flat-assignment term stops tracking k
+      // and the expected growth returns toward the family's ~N band.
+      val tSemTree = best2 {
+        graft.ops.Clustering.semdedup(e, "embedding", "vec_id",
+          k = 16 * scale, iters = 2, threshold = 0.95,
+          routing = "tree").count()
       }
       scrub()
       // variable-length exact-substring spans: anchors are map-side,
@@ -219,7 +229,8 @@ object ScaleProbe {
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
-        "medoids" -> tMed, "semdedup" -> tSem, "exact_substr" -> tEs)
+        "medoids" -> tMed, "semdedup" -> tSem,
+        "semdedup_tree" -> tSemTree, "exact_substr" -> tEs)
     }
 
     run(1, "w") // warm-up: JIT + codegen caches, discarded
