@@ -225,6 +225,21 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Expand") == 0, s"exact_substr grew an Expand:\n$p")
   }
 
+  test("exact-substr apply: interval side broadcasts, document text never shuffles") {
+    // detection chain = the spans shape (dedup agg + bucket agg), then
+    // the pair-bounded interval aggregate comes back to the corpus as a
+    // BROADCAST outer join — a sort-merge here would shuffle every
+    // document's text, the exact cost the operator's design avoids
+    val p = planOf("q_exact_substr_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"interval join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      s"apply shuffles document text:\n$p")
+    assert(count(p, "Exchange") <= 4, // dedup agg + bucket agg +
+      // interval agg + presentation orderBy
+      s"exact_substr_apply exceeded its exchange budget:\n$p")
+  }
+
   test("kmeanspp final assignment keeps the map-side kernel shape") {
     // seeding runs driver-side at construction; the RETURNED plan must
     // be exactly the q_kmeans shape — scan -> kernel project (+ the
