@@ -395,7 +395,16 @@ object ExtQueries {
     * [pos - sfx, pos - sfx + ext) on the HIGHER-id side, classic
     * running-max island merge, and a lag-windowed segment splice
     * (string_agg of the text between merged cuts + the tail). Docs
-    * with no cuts pass through via the LEFT JOIN coalesce. */
+    * with no cuts pass through via the LEFT JOIN coalesce.
+    *
+    * The DISTINCT in `iv` is load-bearing for determinism, not just
+    * cost: with duplicate (s, e) rows, ORDER BY s, e is not a total
+    * order, and the two window operators (mi's running max, isl's
+    * cumulative brk) may order the ties differently — if the one
+    * brk=1 row lands mid-group in isl's order, an island splits
+    * spuriously and n_spans/n_chars_removed flicker run-to-run
+    * (observed: 1 span/419 chars vs 2/478 on the same input). Unique
+    * (s, e) per doc makes the order total and both windows agree. */
   private def exactSubstrApplyOracleSql: String = {
     val (k, ml) = (esK, esMinLen)
     s"""$exactSubstrCtes,
@@ -405,7 +414,7 @@ object ExtQueries {
                         s"substr(y.post, ${k + 1})")} AS ext
        |       FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
        |       WHERE substr(x.post, 1, $k) = substr(y.post, 1, $k)),
-       |iv AS (SELECT doc_id, pos - sfx AS s, pos - sfx + ext AS e
+       |iv AS (SELECT DISTINCT doc_id, pos - sfx AS s, pos - sfx + ext AS e
        |       FROM pp WHERE ext >= $ml),
        |mi AS (SELECT doc_id, s, e,
        |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id

@@ -107,6 +107,31 @@ object Expressions {
           s"$a.toString(), $k, $w);")
   }
 
+  /** Per-document anchor contexts with map-side duplicate collapse
+    * (see [[Kernels.anchorContextRows]]): (h, pre, post, ps) rows, one
+    * per DISTINCT bounded context, carrying every position it occurs
+    * at. Lets the ExactSubstr operators ship each repeated context
+    * once through the bucket shuffle with no dedup exchange. */
+  case class AnchorContexts(child: Expression, k: Int, w: Int, maxExt: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("pre", StringType, nullable = false),
+      StructField("post", StringType, nullable = false),
+      StructField("ps", ArrayType(IntegerType, containsNull = false),
+        nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.anchorContextRows(
+        input.asInstanceOf[UTF8String].toString, k, w, maxExt)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.anchorContextRows(" +
+          s"$a.toString(), $k, $w, $maxExt);")
+  }
+
   /** Longest common prefix length of two strings — the bounded span
     * extension step of exact-substring dedup. Codegen'd char loop; a
     * HOF formulation (filter over sequence of per-char substrings)
@@ -436,6 +461,8 @@ object Expressions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def winnow_anchors(text: Column, k: Int, w: Int): Column =
     column(WinnowAnchors(expression(text), k, w))
+  def anchor_contexts(text: Column, k: Int, w: Int, maxExt: Int): Column =
+    column(AnchorContexts(expression(text), k, w, maxExt))
   def common_prefix_len(a: Column, b: Column): Column =
     column(CommonPrefixLen(expression(a), expression(b)))
   def common_suffix_len(a: Column, b: Column): Column =

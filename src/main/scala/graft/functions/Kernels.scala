@@ -358,14 +358,15 @@ object Kernels {
     * char offset of the k-gram. Returned pre-packed as ArrayData of
     * (pos INT, h LONG) rows so the expression wrapper is a one-line
     * static call that stays inside whole-stage codegen. */
-  def winnowAnchorRows(s: String, k: Int, w: Int)
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
+  /** The winnow selection shared by [[winnowAnchorRows]] and
+    * [[anchorContextRows]]: FNV k-gram hashes and the distinct,
+    * pos-sorted anchor positions. Empty selection for |s| < k. */
+  private def winnowSelect(s: String, k: Int, w: Int)
+      : (Array[Long], Array[Int]) = {
     if (k < 1 || w < 1)
       throw new IllegalArgumentException(
         s"winnow_anchors: k and w must be >= 1, got k=$k w=$w")
-    if (s.length < k)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Any])
+    if (s.length < k) return (Array.empty[Long], Array.empty[Int])
     val n = s.length - k + 1
     val grams = new Array[Long](n)
     var i = 0
@@ -392,9 +393,52 @@ object Kernels {
         i += 1
       }
     }
-    val rows = sel.toArray.map { p =>
+    (grams, sel.toArray)
+  }
+
+  def winnowAnchorRows(s: String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (grams, sel) = winnowSelect(s, k, w)
+    val rows = sel.map { p =>
       org.apache.spark.sql.catalyst.InternalRow(p, grams(p)): Any
     }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** The whole per-document anchor-context stage of the ExactSubstr
+    * family in ONE map-side pass: winnow anchors, bounded context
+    * windows (maxExt chars either side of the k-gram — pre = the up-to-
+    * maxExt chars before pos, post = the k-gram plus up to maxExt chars
+    * after), and duplicate-context collapse — anchors with identical
+    * (h, pre, post) merge into one row carrying ALL their positions.
+    * Returned as (h, pre, post, ps) rows ordered by first position —
+    * deterministic, and the collapse happens BEFORE any shuffle, which
+    * is the point: a doc full of repeated boilerplate ships each
+    * distinct context once, however many times it occurs. */
+  def anchorContextRows(s: String, k: Int, w: Int, maxExt: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (grams, sel) = winnowSelect(s, k, w)
+    // first-seen (= ascending first-pos) insertion order is the
+    // deterministic output order; duplicates append their position
+    val m = scala.collection.mutable.LinkedHashMap
+      .empty[(Long, String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    var i = 0
+    while (i < sel.length) {
+      val p = sel(i)
+      val pre = s.substring(math.max(0, p - maxExt), p)
+      val post = s.substring(p, math.min(s.length, p + k + maxExt))
+      m.getOrElseUpdate((grams(p), pre, post),
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += p
+      i += 1
+    }
+    val rows = m.iterator.map { case ((h, pre, post), ps) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        h,
+        org.apache.spark.unsafe.types.UTF8String.fromString(pre),
+        org.apache.spark.unsafe.types.UTF8String.fromString(post),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ps.toArray.map(x => x: Any))): Any
+    }.toArray
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 

@@ -182,41 +182,40 @@ object DedupOps {
     * Returns (id_a, id_b, n_anchors, max_len): per cross-doc pair, the
     * number of colliding anchor pairs and the longest extended span,
     * filtered to max_len >= minLen. */
-  /** The shared anchor-context stage of the ExactSubstr family: winnow
-    * anchors exploded to (id, h, pos, pre, post) rows, each carrying
-    * ONLY the bounded context window (maxExt chars either side of the
-    * k-gram) — full text never leaves this projection. */
+  /** The shared anchor-context stage of the ExactSubstr family:
+    * per-document DISTINCT anchor contexts — (id, h, pre, post, ps)
+    * rows, each carrying ONLY the bounded context window (maxExt chars
+    * either side of the k-gram) plus every position it occurs at. The
+    * duplicate collapse happens INSIDE the kernel, before any shuffle:
+    * a document whose text repeats (menus, table rows, boilerplate
+    * lines) ships each distinct context once, however many times it
+    * occurs — full text never leaves this projection, and no dedup
+    * exchange is needed. */
   private def anchorContexts(df: DataFrame, text: String, id: String,
-                             k: Int, w: Int, maxExt: Int): DataFrame = {
-    val preLen = least(col("pos"), lit(maxExt))
+                             k: Int, w: Int, maxExt: Int): DataFrame =
     df.filter(col(text).isNotNull)
-      .select(col(id), col(text),
-        explode(graft.functions.Expressions.winnow_anchors(col(text), k, w)).as("_a"))
-      .select(col(id), col("_a.h").as("h"), col("_a.pos").as("pos"), col(text))
-      .select(col(id), col("h"), col("pos"),
-        col(text).substr(col("pos") + lit(1) - preLen, preLen).as("pre"),
-        col(text).substr(col("pos") + lit(1), lit(k + maxExt)).as("post"))
-  }
+      .select(col(id),
+        explode(graft.functions.Expressions
+          .anchor_contexts(col(text), k, w, maxExt)).as("_a"))
+      .select(col(id), col("_a.h").as("h"), col("_a.pre").as("pre"),
+        col("_a.post").as("post"), col("_a.ps").as("ps"))
 
   def exactSubstrSpans(df: DataFrame, text: String, id: String,
                        k: Int = 8, w: Int = 4, maxExt: Int = 48,
                        minLen: Int = 16, maxBucket: Int = 64): DataFrame = {
     Reserved.requireAbsent(df, "exactSubstrSpans",
       Seq("_a", "h", "pos", "pre", "post"))
-    val ctx = anchorContexts(df, text, id, k, w, maxExt).drop("pos")
-    // Duplicate-context collapse: a document whose text repeats (menus,
-    // table rows, boilerplate lines) emits MANY anchors with identical
-    // (h, pre, post); pairing those instance-by-instance is c_a×c_b
-    // identical ext computations. Collapse them to one row carrying a
-    // multiplicity c BEFORE the bucket shuffle — one doc's anchors sit
-    // in one input partition, so the partial aggregate does the
-    // collapse map-side and the exchange ships distinct contexts only.
-    // Every downstream count is reweighted by c, so the output is
-    // bit-identical to the instance-level pairing the oracle replays:
-    // the bucket cap gates on sum(c) (= the raw anchor count) and
-    // n_anchors sums c_a×c_b (= the raw pair count).
-    val ctxd = ctx.groupBy(col(id), col("h"), col("pre"), col("post"))
-      .agg(count(lit(1)).as("c"))
+    // Duplicate contexts collapse INSIDE the anchor kernel (pairing
+    // them instance-by-instance would be c_a×c_b identical ext
+    // computations), so the one exchange here ships distinct contexts
+    // only, each carrying its multiplicity c. Every downstream count is
+    // reweighted by c, so the output is bit-identical to the
+    // instance-level pairing the oracle replays: the bucket cap gates
+    // on sum(c) (= the raw anchor count) and n_anchors sums c_a×c_b
+    // (= the raw pair count).
+    val ctxd = anchorContexts(df, text, id, k, w, maxExt)
+      .select(col(id), col("h"), col("pre"), col("post"),
+        size(col("ps")).cast("long").as("c"))
     val buckets = ctxd.groupBy("h")
       .agg(collect_list(struct(col(id), col("c"), col("pre"), col("post"))).as("xs"),
         sum(col("c")).as("raw"))
@@ -272,12 +271,11 @@ object DedupOps {
                        minLen: Int = 16, maxBucket: Int = 64): DataFrame = {
     Reserved.requireAbsent(df, "exactSubstrApply",
       Seq("_a", "h", "pos", "pre", "post"))
-    val ctx = anchorContexts(df, text, id, k, w, maxExt)
-    // duplicate contexts collapse to one entry carrying ALL positions:
-    // a pair's (sfx, ext) depends only on the contexts, so it applies
-    // to every instance position at once
-    val ctxd = ctx.groupBy(col(id), col("h"), col("pre"), col("post"))
-      .agg(collect_list(col("pos")).as("ps"))
+    // duplicate contexts arrive pre-collapsed from the anchor kernel,
+    // one entry carrying ALL positions: a pair's (sfx, ext) depends
+    // only on the contexts, so it applies to every instance position
+    // at once
+    val ctxd = anchorContexts(df, text, id, k, w, maxExt)
     val buckets = ctxd.groupBy("h")
       .agg(collect_list(struct(col(id), col("ps"), col("pre"), col("post"))).as("xs"),
         sum(size(col("ps"))).as("raw"))

@@ -44,6 +44,34 @@ class ExactSubstrSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("anchor_contexts collapses duplicate contexts map-side, positions intact") {
+    // a text that repeats the same line: its anchors recur with
+    // identical (h, pre, post) at shifted positions — the kernel must
+    // return each distinct context ONCE with every position, matching
+    // winnow_anchors' selection exactly
+    val line = "the same boilerplate line here "
+    val text = line * 6
+    val anchors = Seq((0L, text)).toDF("id", "text")
+      .select(explode(winnow_anchors($"text", 8, 4)).as("a"))
+      .select($"a.pos", $"a.h").as[(Int, Long)].collect()
+    val ctxs = Seq((0L, text)).toDF("id", "text")
+      .select(explode(graft.functions.Expressions
+        .anchor_contexts($"text", 8, 4, 16)).as("c"))
+      .select($"c.h", $"c.pre", $"c.post", $"c.ps")
+      .as[(Long, String, String, Seq[Int])].collect()
+    // every anchor position appears exactly once across the entries
+    assert(ctxs.flatMap(_._4).sorted.toSeq == anchors.map(_._1).sorted.toSeq)
+    // the repetition actually collapsed: fewer entries than anchors
+    assert(ctxs.length < anchors.length,
+      s"${ctxs.length} entries vs ${anchors.length} anchors — no collapse")
+    // contexts reproduce the substrings at each claimed position
+    for ((h, pre, post, ps) <- ctxs; p <- ps) {
+      assert(pre == text.substring(math.max(0, p - 16), p))
+      assert(post == text.substring(p, math.min(text.length, p + 8 + 16)))
+      assert(anchors.contains((p, h)))
+    }
+  }
+
   test("common affix kernels: exact lengths, empty-safe") {
     val df = Seq(("abcdef", "abcxyz", "xxdef", "yydef")).toDF("a", "b", "c", "d")
     val r = df.select(

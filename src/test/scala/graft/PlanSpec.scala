@@ -208,19 +208,20 @@ class PlanSpec extends SparkSpec {
       s"semdedup regressed to an all-pairs join:\n$p")
   }
 
-  test("exact-substr spans: three aggregations, in-bucket pairs, no join") {
+  test("exact-substr spans: two aggregations, in-bucket pairs, no join") {
     // the operator's scale story: duplicate (h, pre, post) contexts
-    // collapse map-side in the per-doc dedup aggregate (partial agg
-    // before its exchange), anchors shuffle to buckets (groupBy on h,
+    // collapse INSIDE the AnchorContexts kernel (map-side, before any
+    // exchange), anchors shuffle ONCE to buckets (groupBy on h,
     // carrying distinct bounded context windows only), pairs are
     // generated INSIDE the bucket aggregate (no self-join shuffle), and
     // the weighted pair aggregate + presentation orderBy close it out.
     // A join anywhere means the in-array combinatorics regressed to the
-    // self-join the design exists to avoid.
+    // self-join the design exists to avoid; a third shuffle means the
+    // kernel-side dedup regressed to a groupBy exchange.
     val p = planOf("q_exact_substr")
     assert(!p.contains("Join"), s"exact_substr grew a self-join:\n$p")
-    assert(count(p, "Exchange") <= 4, // dedup agg + bucket groupBy
-      // (AQE coalesces the union legs) + pair agg + orderBy
+    assert(count(p, "Exchange") <= 3, // bucket groupBy + pair agg +
+      // presentation orderBy
       s"exact_substr exceeded its exchange budget:\n$p")
     assert(count(p, "Expand") == 0, s"exact_substr grew an Expand:\n$p")
   }
@@ -235,8 +236,8 @@ class PlanSpec extends SparkSpec {
       s"interval join lost its broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
       s"apply shuffles document text:\n$p")
-    assert(count(p, "Exchange") <= 4, // dedup agg + bucket agg +
-      // interval agg + presentation orderBy
+    assert(count(p, "Exchange") <= 3, // bucket agg + interval agg +
+      // presentation orderBy (context dedup is kernel-side)
       s"exact_substr_apply exceeded its exchange budget:\n$p")
   }
 
