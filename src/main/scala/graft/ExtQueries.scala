@@ -335,10 +335,12 @@ object ExtQueries {
   /** The shared detection chain of the ExactSubstr oracles, ending at
     * `kp` (capped-bucket anchors with pos + bounded contexts): both the
     * spans oracle and the apply oracle append their tails to this. */
-  private def exactSubstrCtes: String = {
+  private def exactSubstrCtes: String = exactSubstrCtesOver(mutantCte)
+
+  private def exactSubstrCtesOver(corpusSql: String): String = {
     val (k, w, me, mb) = (esK, esW, esExt, esMaxBucket)
     def winMin(i: String) = s"list_min(grams[$i:$i+${w - 1}])"
-    s"""WITH d AS ($mutantCte),
+    s"""WITH d AS ($corpusSql),
        |g AS (SELECT doc_id, text, length(text) - $k + 1 AS n,
        |    list_transform(range(1, greatest(length(text) - $k + 2, 1)), i ->
        |      list_reduce(
@@ -381,6 +383,37 @@ object ExtQueries {
        |              y.pre AS pre_b, y.post AS post_b
        |       FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
        |       WHERE substr(x.post, 1, $k) = substr(y.post, 1, $k)),
+       |ee AS (SELECT id_a, id_b,
+       |    $k + ${lcsufSql("pre_a", "pre_b")}
+       |       + ${lcpSql(s"substr(post_a, ${k + 1})", s"substr(post_b, ${k + 1})")} AS ext
+       |  FROM pp)
+       |SELECT id_a, id_b, count(*) AS n_anchors, CAST(max(ext) AS BIGINT) AS max_len
+       |FROM ee GROUP BY id_a, id_b HAVING max(ext) >= $ml
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of the q_exact_substr_incremental PROBE call: the
+    * probe's visible corpus (index ∪ batch) is the full docs+mutants
+    * corpus with identical bucket/cap semantics to the batch operator,
+    * so the replay is [[exactSubstrOracleSql]]'s chain restricted to
+    * pairs with at least one BATCH (mutant, id >= 1,000,000) side —
+    * history-vs-history pairs belong to the untimed index build. */
+  private def exactSubstrIncrementalOracleSql: String = {
+    val (k, ml) = (esK, esMinLen)
+    val corpus =
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |        WHERE doc_id % 10 = 0)""".stripMargin
+    s"""${exactSubstrCtesOver(corpus)},
+       |pp AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |              x.pre AS pre_a, x.post AS post_a,
+       |              y.pre AS pre_b, y.post AS post_b
+       |       FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
+       |       WHERE substr(x.post, 1, $k) = substr(y.post, 1, $k)
+       |         AND (x.doc_id >= 1000000 OR y.doc_id >= 1000000)),
        |ee AS (SELECT id_a, id_b,
        |    $k + ${lcsufSql("pre_a", "pre_b")}
        |       + ${lcpSql(s"substr(post_a, ${k + 1})", s"substr(post_b, ${k + 1})")} AS ext
@@ -1033,6 +1066,35 @@ object ExtQueries {
           col("max_len").cast("long"))
         .orderBy("id_a", "id_b")),
 
+    // Incremental ExactSubstr: the mutant batch probes a PERSISTED
+    // anchor index of the document history (built once, content-keyed
+    // fixture) — O(batch) span detection, never re-anchoring history.
+    // The probe sees the accumulated corpus (index ∪ batch) with the
+    // batch-operator's exact bucket/cap semantics, so the oracle is
+    // the full-corpus chain filtered to pairs touching a batch doc —
+    // exact at any cap. Tagged replay makes repeat runs idempotent.
+    "q_exact_substr_incremental" -> ((s, dir) => {
+      val hist = docs(s, dir).select("doc_id", "text")
+      val batch = withPrefixMutants(hist.filter(lit(false)),
+        hist.filter(col("doc_id") % 10 === 0))
+      val fx = graft.Fixtures.ensure("exsub_idx",
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.Fixtures.contentKey(s"exsub_idx|$dir", hist, "doc_id", "text")) { p =>
+        graft.ops.ExactSubstrIndex.appendAndFindSpans(s, hist, p + "/idx",
+          "text", "doc_id", k = esK, w = esW, maxExt = esExt,
+          minLen = esMinLen, maxBucket = esMaxBucket,
+          batchTag = Some("hist"))
+        ()
+      }
+      graft.ops.ExactSubstrIndex.appendAndFindSpans(s, batch, fx + "/idx",
+          "text", "doc_id", k = esK, w = esW, maxExt = esExt,
+          minLen = esMinLen, maxBucket = esMaxBucket,
+          batchTag = Some("daily"))
+        .select(col("id_a"), col("id_b"), col("n_anchors"),
+          col("max_len").cast("long"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ExactSubstr dedup APPLIED (Lee et al. remove, not just flag):
     // every >= minLen cross-doc span is cut from the higher-id doc of
     // its colliding pair, overlapping cuts merged, lowest id keeping
@@ -1626,6 +1688,7 @@ object ExtQueries {
 
     "q_exact_substr" -> exactSubstrOracleSql,
     "q_exact_substr_apply" -> exactSubstrApplyOracleSql,
+    "q_exact_substr_incremental" -> exactSubstrIncrementalOracleSql,
 
     "q_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental exact-substring span detection against a PERSISTED
+  * anchor index — [[DedupOps.exactSubstrSpans]] made O(batch): a daily
+  * crawl batch is checked for verbatim cross-document spans against
+  * the full history without re-reading or re-anchoring a single
+  * historical document (the [[DedupIndex]] pattern applied to the
+  * Lee et al. ACL'22 signal).
+  *
+  * Index layout (one table under `indexPath`): `anchors/`, partitioned
+  * by `hb` (= pmod(h, 64), a stable fan-out column so probes prune at
+  * PARTITION granularity before the row-level semi-join) and, in
+  * tagged mode, `batch_tag`. Rows are the kernel-collapsed distinct
+  * anchor contexts (h, id, pre, post, c) — the same bounded windows
+  * the batch operator ships, never document text.
+  *
+  * Scale story (100 TB corpus, daily batches):
+  *  - The batch's touched (hb, h) keys are BROADCAST against the
+  *    anchors scan: partition pruning on hb, then a map-side left-semi
+  *    on h — the index is never shuffled and the matched subset is
+  *    proportional to the batch's anchor-hash footprint, not history.
+  *  - Pair generation happens inside the same capped-bucket aggregate
+  *    as the batch operator, restricted to pairs with >= 1 NEW side:
+  *    history-vs-history pairs were emitted when the younger doc was
+  *    itself the batch, so each call emits exactly the new pairs and
+  *    the union of all calls equals the full-batch operator over the
+  *    accumulated corpus (ExactSubstrIndexSpec pins it; the one caveat
+  *    is a bucket crossing maxBucket only AFTER later batches arrive —
+  *    size the cap for the steady-state corpus, not the first batch).
+  *  - Appends accrete small files per partition — run
+  *    [[Layout.compactPartitions]] as steady-state maintenance.
+  *
+  * Contract: doc ids are globally unique across batches. Replay safety
+  * mirrors [[DedupIndex]]: `batchTag = None` appends blindly (guard
+  * retries one level up); `batchTag = Some(tag)` lands the batch in
+  * tag-scoped partitions via dynamic partition overwrite, so a replay
+  * overwrites exactly its own rows and returns identical pairs. An
+  * index is either all-tagged or all-untagged. */
+object ExactSubstrIndex {
+
+  private def anchorsPath(indexPath: String) = indexPath + "/anchors"
+  private val HB = 64
+
+  /** Find cross-document spans of `batch` against the index ∪ the
+    * batch itself, then append the batch's anchors. Returns
+    * (id_a, id_b, n_anchors, max_len) — the [[DedupOps
+    * .exactSubstrSpans]] schema — materialized BEFORE the append so
+    * the lazy plan can never read the batch's freshly-written rows. */
+  def appendAndFindSpans(spark: SparkSession, batch: DataFrame,
+                         indexPath: String, text: String, id: String,
+                         k: Int = 8, w: Int = 4, maxExt: Int = 48,
+                         minLen: Int = 16, maxBucket: Int = 64,
+                         batchTag: Option[String] = None): DataFrame = {
+    val ctxNew = batch.filter(col(text).isNotNull)
+      .select(col(id),
+        explode(graft.functions.Expressions
+          .anchor_contexts(col(text), k, w, maxExt)).as("_a"))
+      .select(col(id), col("_a.h").as("h"), col("_a.pre").as("pre"),
+        col("_a.post").as("post"), size(col("_a.ps")).cast("long").as("c"))
+      .withColumn("hb", pmod(col("h"), lit(HB.toLong)).cast("int"))
+      .persist()
+    try {
+      if (ctxNew.isEmpty)
+        return ctxNew.select(col(id).as("id_a"), col(id).as("id_b"),
+          lit(0L).as("n_anchors"), lit(0).as("max_len")).filter(lit(false))
+      val fs = new Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val indexExists =
+        Layout.hasCommittedFiles(fs, new Path(anchorsPath(indexPath)))
+      val newCtx = ctxNew.withColumn("is_new", lit(true))
+      val all =
+        if (!indexExists) newCtx
+        else {
+          val newKeys = ctxNew.select("hb", "h").distinct()
+          val stored = spark.read.parquet(anchorsPath(indexPath))
+          // a tagged replay must not see its own first attempt (the
+          // same double-count-to-cap hazard DedupIndex documents)
+          val storedOthers = batchTag match {
+            case Some(tag) if stored.columns.contains("batch_tag") =>
+              stored.filter(col("batch_tag") =!= tag)
+            case _ => stored
+          }
+          val oldHits = storedOthers
+            .join(broadcast(newKeys), Seq("hb", "h"), "left_semi")
+            .select(col(id), col("h"), col("pre"), col("post"), col("c"),
+              col("hb"))
+            .withColumn("is_new", lit(false))
+          newCtx.unionByName(oldHits)
+        }
+      // identical bucket/cap/pair semantics to the batch operator,
+      // restricted to pairs touching a NEW entry
+      val buckets = all.groupBy("h")
+        .agg(collect_list(struct(col(id), col("c"), col("pre"),
+          col("post"), col("is_new"))).as("xs"),
+          sum(col("c")).as("raw"))
+        .filter(col("raw").between(2, maxBucket))
+      val pairs = buckets.select(explode(
+          flatten(transform(col("xs"), (x, i) =>
+            transform(slice(col("xs"), i + 2, size(col("xs"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .filter(col("p.a.is_new") || col("p.b.is_new"))
+        .filter(col(s"p.a.$id") =!= col(s"p.b.$id"))
+        .select(
+          least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
+          greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"),
+          (col("p.a.c") * col("p.b.c")).as("w"),
+          col("p.a.pre").as("pre_a"), col("p.a.post").as("post_a"),
+          col("p.b.pre").as("pre_b"), col("p.b.post").as("post_b"))
+        .filter(col("post_a").substr(lit(1), lit(k)) ===
+          col("post_b").substr(lit(1), lit(k)))
+        .withColumn("ext", lit(k) +
+          graft.functions.Expressions.common_suffix_len(col("pre_a"), col("pre_b")) +
+          graft.functions.Expressions.common_prefix_len(
+            col("post_a").substr(lit(k + 1), lit(maxExt)),
+            col("post_b").substr(lit(k + 1), lit(maxExt))))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("w")).as("n_anchors"), max(col("ext")).as("max_len"))
+        .filter(col("max_len") >= minLen)
+        .localCheckpoint(true) // pin results before the index mutates
+      batchTag match {
+        case Some(tag) =>
+          ctxNew.select(col("hb"), lit(tag).as("batch_tag"), col(id),
+              col("h"), col("pre"), col("post"), col("c"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hb", "batch_tag").parquet(anchorsPath(indexPath))
+        case None =>
+          ctxNew.select(col("hb"), col(id), col("h"), col("pre"),
+              col("post"), col("c"))
+            .write.mode(SaveMode.Append).partitionBy("hb")
+            .parquet(anchorsPath(indexPath))
+      }
+      pairs
+    } finally { ctxNew.unpersist(); () }
+  }
+}

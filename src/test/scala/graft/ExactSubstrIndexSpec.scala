@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{DedupOps, ExactSubstrIndex}
+
+/** Incremental exact-substring index: the union of per-batch calls
+  * must equal the full-batch operator over the accumulated corpus, and
+  * tagged replays must be idempotent (same pairs, no double-counted
+  * index rows). */
+class ExactSubstrIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filler(seed: Int, n: Int): String = {
+    val sb = new StringBuilder
+    var x = seed * 2654435761L + 1
+    for (_ <- 0 until n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb.append(('a' + math.floorMod(x >>> 33, 26L).toInt).toChar)
+    }
+    sb.toString
+  }
+
+  // spans shared across batch boundaries: docs 1/11/21 share run A
+  // (one per batch), docs 2/12 share run B, doc 22 is clean
+  private val runA = filler(901, 60)
+  private val runB = filler(902, 60)
+  private def doc(id: Long, run: Option[String]) =
+    (id, filler(id.toInt * 3, 70) + run.getOrElse(filler(id.toInt * 3 + 1, 60)) +
+      filler(id.toInt * 3 + 2, 70))
+  private val b1 = Seq(doc(1, Some(runA)), doc(2, Some(runB)), doc(3, None))
+  private val b2 = Seq(doc(11, Some(runA)), doc(12, Some(runB)), doc(13, None))
+  private val b3 = Seq(doc(21, Some(runA)), doc(22, None))
+
+  private def spans(rows: Seq[(Long, String)]) =
+    DedupOps.exactSubstrSpans(rows.toDF("doc_id", "text"), "text", "doc_id",
+      k = 8, w = 4, maxExt = 48, minLen = 16, maxBucket = 256)
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+  private def probe(idx: String, rows: Seq[(Long, String)], tag: String) =
+    ExactSubstrIndex.appendAndFindSpans(spark, rows.toDF("doc_id", "text"),
+      idx, "text", "doc_id", k = 8, w = 4, maxExt = 48, minLen = 16,
+      maxBucket = 256, batchTag = Some(tag))
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+  test("incremental calls union to the full-batch span set") {
+    val idx = tmpDir() + "/esidx"
+    val p1 = probe(idx, b1, "b1")
+    val p2 = probe(idx, b2, "b2")
+    val p3 = probe(idx, b3, "b3")
+    // each call emits only pairs touching its batch
+    assert(p2.forall { case (a, b, _, _) => a >= 11 || b >= 11 })
+    assert(p3.forall { case (a, b, _, _) => a >= 21 || b >= 21 })
+    val full = spans(b1 ++ b2 ++ b3)
+    assert((p1 ++ p2 ++ p3) == full,
+      s"incremental union ${(p1 ++ p2 ++ p3).toSeq.sorted} != full ${full.toSeq.sorted}")
+    // the planted cross-batch structure was actually exercised
+    assert(full.exists { case (a, b, _, _) => a == 1 && b == 21 },
+      "runA must link batch 1 to batch 3")
+  }
+
+  test("tagged replay returns identical pairs and never double-counts") {
+    val idx = tmpDir() + "/esidx"
+    val p1 = probe(idx, b1, "b1")
+    val first = probe(idx, b2, "b2")
+    val replay = probe(idx, b2, "b2")
+    assert(replay == first, "replay with the same tag must be idempotent")
+    // the index holds each batch's anchors once even after the replay:
+    // a third batch still completes the full-batch semantics (a
+    // double-counted b2 would inflate n_anchors weights and bucket
+    // sizes, skewing pair counts or flipping cap decisions)
+    val p3 = probe(idx, b3, "b3")
+    assert((p1 ++ first ++ p3) == spans(b1 ++ b2 ++ b3))
+  }
+}
