@@ -55,71 +55,13 @@ object ExactSubstrIndex {
                          k: Int = 8, w: Int = 4, maxExt: Int = 48,
                          minLen: Int = 16, maxBucket: Int = 64,
                          batchTag: Option[String] = None): DataFrame = {
-    val ctxNew = batch.filter(col(text).isNotNull)
-      .select(col(id),
-        explode(graft.functions.Expressions
-          .anchor_contexts(col(text), k, w, maxExt)).as("_a"))
-      .select(col(id), col("_a.h").as("h"), col("_a.pre").as("pre"),
-        col("_a.post").as("post"), size(col("_a.ps")).cast("long").as("c"))
-      .withColumn("hb", pmod(col("h"), lit(HB.toLong)).cast("int"))
-      .persist()
+    val ctxNew = batchContexts(batch, text, id, k, w, maxExt).persist()
     try {
       if (ctxNew.isEmpty)
         return ctxNew.select(col(id).as("id_a"), col(id).as("id_b"),
           lit(0L).as("n_anchors"), lit(0).as("max_len")).filter(lit(false))
-      val fs = new Path(indexPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val indexExists =
-        Layout.hasCommittedFiles(fs, new Path(anchorsPath(indexPath)))
-      val newCtx = ctxNew.withColumn("is_new", lit(true))
-      val all =
-        if (!indexExists) newCtx
-        else {
-          val newKeys = ctxNew.select("hb", "h").distinct()
-          val stored = spark.read.parquet(anchorsPath(indexPath))
-          // a tagged replay must not see its own first attempt (the
-          // same double-count-to-cap hazard DedupIndex documents)
-          val storedOthers = batchTag match {
-            case Some(tag) if stored.columns.contains("batch_tag") =>
-              stored.filter(col("batch_tag") =!= tag)
-            case _ => stored
-          }
-          val oldHits = storedOthers
-            .join(broadcast(newKeys), Seq("hb", "h"), "left_semi")
-            .select(col(id), col("h"), col("pre"), col("post"), col("c"),
-              col("hb"))
-            .withColumn("is_new", lit(false))
-          newCtx.unionByName(oldHits)
-        }
-      // identical bucket/cap/pair semantics to the batch operator,
-      // restricted to pairs touching a NEW entry
-      val buckets = all.groupBy("h")
-        .agg(collect_list(struct(col(id), col("c"), col("pre"),
-          col("post"), col("is_new"))).as("xs"),
-          sum(col("c")).as("raw"))
-        .filter(col("raw").between(2, maxBucket))
-      val pairs = buckets.select(explode(
-          flatten(transform(col("xs"), (x, i) =>
-            transform(slice(col("xs"), i + 2, size(col("xs"))),
-              y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .filter(col("p.a.is_new") || col("p.b.is_new"))
-        .filter(col(s"p.a.$id") =!= col(s"p.b.$id"))
-        .select(
-          least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
-          greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"),
-          (col("p.a.c") * col("p.b.c")).as("w"),
-          col("p.a.pre").as("pre_a"), col("p.a.post").as("post_a"),
-          col("p.b.pre").as("pre_b"), col("p.b.post").as("post_b"))
-        .filter(col("post_a").substr(lit(1), lit(k)) ===
-          col("post_b").substr(lit(1), lit(k)))
-        .withColumn("ext", lit(k) +
-          graft.functions.Expressions.common_suffix_len(col("pre_a"), col("pre_b")) +
-          graft.functions.Expressions.common_prefix_len(
-            col("post_a").substr(lit(k + 1), lit(maxExt)),
-            col("post_b").substr(lit(k + 1), lit(maxExt))))
-        .groupBy("id_a", "id_b")
-        .agg(sum(col("w")).as("n_anchors"), max(col("ext")).as("max_len"))
-        .filter(col("max_len") >= minLen)
+      val pairs = probeFrame(spark, ctxNew, indexPath, id, k, maxExt,
+          minLen, maxBucket, batchTag)
         .localCheckpoint(true) // pin results before the index mutates
       batchTag match {
         case Some(tag) =>
@@ -136,5 +78,81 @@ object ExactSubstrIndex {
       }
       pairs
     } finally { ctxNew.unpersist(); () }
+  }
+
+  /** The batch's kernel-collapsed anchor contexts with the index's
+    * hb fan-out column attached. */
+  private[graft] def batchContexts(batch: DataFrame, text: String,
+                                   id: String, k: Int, w: Int,
+                                   maxExt: Int): DataFrame =
+    batch.filter(col(text).isNotNull)
+      .select(col(id),
+        explode(graft.functions.Expressions
+          .anchor_contexts(col(text), k, w, maxExt)).as("_a"))
+      .select(col(id), col("_a.h").as("h"), col("_a.pre").as("pre"),
+        col("_a.post").as("post"), size(col("_a.ps")).cast("long").as("c"))
+      .withColumn("hb", pmod(col("h"), lit(HB.toLong)).cast("int"))
+
+  /** The LAZY probe plan — everything but the result checkpoint and
+    * the index append. Package-private so PlanSpec can pin the O(batch)
+    * shape (broadcast semi against the stored anchors, no sort-merge)
+    * that [[appendAndFindSpans]]' eager checkpoint hides. */
+  private[graft] def probeFrame(spark: SparkSession, ctxNew: DataFrame,
+                                indexPath: String, id: String, k: Int,
+                                maxExt: Int, minLen: Int, maxBucket: Int,
+                                batchTag: Option[String]): DataFrame = {
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexExists =
+      Layout.hasCommittedFiles(fs, new Path(anchorsPath(indexPath)))
+    val newCtx = ctxNew.withColumn("is_new", lit(true))
+    val all =
+      if (!indexExists) newCtx
+      else {
+        val newKeys = ctxNew.select("hb", "h").distinct()
+        val stored = spark.read.parquet(anchorsPath(indexPath))
+        // a tagged replay must not see its own first attempt (the
+        // same double-count-to-cap hazard DedupIndex documents)
+        val storedOthers = batchTag match {
+          case Some(tag) if stored.columns.contains("batch_tag") =>
+            stored.filter(col("batch_tag") =!= tag)
+          case _ => stored
+        }
+        val oldHits = storedOthers
+          .join(broadcast(newKeys), Seq("hb", "h"), "left_semi")
+          .select(col(id), col("h"), col("pre"), col("post"), col("c"),
+            col("hb"))
+          .withColumn("is_new", lit(false))
+        newCtx.unionByName(oldHits)
+      }
+    // identical bucket/cap/pair semantics to the batch operator,
+    // restricted to pairs touching a NEW entry
+    val buckets = all.groupBy("h")
+      .agg(collect_list(struct(col(id), col("c"), col("pre"),
+        col("post"), col("is_new"))).as("xs"),
+        sum(col("c")).as("raw"))
+      .filter(col("raw").between(2, maxBucket))
+    buckets.select(explode(
+        flatten(transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + 2, size(col("xs"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.is_new") || col("p.b.is_new"))
+      .filter(col(s"p.a.$id") =!= col(s"p.b.$id"))
+      .select(
+        least(col(s"p.a.$id"), col(s"p.b.$id")).as("id_a"),
+        greatest(col(s"p.a.$id"), col(s"p.b.$id")).as("id_b"),
+        (col("p.a.c") * col("p.b.c")).as("w"),
+        col("p.a.pre").as("pre_a"), col("p.a.post").as("post_a"),
+        col("p.b.pre").as("pre_b"), col("p.b.post").as("post_b"))
+      .filter(col("post_a").substr(lit(1), lit(k)) ===
+        col("post_b").substr(lit(1), lit(k)))
+      .withColumn("ext", lit(k) +
+        graft.functions.Expressions.common_suffix_len(col("pre_a"), col("pre_b")) +
+        graft.functions.Expressions.common_prefix_len(
+          col("post_a").substr(lit(k + 1), lit(maxExt)),
+          col("post_b").substr(lit(k + 1), lit(maxExt))))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("w")).as("n_anchors"), max(col("ext")).as("max_len"))
+      .filter(col("max_len") >= minLen)
   }
 }

@@ -70,4 +70,26 @@ class ExactSubstrIndexSpec extends SparkSpec {
     val p3 = probe(idx, b3, "b3")
     assert((p1 ++ first ++ p3) == spans(b1 ++ b2 ++ b3))
   }
+
+  test("probe plan: index pruned by broadcast semi-join, never shuffled whole") {
+    // the O(batch) claim, structurally (checked on the LAZY probe frame
+    // — appendAndFindSpans' eager checkpoint hides the plan): the
+    // stored anchors are filtered by a BROADCAST left-semi on the
+    // batch's touched keys before anything exchanges; a SortMergeJoin
+    // against the index means the probe re-shuffles the whole history
+    // every batch, the exact cost the index exists to avoid
+    val idx = tmpDir() + "/esidx"
+    probe(idx, b1, "b1")
+    val ctx = ExactSubstrIndex.batchContexts(b2.toDF("doc_id", "text"),
+      "text", "doc_id", k = 8, w = 4, maxExt = 48)
+    val p = ExactSubstrIndex.probeFrame(spark, ctx, idx, "doc_id",
+        k = 8, maxExt = 48, minLen = 16, maxBucket = 256,
+        batchTag = Some("b2"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      s"index probe lost its broadcast semi-join:\n$p")
+    assert(p.contains("LeftSemi"), s"probe join is not a semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      s"index probe shuffles the stored anchors:\n$p")
+  }
 }
