@@ -226,11 +226,31 @@ object ScaleProbe {
       val tEs = best2 {
         graft.ops.DedupOps.exactSubstrSpans(d, "text", "doc_id").count()
       }
+      scrub()
+      // incremental ExactSubstr probe against a PRE-BUILT anchor index
+      // at this scale: history indexed untimed, then the timed 1% batch
+      // — the O(batch) twin of the dedup_incremental row (fresh index
+      // dir per invocation, same reuse hazard as documented there)
+      val esIdx = s"$root/esidx_x${scale}_$tag"
+      val esHist = d.filter(col("doc_id") % 100 =!= 0)
+      val esBatch = d.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          concat(lit("probe "), col("text")).as("text"))
+      graft.ops.ExactSubstrIndex.appendAndFindSpans(spark, esHist, esIdx,
+        "text", "doc_id", batchTag = Some("hist"))
+      scrub()
+      // single-shot (a repeat with a new tag would measure a different
+      // index state; a same-tag replay measures overwrite, not probe)
+      val (tEsIncr, _) = time {
+        graft.ops.ExactSubstrIndex.appendAndFindSpans(spark, esBatch,
+          esIdx, "text", "doc_id", batchTag = Some("daily")).count()
+      }
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
         "medoids" -> tMed, "semdedup" -> tSem,
-        "semdedup_tree" -> tSemTree, "exact_substr" -> tEs)
+        "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
+        "exact_substr_incremental" -> tEsIncr)
     }
 
     run(1, "w") // warm-up: JIT + codegen caches, discarded
