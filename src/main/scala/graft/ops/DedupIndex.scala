@@ -114,10 +114,10 @@ object DedupIndex {
         }
       // capped-bucket candidate generation over id-only members — the
       // same bucket/cap semantics as the batch path, minus the carried
-      // signatures (joined back below, for candidates only)
-      val buckets = allBands.groupBy("band", "bkey")
-        .agg(collect_list(struct(col(id), col("is_new"))).as("members"))
-        .filter(size(col("members")).between(2, maxBucket))
+      // signatures (joined back below, for candidates only); the cap
+      // gates BEFORE collect ([[DedupOps.cappedBuckets]])
+      val buckets = DedupOps.cappedBuckets(allBands, Seq("band", "bkey"),
+        lit(1L), struct(col(id), col("is_new")), maxBucket, "members")
       val cand = buckets.select(explode(
         flatten(transform(col("members"), (x, i) =>
           transform(slice(col("members"), i + 2, size(col("members"))),

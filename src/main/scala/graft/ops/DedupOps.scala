@@ -26,6 +26,44 @@ import graft.functions.Expressions.{band_keys, chunk_keys, minhash_sig, perm_tab
   */
 object DedupOps {
 
+  /** Cap-before-collect bucket builder — the skew-safe form of
+    * `groupBy(keys).agg(collect_list(payload)).filter(cap)` every
+    * capped-bucket operator in this family shares. The bucket weight is
+    * computed by a windowed sum over the bucket key FIRST, the cap
+    * filter drops over- and under-cap buckets, and only then does
+    * `collect_list` materialize members — so no aggregation buffer ever
+    * holds more than `maxBucket` entries.
+    *
+    * Why not filter after the aggregate (the obvious form): a
+    * `collect_list` buffer for one group is a single in-heap array that
+    * cannot spill — a ubiquitous key (a boilerplate anchor context, a
+    * degenerate LSH band shared by 10^7 documents) builds a multi-GB
+    * buffer BEFORE a post-aggregation filter could drop it: executor
+    * OOM at 100 TB, invisible at test scale. `WindowExec` instead
+    * buffers each group in a spillable array
+    * (`ExternalAppendOnlyUnsafeRowArray`, disk beyond
+    * `spark.sql.windowExec.buffer.spill.threshold` rows), so the worst
+    * case for a skewed key is bounded disk I/O, never heap.
+    *
+    * Plan shape: ONE exchange (the window's hash partitioning on the
+    * bucket key is reused by the groupBy — EnsureRequirements inserts
+    * no second exchange) and ONE pass over the upstream kernels. The
+    * alternative fix — pre-count per key, semi-join the under-cap keys,
+    * then collect — costs a second evaluation of the (expensive)
+    * anchor/signature kernel feeding the buckets; the window form gets
+    * the same bounded-buffer guarantee from the one pass. PlanSpec pins
+    * the shape; DedupOpsSpec drives an over-cap key through it. */
+  private[graft] def cappedBuckets(df: DataFrame, keys: Seq[String],
+                                 weight: Column, payload: Column,
+                                 maxBucket: Int, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("_raw", sum(weight).over(w))
+      .filter(col("_raw").between(2, maxBucket))
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(payload).as(out))
+  }
+
   /** Exact duplicate groups: group by content digest, keep the smallest
     * id as the canonical representative. */
   def exactDupGroups(df: DataFrame, text: String, id: String): DataFrame =
@@ -204,7 +242,7 @@ object DedupOps {
                        k: Int = 8, w: Int = 4, maxExt: Int = 48,
                        minLen: Int = 16, maxBucket: Int = 64): DataFrame = {
     Reserved.requireAbsent(df, "exactSubstrSpans",
-      Seq("_a", "h", "pos", "pre", "post"))
+      Seq("_a", "h", "pre", "post", "ps", "c", "_raw", "w"))
     // Duplicate contexts collapse INSIDE the anchor kernel (pairing
     // them instance-by-instance would be c_a×c_b identical ext
     // computations), so the one exchange here ships distinct contexts
@@ -216,10 +254,8 @@ object DedupOps {
     val ctxd = anchorContexts(df, text, id, k, w, maxExt)
       .select(col(id), col("h"), col("pre"), col("post"),
         size(col("ps")).cast("long").as("c"))
-    val buckets = ctxd.groupBy("h")
-      .agg(collect_list(struct(col(id), col("c"), col("pre"), col("post"))).as("xs"),
-        sum(col("c")).as("raw"))
-      .filter(col("raw").between(2, maxBucket))
+    val buckets = cappedBuckets(ctxd, Seq("h"), col("c"),
+      struct(col(id), col("c"), col("pre"), col("post")), maxBucket, "xs")
     // unordered in-array combinations + id-normalized orientation: the
     // emitted pair SET is independent of collect_list's arrival order,
     // and ext is symmetric in (a, b) — deterministic under any
@@ -255,8 +291,11 @@ object DedupOps {
     * the lowest-id document keeps the canonical occurrence — and
     * overlapping removal intervals are merged before splicing, so
     * nested/chained collisions cut each char at most once. Every input
-    * document comes back (id, n_spans, n_chars_removed, text_clean);
-    * untouched docs pass through with zero spans and their text intact.
+    * document with non-null text comes back (id, n_spans,
+    * n_chars_removed, text_clean) — null-text rows are dropped, the
+    * same frame the detection chain (and the oracle's
+    * `WHERE text IS NOT NULL`) operates on; untouched docs pass
+    * through with zero spans and their text intact.
     *
     * Same detection chain and caps as [[exactSubstrSpans]] (same
     * anchors, same bucket cap on the raw anchor count, same bounded
@@ -270,16 +309,14 @@ object DedupOps {
                        k: Int = 8, w: Int = 4, maxExt: Int = 48,
                        minLen: Int = 16, maxBucket: Int = 64): DataFrame = {
     Reserved.requireAbsent(df, "exactSubstrApply",
-      Seq("_a", "h", "pos", "pre", "post"))
+      Seq("_a", "h", "pre", "post", "ps", "_raw", "pos", "s", "e", "ivs", "_m"))
     // duplicate contexts arrive pre-collapsed from the anchor kernel,
     // one entry carrying ALL positions: a pair's (sfx, ext) depends
     // only on the contexts, so it applies to every instance position
     // at once
     val ctxd = anchorContexts(df, text, id, k, w, maxExt)
-    val buckets = ctxd.groupBy("h")
-      .agg(collect_list(struct(col(id), col("ps"), col("pre"), col("post"))).as("xs"),
-        sum(size(col("ps"))).as("raw"))
-      .filter(col("raw").between(2, maxBucket))
+    val buckets = cappedBuckets(ctxd, Seq("h"), size(col("ps")).cast("long"),
+      struct(col(id), col("ps"), col("pre"), col("post")), maxBucket, "xs")
     val sfx = graft.functions.Expressions.common_suffix_len(
       col("p.a.pre"), col("p.b.pre"))
     val pfx = graft.functions.Expressions.common_prefix_len(
@@ -382,11 +419,10 @@ object DedupOps {
   private[ops] def minhashPairsFromBanded(banded: DataFrame, id: String,
                                           k: Int, threshold: Double,
                                           maxBucket: Int): DataFrame = {
-    // bucket aggregate: capped member list -> in-bucket pair generation
-    val buckets = banded
-      .groupBy("band", "bkey")
-      .agg(collect_list(struct(col(id), col("sig"), col("is_new"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+    // bucket aggregate: cap-gated member list -> in-bucket pair
+    // generation (cap enforced BEFORE collect — see cappedBuckets)
+    val buckets = cappedBuckets(banded, Seq("band", "bkey"), lit(1L),
+      struct(col(id), col("sig"), col("is_new")), maxBucket, "members")
     val pairs = buckets.select(explode(
       flatten(transform(col("members"), (x, i) =>
         transform(slice(col("members"), i + 2, size(col("members"))),
@@ -439,9 +475,8 @@ object DedupOps {
       simhash64(split(col(text), " ")).as("sig"))
     val banded = sigs.select(col(id), col("sig"),
       posexplode(keys).as(Seq("chunk", "ckey")))
-    val buckets = banded.groupBy("chunk", "ckey")
-      .agg(collect_list(struct(col(id), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+    val buckets = cappedBuckets(banded, Seq("chunk", "ckey"), lit(1L),
+      struct(col(id), col("sig")), maxBucket, "members")
     buckets.select(explode(
       flatten(transform(col("members"), (x, i) =>
         transform(slice(col("members"), i + 2, size(col("members"))),

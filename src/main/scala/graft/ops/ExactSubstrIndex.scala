@@ -126,12 +126,11 @@ object ExactSubstrIndex {
         newCtx.unionByName(oldHits)
       }
     // identical bucket/cap/pair semantics to the batch operator,
-    // restricted to pairs touching a NEW entry
-    val buckets = all.groupBy("h")
-      .agg(collect_list(struct(col(id), col("c"), col("pre"),
-        col("post"), col("is_new"))).as("xs"),
-        sum(col("c")).as("raw"))
-      .filter(col("raw").between(2, maxBucket))
+    // restricted to pairs touching a NEW entry; the cap gates BEFORE
+    // collect ([[DedupOps.cappedBuckets]])
+    val buckets = DedupOps.cappedBuckets(all, Seq("h"), col("c"),
+      struct(col(id), col("c"), col("pre"), col("post"), col("is_new")),
+      maxBucket, "xs")
     buckets.select(explode(
         flatten(transform(col("xs"), (x, i) =>
           transform(slice(col("xs"), i + 2, size(col("xs"))),

@@ -45,6 +45,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(found.contains((0L, 1L)) && found.contains((2L, 3L)))
   }
 
+  test("cappedBuckets: a 10^5-member key is dropped by the pre-collect cap") {
+    // the executor-OOM regression guard: one ubiquitous bucket key
+    // (10^5 members — a boilerplate anchor context / degenerate LSH
+    // band at corpus scale) must be dropped by the windowed cap BEFORE
+    // collect_list materializes it, while normal keys pass untouched.
+    // Sibling plan pin: PlanSpec "capped buckets" asserts the filter
+    // sits below the aggregate, so this cannot silently regress into a
+    // collect-then-filter that happens to return the same rows.
+    val rows = spark.range(100000L)
+      .select(lit("hot").as("k"), col("id"))
+      .unionByName(spark.range(3L)
+        .select(lit("cold").as("k"), col("id")))
+    val out = DedupOps.cappedBuckets(rows, Seq("k"), lit(1L),
+        struct(col("id")), maxBucket = 200, out = "members")
+      .select(col("k"), size(col("members")).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(!out.contains("hot"), s"over-cap bucket survived: $out")
+    assert(out("cold") == 3)
+    // and a singleton key is dropped by the lower bound (raw < 2)
+    val single = DedupOps.cappedBuckets(
+      Seq(("solo", 1L)).toDF("k", "id"), Seq("k"), lit(1L),
+      struct(col("id")), maxBucket = 200, out = "members")
+    assert(single.isEmpty)
+  }
+
   test("containment: subset doc scores 1.0 against its superset, not vice versa") {
     val docs = Seq(
       (1L, "a b c d e"),          // 3-grams: abc bcd cde

@@ -91,5 +91,10 @@ class ExactSubstrIndexSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"probe join is not a semi-join:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
       s"index probe shuffles the stored anchors:\n$p")
+    // the probe's bucket stage shares DedupOps.cappedBuckets: the cap
+    // filter on the windowed `_raw` weight gates BEFORE member collect
+    assert(p.linesIterator.exists(l =>
+      l.trim.startsWith("Condition") && l.contains("_raw")),
+      s"probe lost the pre-collect cap filter:\n$p")
   }
 }

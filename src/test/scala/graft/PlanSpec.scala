@@ -17,6 +17,13 @@ class PlanSpec extends SparkSpec {
   private def count(plan: String, node: String): Int =
     plan.linesIterator.count(_.matches(raw"\(\d+\) $node( .*)?"))
 
+  /** Formatted-plan operator ids for a node name; ids grow leaf→root,
+    * so a smaller id is deeper in the plan. */
+  private def nodeIds(plan: String, node: String): Seq[Int] =
+    plan.linesIterator.filter(_.matches(raw"\(\d+\) $node( .*)?"))
+      .map(l => l.substring(l.indexOf('(') + 1, l.indexOf(')')).toInt)
+      .toSeq
+
   test("flagship: all window columns share ONE exchange") {
     val p = planOf("q_full_analysis")
     // one shuffle for the series key; the final orderBy adds range
@@ -174,6 +181,33 @@ class PlanSpec extends SparkSpec {
         s"$key exceeded its exchange budget ($maxEx):\n$p")
       assert(count(p, "Expand") == 0,
         s"$key grew an Expand (count-distinct regression):\n$p")
+    }
+  }
+
+  test("capped buckets: the cap filter gates BEFORE the member collect") {
+    // The 100 TB skew guard (DedupOps.cappedBuckets): bucket weight is
+    // a windowed sum (spillable WindowExec buffer), the cap filter
+    // drops over-cap keys, and only then does collect_list materialize
+    // members — no aggregation buffer ever exceeds maxBucket entries.
+    // The obvious post-aggregate cap filter instead materializes a
+    // ubiquitous key's whole bucket in one unspillable buffer first:
+    // executor OOM on a boilerplate anchor context or degenerate LSH
+    // band at scale. Pin: a Window computing the `_raw` weight sits
+    // BELOW the collect aggregate (smaller formatted-plan id = deeper),
+    // with the cap filter on `_raw` in between, and the groupBy reuses
+    // the window's exchange (budgets unchanged — the family tests).
+    for (key <- Seq("q_dedup_minhash", "q_dedup_simhash",
+        "q_exact_substr", "q_exact_substr_apply")) {
+      val p = planOf(key)
+      assert(count(p, "Window") >= 1, s"$key lost the bucket window:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.trim.startsWith("Condition") && l.contains("_raw")),
+        s"$key lost the pre-collect cap filter:\n$p")
+      val winId = nodeIds(p, "Window").min
+      val aggIds = nodeIds(p, "ObjectHashAggregate") ++
+        nodeIds(p, "SortAggregate") ++ nodeIds(p, "HashAggregate")
+      assert(aggIds.nonEmpty && winId < aggIds.min,
+        s"$key collects members below the cap window:\n$p")
     }
   }
 
