@@ -201,10 +201,15 @@ object ScaleProbe {
       // Honest residual of FLAT routing (r8: 21.8×, r10: 13.8× at 30×,
       // the family's highest): linear k keeps the PAIR term linear but
       // makes the flat centroid assignment k×N flops. The tree row
-      // below measures the fix.
+      // below measures the fix. Routing is FORCED flat here — this row
+      // is retained as the measured ceiling, not a path any default
+      // caller hits anymore: semdedup's `auto` default resolves to tree
+      // above k = AutoTreeK (32), so the scaled-k policy probed here
+      // (k = 480 at 30×) lands on the tree row's path.
       val tSem = best2 {
         graft.ops.Clustering.semdedup(e, "embedding", "vec_id",
-          k = 16 * scale, iters = 2, threshold = 0.95).count()
+          k = 16 * scale, iters = 2, threshold = 0.95,
+          routing = "flat").count()
       }
       scrub()
       // SemDeDup under TREE routing at the same scaled-k policy — the
@@ -248,7 +253,7 @@ object ScaleProbe {
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
-        "medoids" -> tMed, "semdedup" -> tSem,
+        "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
         "exact_substr_incremental" -> tEsIncr)
     }

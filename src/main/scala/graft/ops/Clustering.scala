@@ -51,6 +51,18 @@ import graft.functions.Rounding.roundHalfUp
   */
 object Clustering {
 
+  /** The `routing = "auto"` crossover for [[semdedup]]: tree routing
+    * above this k, flat at or below it. Per-row training+assignment
+    * flops are ~k·(iters+1) flat vs ~3·sqrt(k)·(iters+1) tree at
+    * g = sqrt(k) (coarse stage g cosines + routed stage g + k/g), so
+    * tree wins on arithmetic from k ≈ 16 — but it also runs a second
+    * Lloyd stage (more driver rounds, more small jobs), so the switch
+    * sits at 32, where the ~2× per-row flop advantage dominates the
+    * fixed stage overhead at any realistic corpus size. The Abbas et
+    * al. k ≈ corpus/10^3..10^4 policy puts every at-scale caller far
+    * above it. */
+  val AutoTreeK = 32
+
   /** Trained model: the final centroids (driver-side, k × dim — bounded
     * by the model) and the final hard assignment of every corpus vector
     * (id, cluster_id, sim), computed against those centroids. */
@@ -304,24 +316,32 @@ object Clustering {
     * raise k — the same explicit-cap philosophy as
     * [[DedupOps.minhashDupPairs]]'s maxBucket.
     *
-    * `routing = "flat"` (default) trains with [[kmeans]] and assigns at
-    * k cosines per row; `routing = "tree"` trains with [[kmeansTree]]
-    * (g = `treeG`, or round(sqrt(k)) when 0) and assigns at
-    * ~2·sqrt(k) cosines per row — the move to make once k scales with
-    * the corpus, because the Abbas et al. k-policy that keeps the pair
-    * term linear makes FLAT assignment the k×N bottleneck. */
+    * `routing = "flat"` trains with [[kmeans]] and assigns at k cosines
+    * per row; `routing = "tree"` trains with [[kmeansTree]] (g =
+    * `treeG`, or round(sqrt(k)) when 0) and assigns at ~2·sqrt(k)
+    * cosines per row — the move to make once k scales with the corpus,
+    * because the Abbas et al. k-policy that keeps the pair term linear
+    * makes FLAT assignment the k×N bottleneck (ScaleProbe: 13.8-19×
+    * growth at 30× under scaled-k for flat vs 4-5× for tree).
+    * `routing = "auto"` (default) picks tree when k > [[AutoTreeK]] and
+    * flat below it, so a caller who scales k with the corpus — the
+    * paper's policy — lands on the scale-safe path without knowing the
+    * variant exists. */
   def semdedup(corpus: DataFrame, vec: String, id: String, k: Int,
                iters: Int, threshold: Double,
                quantScale: Long = 1000000L,
-               routing: String = "flat", treeG: Int = 0): DataFrame = {
-    require(routing == "flat" || routing == "tree",
-      s"semdedup: routing must be flat or tree, got $routing")
+               routing: String = "auto", treeG: Int = 0): DataFrame = {
+    require(routing == "auto" || routing == "flat" || routing == "tree",
+      s"semdedup: routing must be auto, flat or tree, got $routing")
+    val resolved =
+      if (routing == "auto") { if (k > AutoTreeK) "tree" else "flat" }
+      else routing
     // cluster recomputed MAP-SIDE from the driver-held centroids rather
     // than joining model.assignments back by id: same deterministic
     // arg-max, k×dim (tree: ~2·sqrt(k)×dim) flops per row instead of an
     // id-keyed corpus shuffle
     val best =
-      if (routing == "tree") {
+      if (resolved == "tree") {
         val g = if (treeG > 0) treeG
           else math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
         kmeansTree(corpus, vec, id, k, g, iters, quantScale)

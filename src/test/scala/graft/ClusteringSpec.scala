@@ -255,6 +255,30 @@ class ClusteringSpec extends SparkSpec {
     assert(survivors.contains(0L), "the original must survive")
   }
 
+  test("semdedup auto routing: flat at or below AutoTreeK, tree above it") {
+    // the default must route a scaled-k caller (the Abbas et al.
+    // k ≈ corpus/10^3..10^4 policy) onto the tree path without them
+    // knowing the variant exists, while small-k callers keep the
+    // cheaper flat path — pinned by bit-equality against the explicit
+    // routings on either side of the threshold.
+    val corpus = plantedMany(8, 10) // 80 vectors, dim 8
+    def run(k: Int, routing: String) =
+      Clustering.semdedup(corpus, "embedding", "vec_id", k = k,
+          iters = 1, threshold = 0.9999, routing = routing)
+        .as[(Long, Long)].collect().toSet
+    val kSmall = Clustering.AutoTreeK
+    assert(run(kSmall, "auto") == run(kSmall, "flat"),
+      "auto at k = AutoTreeK must be the flat path")
+    val kBig = Clustering.AutoTreeK + 1
+    assert(run(kBig, "auto") == run(kBig, "tree"),
+      "auto above AutoTreeK must be the tree path")
+    // discrimination guard: the two explicit routings must actually
+    // differ here (tree's fine cids are per-group minid seeds, flat's
+    // are the k global minids), or the equality above proves nothing
+    assert(run(kBig, "flat") != run(kBig, "tree"),
+      "fixture does not separate the routings — pick a corpus where it does")
+  }
+
   test("semdedup drops the larger id of a near-identical pair, keeps the rest") {
     val corpus = planted().unionByName(
       // near-identical copies of ids 0 and 1 at high ids
