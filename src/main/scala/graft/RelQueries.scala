@@ -25,6 +25,18 @@ object RelQueries {
   private val epochDay = (c: Column) =>
     datediff(to_date(c), lit("1970-01-01")).cast("long")
 
+  /** Wall-clock epoch micros, session-timezone-independent. Routing
+    * through TIMESTAMP_NTZ (NTZ input: no-op cast; LTZ input: UTC
+    * sessions — every session in this repo — convert identically)
+    * keeps sessionize/range-frame gap arithmetic byte-stable even if a
+    * caller ever drives these builders from a DST-observing session,
+    * where `cast("timestamp")` + `unix_micros` would reinterpret NTZ
+    * values per-wall-clock (ADVICE r10; TsDriftSpec pins the edge). */
+  private val wallMicros = (c: Column) =>
+    timestamp_diff("MICROSECOND",
+      lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+      c.cast("timestamp_ntz"))
+
   val queries: Map[String, Q] = Map(
     // LEFT OUTER: orders against a truncated customer dim -> null company
     // columns for unmatched orders.
@@ -94,8 +106,7 @@ object RelQueries {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("is_new",
           when(col("prev_ts").isNull, 1L)
-            .when(unix_micros(col("ts").cast("timestamp")) -
-              unix_micros(col("prev_ts").cast("timestamp")) >
+            .when(wallMicros(col("ts")) - wallMicros(col("prev_ts")) >
               lit(1800L * 1000000L), 1L)
             .otherwise(0L))
         .withColumn("session_id",
@@ -584,7 +595,7 @@ object RelQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-3600L * 1000000L, Window.currentRow)
       t(s, dir, "events")
-        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("ts_us", wallMicros(col("ts")))
         .withColumn("hour_sum",
           sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
         .withColumn("hour_n", count(lit(1)).over(w))

@@ -38,19 +38,19 @@ import graft.functions.Expressions.{band_keys, minhash_sig}
   *  - Appends accrete small files per partition — run
   *    [[Layout.compactPartitions]] as steady-state maintenance.
   *
-  * Contract: doc ids are globally unique across batches. Replay safety
-  * comes in two modes:
-  *  - `batchTag = None` (one-shot/orchestrated): a batch is appended
-  *    once; replaying it re-pairs its docs against the now-indexed copy
-  *    of themselves (self-pairs are dropped, but cross pairs
-  *    duplicate). Guard retries one level up.
-  *  - `batchTag = Some(tag)` (streaming/retryable): the batch's rows
-  *    land in tag-scoped partitions via DYNAMIC partition overwrite — a
-  *    replay with the same tag overwrites exactly its own partitions,
-  *    so the index never double-counts and the returned pairs are
-  *    identical (the pair set is deterministic given the same batch and
-  *    surviving index state). An index is either all-tagged or
-  *    all-untagged; mixing the two layouts breaks partition discovery.
+  * Contract: doc ids are globally unique across batches. Replay
+  * safety: every batch lands in tag-scoped partitions via DYNAMIC
+  * partition overwrite — the caller's `batchTag` when given, else a
+  * [[Layout.contentTag]] derived from the batch's signatures — so a
+  * replay with the same tag (explicit, or a BLIND retry of the same
+  * batch re-deriving it) overwrites exactly its own partitions: the
+  * index never double-counts and the returned pairs are identical
+  * (the pair set is deterministic given the same batch and surviving
+  * index state). An index accreted by a pre-tagging version (no
+  * `batch_tag` partition) keeps appending untagged — mixing the two
+  * layouts breaks partition discovery — with the legacy caveat that
+  * blind retries there double-append; an explicit tag against such an
+  * index fails fast.
   */
 object DedupIndex {
 
@@ -89,6 +89,21 @@ object DedupIndex {
       // spark.read.parquet on every subsequent call
       val indexExists =
         Layout.hasCommittedFiles(fs, new Path(bandsPath(indexPath)))
+      // layout detection reads SIGS (written first, so it leads after a
+      // crash between the two appends); a pre-tagging untagged index
+      // keeps its layout — appending tagged rows there breaks partition
+      // discovery
+      val legacyUntagged =
+        Layout.hasCommittedFiles(fs, new Path(sigsPath(indexPath))) &&
+          !spark.read.parquet(sigsPath(indexPath)).columns
+            .contains("batch_tag")
+      require(!(legacyUntagged && batchTag.isDefined),
+        s"DedupIndex at $indexPath was accreted untagged; a tagged append " +
+          "would break its partition discovery — compact/migrate the " +
+          "index or keep appending untagged (batchTag = None)")
+      val tag = if (legacyUntagged) None
+        else Some(batchTag.getOrElse(
+          Layout.contentTag(sigsNew, Seq(id, "sig"))))
       val allBands =
         if (!indexExists) newBands
         else {
@@ -101,9 +116,9 @@ object DedupIndex {
           // buckets — sizes near maxBucket then cross the cap and get
           // dropped, so the replayed pair set would silently differ
           // from the first run's (breaking the replay contract)
-          val storedOthers = batchTag match {
-            case Some(tag) if stored.columns.contains("batch_tag") =>
-              stored.filter(col("batch_tag") =!= tag)
+          val storedOthers = tag match {
+            case Some(t) if stored.columns.contains("batch_tag") =>
+              stored.filter(col("batch_tag") =!= t)
             case _ => stored
           }
           val oldHits = storedOthers
@@ -171,13 +186,13 @@ object DedupIndex {
       // Bands-first would leave ids discoverable as candidates with NO
       // signature, and the inner sig join would silently drop every
       // future pair involving them.
-      batchTag match {
-        case Some(tag) =>
-          sigsNew.select(lit(tag).as("batch_tag"), col(id), col("sig"))
+      tag match {
+        case Some(t) =>
+          sigsNew.select(lit(t).as("batch_tag"), col(id), col("sig"))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_tag").parquet(sigsPath(indexPath))
-          newBands.select(col("band"), lit(tag).as("batch_tag"),
+          newBands.select(col("band"), lit(t).as("batch_tag"),
               col("bkey"), col(id))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
@@ -203,6 +218,23 @@ object DedupIndex {
     * next call). Pair results are bit-identical before and after
     * (DedupIndexSpec pins it): compaction moves bytes, not rows.
     * Returns the number of directories rewritten. */
+  /** Steady-state partition maintenance for the tag-scoped layout:
+    * every append lands a fresh `batch_tag` partition, so tag dirs
+    * accrete one per batch forever. Folds every tag NOT in `keepTags`
+    * into one `batch_tag=folded` partition across both tables
+    * ([[Layout.foldBatchTags]]). Folding a batch forfeits its replay
+    * idempotency — keep the tags still inside the retry horizon (e.g.
+    * the last few days of auto/explicit tags). Probes are unaffected:
+    * tag identity only matters for self-exclusion and overwrite
+    * targeting, and folded rows can be neither. Returns outer dirs
+    * rewritten; run [[compact]] after for file-level sizing. */
+  def foldBatches(spark: SparkSession, indexPath: String,
+                  keepTags: Set[String] = Set.empty,
+                  targetFileBytes: Long = 512L << 20): Int =
+    Seq(sigsPath(indexPath), bandsPath(indexPath)).map(
+      Layout.foldBatchTags(spark, _, keepTags,
+        targetFileBytes = targetFileBytes)).sum
+
   def compact(spark: SparkSession, indexPath: String,
               targetFileBytes: Long = 512L << 20): Int = {
     val fs = new Path(indexPath)

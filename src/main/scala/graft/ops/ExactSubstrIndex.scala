@@ -35,11 +35,16 @@ import org.apache.spark.sql.functions._
   *    [[Layout.compactPartitions]] as steady-state maintenance.
   *
   * Contract: doc ids are globally unique across batches. Replay safety
-  * mirrors [[DedupIndex]]: `batchTag = None` appends blindly (guard
-  * retries one level up); `batchTag = Some(tag)` lands the batch in
-  * tag-scoped partitions via dynamic partition overwrite, so a replay
-  * overwrites exactly its own rows and returns identical pairs. An
-  * index is either all-tagged or all-untagged. */
+  * mirrors [[DedupIndex]]: every batch lands in tag-scoped partitions
+  * via dynamic partition overwrite — the caller's `batchTag` when
+  * given, else a [[Layout.contentTag]] derived from the batch's anchor
+  * contexts — so a replay (explicit or a BLIND retry of the same
+  * batch) overwrites exactly its own rows and returns identical pairs.
+  * An index accreted by a pre-tagging version of this operator (no
+  * `batch_tag` partition) keeps working: appends stay untagged there
+  * (mixing the two layouts breaks partition discovery), with the
+  * legacy caveat that blind retries double-append — passing an
+  * explicit tag against such an index fails fast. */
 object ExactSubstrIndex {
 
   private def anchorsPath(indexPath: String) = indexPath + "/anchors"
@@ -60,12 +65,25 @@ object ExactSubstrIndex {
       if (ctxNew.isEmpty)
         return ctxNew.select(col(id).as("id_a"), col(id).as("id_b"),
           lit(0L).as("n_anchors"), lit(0).as("max_len")).filter(lit(false))
+      val fs = new Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val legacyUntagged =
+        Layout.hasCommittedFiles(fs, new Path(anchorsPath(indexPath))) &&
+          !spark.read.parquet(anchorsPath(indexPath)).columns
+            .contains("batch_tag")
+      require(!(legacyUntagged && batchTag.isDefined),
+        s"ExactSubstrIndex at $indexPath was accreted untagged; a tagged " +
+          "append would break its partition discovery — compact/migrate " +
+          "the index or keep appending untagged (batchTag = None)")
+      val tag = if (legacyUntagged) None
+        else Some(batchTag.getOrElse(Layout.contentTag(ctxNew,
+          Seq(id, "h", "pre", "post", "c"))))
       val pairs = probeFrame(spark, ctxNew, indexPath, id, k, maxExt,
-          minLen, maxBucket, batchTag)
+          minLen, maxBucket, tag)
         .localCheckpoint(true) // pin results before the index mutates
-      batchTag match {
-        case Some(tag) =>
-          ctxNew.select(col("hb"), lit(tag).as("batch_tag"), col(id),
+      tag match {
+        case Some(t) =>
+          ctxNew.select(col("hb"), lit(t).as("batch_tag"), col(id),
               col("h"), col("pre"), col("post"), col("c"))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
@@ -79,6 +97,19 @@ object ExactSubstrIndex {
       pairs
     } finally { ctxNew.unpersist(); () }
   }
+
+  /** Steady-state partition maintenance, mirroring
+    * [[DedupIndex.foldBatches]]: folds every anchor `batch_tag` NOT in
+    * `keepTags` into one folded partition per `hb` dir
+    * ([[Layout.foldBatchTags]]). Folding a batch forfeits its replay
+    * idempotency — keep the tags still inside the retry horizon.
+    * Probe results are unaffected. Returns outer dirs rewritten; run
+    * [[Layout.compactPartitions]] after for file-level sizing. */
+  def foldBatches(spark: SparkSession, indexPath: String,
+                  keepTags: Set[String] = Set.empty,
+                  targetFileBytes: Long = 512L << 20): Int =
+    Layout.foldBatchTags(spark, anchorsPath(indexPath), keepTags,
+      targetFileBytes = targetFileBytes)
 
   /** The batch's kernel-collapsed anchor contexts with the index's
     * hb fan-out column attached. */

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
 
 /** Write-side data layout for read-side skipping. At 100 TB the fastest
   * scan is the one that never happens: parquet keeps min/max stats per
@@ -125,6 +125,26 @@ object Layout {
         return true
     }
     false
+  }
+
+  /** Deterministic idempotency key of a batch's CONTENT: an
+    * order-independent 64-bit digest (sum of per-row xxhash64 over
+    * `cols`) plus the row count, hex-encoded partition-value-safe.
+    * The incremental indexes derive their default batch tag from this,
+    * so a blind retry of the same batch lands on the SAME tag and
+    * dynamic partition overwrite replaces the first attempt instead of
+    * double-appending it (ADVICE r10). Distinct batches collide only
+    * on a 64-bit hash collision AND equal counts; identical content
+    * from different batches is impossible under the indexes' globally-
+    * unique-id contract (identical rows ⇒ identical ids ⇒ same batch). */
+  private[ops] def contentTag(df: DataFrame, cols: Seq[String]): String = {
+    // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+    val r = df.agg(
+      sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)")).as("s"),
+      count(lit(1)).as("n")).head()
+    val s = if (r.isNullAt(0)) java.math.BigInteger.ZERO
+      else r.getDecimal(0).toBigInteger
+    s"auto_${s.toString(36)}_${r.getLong(1)}"
   }
 
   /** The staged dynamic-partition-overwrite cycle shared by
@@ -275,37 +295,14 @@ object Layout {
                         targetFileBytes: Long = 512L << 20): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Swap/staging state is hidden (".<part>.swap_old" etc.), so the
-    // visible "="-entries ARE the partitions — but a crash mid-swap can
-    // leave ONLY the hidden entry (the live dir renamed aside, the
-    // replacement never landed), so crashed-swap partition names are
-    // also derived from the hidden entries and healed with recoverSwap
-    // BEFORE sizing; without this a lost dt=X would stay lost. Stale
-    // ".compact_tmp" staging (crash between staged write and swap) is
-    // deleted outright — it is never authoritative and a concurrent
-    // recompaction could otherwise race on it.
-    val HiddenState = """^\.(.+\=.*)\.(swap_old|swap_commit|compact_tmp)$""".r
-    def partitionDirs(dir: Path): Seq[Path] = {
-      val entries = fs.listStatus(dir).map(_.getPath.getName)
-      val hidden = entries.collect { case HiddenState(n, kind) => (n, kind) }
-      hidden.collect { case (n, "compact_tmp") => n }.foreach { n =>
-        fs.delete(new Path(dir, "." + n + ".compact_tmp"), true)
-      }
-      val names = (entries.filter(n =>
-        !n.startsWith(".") && !n.startsWith("_") && n.contains("=")) ++
-        hidden.collect { case (n, k) if k != "compact_tmp" => n }).distinct
-      val parts = names.map(n => new Path(dir, n)).toSeq
-      parts.foreach(q => recoverSwap(fs, q))
-      parts.filter(q => fs.exists(q) && fs.getFileStatus(q).isDirectory)
-    }
     // recurse to LEAF partition directories (multi-level layouts like
     // dt=.../hr=... hold their files one level down; compacting an
     // inner node would collapse the sub-partitioning)
     def leaves(dir: Path): Seq[Path] = {
-      val sub = partitionDirs(dir)
+      val sub = partitionDirs(fs, dir)
       if (sub.isEmpty) Seq(dir) else sub.flatMap(leaves)
     }
-    val top = partitionDirs(p)
+    val top = partitionDirs(fs, p)
     // an UNPARTITIONED table is its own single leaf (flat append-only
     // tables accrete small files exactly like a partition does): heal
     // any crashed root swap first — the root's swap state lives in its
@@ -321,6 +318,94 @@ object Layout {
       val needed = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
       if (files.length > needed) {
         compact(spark, part.toString, targetFileBytes)
+        done += 1
+      }
+    }
+    done
+  }
+
+  /** Child partition directories of `dir`, self-healed. Swap/staging
+    * state is hidden (".<part>.swap_old" etc.), so the visible
+    * "="-entries ARE the partitions — but a crash mid-swap can leave
+    * ONLY the hidden entry (the live dir renamed aside, the replacement
+    * never landed), so crashed-swap partition names are also derived
+    * from the hidden entries and healed with [[recoverSwap]] BEFORE the
+    * caller sizes or reads anything; without this a lost dt=X would
+    * stay lost. Stale ".compact_tmp" staging (crash between staged
+    * write and swap) is deleted outright — it is never authoritative
+    * and a concurrent recompaction could otherwise race on it. */
+  private def partitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: Path): Seq[Path] = {
+    val HiddenState = """^\.(.+\=.*)\.(swap_old|swap_commit|compact_tmp)$""".r
+    val entries = fs.listStatus(dir).map(_.getPath.getName)
+    val hidden = entries.collect { case HiddenState(n, kind) => (n, kind) }
+    hidden.collect { case (n, "compact_tmp") => n }.foreach { n =>
+      fs.delete(new Path(dir, "." + n + ".compact_tmp"), true)
+    }
+    val names = (entries.filter(n =>
+      !n.startsWith(".") && !n.startsWith("_") && n.contains("=")) ++
+      hidden.collect { case (n, k) if k != "compact_tmp" => n }).distinct
+    val parts = names.map(n => new Path(dir, n)).toSeq
+    parts.foreach(q => recoverSwap(fs, q))
+    parts.filter(q => fs.exists(q) && fs.getFileStatus(q).isDirectory)
+  }
+
+  /** Consolidate stale `batch_tag=` partitions into one folded
+    * partition — the maintenance op that bounds PARTITION-count growth
+    * of the tag-scoped incremental indexes ([[graft.ops.DedupIndex]],
+    * [[graft.ops.ExactSubstrIndex]]): every append lands a fresh
+    * `batch_tag` directory per outer partition, so after a year of
+    * daily batches each outer dir holds ~365 children and file listing,
+    * not scanning, dominates probe cost. Folding rewrites each outer
+    * partition (the table root for a `batch_tag`-only layout, each
+    * `band=`/`hb=` dir for two-level layouts) so that all tags NOT in
+    * `keepTags` merge into `batch_tag=<foldedTag>`, kept tags are
+    * copied through, and the whole outer dir lands via
+    * [[swapInPlace]] — a crash leaves the old or the new layout, never
+    * half.
+    *
+    * Contract: folding a batch FORFEITS its replay idempotency (its
+    * rows no longer carry its tag, so a later replay of that batch
+    * appends a duplicate copy) — keep every tag still inside the
+    * caller's retry horizon. Returns outer dirs rewritten. */
+  def foldBatchTags(spark: SparkSession, path: String,
+                    keepTags: Set[String], foldedTag: String = "folded",
+                    targetFileBytes: Long = 512L << 20): Int = {
+    require(!keepTags.contains(foldedTag),
+      "foldedTag cannot also be a kept tag")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p)
+    if (!fs.exists(p)) return 0
+    def tagOf(n: String) = n.stripPrefix("batch_tag=")
+    def findOuters(dir: Path): Seq[Path] = {
+      val subs = partitionDirs(fs, dir)
+      if (subs.exists(_.getName.startsWith("batch_tag="))) Seq(dir)
+      else subs.flatMap(findOuters)
+    }
+    var done = 0
+    findOuters(p).foreach { outer =>
+      val tagDirs = partitionDirs(fs, outer)
+        .filter(d => d.getName.startsWith("batch_tag=") &&
+          hasCommittedFiles(fs, d)) // committer residue folds to nothing
+      val (kept, stale) =
+        tagDirs.partition(d => keepTags.contains(tagOf(d.getName)))
+      // work only when something would actually merge: a stale set
+      // that is empty, or already just the folded partition, is final
+      if (stale.exists(d => tagOf(d.getName) != foldedTag)) {
+        val tmp = compactTmpPath(outer)
+        fs.delete(tmp, true)
+        def rewrite(srcs: Seq[Path], destTag: String): Unit = {
+          val bytes = srcs.map(s => fs.getContentSummary(s).getLength).sum
+          val n = math.max(1L,
+            (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          spark.read.parquet(srcs.map(_.toString): _*).repartition(n)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(new Path(tmp, s"batch_tag=$destTag").toString)
+        }
+        rewrite(stale, foldedTag)
+        kept.foreach(k => rewrite(Seq(k), tagOf(k.getName)))
+        swapInPlace(fs, tmp, outer)
         done += 1
       }
     }

@@ -62,13 +62,33 @@ class DedupIndexSpec extends SparkSpec {
       spark.read.parquet(s"$idx/sigs").count()) == countBefore,
       "replay grew the index")
     assert(p2replay == p2, "replayed pairs diverged")
-    // tagged and untagged modes find the same pairs
+    // explicit tags and the auto-tag default find the same pairs
     val untagged = tmpDir() + "/idx2"
     val u1 = collectPairs(DedupIndex.appendAndFindDups(spark, batch1, untagged,
       "text", "doc_id"))
     val u2 = collectPairs(DedupIndex.appendAndFindDups(spark, batch2, untagged,
       "text", "doc_id"))
     assert((p1 ++ p2) == (u1 ++ u2))
+  }
+
+  test("default (no batchTag): a BLIND retry derives the same content tag " +
+      "and overwrites rather than double-appending") {
+    val idx = tmpDir() + "/idx"
+    DedupIndex.appendAndFindDups(spark, batch1, idx, "text", "doc_id")
+    val first = collectPairs(
+      DedupIndex.appendAndFindDups(spark, batch2, idx, "text", "doc_id"))
+    val countBefore = (spark.read.parquet(s"$idx/bands").count(),
+      spark.read.parquet(s"$idx/sigs").count())
+    // e.g. the caller crashed after the append but before recording the
+    // result, then replayed the batch verbatim with the default tag
+    val retry = collectPairs(
+      DedupIndex.appendAndFindDups(spark, batch2, idx, "text", "doc_id"))
+    assert(retry == first, "blind retry diverged")
+    assert((spark.read.parquet(s"$idx/bands").count(),
+      spark.read.parquet(s"$idx/sigs").count()) == countBefore,
+      "blind retry grew the index")
+    assert(spark.read.parquet(s"$idx/sigs").columns.contains("batch_tag"),
+      "default mode must land in tag-scoped partitions")
   }
 
   test("tagged replay at the bucket cap: own indexed copy excluded, pairs stable") {
@@ -99,12 +119,13 @@ class DedupIndexSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("band="))
     assert(bandDirs.length == 16, s"expected 16 band partitions, got ${bandDirs.length}")
     val bandsT = spark.read.parquet(s"$idx/bands")
-    assert(bandsT.columns.toSet == Set("band", "bkey", "doc_id"))
+    // batch_tag: the default content-derived idempotency partition
+    assert(bandsT.columns.toSet == Set("band", "bkey", "doc_id", "batch_tag"))
     // one thin row per (doc, band) for every doc with a non-empty signature
     assert(bandsT.count() == 3L * 16)
     // the k-long signature is stored ONCE per doc, not once per band
     val sigsT = spark.read.parquet(s"$idx/sigs")
-    assert(sigsT.columns.toSet == Set("doc_id", "sig"))
+    assert(sigsT.columns.toSet == Set("doc_id", "sig", "batch_tag"))
     assert(sigsT.count() == 3L)
     // appending batch2 only grows the index by batch2's rows
     DedupIndex.appendAndFindDups(spark, batch2, idx, "text", "doc_id")
@@ -117,35 +138,40 @@ class DedupIndexSpec extends SparkSpec {
     (21L, "fresh standalone words nothing shares with anything else")
   ).toDF("doc_id", "text")
 
-  private def parquetCount(dir: String): Int = {
+  private def tagDirCount(dir: String): Int = {
     val d = new java.io.File(dir)
     if (!d.exists()) 0
-    else d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    else d.listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("batch_tag="))
   }
 
-  test("compaction shrinks files, preserves future pairs exactly, and is idempotent") {
-    // two identical indexes, three appends each — b gets compacted
+  test("folding stale batch tags shrinks partitions, preserves future pairs, idempotent") {
+    // two identical indexes, three tag-scoped appends each — b folds
     val a = tmpDir() + "/idx_a"
     val b = tmpDir() + "/idx_b"
     Seq(batch1, batch2, batch3).foreach { df =>
       DedupIndex.appendAndFindDups(spark, df, a, "text", "doc_id").count()
       DedupIndex.appendAndFindDups(spark, df, b, "text", "doc_id").count()
     }
-    val sigsBefore = parquetCount(s"$b/sigs")
-    val bandBefore = parquetCount(s"$b/bands/band=0")
-    assert(sigsBefore >= 3, "three appends should leave >= 3 sigs files")
-    assert(bandBefore >= 3)
-    val rewritten = DedupIndex.compact(spark, b)
-    assert(rewritten >= 17, // sigs root + 16 band partitions
-      s"expected every fragmented dir rewritten, got $rewritten")
-    assert(parquetCount(s"$b/sigs") < sigsBefore)
-    assert(parquetCount(s"$b/bands/band=0") < bandBefore)
-    // compaction moved bytes, not rows: identical tables...
-    assert(spark.read.parquet(s"$b/sigs").orderBy("doc_id").collect().toSeq ==
-      spark.read.parquet(s"$a/sigs").orderBy("doc_id").collect().toSeq)
-    // already-compact dirs are left alone (1 file each, nothing to do)
-    assert(DedupIndex.compact(spark, b) == 0, "second compact must be a no-op")
-    // ...and an identical NEXT probe (the operator-level contract)
+    // every append landed its own tag partition — the unbounded growth
+    // foldBatches exists to stop
+    assert(tagDirCount(s"$b/sigs") == 3)
+    assert(tagDirCount(s"$b/bands/band=0") == 3)
+    val folded = DedupIndex.foldBatches(spark, b)
+    assert(folded == 17, // sigs root + 16 band dirs
+      s"expected every outer dir folded, got $folded")
+    assert(tagDirCount(s"$b/sigs") == 1)
+    assert(tagDirCount(s"$b/bands/band=0") == 1)
+    // folding moved rows under one tag, losing none
+    assert(spark.read.parquet(s"$b/sigs").drop("batch_tag")
+      .orderBy("doc_id").collect().toSeq ==
+      spark.read.parquet(s"$a/sigs").drop("batch_tag")
+        .orderBy("doc_id").collect().toSeq)
+    // a fully-folded index is final: fold and compact are both no-ops
+    assert(DedupIndex.foldBatches(spark, b) == 0, "second fold must be a no-op")
+    assert(DedupIndex.compact(spark, b) == 0,
+      "fold writes right-sized files; compact has nothing to do")
+    // ...and the NEXT probe is identical (the operator-level contract)
     val probe = Seq((30L, base + "post compaction probe tail")).toDF("doc_id", "text")
     val pa = collectPairs(DedupIndex.appendAndFindDups(spark, probe, a, "text", "doc_id"))
     val pb = collectPairs(DedupIndex.appendAndFindDups(spark, probe, b, "text", "doc_id"))

@@ -71,6 +71,60 @@ class ExactSubstrIndexSpec extends SparkSpec {
     assert((p1 ++ first ++ p3) == spans(b1 ++ b2 ++ b3))
   }
 
+  test("default (no batchTag): a BLIND retry derives the same content tag " +
+      "and overwrites rather than double-appending") {
+    def probeAuto(idx: String, rows: Seq[(Long, String)]) =
+      ExactSubstrIndex.appendAndFindSpans(spark, rows.toDF("doc_id", "text"),
+        idx, "text", "doc_id", k = 8, w = 4, maxExt = 48, minLen = 16,
+        maxBucket = 256)
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val idx = tmpDir() + "/esidx"
+    val p1 = probeAuto(idx, b1)
+    val first = probeAuto(idx, b2)
+    val countBefore = spark.read.parquet(s"$idx/anchors").count()
+    val retry = probeAuto(idx, b2)
+    assert(retry == first, "blind retry diverged")
+    assert(spark.read.parquet(s"$idx/anchors").count() == countBefore,
+      "blind retry grew the index")
+    assert(spark.read.parquet(s"$idx/anchors").columns.contains("batch_tag"),
+      "default mode must land in tag-scoped partitions")
+    // downstream batches still see the full-batch semantics
+    val p3 = probeAuto(idx, b3)
+    assert((p1 ++ first ++ p3) == spans(b1 ++ b2 ++ b3))
+  }
+
+  test("lifecycle: accreted appends → fold(keep recent) + compact → " +
+      "identical probes, kept tag still replayable") {
+    val idx = tmpDir() + "/esidx"      // maintained
+    val twin = tmpDir() + "/esidx2"    // never maintained
+    for (i <- Seq(idx, twin); (b, t) <- Seq(b1 -> "b1", b2 -> "b2", b3 -> "b3"))
+      probe(i, b, t)
+    def tagDirs(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (!f.isDirectory) 0
+        else (if (f.getName.startsWith("batch_tag=")) 1 else 0) +
+          f.listFiles().map(walk).sum
+      walk(new java.io.File(root + "/anchors"))
+    }
+    val before = tagDirs(idx)
+    // b3 is still inside the retry horizon — b1 and b2 fold together
+    val folded = ExactSubstrIndex.foldBatches(spark, idx, keepTags = Set("b3"))
+    assert(folded > 0, "accreted hb dirs must fold")
+    assert(tagDirs(idx) < before, "folding must shrink tag-partition count")
+    graft.ops.Layout.compactPartitions(spark, idx + "/anchors")
+    // the KEPT tag's replay contract survives maintenance
+    val r3 = probe(idx, b3, "b3")
+    assert(r3 == probe(twin, b3, "b3"),
+      "kept-tag replay diverged after fold+compact")
+    // and a fresh batch probes identically against both indexes
+    val b4 = Seq(doc(31, Some(runA)), doc(32, None))
+    val p4 = probe(idx, b4, "b4")
+    assert(p4 == probe(twin, b4, "b4"),
+      "post-maintenance probe diverged from the unmaintained twin")
+    assert(p4.exists { case (a, b, _, _) => a == 1 && b == 31 },
+      "folded history must still pair against fresh batches")
+  }
+
   test("probe plan: index pruned by broadcast semi-join, never shuffled whole") {
     // the O(batch) claim, structurally (checked on the LAZY probe frame
     // — appendAndFindSpans' eager checkpoint hides the plan): the
