@@ -69,6 +69,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(30)
+    // optional 3rd arg: comma-separated op-name filter (the Map keys in
+    // run()), for fast single-row iteration; full sweep when absent
+    val only = args.lift(2).map(_.split(',').toSet)
+    def want(n: String) = only.forall(_.contains(n))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -131,7 +135,7 @@ object ScaleProbe {
       val e = spark.read.parquet(ePaths(scale))
       scrub()
       // banded-LSH near-dup pairs over the whole corpus
-      val tMinhash = best2 {
+      val tMinhash = if (!want("minhash")) -1.0 else best2 {
         graft.ops.DedupOps.minhashDupPairs(d, "text", "doc_id").count()
       }
       scrub()
@@ -141,43 +145,47 @@ object ScaleProbe {
       // warm-up and the timed run would stack a second full history
       // into the x1 index (appendAndFindDups appends), inflating the
       // x1 time and silently deflating the growth ratio.
-      val idx = s"$root/idx_x${scale}_$tag"
-      val hist = d.filter(col("doc_id") % 100 =!= 0)
-      val batch = d.filter(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
-          concat(lit("probe "), col("text")).as("text"))
-      graft.ops.DedupIndex.appendAndFindDups(spark, hist, idx,
-        "text", "doc_id", batchTag = Some("hist"))
-      scrub()
-      // single-shot (a repeat would append the batch a second time and
-      // measure a different operation)
-      val (tIncr, _) = time {
-        graft.ops.DedupIndex.appendAndFindDups(spark, batch, idx,
-          "text", "doc_id", batchTag = Some("daily")).count()
+      val tIncr = if (!want("dedup_incremental")) -1.0 else {
+        val idx = s"$root/idx_x${scale}_$tag"
+        val hist = d.filter(col("doc_id") % 100 =!= 0)
+        val batch = d.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            concat(lit("probe "), col("text")).as("text"))
+        graft.ops.DedupIndex.appendAndFindDups(spark, hist, idx,
+          "text", "doc_id", batchTag = Some("hist"))
+        scrub()
+        // single-shot (a repeat would append the batch a second time and
+        // measure a different operation)
+        time {
+          graft.ops.DedupIndex.appendAndFindDups(spark, batch, idx,
+            "text", "doc_id", batchTag = Some("daily")).count()
+        }._1
       }
       scrub()
       // IVF ANN: 50 broadcast queries against the corpus
-      val tIvf = best2 {
+      val tIvf = if (!want("ann_ivf")) -1.0 else best2 {
         graft.ops.SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 50),
           "embedding", "vec_id", 10).count()
       }
       scrub()
       // 5-round fixed-point pagerank over the symmetrized edge scan
-      val g = spark.read.parquet(gPaths(scale))
-      val und = g.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
-      val tPr = best2 {
-        val r = graft.ops.Graph.pagerank(und, "src", "dst", iters = 5)
-        r.count()
-        graft.ops.Graph.releaseRanks(r)
+      val tPr = if (!want("pagerank")) -1.0 else {
+        val g = spark.read.parquet(gPaths(scale))
+        val und = g.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src"), col("e.dst"))
+        best2 {
+          val r = graft.ops.Graph.pagerank(und, "src", "dst", iters = 5)
+          r.count()
+          graft.ops.Graph.releaseRanks(r)
+        }
       }
       scrub()
       // full-corpus k-means: 2 Lloyd rounds + final assignment; the
       // corpus never shuffles, so expected growth is the linear scan
       // cost of 3 assignment passes, damped by job-launch overhead
-      val tKm = best2 {
+      val tKm = if (!want("kmeans")) -1.0 else best2 {
         graft.ops.Clustering.kmeans(e, "embedding", "vec_id",
           k = 16, iters = 2).assignments.count()
       }
@@ -186,10 +194,12 @@ object ScaleProbe {
       // struct-max over a map-side recompute of the assignment — the
       // exchange carries k rows per partition at ANY corpus size, so
       // expected growth is the assignment scan, i.e. ~N
-      val km = graft.ops.Clustering.kmeans(e, "embedding", "vec_id",
-        k = 16, iters = 2)
-      val tMed = best2 {
-        graft.ops.Clustering.medoids(km.assignments, "vec_id").count()
+      val tMed = if (!want("medoids")) -1.0 else {
+        val km = graft.ops.Clustering.kmeans(e, "embedding", "vec_id",
+          k = 16, iters = 2)
+        best2 {
+          graft.ops.Clustering.medoids(km.assignments, "vec_id").count()
+        }
       }
       scrub()
       // SemDeDup under its DOCUMENTED operating policy: k scales with
@@ -206,7 +216,7 @@ object ScaleProbe {
       // caller hits anymore: semdedup's `auto` default resolves to tree
       // above k = AutoTreeK (32), so the scaled-k policy probed here
       // (k = 480 at 30×) lands on the tree row's path.
-      val tSem = best2 {
+      val tSem = if (!want("semdedup_flat")) -1.0 else best2 {
         graft.ops.Clustering.semdedup(e, "embedding", "vec_id",
           k = 16 * scale, iters = 2, threshold = 0.95,
           routing = "flat").count()
@@ -217,7 +227,7 @@ object ScaleProbe {
       // assignment costs g + ceil(k/g) ≈ 2·sqrt(k) cosines per row
       // instead of k, so the k×N flat-assignment term stops tracking k
       // and the expected growth returns toward the family's ~N band.
-      val tSemTree = best2 {
+      val tSemTree = if (!want("semdedup_tree")) -1.0 else best2 {
         graft.ops.Clustering.semdedup(e, "embedding", "vec_id",
           k = 16 * scale, iters = 2, threshold = 0.95,
           routing = "tree").count()
@@ -228,7 +238,7 @@ object ScaleProbe {
       // maxBucket caps in-bucket combinatorics — expected growth ~N
       // (cross-copy gram collisions are damped by the token suffixing,
       // the constant-dup-density crawl shape)
-      val tEs = best2 {
+      val tEs = if (!want("exact_substr")) -1.0 else best2 {
         graft.ops.DedupOps.exactSubstrSpans(d, "text", "doc_id").count()
       }
       scrub()
@@ -236,19 +246,21 @@ object ScaleProbe {
       // at this scale: history indexed untimed, then the timed 1% batch
       // — the O(batch) twin of the dedup_incremental row (fresh index
       // dir per invocation, same reuse hazard as documented there)
-      val esIdx = s"$root/esidx_x${scale}_$tag"
-      val esHist = d.filter(col("doc_id") % 100 =!= 0)
-      val esBatch = d.filter(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
-          concat(lit("probe "), col("text")).as("text"))
-      graft.ops.ExactSubstrIndex.appendAndFindSpans(spark, esHist, esIdx,
-        "text", "doc_id", batchTag = Some("hist"))
-      scrub()
-      // single-shot (a repeat with a new tag would measure a different
-      // index state; a same-tag replay measures overwrite, not probe)
-      val (tEsIncr, _) = time {
-        graft.ops.ExactSubstrIndex.appendAndFindSpans(spark, esBatch,
-          esIdx, "text", "doc_id", batchTag = Some("daily")).count()
+      val tEsIncr = if (!want("exact_substr_incremental")) -1.0 else {
+        val esIdx = s"$root/esidx_x${scale}_$tag"
+        val esHist = d.filter(col("doc_id") % 100 =!= 0)
+        val esBatch = d.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            concat(lit("probe "), col("text")).as("text"))
+        graft.ops.ExactSubstrIndex.appendAndFindSpans(spark, esHist, esIdx,
+          "text", "doc_id", batchTag = Some("hist"))
+        scrub()
+        // single-shot (a repeat with a new tag would measure a different
+        // index state; a same-tag replay measures overwrite, not probe)
+        time {
+          graft.ops.ExactSubstrIndex.appendAndFindSpans(spark, esBatch,
+            esIdx, "text", "doc_id", batchTag = Some("daily")).count()
+        }._1
       }
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
@@ -256,6 +268,7 @@ object ScaleProbe {
         "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
         "exact_substr_incremental" -> tEsIncr)
+        .filter(_._2 >= 0)
     }
 
     run(1, "w") // warm-up: JIT + codegen caches, discarded

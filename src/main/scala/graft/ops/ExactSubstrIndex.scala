@@ -81,16 +81,23 @@ object ExactSubstrIndex {
       val pairs = probeFrame(spark, ctxNew, indexPath, id, k, maxExt,
           minLen, maxBucket, tag)
         .localCheckpoint(true) // pin results before the index mutates
+      // one exchange on hb before the partitioned write: without it
+      // every task writes a file into every touched hb dir (tasks×64
+      // files per batch — the small-file explosion that would dominate
+      // both this append and every later probe's scan at corpus scale);
+      // with it each hb dir gets exactly one file per batch
       tag match {
         case Some(t) =>
           ctxNew.select(col("hb"), lit(t).as("batch_tag"), col(id),
               col("h"), col("pre"), col("post"), col("c"))
+            .repartition(HB, col("hb"))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("hb", "batch_tag").parquet(anchorsPath(indexPath))
         case None =>
           ctxNew.select(col("hb"), col(id), col("h"), col("pre"),
               col("post"), col("c"))
+            .repartition(HB, col("hb"))
             .write.mode(SaveMode.Append).partitionBy("hb")
             .parquet(anchorsPath(indexPath))
       }
@@ -141,7 +148,18 @@ object ExactSubstrIndex {
       if (!indexExists) newCtx
       else {
         val newKeys = ctxNew.select("hb", "h").distinct()
+        // the batch's touched hb set as a LITERAL partition filter:
+        // ≤ HB driver-side values, so the stored scan prunes at
+        // directory granularity deterministically (DPP may or may not
+        // fire for a broadcast semi; a literal isin always does). A
+        // large batch touches all HB buckets and prunes nothing — the
+        // win is the 100 TB regime of a small daily batch against
+        // years of history, where most hb dirs hold none of the
+        // batch's hashes
+        val touchedHb = ctxNew.select("hb").distinct()
+          .collect().map(_.getInt(0)).toSeq
         val stored = spark.read.parquet(anchorsPath(indexPath))
+          .filter(col("hb").isin(touchedHb: _*))
         // a tagged replay must not see its own first attempt (the
         // same double-count-to-cap hazard DedupIndex documents)
         val storedOthers = batchTag match {
