@@ -3,7 +3,7 @@
 Verify dump + oracle_sql.json, runs each oracle in DuckDB over the same
 parquet tables, and diffs exactly (columns sorted by name, rows in dumped
 order). Usage: check.py [sfDir] [verifyOut]"""
-import sys, json
+import os, sys, json
 import duckdb
 import pandas as pd
 from pandas.testing import assert_frame_equal
@@ -14,7 +14,12 @@ tables = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 con = duckdb.connect()
 for tbl in tables:
-    con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf}/{tbl}.parquet'")
+    # driver testdata is one file per table; ScaleLand-landed dirs are
+    # spark parquet DIRECTORIES — glob those
+    src = f"{sf}/{tbl}.parquet"
+    if os.path.isdir(src):
+        src += "/*.parquet"
+    con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):

@@ -186,6 +186,13 @@ object DedupIndex {
       // Bands-first would leave ids discoverable as candidates with NO
       // signature, and the inner sig join would silently drop every
       // future pair involving them.
+      // bands get one exchange on `band` before the partitioned write:
+      // without it every task writes a file into every band dir
+      // (tasks×bands files per batch — per-file open cost then
+      // dominates later probes' band scans at corpus scale); with it
+      // each band dir gets exactly one file per batch. sigs is flat —
+      // its per-batch file count is just the task count and compact()
+      // owns its sizing.
       tag match {
         case Some(t) =>
           sigsNew.select(lit(t).as("batch_tag"), col(id), col("sig"))
@@ -194,6 +201,7 @@ object DedupIndex {
             .partitionBy("batch_tag").parquet(sigsPath(indexPath))
           newBands.select(col("band"), lit(t).as("batch_tag"),
               col("bkey"), col(id))
+            .repartition(bands, col("band"))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("band", "batch_tag").parquet(bandsPath(indexPath))
@@ -201,6 +209,7 @@ object DedupIndex {
           sigsNew.select(col(id), col("sig"))
             .write.mode(SaveMode.Append).parquet(sigsPath(indexPath))
           newBands.select(col("band"), col("bkey"), col(id))
+            .repartition(bands, col("band"))
             .write.mode(SaveMode.Append).partitionBy("band")
             .parquet(bandsPath(indexPath))
       }
@@ -208,16 +217,6 @@ object DedupIndex {
     } finally { sigsNew.unpersist(); () }
   }
 
-  /** Steady-state maintenance: compact the small files daily appends
-    * accrete under `bands/` and `sigs/`. Layout-preserving — every
-    * band / batch_tag partition is rewritten in place through
-    * [[Layout.compactPartitions]]' stage-and-swap (flat untagged
-    * `sigs/` counts as its own single leaf), so probe pruning and the
-    * tagged replay contract are untouched, and a crash leaves each
-    * partition either old or new, never half (the swap heals on the
-    * next call). Pair results are bit-identical before and after
-    * (DedupIndexSpec pins it): compaction moves bytes, not rows.
-    * Returns the number of directories rewritten. */
   /** Steady-state partition maintenance for the tag-scoped layout:
     * every append lands a fresh `batch_tag` partition, so tag dirs
     * accrete one per batch forever. Folds every tag NOT in `keepTags`
@@ -235,6 +234,16 @@ object DedupIndex {
       Layout.foldBatchTags(spark, _, keepTags,
         targetFileBytes = targetFileBytes)).sum
 
+  /** Steady-state file maintenance: compact the small files appends
+    * accrete under `bands/` and `sigs/`. Layout-preserving — every
+    * band / batch_tag partition is rewritten in place through
+    * [[Layout.compactPartitions]]' stage-and-swap (flat untagged
+    * `sigs/` counts as its own single leaf), so probe pruning and the
+    * tagged replay contract are untouched, and a crash leaves each
+    * partition either old or new, never half (the swap heals on the
+    * next call). Pair results are bit-identical before and after
+    * (DedupIndexSpec pins it): compaction moves bytes, not rows.
+    * Returns the number of directories rewritten. */
   def compact(spark: SparkSession, indexPath: String,
               targetFileBytes: Long = 512L << 20): Int = {
     val fs = new Path(indexPath)
