@@ -21,6 +21,13 @@ for tbl in tables:
         src += "/*.parquet"
     con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{src}')")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# optional 3rd arg: comma-separated key subset (single-key iteration /
+# per-key budgeting at large sf where one oracle can dominate the run)
+if len(sys.argv) > 3:
+    keys = set(sys.argv[3].split(","))
+    unknown = keys - oracle.keys()
+    assert not unknown, f"unknown key(s): {sorted(unknown)}"
+    oracle = {k: oracle[k] for k in keys}
 fails = []
 for name, sql in sorted(oracle.items()):
     try:

@@ -396,8 +396,14 @@ object ExtQueries {
     * probe's visible corpus (index ∪ batch) is the full docs+mutants
     * corpus with identical bucket/cap semantics to the batch operator,
     * so the replay is [[exactSubstrOracleSql]]'s chain restricted to
-    * pairs with at least one BATCH (mutant, id >= 1,000,000) side —
-    * history-vs-history pairs belong to the untimed index build. */
+    * pairs with at least one BATCH (mutant) side — history-vs-history
+    * pairs belong to the untimed index build. Batch membership is
+    * STRUCTURAL (semi-join against the mutant id set `doc_id + 1e6`
+    * for `doc_id % 10 = 0`), not a magnitude test: `id >= 1,000,000`
+    * is equivalent on base testdata but breaks on ScaleLand-landed
+    * dirs, whose copy offsets (k × 10^7) push every copy-k history id
+    * past the threshold and drag within-copy history pairs into the
+    * oracle (caught by the sf1 spot-run, round 11). */
   private def exactSubstrIncrementalOracleSql: String = {
     val (k, ml) = (esK, esMinLen)
     val corpus =
@@ -408,12 +414,15 @@ object ExtQueries {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |        WHERE doc_id % 10 = 0)""".stripMargin
     s"""${exactSubstrCtesOver(corpus)},
+       |bm AS (SELECT doc_id + 1000000 AS bid FROM documents
+       |       WHERE doc_id % 10 = 0),
        |pp AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        |              x.pre AS pre_a, x.post AS post_a,
        |              y.pre AS pre_b, y.post AS post_b
        |       FROM kp x JOIN kp y ON x.h = y.h AND x.doc_id < y.doc_id
        |       WHERE substr(x.post, 1, $k) = substr(y.post, 1, $k)
-       |         AND (x.doc_id >= 1000000 OR y.doc_id >= 1000000)),
+       |         AND (x.doc_id IN (SELECT bid FROM bm)
+       |              OR y.doc_id IN (SELECT bid FROM bm))),
        |ee AS (SELECT id_a, id_b,
        |    $k + ${lcsufSql("pre_a", "pre_b")}
        |       + ${lcpSql(s"substr(post_a, ${k + 1})", s"substr(post_b, ${k + 1})")} AS ext
