@@ -1516,13 +1516,18 @@ object ExtQueries {
     // frame the 8-dim chain is h0 = prime * (fi+1), then per dim
     // h ^= media_id + i; h *= prime, feature = float32((h % 1000)/1000)
     // with Java's dividend-signed % (DuckDB's % matches). The xor rides
-    // the low 24 bits — valid while media_id + 7 < 2^24, orders of
-    // magnitude above any driver scale. Per-dim prefixes re-reduce the
-    // chain (36 tiny steps per frame) to keep every operand a plain
-    // lambda variable (the fnvStep64 textual-repetition rule).
+    // the low 48 bits — exact while media_id + 7 < 2^48 (v's bits 48-63
+    // are zero, so the true xor leaves acc's high word unchanged and
+    // the additive carry reproduces it). It originally rode 24 bits,
+    // which silently diverged once ScaleLand copy offsets (k x 10^7)
+    // pushed media_id past 2^24 — caught by the round-11 sf1 spot-run.
+    // The multiply-split mask stays 2^24: x*2^40 mod 2^64 depends on
+    // exactly x mod 2^24. Per-dim prefixes re-reduce the chain (36 tiny
+    // steps per frame) to keep every operand a plain lambda variable
+    // (the fnvStep64 textual-repetition rule).
     "q_media_frames" -> {
       val step = { (acc: String, v: String) =>
-        val x = s"((($acc) - (($acc) % 16777216)) + xor(CAST(($acc) % 16777216 AS BIGINT), CAST(($v) AS BIGINT)))"
+        val x = s"((($acc) - (($acc) % 281474976710656)) + xor(CAST(($acc) % 281474976710656 AS BIGINT), CAST(($v) AS BIGINT)))"
         s"(((($x) % 16777216) * 1099511627776 + ($x) * 435) % $u64)"
       }
       s"""WITH raw AS (
