@@ -59,9 +59,13 @@ object ScaleLand {
     land(copies(mult) { k =>
       val d = off(t("documents"), k, "doc_id")
       if (k == 0) d
+      // null text must STAY null in every copy: concat_ws never returns
+      // null, so an unguarded rewrite would turn copy-k nulls into ""
+      // — a spurious cross-copy exact-dup group that copy 0 lacks
       else d.withColumn("text",
-        concat_ws(" ", transform(split(col("text"), " "),
-          tk => concat(tk, lit(s"_$k")))))
+        when(col("text").isNotNull,
+          concat_ws(" ", transform(split(col("text"), " "),
+            tk => concat(tk, lit(s"_$k"))))))
     }, "documents")
     land(copies(mult) { k =>
       val e = off(t("embeddings"), k, "vec_id")

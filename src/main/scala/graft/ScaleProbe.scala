@@ -70,8 +70,20 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(30)
     // optional 3rd arg: comma-separated op-name filter (the Map keys in
-    // run()), for fast single-row iteration; full sweep when absent
+    // run()), for fast single-row iteration; full sweep when absent.
+    // Unknown names fail FAST: a typo or a stale (renamed) op name would
+    // otherwise filter everything out and print an empty-but-exit-0 run
+    // that reads as a clean probe of nothing
+    val opNames = Set("minhash", "dedup_incremental", "ann_ivf",
+      "pagerank", "kmeans", "medoids", "semdedup_flat", "semdedup_tree",
+      "exact_substr", "exact_substr_incremental")
     val only = args.lift(2).map(_.split(',').toSet)
+    only.foreach { o =>
+      val unknown = o -- opNames
+      require(unknown.isEmpty, s"ScaleProbe: unknown op name(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")}; known: " +
+        opNames.toSeq.sorted.mkString(", "))
+    }
     def want(n: String) = only.forall(_.contains(n))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

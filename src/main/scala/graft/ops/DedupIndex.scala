@@ -68,6 +68,11 @@ object DedupIndex {
                         threshold: Double = 0.5, maxBucket: Int = 200,
                         batchTag: Option[String] = None): DataFrame = {
     require(k % bands == 0, "bands must divide signature length")
+    require(!batchTag.contains("folded"),
+      "batchTag 'folded' is reserved for foldBatches' consolidation " +
+        "partition: an append under it would dynamically OVERWRITE the " +
+        "folded history and the probe's replay self-exclusion would " +
+        "hide what remains")
     val sigsNew = batch
       .select(col(id), minhash_sig(split(col(text), " "), shingleWidth, k).as("sig"))
       .filter(size(col("sig")) > 0)
@@ -84,6 +89,13 @@ object DedupIndex {
         .withColumn("is_new", lit(true))
       val fs = new Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // heal crashed maintenance swaps BEFORE any committed-files probe
+      // or read: a fold/compact that died mid-swap leaves the live dir
+      // renamed aside — probing it as "absent" silently drops history
+      // pairs, and appending into a recreated dir hands those rows to
+      // the next maintenance run's restore-old to delete
+      Layout.healTable(fs, new Path(sigsPath(indexPath)))
+      Layout.healTable(fs, new Path(bandsPath(indexPath)))
       // committed-data probes, not bare exists(): a crashed write leaves
       // a schema-less directory (only _temporary/) that would wedge
       // spark.read.parquet on every subsequent call

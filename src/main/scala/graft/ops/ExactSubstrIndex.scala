@@ -60,6 +60,11 @@ object ExactSubstrIndex {
                          k: Int = 8, w: Int = 4, maxExt: Int = 48,
                          minLen: Int = 16, maxBucket: Int = 64,
                          batchTag: Option[String] = None): DataFrame = {
+    require(!batchTag.contains("folded"),
+      "batchTag 'folded' is reserved for foldBatches' consolidation " +
+        "partition: an append under it would dynamically OVERWRITE the " +
+        "folded history and the probe's replay self-exclusion would " +
+        "hide what remains")
     val ctxNew = batchContexts(batch, text, id, k, w, maxExt).persist()
     try {
       if (ctxNew.isEmpty)
@@ -67,6 +72,11 @@ object ExactSubstrIndex {
           lit(0L).as("n_anchors"), lit(0).as("max_len")).filter(lit(false))
       val fs = new Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // heal crashed maintenance swaps BEFORE any committed-files probe
+      // or read (see DedupIndex.appendAndFindDups: a fold/compact crash
+      // mid-swap otherwise drops history pairs silently and poisons the
+      // next maintenance run's recovery into deleting this append)
+      Layout.healTable(fs, new Path(anchorsPath(indexPath)))
       val legacyUntagged =
         Layout.hasCommittedFiles(fs, new Path(anchorsPath(indexPath))) &&
           !spark.read.parquet(anchorsPath(indexPath)).columns

@@ -210,6 +210,27 @@ object Layout {
     } else if (fs.exists(mark)) fs.delete(mark, false) // stale marker
   }
 
+  /** Heal every crashed swap under a table root — REQUIRED at each
+    * owning writer's entry point (the incremental indexes' append/probe
+    * calls), not just inside maintenance ops. A fold/compact that died
+    * mid-swap leaves the live dir (the table root for flat layouts, a
+    * partition dir otherwise) renamed aside with no commit marker; an
+    * entry point that then probes committed files reads "absent" and
+    * silently drops history from its results, and an append that
+    * recreates the dir hands its rows to the NEXT maintenance run's
+    * [[recoverSwap]] to delete (restore-old discards the recreated dir
+    * wholesale). Heals the root itself first (its swap state lives in
+    * the PARENT directory, which no child listing inspects), then walks
+    * the partition tree — [[partitionDirs]] heals each level as it
+    * lists. Writers only: a reader racing the owning writer must use
+    * [[committedReadPath]] instead. Idempotent; cost is one listing per
+    * directory level. */
+  def healTable(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    recoverSwap(fs, p)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      partitionDirs(fs, p).foreach(q => healTable(fs, q))
+  }
+
   /** The last-known-complete copy of the table at `p`, for READ-ONLY
     * callers. [[recoverSwap]] is write-shaped (deletes and renames), so
     * a reader racing the owning writer mid-swap must not run it — it

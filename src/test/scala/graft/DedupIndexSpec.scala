@@ -179,6 +179,40 @@ class DedupIndexSpec extends SparkSpec {
     assert(pa.nonEmpty, "probe should pair with the indexed near-dups")
   }
 
+  test("crash mid-fold then APPEND: the append entry heals first — history " +
+      "pairs survive and later maintenance cannot delete the batch") {
+    val idx = tmpDir() + "/idx_crash_append"
+    DedupIndex.appendAndFindDups(spark, batch1, idx, "text", "doc_id").count()
+    // simulate a fold/compact crash right after moving the live sigs
+    // aside (no commit marker): the table looks absent
+    val sigs = new java.io.File(s"$idx/sigs")
+    val aside = new java.io.File(s"$idx/.sigs.swap_old")
+    assert(sigs.renameTo(aside), "test setup: could not stage the crash")
+    // the next APPEND must restore sigs before probing — cross-batch
+    // pairs against batch-1 history depend on its stored signatures,
+    // and an un-healed append would hand its own rows to the next
+    // maintenance run's restore-old to delete
+    val p2 = collectPairs(
+      DedupIndex.appendAndFindDups(spark, batch2, idx, "text", "doc_id"))
+    assert(!aside.exists(), "append entry did not heal the crashed swap")
+    assert(p2.exists { case (a, b, _) => b == 10L },
+      s"history pairs lost: the append read a crashed-swap index as absent ($p2)")
+    DedupIndex.compact(spark, idx)
+    val ids = spark.read.parquet(s"$idx/sigs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 10L, 11L, 12L).subsetOf(ids),
+      s"signatures lost to post-crash maintenance: $ids")
+  }
+
+  test("batchTag 'folded' is rejected: appending under the fold target " +
+      "would overwrite consolidated history") {
+    val idx = tmpDir() + "/idx_reserved"
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendAndFindDups(spark, batch1, idx, "text", "doc_id",
+        batchTag = Some("folded"))
+    }
+  }
+
   test("crash mid-compact heals: a flat table renamed aside is restored") {
     val idx = tmpDir() + "/idx_crash"
     Seq(batch1, batch2).foreach { df =>

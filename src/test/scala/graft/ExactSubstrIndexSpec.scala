@@ -125,6 +125,45 @@ class ExactSubstrIndexSpec extends SparkSpec {
       "folded history must still pair against fresh batches")
   }
 
+  test("crash mid-fold then APPEND: hb partitions renamed aside are healed " +
+      "at the append entry, probes match an uncrashed twin") {
+    val idx = tmpDir() + "/esidx_crash"
+    val twin = tmpDir() + "/esidx_crash_twin"
+    for (i <- Seq(idx, twin)) probe(i, b1, "b1")
+    // simulate fold/compact crashes mid-swap on EVERY hb partition (the
+    // accumulated worst case; each dir's no-marker swap state recovers
+    // independently): the whole history looks absent to an un-healed
+    // reader, and an un-healed append would recreate hb dirs whose
+    // contents the next maintenance run's restore-old deletes
+    val anchors = new java.io.File(s"$idx/anchors")
+    val hbDirs = anchors.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("hb="))
+    assert(hbDirs.nonEmpty, "test setup: no hb partitions landed")
+    hbDirs.foreach { d =>
+      assert(d.renameTo(new java.io.File(anchors, s".${d.getName}.swap_old")),
+        s"test setup: could not stage the crash on ${d.getName}")
+    }
+    val p2 = probe(idx, b2, "b2")
+    assert(p2 == probe(twin, b2, "b2"),
+      "post-crash probe diverged from the uncrashed twin")
+    assert(!anchors.listFiles().exists(_.getName.endsWith(".swap_old")),
+      "append entry did not heal the crashed swaps")
+    // maintenance after the heal keeps both batches' anchors
+    ExactSubstrIndex.foldBatches(spark, idx, keepTags = Set("b2"))
+    graft.ops.Layout.compactPartitions(spark, idx + "/anchors")
+    val p3 = probe(idx, b3, "b3")
+    assert(p3 == probe(twin, b3, "b3"),
+      "post-crash maintenance lost appended history")
+  }
+
+  test("batchTag 'folded' is rejected: appending under the fold target " +
+      "would overwrite consolidated history") {
+    val idx = tmpDir() + "/esidx_reserved"
+    intercept[IllegalArgumentException] {
+      probe(idx, b1, "folded")
+    }
+  }
+
   test("probe plan: index pruned by broadcast semi-join, never shuffled whole") {
     // the O(batch) claim, structurally (checked on the LAZY probe frame
     // — appendAndFindSpans' eager checkpoint hides the plan): the
