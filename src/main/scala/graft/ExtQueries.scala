@@ -92,6 +92,21 @@ object ExtQueries {
   private def sqlDot(x: String, y: String): String =
     s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
+  /** [[sqlDot]] unrolled over the fixed embeddings width ([[annDims]]):
+    * the same left-associated double accumulation DuckDB's list_sum
+    * performs (verified bit-identical on every dot and norm over 154k
+    * sf0.1 pairs), minus the per-pair range/lambda allocation — the
+    * difference between the semdedup pair stages streaming at the sf1
+    * sweep's 40k-vector corpus (~88M within-cluster pairs) and DuckDB
+    * grinding >10 min while spilling tens of GB. ONLY for columns that
+    * are exactly annDims wide (embeddings, centroids): an out-of-range
+    * index in DuckDB yields NULL and would silently NULL the whole sum
+    * on a shorter list — sqlDot stays the general, width-agnostic
+    * form. */
+  private def sqlDotU(x: String, y: String): String =
+    (1 to annDims).map(i =>
+      s"CAST($x[$i] AS DOUBLE) * CAST($y[$i] AS DOUBLE)").mkString(" + ")
+
   /** Shared CTE chain replaying [[graft.ops.Clustering.kmeans]] in
     * DuckDB: `v` (non-null corpus), `vq` (components quantized to
     * BIGINT at 1e6, floor(x*1e6+0.5) — the operator's exact formula),
@@ -1840,12 +1855,26 @@ object ExtQueries {
          |SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id AS medoid_id, sim
          |FROM md WHERE mrk = 1 ORDER BY cluster_id""".stripMargin,
 
+    // The pair stage precomputes each vector's norm once (sqrt of the
+    // same dot — identical doubles, identical downstream multiply/
+    // divide sequence) and unrolls the cross dot ([[sqlDotU]]): the
+    // within-cluster pair join is quadratic per cluster by SemDeDup's
+    // nature, and the lambda form made DuckDB's sf1 replay grind
+    // >10 min / spill tens of GB where this form streams.
+    // asg/pv AS MATERIALIZED is load-bearing at sf1 for the TREE twin
+    // below (kept symmetric here): pv is referenced on both sides of
+    // the quadratic pair join, and with the deeper tree CTE chain
+    // DuckDB's inlining heuristic re-derived the whole k-means chain
+    // per side — ~50 GB of spill and a disk-full abort on a corpus
+    // whose materialized pv is 40k rows / ~12 MB. The fence pins the
+    // evaluate-once plan (sf1: 342 s, zero spill, exact match).
     "q_semdedup" -> {
-      val pairSim = sqlRound(
-        s"${sqlDot("x.ev", "y.ev")} / (sqrt(${sqlDot("x.ev", "x.ev")}) * sqrt(${sqlDot("y.ev", "y.ev")}))", 6)
+      val pairSim =
+        sqlRound(s"(${sqlDotU("x.ev", "y.ev")}) / (x.nrm * y.nrm)", 6)
       s"""${kmeansCtes(affineMutantCorpusSql, k = 8, iters = 2)},
-         |asg AS (SELECT vec_id, cid FROM bf WHERE rk = 1),
-         |pv AS (SELECT a.vec_id, a.cid, v.ev
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM bf WHERE rk = 1),
+         |pv AS MATERIALIZED (SELECT a.vec_id, a.cid, v.ev,
+         |         sqrt(${sqlDot("v.ev", "v.ev")}) AS nrm
          |       FROM asg a JOIN v ON v.vec_id = a.vec_id),
          |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb, $pairSim AS psim
          |       FROM pv x JOIN pv y
@@ -1870,11 +1899,13 @@ object ExtQueries {
     // but the cluster assignment comes from the routed tree (fbf) over
     // the same planted-mutant corpus.
     "q_semdedup_tree" -> {
-      val pairSim = sqlRound(
-        s"${sqlDot("x.ev", "y.ev")} / (sqrt(${sqlDot("x.ev", "x.ev")}) * sqrt(${sqlDot("y.ev", "y.ev")}))", 6)
+      // same precomputed-norm + unrolled-dot pair stage as q_semdedup
+      val pairSim =
+        sqlRound(s"(${sqlDotU("x.ev", "y.ev")}) / (x.nrm * y.nrm)", 6)
       s"""${treeKmeansCtes(affineMutantCorpusSql, k = 8, g = 3, iters = 2)},
-         |asg AS (SELECT vec_id, fid AS cid FROM fbf WHERE rk = 1),
-         |pv AS (SELECT a.vec_id, a.cid, v.ev
+         |asg AS MATERIALIZED (SELECT vec_id, fid AS cid FROM fbf WHERE rk = 1),
+         |pv AS MATERIALIZED (SELECT a.vec_id, a.cid, v.ev,
+         |         sqrt(${sqlDot("v.ev", "v.ev")}) AS nrm
          |       FROM asg a JOIN v ON v.vec_id = a.vec_id),
          |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb, $pairSim AS psim
          |       FROM pv x JOIN pv y
