@@ -475,15 +475,17 @@ object RelQueries {
     // the oracle replays the identical div/sum ops in unrolled SQL
     // (pagerankOracleSql).
     //
-    // Bench note: this is launch-bound, not plan-bound. An iterative
-    // operator is ~10 sequential Spark jobs (graph build + one per
-    // round + final checkpoint); measured floor for ANY exchange-
-    // bearing job on this 32-thread local session is ~0.3-0.8 s even
-    // on a 16k-row cache, so the key's wall time is mostly fixed
-    // launch/codegen tax that amortizes away on a cluster where each
-    // round does minutes of real shuffle work. The per-round plan is
-    // the right one: edge cache scanned once, rank side auto-broadcast
-    // off cache statistics, exactly one |V|-row exchange per round.
+    // Bench note: this is launch-bound, not plan-bound. The
+    // fixed-iteration path chains all rounds between lineage cuts into
+    // ONE lazy job (graph build + one batched job + final orderBy);
+    // measured floor for ANY exchange-bearing job on this 32-thread
+    // local session is ~0.3-0.8 s even on a 16k-row cache, so the
+    // key's remaining wall time is mostly fixed launch/codegen tax
+    // that amortizes away on a cluster where each round does minutes
+    // of real shuffle work. The per-round plan is the right one: edge
+    // cache hash-partitioned on src and scanned once, rank side the
+    // co-partitioned shuffle-hash build, exactly one |V|-row exchange
+    // per round.
     "q_pagerank" -> ((s, dir) => {
       val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       val li = t(s, dir, "lineitem")

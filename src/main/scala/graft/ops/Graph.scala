@@ -104,26 +104,77 @@ object Graph {
     val e = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .distinct()
-    // degree joined on once — the loop below never touches raw edges
+    // degree joined on once — the loop below never touches raw edges.
+    // The cache is HASH-PARTITIONED ON src before persisting: every
+    // round joins edges to ranks on src = node, and the rank side
+    // always arrives hash-partitioned on node (round 0 is the
+    // `distinct` node cache; later rounds end in the per-node
+    // aggregate), so with a co-partitioned shuffled-hash join the edge
+    // cache is NEVER re-exchanged — the round's only shuffle is the
+    // |V|-row contribution aggregate. One hot partition per
+    // super-hub source is the accepted cost (probe-side work is linear
+    // in its edges); the alternative — re-exchanging |E| rows every
+    // round once ranks outgrow the broadcast threshold — is strictly
+    // worse at graph scale.
     val ewd = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("d")), "src").persist()
+        e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .repartition(col("src")).persist()
     val nodes = ewd.select(col("src").as("node"))
       .unionByName(ewd.select(col("dst").as("node"))).distinct().persist()
-    // Each iteration is materialized EAGERLY (persist + count): the
-    // rank frame then carries accurate cache statistics, so Catalyst
-    // broadcasts it against the edge cache while it fits the
-    // autoBroadcast threshold and falls back to a shuffled join for
-    // billion-node graphs — the right strategy at both ends with no
-    // hint to mis-set. (A fully lazy loop was measured 2x slower here:
-    // every nested broadcast subtree launches its own sequential
-    // driver-side job at materialization time, and nothing reuses
-    // them.) The per-round job is tiny — it reads two caches and
-    // exchanges |V| partial-aggregate rows, the iteration's ONE
-    // shuffle.
+    // Per-round join strategy: the rank side (|V| rows of two longs)
+    // is the SHUFFLE_HASH build side — its partition slice is tiny in
+    // every regime (16 bytes x |V| / partitions), it needs no sort,
+    // and unlike a broadcast it involves no per-round driver collect
+    // and no single-executor memory ceiling at billion-node |V|.
     // round 0 is just the node cache with a literal column — no
     // materialization job of its own; iteration 1 reads it through
-    // nodes' cache, whose statistics already drive the join strategy
+    // nodes' cache.
+    def round(ranks: DataFrame): DataFrame = {
+      // per-edge integer contribution, summed exactly per target
+      val contrib = ewd.join(ranks.hint("shuffle_hash"),
+          ewd("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("pr div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($damp * coalesce(c, 0L)) div 100")).as("pr"))
+    }
     nodes.count() // one job materializes ewd (its parent) and nodes
+    if (tol.isEmpty) {
+      // Fixed-iteration path: rounds are chained LAZILY and the frame
+      // is only materialized at lineage-cut boundaries (every
+      // `checkpointEvery` rounds and on the last), so a 5-round run is
+      // ONE job of five cascading two-stage rounds instead of five
+      // driver-sequenced jobs — job-launch latency, not rows, is the
+      // dominant per-round cost (measured 4.7 s -> 3.2 s for the
+      // 5-round sf0.1 bench loop, bit-identical result). Between cuts
+      // the lazy plan is LINEAR (each rank frame feeds exactly one
+      // successor) and at most `checkpointEvery` rounds deep, so the
+      // optimizer never sees an unbounded tree and executor loss
+      // replays at most one batch.
+      var ranks: DataFrame = nodes.withColumn("pr", lit(scale))
+      var lastCut: Option[DataFrame] = None
+      var done = 0
+      while (done < iters) {
+        val batch = math.min(checkpointEvery, iters - done)
+        var r = ranks
+        for (_ <- 1 to batch) r = round(r)
+        val next = DedupOps.cut(r)
+        // lineage is now truncated past the previous cut: free it
+        lastCut.foreach(DedupOps.freeCheckpoint)
+        lastCut = Some(next)
+        ranks = next
+        done += batch
+      }
+      // the result is checkpointed: its inputs' storage can go now
+      ewd.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      return (ranks, Nil)
+    }
+    // Early-stopping path: each round IS materialized eagerly — the
+    // driver must read the round's L1 movement to decide whether to
+    // stop, so per-round job latency is inherent here, the price of
+    // the convergence probe.
     var ranks = nodes.withColumn("pr", lit(scale))
     var ranksIsCut = false
     var lastCut: Option[DataFrame] = None
@@ -131,13 +182,7 @@ object Graph {
     var stopped = false
     var i = 1
     while (i <= iters && !stopped) {
-      // per-edge integer contribution, summed exactly per target
-      val contrib = ewd.join(ranks, ewd("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("pr div d").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("c"))
-      val next0 = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($damp * coalesce(c, 0L)) div 100")).as("pr"))
+      val next0 = round(ranks)
       // persist materializes blocks but leaves lineage in place, so the
       // plan tree grows ~linearly with rounds: truncate it with a real
       // checkpoint every `checkpointEvery` rounds (unbounded trees

@@ -73,10 +73,11 @@ class GraphSpec extends SparkSpec {
   }
 
   test("mid-run checkpoint cadence does not change the result") {
-    // exercises the mixed persist/checkpoint path (cuts at rounds 2, 4
-    // and the final 5) — a superseded checkpoint must survive until
-    // the next cut truncates lineage past it, so eviction/recompute
-    // between cuts stays possible; the ranks must be identical
+    // exercises batch-boundary invariance in the lazily-batched
+    // fixed-iteration path: iters=5 runs as batches of 2+2+1 here vs
+    // one batch of 5 at the default cadence, and a superseded batch
+    // checkpoint must survive until the next cut truncates lineage
+    // past it; the ranks must be identical either way
     val edges = (1L to 150L).map(i => (i, (i * 11) % 150 + 1))
     val a = Graph.pagerank(edges.toDF("src", "dst"), iters = 5)
     val b = Graph.pagerank(edges.toDF("src", "dst"), iters = 5,
