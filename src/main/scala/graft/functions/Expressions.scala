@@ -46,6 +46,42 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** [[Kernels.dot]] as an expression: the cosine numerator alone, for
+    * pair stages that carry precomputed [[VecNorm]] norms —
+    * `DotProduct(a,b) / (na * nb)` reproduces [[CosineSim]] bit-for-bit
+    * (guard the zero-norm case to 0.0 first, cosine's contract). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dotAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Kernels.dotAD($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** [[Kernels.norm]] as an expression — [[CosineSim]]'s denominator
+    * factor for one vector, computed once per row instead of once per
+    * pair. */
+  case class VecNorm(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.norm(Kernels.floatsStrict(input.asInstanceOf[ArrayData]))
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.norm(" +
+          s"graft.functions.Kernels.floatsStrict($a));")
+  }
+
   /** 64-bit SimHash over a token array: each token hashed with FNV-1a 64,
     * bit-vote per position, sign -> signature bit. Near-duplicate docs
     * yield signatures at small Hamming distance. Deterministic; no seed.
@@ -458,6 +494,9 @@ object Expressions {
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+  def vec_norm(a: Column): Column = column(VecNorm(expression(a)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def winnow_anchors(text: Column, k: Int, w: Int): Column =
     column(WinnowAnchors(expression(text), k, w))

@@ -49,6 +49,61 @@ object Kernels {
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Dot product alone, double accumulation in index order — the
+    * [[cosine]] numerator with the identical per-element sequence
+    * (`dot += x(i)*y(i)`), so `dot(x,y) / (norm(x) * norm(y))` is
+    * bit-identical to `cosine(x,y)` whenever both norms are nonzero.
+    * Exists for quadratic pair stages (SemDeDup's within-cluster join):
+    * precomputing each side's norm once per VECTOR instead of once per
+    * PAIR cuts the per-pair flops 3x without perturbing a single
+    * result bit. Same fail-fast dimension guard as [[cosine]]. */
+  def dot(x: Array[Float], y: Array[Float]): Double = {
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"dot: dimension mismatch ${x.length} vs ${y.length}")
+    val n = x.length
+    var d = 0.0; var i = 0
+    while (i < n) { d += x(i).toDouble * y(i).toDouble; i += 1 }
+    d
+  }
+
+  /** [[dot]] straight off the columnar `ArrayData`, no intermediate
+    * float arrays: a quadratic pair stage calls this once per PAIR, and
+    * the two per-call `toFloatArray` copies (allocation + memcpy) cost
+    * more than the 2n multiplies they feed. Identical accumulation
+    * order and dimension guard; the null-element scan is folded into
+    * the same pass (strictness contract of [[floatsStrict]], same
+    * failure). */
+  def dotAD(x: org.apache.spark.sql.catalyst.util.ArrayData,
+            y: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot: dimension mismatch $n vs ${y.numElements()}")
+    var d = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"embedding contains a NULL element at index $i — corrupt " +
+            "vector; clean or drop it upstream")
+      d += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
+    d
+  }
+
+  /** Euclidean norm with the [[cosine]] denominator's exact arithmetic:
+    * the same `nx += x(i)*x(i)` accumulation order, then one sqrt —
+    * `norm(x) == math.sqrt(nx)` for the nx [[cosine]] would compute, so
+    * a zero norm here is exactly cosine's `nx == 0.0` branch (sqrt(0)
+    * is exact) and the precomputed-norm cosine reconstruction above is
+    * bitwise faithful, zero-vector contract included. */
+  def norm(x: Array[Float]): Double = {
+    val n = x.length
+    var nx = 0.0; var i = 0
+    while (i < n) { val xi = x(i).toDouble; nx += xi * xi; i += 1 }
+    math.sqrt(nx)
+  }
+
   /** Universal-hash parameters for MinHash, fixed seed. Cached per k. */
   private val P = 2147483647L // 2^31-1
   private val paramCache =

@@ -353,13 +353,27 @@ object Clustering {
     val vecs = corpus.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("_sid"), col(vec).as("_svec"))
       .withColumn("cluster_id", best.getField("cid"))
-    val a = vecs.select(col("_sid").as("_ida"), col("_svec").as("_va"),
-      col("cluster_id"))
-    val b = vecs.select(col("_sid").as("_idb"), col("_svec").as("_vb"),
-      col("cluster_id"))
+    // Each side's norm is computed once per VECTOR before the
+    // within-cluster self-join, so the quadratic pair stage pays one
+    // dot per pair instead of cosine's dot + two norms (3x the flops on
+    // the only superlinear term SemDeDup has). Bit-faithful to
+    // cosine_sim by construction: Kernels.dot/norm reuse cosine's exact
+    // accumulation order, sqrt(0) is exact so the zero-norm guard
+    // reproduces cosine's 0.0 branch, and dot/(na*nb) is the very
+    // expression cosine evaluates — the DuckDB oracle needed the same
+    // rewrite to survive sf1, with the same bit-identity argument.
+    val withN = vecs.withColumn("_snrm",
+      graft.functions.Expressions.vec_norm(col("_svec")))
+    val a = withN.select(col("_sid").as("_ida"), col("_svec").as("_va"),
+      col("_snrm").as("_na"), col("cluster_id"))
+    val b = withN.select(col("_sid").as("_idb"), col("_svec").as("_vb"),
+      col("_snrm").as("_nb"), col("cluster_id"))
+    val pairSim = when(col("_na") === 0.0 || col("_nb") === 0.0, lit(0.0))
+      .otherwise(graft.functions.Expressions.dot_product(col("_va"), col("_vb"))
+        / (col("_na") * col("_nb")))
     val drops = a.join(b, Seq("cluster_id"))
       .filter(col("_ida") < col("_idb") &&
-        roundHalfUp(cosine_sim(col("_va"), col("_vb")), 6) >= lit(threshold))
+        roundHalfUp(pairSim, 6) >= lit(threshold))
       .select(col("_idb").as("_sid")).distinct()
     vecs.join(drops, Seq("_sid"), "left_anti")
       .select(col("_sid").as(id), col("cluster_id"))

@@ -30,6 +30,41 @@ class SimilaritySpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("dot/(norm*norm) with zero-norm guard is BIT-identical to CosineSim") {
+    // the contract SemDeDup's pair stage rides on: precomputing each
+    // vector's norm once and reconstructing cosine as dot/(na*nb) must
+    // reproduce CosineSim's doubles exactly (same accumulation order in
+    // the kernels), including the zero-vector 0.0 branch — any drift
+    // here would silently flip threshold comparisons after rounding
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(40)(Array.fill(32)(
+      (rnd.nextGaussian() * (1 + rnd.nextInt(3))).toFloat)) :+
+      Array.fill(32)(0.0f) // zero vector exercises the guard branch
+    val pairs = for (x <- vecs; y <- vecs) yield (x, y)
+    val df = pairs.toDF("a", "b").select(
+      Expressions.cosine_sim($"a", $"b").as("ref"),
+      when(Expressions.vec_norm($"a") === 0.0 ||
+          Expressions.vec_norm($"b") === 0.0, lit(0.0))
+        .otherwise(Expressions.dot_product($"a", $"b") /
+          (Expressions.vec_norm($"a") * Expressions.vec_norm($"b")))
+        .as("pre"))
+    val rows = df.as[(Double, Double)].collect()
+    assert(rows.length == 41 * 41)
+    rows.foreach { case (ref, pre) =>
+      assert(java.lang.Double.doubleToRawLongBits(ref) ==
+        java.lang.Double.doubleToRawLongBits(pre),
+        s"bit drift: cosine=$ref reconstructed=$pre")
+    }
+    // strictness parity: a null element fails DotProduct the same way
+    // CosineSim's floatsStrict does
+    val bad = Seq((Array(1.0f, 2.0f), Seq[java.lang.Float](1.0f, null)))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(Expressions.dot_product($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("top-k aggregate == window rank exactly; no Window in the plan") {
     val rnd = new scala.util.Random(5)
     val corpus = Seq.tabulate(500)(i =>
