@@ -35,7 +35,8 @@ object Bench {
     // graft.Fixtures); keys excluded by the filter skip their prelude
     // too — targeted iteration must not pay unrelated fixture builds.
     for (k <- Seq("q_scan_json_bars", "q_dedup_incremental",
-        "q_rollup_read", "q_ann_index", "q_exact_substr_incremental")
+        "q_rollup_read", "q_ann_index", "q_exact_substr_incremental",
+        "q_dedup_embed_incremental")
         if keyFilter.forall(_.contains(k)))
       try SparkEntry.queries(k)(spark, sfDir).count()
       catch { case _: Throwable => }

@@ -284,6 +284,68 @@ object ExtQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** EmbedIndex hyperparameters, shared by the two engine keys and
+    * their oracles. 12 bits (4096 buckets) keeps bucket populations
+    * scale-stable through the sf1 sweep corpus. */
+  private val embIdxBits = 12
+  private val embIdxMaxBucket = 200
+
+  /** Plane-literal + bucket + norm CTEs for the [[graft.ops
+    * .EmbedIndex]] replay: `corpusSql` must yield
+    * (vec_id, embedding, is_daily). Same sign-matrix-literal /
+    * in-order-dot scheme as [[lshAnnOracleSql]], at [[embIdxBits]]
+    * bits; `bkt`/`pv` are MATERIALIZED — both sit on both sides of the
+    * downstream bucket self-join (the q_semdedup_tree sf1 lesson). */
+  private def embedBucketCtes(corpusSql: String): String = {
+    val planeRows = graft.functions.Expressions.HyperplaneLsh
+      .signs(embIdxBits, annDims).zipWithIndex.map { case (row, j) =>
+        s"($j, [${row.map(v => s"$v.0").mkString(",")}])"
+      }.mkString(",\n    ")
+    s"""WITH ev0 AS ($corpusSql),
+       |v AS (SELECT vec_id, embedding AS ev, is_daily FROM ev0
+       |      WHERE embedding IS NOT NULL),
+       |pl AS (SELECT * FROM (VALUES
+       |    $planeRows) AS t(j, p)),
+       |bkt AS MATERIALIZED (SELECT vec_id, is_daily,
+       |    CAST(sum(CASE WHEN ${sqlDot("ev", "p")} >= 0
+       |             THEN 1 << j ELSE 0 END) AS INTEGER) AS bk
+       |  FROM v, pl GROUP BY vec_id, is_daily),
+       |pv AS MATERIALIZED (SELECT vec_id, ev,
+       |    sqrt(${sqlDot("ev", "ev")}) AS nrm FROM v)""".stripMargin
+  }
+
+  /** The scored-pair tail shared by the two EmbedIndex oracles: `ent`
+    * must yield (vec_id, bucket, at_base, is_new). Bucket weights are
+    * entry counts (cap between 2 and [[embIdxMaxBucket]] — the
+    * cappedBuckets gate), a pair needs one side at base (the
+    * hamming<=1 rule), one side new, distinct ids; sim is the
+    * precomputed-norm unrolled dot with the zero-norm guard. */
+  private def embedPairTailSql(entSql: String, sfx: String = ""): String =
+    s"""ent$sfx AS MATERIALIZED ($entSql),
+       |okb$sfx AS (SELECT bucket FROM ent$sfx GROUP BY bucket
+       |        HAVING count(*) BETWEEN 2 AND $embIdxMaxBucket),
+       |cpr$sfx AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |        FROM ent$sfx a JOIN ent$sfx b ON a.bucket = b.bucket
+       |          JOIN okb$sfx o ON o.bucket = a.bucket
+       |        WHERE a.vec_id < b.vec_id
+       |          AND (a.at_base OR b.at_base)
+       |          AND (a.is_new OR b.is_new)),
+       |sc$sfx AS (SELECT p.id_a, p.id_b,
+       |        CASE WHEN x.nrm = 0 OR y.nrm = 0 THEN 0.0
+       |             ELSE ${sqlRound(s"(${sqlDotU("x.ev", "y.ev")}) / (x.nrm * y.nrm)", 6)}
+       |        END AS sim
+       |      FROM cpr$sfx p JOIN pv x ON x.vec_id = p.id_a
+       |                 JOIN pv y ON y.vec_id = p.id_b)""".stripMargin
+
+  /** All base buckets + 1-bit flips for a `bkt` subset. */
+  private def embedEntriesSql(where: String, isNew: String): String =
+    s"""SELECT vec_id, bk AS bucket, TRUE AS at_base, $isNew AS is_new
+       |        FROM bkt WHERE $where
+       |        UNION ALL
+       |        SELECT vec_id, xor(bk, CAST(1 << (f.range - 1) AS INTEGER)),
+       |               FALSE, $isNew
+       |        FROM bkt, range(1, ${embIdxBits + 1}) f WHERE $where""".stripMargin
+
   /** DuckDB replay of the deterministic-IVF search (q_ann_ivf):
     * kmeansCtes trains the centroids and assigns the corpus (bf rk=1 =
     * the map-side best_centroid assignment), the probe step ranks
@@ -865,6 +927,49 @@ object ExtQueries {
           graft.functions.Expressions.cosine_sim(col("va"), col("vb")), 6))
         .filter(col("sim") >= 0.95)
         .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Batch-mode LSH embedding near-dup pairs (EmbedIndex.dupPairs):
+    // candidates iff hyperplane buckets differ in <= 1 bit under the
+    // 12-bit plane set, capped buckets, precomputed-norm rounded
+    // cosine >= 0.95. Scales where q_dedup_embed's broadcast-query
+    // brute force cannot: both sides are the full corpus here.
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      graft.ops.EmbedIndex.dupPairs(embWithAffineMutants(s, dir),
+          "embedding", "vec_id", bits = embIdxBits, threshold = 0.95,
+          maxBucket = embIdxMaxBucket)
+        .orderBy("id_a", "id_b")),
+
+    // Incremental SEMANTIC dedup against a persisted embedding index
+    // (EmbedIndex) — the third member of the incremental trio beside
+    // q_dedup_incremental (minhash) and q_exact_substr_incremental
+    // (verbatim spans): history is indexed once under a content-keyed
+    // fixture, each run times only the daily batch of affine mutants
+    // probed against it (tagged, so the re-run is replay-idempotent).
+    // Union of the landed historical pairs and the daily probe equals
+    // EmbedIndex.dupPairs over the accumulated corpus
+    // (EmbedIndexSpec pins the identity; the oracle value-checks both
+    // phases).
+    "q_dedup_embed_incremental" -> ((s, dir) => {
+      val hist = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val daily = hist.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
+      val fx = graft.Fixtures.ensure("embed_idx",
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.Fixtures.contentKey(s"embed_idx|$dir", hist,
+            "vec_id", "embedding")) { p =>
+        graft.ops.EmbedIndex.appendAndFindDups(s, hist, p + "/idx",
+          "embedding", "vec_id", bits = embIdxBits, threshold = 0.95,
+          maxBucket = embIdxMaxBucket, batchTag = Some("hist"))
+          .write.parquet(p + "/hist_pairs")
+      }
+      val p2 = graft.ops.EmbedIndex.appendAndFindDups(s, daily, fx + "/idx",
+        "embedding", "vec_id", threshold = 0.95,
+        maxBucket = embIdxMaxBucket, batchTag = Some("daily"))
+      s.read.parquet(fx + "/hist_pairs").unionByName(p2)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1802,6 +1907,48 @@ object ExtQueries {
          |    ${sqlRound(s"${sqlDot("q.va", "c.embedding")} / (sqrt(${sqlDot("q.va", "q.va")}) * sqrt(${sqlDot("c.embedding", "c.embedding")}))", 6)} AS sim
          |  FROM corpus c, q WHERE id_a < c.vec_id)
          |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // EmbedIndex replays: bucket assignment from the plane literal,
+    // base+flip entries, capped buckets, hamming<=1 pair rule, then
+    // the precomputed-norm unrolled dot — each stage the engine's
+    // exact arithmetic (see embedBucketCtes/embedPairTailSql).
+    "q_dedup_embed_lsh" -> {
+      val corpus =
+        s"""SELECT vec_id, embedding, FALSE AS is_daily FROM (
+           |  $affineMutantCorpusSql)""".stripMargin
+      s"""${embedBucketCtes(corpus)},
+         |${embedPairTailSql(embedEntriesSql("TRUE", "TRUE"))}
+         |SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Two phases, replaying the two engine calls: phase 1 is batch
+    // mode over the history alone; phase 2 probes the daily mutants
+    // (base + flips, is_new) against history members at their BASE
+    // bucket only — stored vectors are never re-probed, exactly the
+    // operator's asymmetry. Using ALL history base rows (vs the
+    // engine's bucket-pruned subset) is output-identical: a bucket
+    // without new entries can emit no is_new pair, and any bucket WITH
+    // one pulls its complete stored-base population through the probe
+    // semi-join, so cap weights agree wherever pairs can exist.
+    "q_dedup_embed_incremental" -> {
+      val corpus =
+        s"""SELECT vec_id, embedding, FALSE AS is_daily FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.1 + 0.01 AS REAL)),
+           |         TRUE
+           |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+      val phase2Ent = embedEntriesSql("is_daily", "TRUE") +
+        "\n        UNION ALL\n        SELECT vec_id, bk, TRUE, FALSE FROM bkt WHERE NOT is_daily"
+      s"""${embedBucketCtes(corpus)},
+         |${embedPairTailSql(embedEntriesSql("NOT is_daily", "TRUE"), "1")},
+         |${embedPairTailSql(phase2Ent, "2")}
+         |SELECT id_a, id_b, sim FROM sc1 WHERE sim >= 0.95
+         |UNION ALL
+         |SELECT id_a, id_b, sim FROM sc2 WHERE sim >= 0.95
          |ORDER BY id_a, id_b""".stripMargin
     },
 
