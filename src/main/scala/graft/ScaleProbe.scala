@@ -76,7 +76,7 @@ object ScaleProbe {
     // that reads as a clean probe of nothing
     val opNames = Set("minhash", "dedup_incremental", "ann_ivf",
       "pagerank", "kmeans", "medoids", "semdedup_flat", "semdedup_tree",
-      "exact_substr", "exact_substr_incremental")
+      "exact_substr", "exact_substr_incremental", "embed_incremental")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -274,12 +274,34 @@ object ScaleProbe {
             esIdx, "text", "doc_id", batchTag = Some("daily")).count()
         }._1
       }
+      scrub()
+      // incremental SEMANTIC probe against a pre-built embedding index
+      // at this scale — the O(batch) third of the incremental trio
+      // (fresh index dir per invocation, same reuse hazard as
+      // dedup_incremental). Batch = 1% of vectors, affine-mutated.
+      val tEmbIncr = if (!want("embed_incremental")) -1.0 else {
+        val embIdx = s"$root/embidx_x${scale}_$tag"
+        val eHist = e.filter(col("vec_id") % 100 =!= 0)
+        val eBatch = e.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
+        graft.ops.EmbedIndex.appendAndFindDups(spark, eHist, embIdx,
+          "embedding", "vec_id", batchTag = Some("hist"))
+        scrub()
+        // single-shot, as for the sibling incremental rows
+        time {
+          graft.ops.EmbedIndex.appendAndFindDups(spark, eBatch, embIdx,
+            "embedding", "vec_id", batchTag = Some("daily")).count()
+        }._1
+      }
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
         "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
-        "exact_substr_incremental" -> tEsIncr)
+        "exact_substr_incremental" -> tEsIncr,
+        "embed_incremental" -> tEmbIncr)
         .filter(_._2 >= 0)
     }
 
