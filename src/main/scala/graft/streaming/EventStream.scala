@@ -187,6 +187,33 @@ object EventStream {
       ()
     }
 
+  /** Streaming SEMANTIC near-dup detection over a persisted
+    * [[graft.ops.EmbedIndex]] — the embedding twin of [[nearDupSink]]:
+    * each micro-batch of (id, vector) rows probes the index for
+    * high-cosine duplicates in O(batch) (history is never re-hashed or
+    * re-scored), appends itself, and lands discovered pairs under the
+    * same replay-idempotent `(appId-batchId)` tag scheme — a
+    * foreachBatch replay overwrites exactly its own partitions on both
+    * the index and the pairs table. Same `appId` caveat as
+    * [[nearDupSink]]: change it whenever checkpointLocation is
+    * reset. */
+  def semanticDupSink(docsStream: DataFrame, indexPath: String,
+                      pairsPath: String, vec: String, id: String,
+                      appId: String, threshold: Double = 0.95)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tag = s"$appId-$batchId"
+      val pairs = graft.ops.EmbedIndex.appendAndFindDups(
+        batch.sparkSession, batch, indexPath, vec, id,
+        threshold = threshold, batchTag = Some(tag))
+      if (!pairs.isEmpty)
+        pairs.withColumn("batch_tag", lit(tag))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_tag").parquet(pairsPath)
+      ()
+    }
+
   case class Impression(i_id: Long, i_ts: Timestamp, i_user: Long)
   case class Click(c_id: Long, c_ts: Timestamp, c_user: Long)
 

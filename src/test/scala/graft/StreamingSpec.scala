@@ -413,4 +413,37 @@ class StreamingSpec extends SparkSpec {
         "only pairs involving the new batch may be emitted")
     } finally q.stop()
   }
+
+  test("streaming semantic-dup sink finds cross-batch dups against the embed index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    def vect(seed: Long, mut: Boolean = false): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      if (mut) base.map(x => (x * 1.1f) + 0.01f) else base
+    }
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = EventStream.semanticDupSink(
+        mem.toDF().toDF("vec_id", "embedding"),
+        s"$dir/idx", s"$dir/pairs", "embedding", "vec_id",
+        appId = "spec-semdup", threshold = 0.9)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 1: two unrelated vectors — no pairs, and the empty pair
+      // set must not create a schema-less pairs directory
+      mem.addData((0L, vect(0)), (1L, vect(1)))
+      q.processAllAvailable()
+      assert(!new java.io.File(s"$dir/pairs").exists())
+      // batch 2: a high-cosine mutant of vector 0 arrives — the pair
+      // is found against the INDEX (vector 0 never re-hashed)
+      mem.addData((10L, vect(0, mut = true)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/pairs")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((0L, 10L)), s"cross-batch semantic dup missed: $got")
+      assert(got.forall { case (_, b) => b == 10L },
+        "only pairs involving the new batch may be emitted")
+    } finally q.stop()
+  }
 }
