@@ -1247,6 +1247,17 @@ object ExtQueries {
       TextOps.tokenEntropy(docs(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // Exact frequency-threshold detection via the two-pass Misra-Gries
+    // harness: bounded-memory candidate sketch (superset guarantee),
+    // then an exact recount of the <= k candidate literals -- the
+    // distinct-cardinality-independent alternative to a full
+    // groupBy(token) shuffle. Exercised over the corpus token stream.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.ops.HeavyHitters.heavyHitters(
+        docs(s, dir).filter(col("text").isNotNull)
+          .select(explode(TextOps.tokens(col("text"))).as("tok")),
+        "tok", theta = 0.0335)),
+
     // TF-IDF keyword extraction: top-5 terms per document (explode ->
     // partial-agg'd term counts -> df join -> per-doc window).
     "q_tfidf" -> ((s, dir) =>
@@ -2241,6 +2252,21 @@ object ExtQueries {
         |e AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh)
         |SELECT shingle, count(*) AS n_docs FROM e
         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY shingle""".stripMargin,
+
+    // Replays the exact second pass only: the sketch pass contributes
+    // membership (a guaranteed superset), never values, so the oracle
+    // is the plain threshold count -- which is the operator's contract.
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS item
+         |  FROM documents WHERE text IS NOT NULL),
+         |n AS (SELECT count(*) AS total FROM toks),
+         |c AS (SELECT item, count(*) AS cnt FROM toks GROUP BY 1)
+         |SELECT item, cnt,
+         |  ${sqlRound("cnt / CAST(n.total AS DOUBLE)", 6)} AS share
+         |FROM c CROSS JOIN n
+         |WHERE cnt >= ceil(0.0335 * n.total)
+         |ORDER BY cnt DESC, item""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH terms AS (

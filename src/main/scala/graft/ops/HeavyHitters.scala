@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.MisraGriesSketch.mg_sketch
+import graft.functions.Rounding.roundHalfUp
+
+/** EXACT frequency-threshold detection ("which items make up at least
+  * θ of the corpus?") without ever shuffling one row per distinct item.
+  * The naive `groupBy(item).count().filter(cnt >= θN)` is correct but
+  * its exchange carries every distinct item — billions of singleton
+  * typos/ids/URLs at 100 TB, all shuffled only to be discarded. Two
+  * passes instead:
+  *
+  *  1. CANDIDATES — one scan aggregating a mergeable Misra–Gries
+  *     summary ([[graft.functions.MisraGriesSketch]]) of capacity
+  *     k = slack·⌈1/θ⌉ alongside `count(*)`. Shuffle volume:
+  *     partitions × k entries to one reducer, independent of distinct
+  *     cardinality. Guarantee: any item with true count > N/(k+1)
+  *     survives the merged summary; with slack ≥ 2 and N > 0,
+  *     N/(k+1) < θN/2 < ⌈θN⌉, so the summary is a SUPERSET of every
+  *     θ-heavy item. The collected candidate list is bounded driver
+  *     state (≤ k entries — the k-means-centroid precedent), never the
+  *     data.
+  *  2. EXACT — a second scan filtered to the candidate literals (an
+  *     `IN` over ≤ k values, pushed into the parquet scan) recounts
+  *     them exactly; partial aggregation bounds the exchange at
+  *     partitions × k. The threshold filter then yields the exact
+  *     θ-heavy set — identical under any partitioning, because pass 2
+  *     never depends on the sketch's (merge-order-dependent) counts,
+  *     only on its guaranteed membership.
+  *
+  * Returns (item, cnt, share) with share = cnt/N rounded half-up to
+  * 6 dp, ordered cnt-desc then item-asc. Null items are excluded from
+  * both the count base and the result. */
+object HeavyHitters {
+
+  /** @param theta frequency threshold in (0, 1]: report items with
+    *              cnt ≥ ⌈θ·N⌉
+    * @param slack sketch head-room multiplier (≥ 2 preserves the
+    *              superset guarantee; larger trades sketch memory for
+    *              fewer pass-2 false candidates) */
+  def heavyHitters(df: DataFrame, item: String, theta: Double,
+                   slack: Int = 2): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1]: $theta")
+    require(slack >= 2, s"slack < 2 breaks the superset guarantee: $slack")
+    val k = math.max(16, slack * math.ceil(1.0 / theta).toInt)
+    val rows = df.filter(col(item).isNotNull)
+      .select(col(item).cast("string").as("item"))
+    val first = rows.agg(mg_sketch(col("item"), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    val n = first.getLong(1)
+    if (n == 0L)
+      return rows.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .withColumn("share", lit(0.0))
+    val cands = first.getSeq[Row](0).map(_.getString(0))
+    val minCnt = math.ceil(theta * n).toLong
+    rows.filter(col("item").isInCollection(cands))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(minCnt))
+      .withColumn("share", roundHalfUp(col("cnt") / lit(n.toDouble), 6))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+}
