@@ -76,7 +76,8 @@ object ScaleProbe {
     // that reads as a clean probe of nothing
     val opNames = Set("minhash", "dedup_incremental", "ann_ivf",
       "pagerank", "kmeans", "medoids", "semdedup_flat", "semdedup_tree",
-      "exact_substr", "exact_substr_incremental", "embed_incremental")
+      "exact_substr", "exact_substr_incremental", "embed_incremental",
+      "heavy_hitters")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -295,13 +296,27 @@ object ScaleProbe {
             "embedding", "vec_id", batchTag = Some("daily")).count()
         }._1
       }
+      scrub()
+      // two-pass exact heavy hitters over the token stream: pass 1 is
+      // a linear scan into partition-bounded MG buffers (shuffle =
+      // partitions × k regardless of distinct cardinality — at 30× the
+      // suffixed vocabulary is ~30× wider while the exchange stays
+      // fixed), pass 2 recounts <= k candidate literals. Expected
+      // growth ~N (two scans), with NO distinct-cardinality term —
+      // the shape that survives a 100 TB token stream where
+      // groupBy(token) would exchange billions of singleton rows.
+      val tHh = if (!want("heavy_hitters")) -1.0 else best2 {
+        graft.ops.HeavyHitters.heavyHitters(
+          d.select(explode(split(col("text"), " ")).as("tok")),
+          "tok", theta = 0.01).count()
+      }
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
         "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
         "exact_substr_incremental" -> tEsIncr,
-        "embed_incremental" -> tEmbIncr)
+        "embed_incremental" -> tEmbIncr, "heavy_hitters" -> tHh)
         .filter(_._2 >= 0)
     }
 

@@ -45,6 +45,12 @@ object HeavyHitters {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1]: $theta")
     require(slack >= 2, s"slack < 2 breaks the superset guarantee: $slack")
     val k = math.max(16, slack * math.ceil(1.0 / theta).toInt)
+    // the sketch, the collected candidate list, and the pass-2 IN
+    // filter are all O(k) — a θ so small that k explodes means the
+    // question is no longer "heavy hitters" and wants the plain
+    // groupBy instead; fail loudly rather than melt the driver
+    require(k <= (1 << 20),
+      s"theta=$theta needs a $k-entry sketch; below ~1e-6 use groupBy")
     val rows = df.filter(col(item).isNotNull)
       .select(col(item).cast("string").as("item"))
     val first = rows.agg(mg_sketch(col("item"), k).as("cand"),
