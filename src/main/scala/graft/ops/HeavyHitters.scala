@@ -30,6 +30,14 @@ import graft.functions.Rounding.roundHalfUp
   *     never depends on the sketch's (merge-order-dependent) counts,
   *     only on its guaranteed membership.
   *
+  * Scale note: pass 1 is a GLOBAL aggregate, so the final merge lands
+  * every partition's partial buffer on one reducer — partitions × k
+  * entries (≈ 30 B each). That is the cost driver at extreme partition
+  * counts (10⁵ tasks × k=10³ ≈ 3 GB through one task); `coalesce` the
+  * input toward core count before the sketch pass there, or raise θ.
+  * The guarantee is merge-tree-independent, so coalescing never
+  * changes the answer.
+  *
   * Returns (item, cnt, share) with share = cnt/N rounded half-up to
   * 6 dp, ordered cnt-desc then item-asc. Null items are excluded from
   * both the count base and the result. */
