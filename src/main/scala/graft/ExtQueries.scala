@@ -375,6 +375,61 @@ object ExtQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** PQ hyperparameters ([[graft.ops.SimilarityOps.pqTopK]]), defined
+    * once for the key and its oracle. */
+  private val pqM = 4
+  private val pqCands = 32
+
+  /** DuckDB replay of [[graft.ops.SimilarityOps.pqTopK]] end-to-end:
+    * one [[kmeansCtes]] instance per subspace (a nested WITH inside
+    * each eN derived table — per-subspace training + encoding come
+    * free as that chain's `bf`/`c_iters`), then the ADC expression
+    * mirrored term-for-term in the engine's evaluation order (per-
+    * subspace sqlDot sums left-associated, CASE zero-norm guard,
+    * dots / (sqrt(qn²)·sqrt(rn²)), HALF_UP 6), the candidate rank
+    * (ties to smallest neighbor), and the exact-cosine rerank. */
+  private def pqAnnOracleSql: String = {
+    val d = annDims / pqM
+    def sub(j: Int): String = {
+      val a = j * d + 1; val b = (j + 1) * d
+      s"""e$j AS (
+         |${kmeansCtes(s"SELECT vec_id, embedding[$a:$b] AS embedding FROM embeddings",
+            k = annK, iters = annIvfIters)}
+         |SELECT bb.vec_id, cc.cvec AS c$j FROM bf bb
+         |JOIN c$annIvfIters cc ON bb.cid = cc.cid WHERE bb.rk = 1)""".stripMargin
+    }
+    val dots = (0 until pqM).map(j =>
+      s"(${sqlDot(s"q.qvec[${j * d + 1}:${(j + 1) * d}]", s"p.c$j")})").mkString(" + ")
+    val rn2 = (0 until pqM).map(j =>
+      s"(${sqlDot(s"p.c$j", s"p.c$j")})").mkString(" + ")
+    val qn2 = s"(${sqlDot("q.qvec", "q.qvec")})"
+    val adcExpr = sqlRound(
+      s"CASE WHEN ($rn2) = 0 OR ($qn2) = 0 THEN 0.0 " +
+        s"ELSE ($dots) / (sqrt($qn2) * sqrt($rn2)) END", 6)
+    val exact = sqlRound(
+      s"${sqlDotU("q.qvec", "n.embedding")} / (sqrt(${sqlDotU("q.qvec", "q.qvec")}) * " +
+        s"sqrt(${sqlDotU("n.embedding", "n.embedding")}))", 6)
+    s"""WITH
+       |${(0 until pqM).map(sub).mkString(",\n")},
+       |pq AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
+       |       FROM e0 JOIN e1 USING (vec_id) JOIN e2 USING (vec_id)
+       |            JOIN e3 USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |      WHERE vec_id < 5 AND embedding IS NOT NULL),
+       |adc AS (SELECT q.query_id, p.vec_id AS neighbor_id, $adcExpr AS sim
+       |        FROM q, pq p),
+       |cnd AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS ark FROM adc),
+       |rr AS (SELECT c.query_id, c.neighbor_id, $exact AS sim
+       |       FROM cnd c JOIN q ON q.query_id = c.query_id
+       |            JOIN embeddings n ON n.vec_id = c.neighbor_id
+       |       WHERE c.ark <= $pqCands),
+       |fr AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM rr)
+       |SELECT query_id, neighbor_id, sim, rk FROM fr WHERE rk <= $annTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   /** ExactSubstr-span hyperparameters ([[graft.ops.DedupOps
     * .exactSubstrSpans]]), defined once for the key and its oracle. */
   private val esK = 8
@@ -973,6 +1028,15 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Exact GLOBAL quantiles without a global sort (Quantiles: histogram
+    // pass routes each rank to a bucket, refine pass sorts only the
+    // routed buckets). Same answers as percentile()/quantile_cont —
+    // the scale path for "exact p99 over 100 TB".
+    "q_quantile_2pass" -> ((s, dir) =>
+      graft.ops.Quantiles.exactQuantiles(
+        Tables.read(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99), bins = 1024)),
+
     // Exact interpolated percentiles per group (sort-based, oracle-able).
     // Scalar p25/p50/p75 columns: the driver's pandas-side hash gate
     // cannot sort array cells, so the quartiles are unnested.
@@ -1393,6 +1457,21 @@ object ExtQueries {
       val idx = SimilarityOps.ivfIndexFromModel(e, "embedding", "vec_id", model)
       SimilarityOps.ivfSearch(idx, e.filter(col("vec_id") < 5),
         "embedding", "vec_id", annTopK, nprobe = annNprobe)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+    }),
+
+    // PQ-ADC ANN + exact rerank (the FAISS IVFADC scoring stage).
+    // Oracled end-to-end: per-subspace training/encoding replays via
+    // one kmeansCtes per subspace, ADC + rerank arithmetic mirrored
+    // term-for-term (pqAnnOracleSql). Recall vs brute force and the
+    // ADC-table equivalence are pinned in SimilaritySpec.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.pqTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", annTopK, m = pqM, ksub = annK,
+        iters = annIvfIters, cands = pqCands)
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rk").cast("long"))
         .orderBy("query_id", "rk")
@@ -1982,6 +2061,8 @@ object ExtQueries {
     "q_ann_index" -> lshAnnOracleSql,
     "q_ann_ivf" -> ivfAnnOracleSql,
 
+    "q_ann_pq" -> pqAnnOracleSql,
+
     // The HLL key's oracle asserts the 3×rsd bound (within_rsd must be
     // TRUE) plus the exact counts — the estimate itself is engine-
     // specific and stays out of the hash.
@@ -2358,6 +2439,15 @@ object ExtQueries {
          |  CAST(list_sum(list_transform(embedding, x -> $q)) AS BIGINT) AS q_sum,
          |  ${sqlRound(s"list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - $q * amax / 127)))", 6)} AS max_err
          |FROM a ORDER BY vec_id""".stripMargin
+    },
+
+    "q_quantile_2pass" -> {
+      def one(p: String) =
+        s"""SELECT CAST($p AS DOUBLE) AS p,
+           |  ${sqlRound(s"quantile_cont(CAST(l_extendedprice AS DOUBLE), $p)", 4)} AS q
+           |FROM lineitem""".stripMargin
+      Seq("0.01", "0.25", "0.50", "0.75", "0.99").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY p")
     },
 
     "q_percentiles" ->

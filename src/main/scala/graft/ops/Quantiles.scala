@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.roundHalfUp
+
+/** EXACT interpolated quantiles without a global sort. The naive exact
+  * path (`percentile(...)` / ORDER BY + row-pick) ships every value to
+  * the reducers and sorts all of them — a full-data shuffle that at
+  * 100 TB makes "what is p99 latency?" cost as much as the heaviest
+  * join in the pipeline. The approximate path (`approx_percentile`)
+  * avoids the sort but abandons exactness. Two cheap passes give the
+  * exact answer:
+  *
+  *  1. HISTOGRAM — one scan computing (count, min, max) and a
+  *     fixed-width `bins`-bucket histogram (a partial-aggregated
+  *     `groupBy(bucket).count()` whose exchange carries ≤ `bins` rows
+  *     regardless of data volume). The collected histogram is bounded
+  *     driver state (≤ `bins` longs — the k-means-centroid precedent),
+  *     never the data. Cumulating it locates, for each requested
+  *     quantile, the bucket(s) holding the two order statistics the
+  *     interpolation needs.
+  *  2. REFINE — a second scan filtered to ONLY those buckets (expected
+  *     N/bins rows each, and the bucket predicate is a plain range/IN
+  *     comparison that pushes into the parquet scan via min/max
+  *     row-group stats on clustered data). A per-bucket `row_number`
+  *     window turns each global rank into a local pick; only the ≤
+  *     2·|ps| selected order statistics ever reach the driver.
+  *
+  * Exactness: the histogram only ROUTES ranks to buckets (counts are
+  * exact longs, so the routing is exact); the values themselves come
+  * from pass 2's real rows. Ties across equal values are immaterial —
+  * any permutation of equal values yields the same order statistic.
+  * Interpolation matches ANSI `percentile_cont`/Spark `percentile`:
+  * pos = p·(n−1), result = (⌈pos⌉−pos)·x[⌊pos⌋] + (pos−⌊pos⌋)·x[⌈pos⌉]
+  * (evaluated in IEEE double exactly as Spark's Percentile does, so the
+  * two agree bit-for-bit).
+  *
+  * Scale note: pass 2's window sorts one bucket per task. `bins` is the
+  * knob — at N rows each bucket holds ~N/bins values, so size bins such
+  * that N/bins fits a task's sort budget (skewed value distributions
+  * concentrate rows in few buckets; a pathological single-point mass is
+  * detected by the all-equal fast path, and anything milder still beats
+  * the global sort by bins×). Both collects are O(bins + |ps|).
+  */
+object Quantiles {
+
+  /** Exact quantiles of `value` (nulls excluded) at fractions `ps`.
+    * Returns one row per requested fraction: (p DOUBLE, q DOUBLE with
+    * `scale`-digit half-up rounding), ordered by p.
+    *
+    * @param bins histogram width: pass-2 work is ~|ps|·N/bins rows
+    * @param scale half-up rounding digits on q (parity with oracles) */
+  def exactQuantiles(df: DataFrame, value: String, ps: Seq[Double],
+                     bins: Int = 1024, scale: Int = 4): DataFrame = {
+    require(ps.nonEmpty, "exactQuantiles: ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"exactQuantiles: fractions must be in [0,1]: $ps")
+    require(bins >= 2 && bins <= (1 << 20),
+      s"exactQuantiles: bins out of range: $bins")
+    val spark = df.sparkSession
+    val v = df.select(col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+
+    val Row(n: Long, loAny, hiAny) =
+      v.agg(count("v"), min("v"), max("v")).head()
+    if (n == 0L) return result(spark, ps.map(p => (p, null)), scale)
+    val (lo, hi) = (loAny.asInstanceOf[Double], hiAny.asInstanceOf[Double])
+    if (lo == hi) // all-equal fast path: every order statistic is lo
+      return result(spark, ps.map(p => (p, java.lang.Double.valueOf(lo))), scale)
+
+    // pass 1: fixed-width histogram. Bucket of v = ⌊(v−lo)/width⌋
+    // clamped to bins−1 (v == hi, and FP round-up at bucket edges).
+    val width = (hi - lo) / bins
+    val bucketOf = least(floor((col("v") - lit(lo)) / lit(width)),
+      lit(bins - 1)).cast("int")
+    val hist = v.groupBy(bucketOf.as("b")).agg(count("*").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // cumBefore(b) = rows in buckets < b — exact rank routing
+    val cumBefore = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      var acc = 0L
+      hist.foreach { case (b, c) => m(b.toLong) = acc; acc += c }
+      m
+    }
+    val cnt = hist.map { case (b, c) => b.toLong -> c }.toMap
+
+    // ranks each quantile needs: pos = p·(n−1), lower ⌊pos⌋, upper ⌈pos⌉
+    def posOf(p: Double): Double = p * (n - 1)
+    val ranks: Seq[Long] = ps.flatMap { p =>
+      val pos = posOf(p)
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+    }.distinct.sorted
+    // route each global rank to (bucket, local rank)
+    val route: Map[Long, (Long, Long)] = ranks.map { g =>
+      // last bucket whose cumBefore ≤ g (hist is sorted, ≤ bins entries)
+      val b = hist.map(_._1.toLong).filter(b => cumBefore(b) <= g).last
+      require(g < cumBefore(b) + cnt(b), s"rank $g routed past bucket $b")
+      g -> (b, g - cumBefore(b))
+    }.toMap
+
+    // pass 2: order statistics from ONLY the routed buckets
+    val neededBuckets = route.values.map(_._1).toSeq.distinct
+    val needDf = broadcast(spark.createDataFrame(
+      route.toSeq.map { case (g, (b, r)) => (b, r, g) })
+      .toDF("b", "r", "g"))
+    val w = Window.partitionBy("b").orderBy("v")
+    val stats: Map[Long, Double] = v
+      .withColumn("b", bucketOf.cast("long"))
+      .filter(col("b").isin(neededBuckets: _*))
+      .withColumn("r", row_number().over(w).cast("long") - 1)
+      .join(needDf, Seq("b", "r"))
+      .select("g", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val rows = ps.map { p =>
+      val pos = posOf(p)
+      val (kLo, kHi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
+      val q = if (kLo == kHi) stats(kLo)
+      // Spark Percentile's exact double expression — bit-parity anchor
+      else (kHi - pos) * stats(kLo) + (pos - kLo) * stats(kHi)
+      (p, java.lang.Double.valueOf(q))
+    }
+    result(spark, rows, scale)
+  }
+
+  private def result(spark: SparkSession, rows: Seq[(Double, java.lang.Double)],
+                     scale: Int): DataFrame =
+    spark.createDataFrame(rows).toDF("p", "q_raw")
+      .select(col("p"), roundHalfUp(col("q_raw"), scale).as("q"))
+      .orderBy("p")
+}

@@ -273,4 +273,110 @@ object SimilarityOps {
       .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
     rankTopK(scored, k)
   }
+
+  /** Product-quantization ANN (PQ-ADC + exact rerank — the FAISS
+    * IVFADC scoring stage, here over a flat list). The vector is split
+    * into `m` subspaces; each subspace gets its own `ksub`-codeword
+    * codebook (deterministic full-corpus [[Clustering.kmeans]] per
+    * subspace, so the DuckDB oracle replays training bit-for-bit);
+    * every corpus vector is ENCODED as m small codes. Search scores by
+    * Asymmetric Distance Computation: the query precomputes its
+    * dot-product against all m×ksub codewords (a driver-side table of
+    * m·ksub doubles per query), and each corpus row's approximate
+    * cosine is m table lookups + one divide — it never touches the
+    * vector. The top `cands` ADC candidates per query are then
+    * re-scored with the EXACT cosine and the best k reported.
+    *
+    * Why this is the 100 TB layout: the scoring scan reads m integer
+    * codes per row instead of the dim-float vector (here 4 ints vs 64
+    * floats — 16× less IO once the encoded table is persisted and the
+    * parquet scan prunes to the code columns), the lookup expression is
+    * all codegen'd builtins, the candidate exchange is bounded by
+    * [[rankTopK]] (k per partition per query), and only |Q|·cands rows
+    * ever touch full vectors again (the rerank joins a broadcast
+    * candidate list against the corpus — one more pruned scan).
+    * Training cost is m·iters corpus passes; at real scale train on a
+    * sample (the [[buildIvfIndex]] stance) — full-corpus here so the
+    * oracle can replay it.
+    *
+    * Determinism contract (the [[ivfSearch]] probe discipline): ADC
+    * scores are HALF_UP-rounded to 6 digits BEFORE the candidate rank,
+    * ties to the smallest neighbor id, so the candidate SET is stable
+    * across engines; the final rank orders by rounded exact cosine,
+    * same tie rule. Zero-norm rows (query or reconstruction) score 0.0,
+    * matching [[graft.functions.Kernels.cosine]]'s zero branch. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vec: String, id: String,
+             k: Int, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+             cands: Int = 32): DataFrame = {
+    require(k >= 1 && cands >= k, s"pqTopK: need cands >= k >= 1, got k=$k cands=$cands")
+    require(m >= 1 && ksub >= 1, s"pqTopK: m and ksub must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // query set is broadcast-small by the ANN contract — one pinned
+    // evaluation (the lshTopK rationale), collected for the ADC tables
+    val qPlan = queries
+      .select(col(id).cast("long").as("query_id"), col(vec).as("qvec"))
+      .filter(col("qvec").isNotNull).dropDuplicates("query_id")
+    val qRows = qPlan.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(qRows.nonEmpty, "pqTopK: empty query set")
+    val dim = qRows.head._2.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val d = dim / m
+
+    // 1. TRAIN: one deterministic codebook per subspace
+    val books: Seq[Seq[(Long, Array[Float])]] = (0 until m).map { j =>
+      Clustering.kmeans(
+        corpus.select(col(id), slice(col(vec), j * d + 1, d).as(vec)),
+        vec, id, ksub, iters).centroids
+    }
+
+    // 2. ENCODE — the persisted "index": m codes per vector, map-side
+    val enc = (0 until m).foldLeft(
+      corpus.filter(col(vec).isNotNull)
+        .select(col(id).cast("long").as("neighbor_id"), col(vec).as("nvec"))) {
+      case (df, j) =>
+        df.withColumn(s"_c$j", graft.functions.Expressions.best_centroid(
+          slice(col("nvec"), j * d + 1, d), books(j)).getField("cid"))
+    }
+
+    // 3. ADC tables: m·ksub·(|Q|+1) doubles of driver state (the
+    // k-means-centroid precedent), broadcast as literal maps
+    val nMaps: Seq[Map[Long, Double]] = books.map(_.map { case (cid, cw) =>
+      cid -> graft.functions.Kernels.dot(cw, cw) }.toMap)
+    val dotMaps: Seq[Map[Long, Map[Long, Double]]] = (0 until m).map { j =>
+      qRows.map { case (qid, qv) =>
+        val qs = java.util.Arrays.copyOfRange(qv, j * d, (j + 1) * d)
+        qid -> books(j).map { case (cid, cw) =>
+          cid -> graft.functions.Kernels.dot(qs, cw) }.toMap
+      }.toMap
+    }
+    val qn2Map: Map[Long, Double] = qRows.map { case (qid, qv) =>
+      qid -> graft.functions.Kernels.dot(qv, qv) }.toMap
+
+    val qIds = qRows.map(_._1).toSeq.toDF("query_id")
+    val dots = (0 until m).map(j => element_at(
+        element_at(typedLit(dotMaps(j)), col("query_id")), col(s"_c$j")))
+      .reduce(_ + _)
+    val rn2 = (0 until m)
+      .map(j => element_at(typedLit(nMaps(j)), col(s"_c$j"))).reduce(_ + _)
+    val qn2 = element_at(typedLit(qn2Map), col("query_id"))
+    val adc = roundHalfUp(when(rn2 === 0.0 || qn2 === 0.0, lit(0.0))
+      .otherwise(dots / (sqrt(qn2) * sqrt(rn2))), 6)
+    val scored = enc.crossJoin(broadcast(qIds)).withColumn("sim", adc)
+
+    // 4. bounded ADC top-cands, then exact rerank of |Q|·cands rows
+    val cand = rankTopK(scored.select("query_id", "neighbor_id", "sim"), cands)
+      .select("query_id", "neighbor_id")
+    val qVecs = qRows.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF("query_id", "qvec")
+    corpus.select(col(id).cast("long").as("neighbor_id"), col(vec).as("nvec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rk")
+  }
 }

@@ -121,9 +121,13 @@ class PlanSpec extends SparkSpec {
     //    FAISS IVF performs; corpus-side scoring is hash-partitioned.
     //  - q_dq_checks: a 1-row x 1-row cross of two aggregate verdicts
     //    (metrics row assembly, not a data-scale join).
+    //  - q_ann_pq: the ADC scan scores every (query, encoded row) pair by
+    //    definition — the broadcast side is the bounded query-id set and
+    //    the per-pair cost is m map lookups, never a vector; the corpus
+    //    side stays map-side (the FAISS ADC loop shape).
     val bruteForce = Set("q_similarity_cosine", "q_dedup_embed",
       "q_ngram_jaccard", "q_ngram_containment", "q_ann_ivf", "q_dq_checks",
-      "q_cluster_assign")
+      "q_cluster_assign", "q_ann_pq")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bruteForce)
       .filter { key =>

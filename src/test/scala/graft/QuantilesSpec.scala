@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+
+  /** Ground truth from Spark's own sort-based exact percentile, rounded
+    * the same way the operator rounds its output (scale 9). */
+  private def sparkExact(vals: Seq[Double]): Seq[Double] = {
+    val row = vals.toDF("v")
+      .agg(percentile(col("v"), array(ps.map(lit): _*))).head()
+    row.getSeq[Double](0)
+      .map(graft.functions.Rounding.roundHalfUpDouble(_, 9))
+  }
+
+  private def twoPass(vals: Seq[Double], bins: Int = 64): Seq[Double] =
+    Quantiles.exactQuantiles(vals.toDF("v"), "v", ps, bins = bins, scale = 9)
+      .orderBy("p").collect().map(_.getDouble(1)).toSeq
+
+  test("matches sort-based percentile on mixed-magnitude data") {
+    // deterministic pseudo-random: LCG — no Random seed ambiguity
+    val vals = Iterator.iterate(48271L)(x => (x * 48271L) % 2147483647L)
+      .take(5000).map(x => (x % 1000000) / 7.0 - 50000.0).toSeq
+    assert(twoPass(vals) == sparkExact(vals))
+  }
+
+  test("matches when ranks straddle bucket boundaries (tiny bins)") {
+    val vals = (1 to 101).map(_.toDouble)
+    assert(twoPass(vals, bins = 2) == sparkExact(vals))
+  }
+
+  test("all-equal fast path") {
+    assert(twoPass(Seq.fill(10)(42.5)) == ps.map(_ => 42.5))
+  }
+
+  test("single row: every quantile is that row") {
+    assert(twoPass(Seq(7.25)) == ps.map(_ => 7.25))
+  }
+
+  test("nulls and NaNs excluded from the rank base") {
+    val df = Seq[java.lang.Double](1.0, null, 2.0, Double.NaN, 3.0).toDF("v")
+    val got = Quantiles.exactQuantiles(df, "v", Seq(0.5), scale = 9)
+      .head().getDouble(1)
+    assert(got == 2.0)
+  }
+
+  test("skewed mass in one bucket still routes exactly") {
+    // 99% of rows at 0.0, tail spread to 100 — p50 sits deep inside the
+    // hot bucket, p99/p100 in the sparse tail
+    val vals = Seq.fill(990)(0.0) ++ (1 to 10).map(_ * 10.0)
+    assert(twoPass(vals, bins = 4) == sparkExact(vals))
+  }
+
+  test("empty input yields null quantiles") {
+    val out = Quantiles.exactQuantiles(
+      Seq.empty[Double].toDF("v"), "v", Seq(0.5))
+    assert(out.count() == 1 && out.head().isNullAt(1))
+  }
+}

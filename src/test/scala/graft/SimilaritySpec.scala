@@ -233,4 +233,45 @@ class SimilaritySpec extends SparkSpec {
     assert(deduped.length == once.length)
     assert(deduped.map(_.toString).sorted.sameElements(once.map(_.toString).sorted))
   }
+
+  test("PQ ANN: partners recalled; reported sims are EXACT brute-force sims") {
+    val df = planted
+    val out = SimilarityOps.pqTopK(df, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3, m = 4, ksub = 8, iters = 2, cands = 16)
+      .collect()
+    val brute = SimilarityOps.bruteForceTopK(df, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (q <- 0L until 5L) {
+      val rows = out.filter(_.getLong(0) == q).sortBy(_.getInt(3))
+      assert(rows.length == 3)
+      // rerank is exact: self (sim 1.0 after rounding) must win rank 1,
+      // the near-identical partner must survive ADC candidacy
+      assert(rows(0).getLong(1) == q, s"query $q lost itself")
+      assert(rows.exists(_.getLong(1) == 100L + q),
+        s"query $q lost its planted near-duplicate")
+      // every reported sim is the true cosine, not the ADC estimate
+      rows.foreach { r =>
+        assert(r.getDouble(2) == brute((q, r.getLong(1))),
+          s"PQ sim for (${q},${r.getLong(1)}) is not the exact cosine")
+      }
+    }
+  }
+
+  test("PQ ANN is deterministic across partitionings") {
+    val df = planted
+    def run(c: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.pqTopK(c, c.filter($"vec_id" < 5), "embedding", "vec_id",
+        k = 3, m = 4, ksub = 8, iters = 2, cands = 16)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(df) == run(df.repartition(7)))
+  }
+
+  test("PQ ANN rejects a dimension not divisible by m") {
+    val df = planted // 32-dim
+    intercept[IllegalArgumentException] {
+      SimilarityOps.pqTopK(df, df.filter($"vec_id" < 2), "embedding",
+        "vec_id", k = 1, m = 5)
+    }
+  }
 }
