@@ -430,6 +430,82 @@ object ExtQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** BPE merge-round count ([[graft.ops.Bpe.train]]) — well below the
+    * 31-word corpus's fusion horizon at every SF, so the early-stop
+    * branch can never make engine and oracle row counts diverge. */
+  private val bpeMerges = 16
+
+  /** DuckDB replay of [[graft.ops.Bpe.train]], one CTE triple per
+    * round: p_i = overlapping adjacent-pair counts weighted by word
+    * frequency, b_i = arg-max pair (exact integer counts, ties to the
+    * lexicographically smallest pair — the engine's orderBy), w_i =
+    * the merged word table. The left-to-right NON-overlapping merge is
+    * replayed as a sentinel-string `replace`: symbols join on DOUBLE
+    * U+001F with single sentinels at the ends, the pattern
+    * `<S>l<S><S>r<S>` (S = U+001F) consumes one sentinel from each
+    * side's pair, and the replacement re-emits the structure — SQL
+    * `replace` scans left-to-right and continues AFTER each
+    * replacement, which matches the engine's fold exactly (a merged
+    * symbol can never re-match as a left element: its text is l+r with
+    * r nonempty). Words containing U+001F are dropped on both sides
+    * (the operator's documented charset contract). MATERIALIZED is
+    * load-bearing: each w_i is referenced twice, and inlining would
+    * re-derive the whole chain exponentially. */
+  private def bpeRoundCtes(n: Int): String = {
+    val S = "chr(31)"
+    (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT syms[i] l, syms[i+1] r, sum(cnt) c
+         |  FROM w${i - 1}, unnest(generate_series(1, len(syms)-1)) t(i)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT w, cnt, list_filter(str_split(replace(
+         |    $S || array_to_string(syms, $S||$S) || $S,
+         |    $S||b.l||$S||$S||b.r||$S,
+         |    $S||b.l||b.r||$S), chr(31)), x -> x <> '') syms
+         |  FROM w${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Shared training CTEs: word counts (the one corpus-sized step) +
+    * character seeding + all `bpeMerges` replayed rounds. */
+  private def bpeBaseCtes: String =
+    s"""words AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT cnt FROM (
+       |    SELECT unnest(str_split(text, ' ')) w FROM documents
+       |    WHERE text IS NOT NULL)
+       |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT w, cnt,
+       |  list_filter(str_split(w, ''), x -> x <> '') syms FROM words),
+       |${bpeRoundCtes(bpeMerges)}""".stripMargin
+
+  private def bpeTrainOracleSql: String =
+    s"""WITH
+       |$bpeBaseCtes
+       |${(1 to bpeMerges).map(i =>
+          s"SELECT CAST($i AS INT) merge_rank, l AS lft, r AS rgt, " +
+            s"c::BIGINT pair_count FROM b$i").mkString("\nUNION ALL\n")}
+       |ORDER BY merge_rank""".stripMargin
+
+  /** Encode replay: documents exploded to positioned words, joined to
+    * the final round's word segmentation (w$bpeMerges), re-aggregated
+    * per doc with the token stream in word order. */
+  private def bpeEncodeOracleSql: String =
+    s"""WITH
+       |$bpeBaseCtes,
+       |docw AS (
+       |  SELECT doc_id, i, ws[i] w FROM (
+       |    SELECT doc_id, str_split(text, ' ') ws FROM documents
+       |    WHERE text IS NOT NULL) d,
+       |  unnest(generate_series(1, len(ws))) t(i)
+       |  WHERE ws[i] <> '' AND NOT contains(ws[i], chr(31)))
+       |SELECT d.doc_id,
+       |  sum(len(v.syms))::BIGINT AS n_bpe_tokens,
+       |  string_agg(array_to_string(v.syms, ' '), ' ' ORDER BY d.i)
+       |    AS bpe_tokens
+       |FROM docw d JOIN w$bpeMerges v ON v.w = d.w
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** ExactSubstr-span hyperparameters ([[graft.ops.DedupOps
     * .exactSubstrSpans]]), defined once for the key and its oracle. */
   private val esK = 8
@@ -1321,6 +1397,22 @@ object ExtQueries {
         docs(s, dir).filter(col("text").isNotNull)
           .select(explode(TextOps.tokens(col("text"))).as("tok")),
         "tok", theta = 0.0335)),
+
+    // Distributed BPE tokenizer training (Sennrich): ONE corpus
+    // exchange (word counts), then bpeMerges rounds over the
+    // vocabulary-bounded word table. The full rule table is the
+    // deterministic output; the oracle replays every round.
+    "q_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.train(docs(s, dir), "text", merges = bpeMerges).merges),
+
+    // Encoding with the trained tokenizer: the broadcast dictionary
+    // join against the model's final word segmentations — per-doc BPE
+    // token count + the exact token stream, word order preserved.
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.ops.Bpe.train(d, "text", merges = bpeMerges)
+      graft.ops.Bpe.encode(d, "text", "doc_id", model).orderBy("doc_id")
+    }),
 
     // TF-IDF keyword extraction: top-5 terms per document (explode ->
     // partial-agg'd term counts -> df join -> per-doc window).
@@ -2348,6 +2440,11 @@ object ExtQueries {
          |FROM c CROSS JOIN n
          |WHERE cnt >= ceil(0.0335 * n.total)
          |ORDER BY cnt DESC, item""".stripMargin,
+
+    // Full-training replays: every pair count, arg-max choice, and
+    // non-overlapping merge of all bpeMerges rounds re-derived in SQL.
+    "q_bpe_train" -> bpeTrainOracleSql,
+    "q_bpe_encode" -> bpeEncodeOracleSql,
 
     "q_tfidf" ->
       s"""WITH terms AS (
