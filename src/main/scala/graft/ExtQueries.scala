@@ -1251,6 +1251,13 @@ object ExtQueries {
       TextOps.unigramLogProb(docs(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity filtering: in-corpus bigram LM with add-k
+    // smoothing, per-language head/middle/tail tercile buckets.
+    "q_perplexity" -> ((s, dir) =>
+      TextOps.perplexityFilter(docs(s, dir), "text", "doc_id", "lang")
+        .select("doc_id", "lang", "n_bigrams", "ppl", "bucket")
+        .orderBy("doc_id")),
+
     // Text cleaning: lowercase, strip punctuation, collapse whitespace —
     // the standard pre-tokenization normalization pass (map-side only).
     "q_text_clean" -> ((s, dir) =>
@@ -2734,6 +2741,39 @@ object ExtQueries {
         |  FROM c)
         |SELECT canon_url, doc_id, n_chars FROM r WHERE rk = 1
         |ORDER BY canon_url""".stripMargin,
+
+    // Bigram-LM replay: vocab scalar, global bigram/left counts as
+    // windows over the per-doc distinct-bigram groups (the engine's
+    // exact plan), add-k smoothed log-probs, per-lang terciles over
+    // the ROUNDED ppls with rounded boundaries — the bucket compare
+    // is exact on canonical values.
+    "q_perplexity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, str_split(text, ' ') ws FROM documents
+         |  WHERE text IS NOT NULL),
+         |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+         |  SELECT unnest(str_split(text, ' ')) w FROM documents
+         |  WHERE text IS NOT NULL)),
+         |bg AS (SELECT doc_id, lang, ws[i] AS p, ws[i+1] AS c
+         |  FROM tok, unnest(generate_series(1, len(ws)-1)) t(i)),
+         |g AS (SELECT doc_id, lang, p, c, count(*) AS cn
+         |  FROM bg GROUP BY 1, 2, 3, 4),
+         |wn AS (SELECT doc_id, lang, cn,
+         |  sum(cn) OVER (PARTITION BY p, c) AS gb,
+         |  sum(cn) OVER (PARTITION BY p) AS gp FROM g),
+         |ppl AS (SELECT doc_id, lang, CAST(sum(cn) AS BIGINT) AS n_bigrams,
+         |  ${sqlRound("exp(-sum(cn * ln((gb + 0.1) / (gp + 0.1 * v.v))) / sum(cn))", 6)} AS ppl
+         |  FROM wn, v GROUP BY doc_id, lang, v.v),
+         |th AS (SELECT lang,
+         |  ${sqlRound("quantile_cont(ppl, 0.33)", 6)} AS p33,
+         |  ${sqlRound("quantile_cont(ppl, 0.66)", 6)} AS p66
+         |  FROM ppl GROUP BY lang)
+         |SELECT d.doc_id, d.lang, d.n_bigrams, d.ppl,
+         |  CASE WHEN d.ppl <= t.p33 THEN 'head'
+         |       WHEN d.ppl <= t.p66 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM ppl d JOIN th t ON t.lang = d.lang
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_unigram_logprob" ->
       s"""WITH tok AS (

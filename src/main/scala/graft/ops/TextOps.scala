@@ -374,4 +374,68 @@ object TextOps {
           sum(col("c") * log(col("g").cast("double") / total)) / sum("c"),
           6).as("logprob"))
   }
+
+  /** CCNet-style perplexity filtering (Wenzek et al. LREC'20): score
+    * every document by an in-corpus bigram language model with add-k
+    * smoothing, then bucket per language into head / middle / tail at
+    * the 0.33 / 0.66 perplexity terciles — the classic LLM-corpus
+    * quality split (keep head, sample middle, drop tail).
+    *
+    * LM: P(cur|prev) = (c(prev,cur) + k) / (c(prev) + k·V) with V the
+    * corpus vocabulary size (one exact countDistinct scalar). Per doc,
+    * ppl = exp(−Σ c·ln P / Σ c) over its distinct bigrams. CCNet uses
+    * a pretrained KenLM 5-gram; the in-corpus bigram LM keeps the
+    * operator self-contained and fully oracle-replayable — the
+    * filtering shape (score, per-lang terciles, bucket) is the same.
+    *
+    * Plan shape mirrors [[unigramLogProb]]: doc-level distinct-bigram
+    * counts (one exchange), global numerator/denominator as windows
+    * over those counts (one bigram-keyed exchange — no self-join, the
+    * bigram text crosses the wire once), the per-doc fold (one
+    * id-keyed exchange), then a broadcast join of the per-lang
+    * tercile row (|langs| rows). Docs with fewer than 2 tokens have
+    * no bigrams and drop out — the documented contract.
+    *
+    * Determinism: ppl is HALF_UP-rounded to 6 digits, terciles are
+    * computed over the ROUNDED ppls with the exact sort-based
+    * percentile and themselves rounded before the boundary compare,
+    * so the bucket decision is an exact comparison of canonical
+    * values on both engines. */
+  def perplexityFilter(df: DataFrame, text: String, id: String,
+                       lang: String, addK: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Reserved.requireAbsent(df, "perplexityFilter",
+      Seq("_b", "_prev", "_cur", "_c", "_gb", "_gp", "_p33", "_p66",
+        "n_bigrams", "ppl", "bucket"))
+    require(addK > 0, s"perplexityFilter: addK must be > 0, got $addK")
+    val toks = tokens(col(text))
+    val vRow = df.select(explode(toks).as("t")).agg(countDistinct("t")).head()
+    val v = if (vRow.isNullAt(0)) 1.0 else vRow.getLong(0).toDouble
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("p"), b.as("c")))
+    val grouped = df
+      .select(col(id), col(lang), explode(bigrams).as("_b"))
+      .groupBy(col(id), col(lang),
+        col("_b.p").as("_prev"), col("_b.c").as("_cur"))
+      .agg(count(lit(1)).as("_c"))
+    val scored = grouped
+      .withColumn("_gb", sum("_c").over(Window.partitionBy("_prev", "_cur")))
+      .withColumn("_gp", sum("_c").over(Window.partitionBy("_prev")))
+      .groupBy(col(id), col(lang))
+      .agg(sum("_c").as("n_bigrams"),
+        roundHalfUp(exp(-sum(col("_c") *
+          log((col("_gb") + lit(addK)) / (col("_gp") + lit(addK) * lit(v))))
+          / sum("_c")), 6).as("ppl"))
+    val terciles = scored.groupBy(col(lang)).agg(
+      roundHalfUp(percentile(col("ppl"), lit(0.33)), 6).as("_p33"),
+      roundHalfUp(percentile(col("ppl"), lit(0.66)), 6).as("_p66"))
+    scored.join(broadcast(terciles), Seq(lang))
+      .withColumn("bucket",
+        when(col("ppl") <= col("_p33"), "head")
+          .when(col("ppl") <= col("_p66"), "middle")
+          .otherwise("tail"))
+      .drop("_p33", "_p66")
+  }
 }
