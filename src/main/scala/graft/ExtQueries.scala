@@ -407,7 +407,7 @@ object ExtQueries {
       s"CASE WHEN ($rn2) = 0 OR ($qn2) = 0 THEN 0.0 " +
         s"ELSE ($dots) / (sqrt($qn2) * sqrt($rn2)) END", 6)
     val exact = sqlRound(
-      s"${sqlDotU("q.qvec", "n.embedding")} / (sqrt(${sqlDotU("q.qvec", "q.qvec")}) * " +
+      s"(${sqlDotU("q.qvec", "n.embedding")}) / (sqrt(${sqlDotU("q.qvec", "q.qvec")}) * " +
         s"sqrt(${sqlDotU("n.embedding", "n.embedding")}))", 6)
     s"""WITH
        |${(0 until pqM).map(sub).mkString(",\n")},

@@ -77,7 +77,7 @@ object ScaleProbe {
     val opNames = Set("minhash", "dedup_incremental", "ann_ivf",
       "pagerank", "kmeans", "medoids", "semdedup_flat", "semdedup_tree",
       "exact_substr", "exact_substr_incremental", "embed_incremental",
-      "heavy_hitters")
+      "heavy_hitters", "bpe_train", "quantiles", "perplexity")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -310,13 +310,42 @@ object ScaleProbe {
           d.select(explode(split(col("text"), " ")).as("tok")),
           "tok", theta = 0.01).count()
       }
+      scrub()
+      // BPE training: ONE corpus-sized exchange (word counts), then 12
+      // rounds over the distinct-word table. The suffixed copies widen
+      // the vocabulary ~30× (realistic: bigger crawl, bigger vocab), so
+      // the expected growth is the corpus scan + a vocab-bounded round
+      // cost that stays orders of magnitude under the scan — ~N overall,
+      // with NO round × corpus term (the rounds never rejoin the data).
+      val tBpe = if (!want("bpe_train")) -1.0 else best2 {
+        graft.ops.Bpe.train(d, "text", merges = 12).merges.count()
+      }
+      scrub()
+      // exact two-pass quantiles: histogram pass (exchange <= bins rows
+      // at ANY volume) + refine pass over the routed buckets (~N/bins
+      // rows each). Expected growth ~N (two scans); a global-sort shape
+      // would show the sort's N·log N with a full-data exchange.
+      val tQ = if (!want("quantiles")) -1.0 else best2 {
+        graft.ops.Quantiles.exactQuantiles(
+          d.select(length(col("text")).cast("double").as("v")), "v",
+          Seq(0.25, 0.5, 0.75, 0.99), bins = 1024).count()
+      }
+      scrub()
+      // bigram-LM perplexity: distinct-bigram groups (~N rows at
+      // constant dup density), two window exchanges over those groups,
+      // one per-doc fold. Expected ~N; the tercile join is |langs| rows.
+      val tPpl = if (!want("perplexity")) -1.0 else best2 {
+        graft.ops.TextOps.perplexityFilter(
+          d.withColumn("lang", lit("xx")), "text", "doc_id", "lang").count()
+      }
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
         "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
         "exact_substr_incremental" -> tEsIncr,
-        "embed_incremental" -> tEmbIncr, "heavy_hitters" -> tHh)
+        "embed_incremental" -> tEmbIncr, "heavy_hitters" -> tHh,
+        "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl)
         .filter(_._2 >= 0)
     }
 
