@@ -1113,6 +1113,15 @@ object ExtQueries {
         Tables.read(s, dir, "lineitem"), "l_extendedprice",
         Seq(0.01, 0.25, 0.5, 0.75, 0.99), bins = 1024)),
 
+    // ONE-pass mergeable quantile sketch (bit-length + top-10-bit
+    // prefix buckets — integer-exact on both engines, no log-gamma
+    // boundary): the streaming/pre-agg complement to the 2-pass key.
+    // rel err <= 2^-10; the oracle replays the sketch bit-for-bit.
+    "q_quantile_sketch" -> ((s, dir) =>
+      graft.ops.Quantiles.sketchQuantiles(
+        Tables.read(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99))),
+
     // Exact interpolated percentiles per group (sort-based, oracle-able).
     // Scalar p25/p50/p75 columns: the driver's pandas-side hash gate
     // cannot sort array cells, so the quartiles are unnested.
@@ -2543,6 +2552,34 @@ object ExtQueries {
          |  CAST(list_sum(list_transform(embedding, x -> $q)) AS BIGINT) AS q_sum,
          |  ${sqlRound(s"list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - $q * amax / 127)))", 6)} AS max_err
          |FROM a ORDER BY vec_id""".stripMargin
+    },
+
+    // Bit-exact sketch replay: quantize (shared HALF_UP), bucket by
+    // (bit-length, top-B-bit prefix) via bin()-string length and
+    // integer division, cumulative walk ordered by (blen, bucket),
+    // nearest-rank-lower pick, midpoint estimate.
+    "q_quantile_sketch" -> {
+      val B = 10
+      s"""WITH v AS (
+         |  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+         |    AS BIGINT) AS q FROM lineitem),
+         |vq AS (SELECT q FROM v WHERE q >= 1),
+         |b AS (SELECT length(bin(q)) AS blen,
+         |  CAST(pow(2.0, greatest(length(bin(q)) - $B, 0)) AS BIGINT) AS f,
+         |  q // CAST(pow(2.0, greatest(length(bin(q)) - $B, 0)) AS BIGINT)
+         |    AS bucket,
+         |  count(*) AS c FROM vq GROUP BY 1, 2, 3),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b),
+         |cum AS (SELECT blen, f, bucket, c,
+         |  sum(c) OVER (ORDER BY blen, bucket) AS cum FROM b),
+         |ps AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS p),
+         |pick AS (SELECT ps.p, cum.bucket, cum.f
+         |  FROM ps, cum, n
+         |  WHERE cum.cum > floor(ps.p * CAST(n.n - 1 AS DOUBLE))
+         |    AND cum.cum - cum.c <= floor(ps.p * CAST(n.n - 1 AS DOUBLE)))
+         |SELECT p,
+         |  ${sqlRound("CAST(bucket * f + f // 2 AS DOUBLE) / 100.0", 6)} AS q_est
+         |FROM pick ORDER BY p""".stripMargin
     },
 
     "q_quantile_2pass" -> {

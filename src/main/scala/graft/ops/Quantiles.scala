@@ -130,4 +130,69 @@ object Quantiles {
     spark.createDataFrame(rows).toDF("p", "q_raw")
       .select(col("p"), roundHalfUp(col("q_raw"), scale).as("q"))
       .orderBy("p")
+
+  /** ONE-pass mergeable quantile sketch with an EXACTLY replayable
+    * bucket function — the streaming/pre-aggregation complement to
+    * [[exactQuantiles]] (which needs two passes). Values are quantized
+    * to integers (`quant` fixed-point digits, the shared HALF_UP
+    * formula), then bucketed by (bit-length, top-`prefixBits`-bit
+    * prefix): bucket id = q DIV 2^max(blen−B, 0). The mapping is pure
+    * integer arithmetic plus a binary-string length — Spark's `bin`
+    * and DuckDB's `bin` agree character-for-character, so unlike a
+    * log-γ DDSketch bucket there is NO transcendental boundary where
+    * two engines can round a value into different buckets: the sketch
+    * is bit-replayable, which is what lets the driver gate hash it.
+    *
+    * Guarantees: counts are exact longs, buckets are disjoint value
+    * ranges [b·f, (b+1)·f) totally ordered by (blen, bucket), and any
+    * value in a bucket differs from the bucket midpoint by ≤ f/2,
+    * giving relative error ≤ 2^−B (top bit set ⇒ b ≥ 2^(B−1)). The
+    * sketch MERGES by adding counts per (blen, bucket) — the property
+    * that lets 1000 executors (or 1000 days of partial sketches)
+    * pre-aggregate before one tiny final combine; the shuffle carries
+    * ≤ 63·2^(B−1) rows at ANY data volume. Reported quantiles are the
+    * bucket-midpoint of the lower order statistic's bucket
+    * (nearest-rank-lower: rank = floor(p·(n−1))).
+    *
+    * Positive values only (q ≥ 1 after quantization; others dropped —
+    * the documented domain, matching every log-bucket sketch). */
+  def sketchQuantiles(df: DataFrame, value: String, ps: Seq[Double],
+                      prefixBits: Int = 10, quant: Int = 2): DataFrame = {
+    require(ps.nonEmpty, "sketchQuantiles: ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"sketchQuantiles: fractions must be in [0,1]: $ps")
+    require(prefixBits >= 1 && prefixBits <= 20,
+      s"sketchQuantiles: prefixBits out of range: $prefixBits")
+    require(quant >= 0 && quant <= 9,
+      s"sketchQuantiles: quant out of range: $quant")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qf = math.pow(10, quant)
+    val q = floor(col(value).cast("double") * lit(qf) + lit(0.5)).cast("long")
+    val buckets = df
+      .select(q.as("q")).filter(col("q") >= 1)
+      .withColumn("blen", length(bin(col("q"))).cast("int"))
+      .withColumn("f", pow(lit(2.0),
+        greatest(col("blen") - lit(prefixBits), lit(0))).cast("long"))
+      .withColumn("bucket", expr("q DIV f"))
+      .groupBy("blen", "f", "bucket").agg(count(lit(1)).as("c"))
+    val nRow = buckets.agg(sum("c")).head()
+    if (nRow.isNullAt(0))
+      return result(spark, ps.map(p => (p, null)), 6)
+    val n = nRow.getLong(0)
+    // cumulative walk over the ≤ 63·2^(B−1)-row bucket table: a single-
+    // partition window over BOUNDED state (the sketch, never the data)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("blen", "bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = buckets.withColumn("cum", sum("c").over(w))
+    val pDf = ps.map(p => Tuple1(p)).toDF("p")
+      .withColumn("rk", floor(col("p") * lit((n - 1).toDouble)).cast("long"))
+    pDf.join(broadcast(cum),
+        col("cum") > col("rk") && col("cum") - col("c") <= col("rk"))
+      .select(col("p"),
+        roundHalfUp((col("bucket") * col("f") + expr("f DIV 2"))
+          .cast("double") / lit(qf), 6).as("q_est"))
+      .orderBy("p")
+  }
 }

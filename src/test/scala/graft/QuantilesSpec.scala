@@ -60,4 +60,49 @@ class QuantilesSpec extends SparkSpec {
       Seq.empty[Double].toDF("v"), "v", Seq(0.5))
     assert(out.count() == 1 && out.head().isNullAt(1))
   }
+
+  // --- one-pass sketch ---
+
+  test("sketch estimates are within the 2^-B relative-error bound") {
+    val vals = Iterator.iterate(48271L)(x => (x * 48271L) % 2147483647L)
+      .take(5000).map(x => (x % 1000000) / 7.0 + 1.0).toSeq
+    val est = Quantiles.sketchQuantiles(vals.toDF("v"), "v",
+      Seq(0.01, 0.25, 0.5, 0.75, 0.99), prefixBits = 10)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // ground truth: nearest-rank-lower on the quantized values, the
+    // sketch's documented statistic
+    val sortedQ = vals.map(v => math.floor(v * 100 + 0.5)).sorted
+    for ((p, e) <- est) {
+      val truth = sortedQ((p * (sortedQ.length - 1)).toLong.toInt) / 100.0
+      assert(math.abs(e - truth) / truth <= math.pow(2, -10) + 1e-12,
+        s"p=$p est=$e truth=$truth exceeds bound")
+    }
+  }
+
+  test("sketch values small enough for exact buckets reproduce exactly") {
+    // q <= 2^B: f = 1, bucket == q, midpoint == value — zero error
+    val vals = (1 to 500).map(_ / 100.0) // q = 1..500 < 1024
+    val est = Quantiles.sketchQuantiles(vals.toDF("v"), "v", Seq(0.5))
+      .head().getDouble(1)
+    assert(est == vals((0.5 * (vals.length - 1)).toInt))
+  }
+
+  test("sketch is deterministic across partitionings (merge order)") {
+    val vals = Iterator.iterate(7L)(x => (x * 48271L) % 2147483647L)
+      .take(2000).map(x => (x % 100000) / 3.0 + 0.5).toSeq
+    def run(np: Int) = Quantiles.sketchQuantiles(
+      vals.toDF("v").repartition(np), "v", Seq(0.1, 0.5, 0.9))
+      .collect().map(_.toString).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("sketch drops non-positive values; all-dropped input yields nulls") {
+    val mixed = Seq(-5.0, 0.0, 0.001, 2.0, 3.0) // 0.001 quantizes to 0 -> drop
+    val est = Quantiles.sketchQuantiles(mixed.toDF("v"), "v", Seq(0.0, 1.0))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(est == Seq(2.0, 3.0))
+    val out = Quantiles.sketchQuantiles(
+      Seq(-1.0, 0.0).toDF("v"), "v", Seq(0.5))
+    assert(out.count() == 1 && out.head().isNullAt(1))
+  }
 }
