@@ -428,10 +428,16 @@ object TextOps {
         roundHalfUp(exp(-sum(col("_c") *
           log((col("_gb") + lit(addK)) / (col("_gp") + lit(addK) * lit(v))))
           / sum("_c")), 6).as("ppl"))
-    val terciles = scored.groupBy(col(lang)).agg(
-      roundHalfUp(percentile(col("ppl"), lit(0.33)), 6).as("_p33"),
-      roundHalfUp(percentile(col("ppl"), lit(0.66)), 6).as("_p66"))
-    scored.join(broadcast(terciles), Seq(lang))
+    // terciles as WINDOW aggregates over the scored rows: one
+    // lang-keyed exchange of doc-level rows — a groupBy+join branch
+    // would re-derive the whole bigram pipeline a second time (the
+    // plan showed 8 exchanges; this shape has 5)
+    val wl = Window.partitionBy(lang)
+    scored
+      .withColumn("_p33",
+        roundHalfUp(percentile(col("ppl"), lit(0.33)).over(wl), 6))
+      .withColumn("_p66",
+        roundHalfUp(percentile(col("ppl"), lit(0.66)).over(wl), 6))
       .withColumn("bucket",
         when(col("ppl") <= col("_p33"), "head")
           .when(col("ppl") <= col("_p66"), "middle")

@@ -40,7 +40,7 @@ class PerplexitySpec extends SparkSpec {
 
   test("ppl matches the in-memory bigram-LM reference; 1-token docs drop") {
     val out = TextOps.perplexityFilter(docs, "text", "doc_id", "lang")
-      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
     val ref = refPpl(
       docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq,
       k = 0.1)
@@ -50,7 +50,7 @@ class PerplexitySpec extends SparkSpec {
 
   test("buckets are per-language terciles; identical docs share a bucket") {
     val rows = TextOps.perplexityFilter(docs, "text", "doc_id", "lang")
-      .collect().map(r => r.getLong(1) -> (r.getDouble(3), r.getString(4))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getString(4))).toMap
     // duplicate docs => identical ppl => identical bucket
     assert(rows(1L) == rows(8L))
     // every language has at least one head (min ppl <= its p33)

@@ -125,9 +125,14 @@ class PlanSpec extends SparkSpec {
     //    definition — the broadcast side is the bounded query-id set and
     //    the per-pair cost is m map lookups, never a vector; the corpus
     //    side stays map-side (the FAISS ADC loop shape).
+    //  - q_quantile_sketch: the rank pick is a |ps|-row × sketch-row
+    //    range probe (cum > rk AND cum − c <= rk, no equi key); BOTH
+    //    sides are bounded regardless of data volume (ps is a literal
+    //    list, the sketch is ≤ 63·2^(B−1) rows) — metric assembly, not
+    //    a data-scale join (the q_dq_checks class).
     val bruteForce = Set("q_similarity_cosine", "q_dedup_embed",
       "q_ngram_jaccard", "q_ngram_containment", "q_ann_ivf", "q_dq_checks",
-      "q_cluster_assign", "q_ann_pq")
+      "q_cluster_assign", "q_ann_pq", "q_quantile_sketch")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bruteForce)
       .filter { key =>
@@ -178,7 +183,15 @@ class PlanSpec extends SparkSpec {
     val budgets = Map(
       "q_token_count" -> 1, "q_dedup_exact" -> 2, "q_boilerplate" -> 2,
       "q_repeated_ngrams" -> 3, "q_line_dedup" -> 4, "q_tfidf" -> 4,
-      "q_decontaminate" -> 4, "q_curate" -> 5)
+      "q_decontaminate" -> 4, "q_curate" -> 5,
+      // r11 additions: perplexity = bigram groups + 2 LM windows +
+      // doc fold + tercile window (a groupBy+join tercile branch
+      // re-derived the whole bigram pipeline: 8); sketch = bucket agg
+      // + bounded-state window + presentation sort; encode = doc fold
+      // + sort (vocab joins broadcast); 2-pass quantiles = histogram
+      // (refine runs in its own jobs, exchange <= bins rows)
+      "q_perplexity" -> 5, "q_quantile_sketch" -> 3,
+      "q_bpe_encode" -> 2, "q_quantile_2pass" -> 1)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
