@@ -157,28 +157,50 @@ object Quantiles {
     * Positive values only (q ≥ 1 after quantization; others dropped —
     * the documented domain, matching every log-bucket sketch). */
   def sketchQuantiles(df: DataFrame, value: String, ps: Seq[Double],
-                      prefixBits: Int = 10, quant: Int = 2): DataFrame = {
-    require(ps.nonEmpty, "sketchQuantiles: ps must be non-empty")
-    require(ps.forall(p => p >= 0.0 && p <= 1.0),
-      s"sketchQuantiles: fractions must be in [0,1]: $ps")
+                      prefixBits: Int = 10, quant: Int = 2): DataFrame =
+    quantilesFromSketch(bucketCounts(df, value, prefixBits, quant), ps, quant)
+
+  /** The sketch itself: one pass over the data into bounded
+    * (blen, f, bucket, c) rows. This IS the mergeable state — any
+    * number of partial sketches (per executor, per micro-batch, per
+    * day) union and re-aggregate into the same sketch the full data
+    * would have produced, because the bucket function is stateless
+    * and counts add. */
+  def bucketCounts(df: DataFrame, value: String,
+                   prefixBits: Int = 10, quant: Int = 2): DataFrame = {
     require(prefixBits >= 1 && prefixBits <= 20,
-      s"sketchQuantiles: prefixBits out of range: $prefixBits")
+      s"bucketCounts: prefixBits out of range: $prefixBits")
     require(quant >= 0 && quant <= 9,
-      s"sketchQuantiles: quant out of range: $quant")
-    val spark = df.sparkSession
-    import spark.implicits._
+      s"bucketCounts: quant out of range: $quant")
     val qf = math.pow(10, quant)
     val q = floor(col(value).cast("double") * lit(qf) + lit(0.5)).cast("long")
-    val buckets = df
-      .select(q.as("q")).filter(col("q") >= 1)
+    df.select(q.as("q")).filter(col("q") >= 1)
       .withColumn("blen", length(bin(col("q"))).cast("int"))
       .withColumn("f", pow(lit(2.0),
         greatest(col("blen") - lit(prefixBits), lit(0))).cast("long"))
       .withColumn("bucket", expr("q DIV f"))
       .groupBy("blen", "f", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantiles from a (possibly unioned) sketch table: the leading
+    * re-aggregation is a no-op on a fresh sketch and THE merge on a
+    * history of partial sketches. `quant` must match the value used
+    * to build the sketch (it only scales the reported estimate). */
+  def quantilesFromSketch(sketch: DataFrame, ps: Seq[Double],
+                          quant: Int = 2): DataFrame = {
+    require(ps.nonEmpty, "quantilesFromSketch: ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantilesFromSketch: fractions must be in [0,1]: $ps")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val qf = math.pow(10, quant)
+    val buckets = sketch.groupBy("blen", "f", "bucket")
+      .agg(sum("c").as("c"))
     val nRow = buckets.agg(sum("c")).head()
     if (nRow.isNullAt(0))
-      return result(spark, ps.map(p => (p, null)), 6)
+      return spark.createDataFrame(
+        ps.map(p => (p, null: java.lang.Double))).toDF("p", "q_est")
+        .orderBy("p")
     val n = nRow.getLong(0)
     // cumulative walk over the ≤ 63·2^(B−1)-row bucket table: a single-
     // partition window over BOUNDED state (the sketch, never the data)

@@ -214,6 +214,39 @@ object EventStream {
       ()
     }
 
+  /** Streaming quantile maintenance over the mergeable bit-prefix
+    * sketch ([[graft.ops.Quantiles.bucketCounts]]): each micro-batch
+    * lands its own bounded partial sketch (≤ 63·2^(B−1) rows
+    * regardless of batch size) under the replay-idempotent
+    * `(appId-batchId)` tag scheme — a foreachBatch replay overwrites
+    * exactly its own partition, so at-least-once delivery never
+    * double-counts. Query-time quantiles over ANY accumulated horizon
+    * are then [[graft.ops.Quantiles.quantilesFromSketch]] on the
+    * landed table (optionally filtered to a tag subset): the union of
+    * partials re-aggregates into exactly the sketch the full stream
+    * would have produced, because the bucket function is stateless
+    * and counts add. This is the "p99 over 100 TB of history without
+    * rescanning it" shape: the readback is bounded by sketch size ×
+    * number of batches, never by data volume (fold old tags with
+    * [[graft.ops.Layout]] maintenance if batch count itself grows
+    * unbounded). Same `appId` caveat as [[nearDupSink]]. */
+  def quantileSketchSink(stream: DataFrame, sketchPath: String,
+                         value: String, appId: String,
+                         prefixBits: Int = 10, quant: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tag = s"$appId-$batchId"
+      val partial = graft.ops.Quantiles.bucketCounts(
+        batch, value, prefixBits, quant)
+      // an all-filtered batch writes nothing — never a schema-less dir
+      if (!partial.isEmpty)
+        partial.withColumn("batch_tag", lit(tag))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_tag").parquet(sketchPath)
+      ()
+    }
+
   case class Impression(i_id: Long, i_ts: Timestamp, i_user: Long)
   case class Click(c_id: Long, c_ts: Timestamp, c_user: Long)
 

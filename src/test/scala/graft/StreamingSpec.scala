@@ -446,4 +446,37 @@ class StreamingSpec extends SparkSpec {
         "only pairs involving the new batch may be emitted")
     } finally q.stop()
   }
+
+  test("streaming quantile-sketch sink: merged partials == one-shot sketch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val mem = MemoryStream[Double]
+    val q = EventStream.quantileSketchSink(mem.toDF().toDF("v"),
+        s"$dir/sketch", "v", appId = "spec-qsk")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val b1 = (1 to 400).map(_ / 7.0)
+    val b2 = (1 to 300).map(i => 50.0 + i / 3.0)
+    val b3 = Seq(-5.0, 0.0) // quantizes below 1: all dropped
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val ps = Seq(0.1, 0.5, 0.9, 0.99)
+      // reading back the landed partials and merging must reproduce
+      // the sketch (and thus the quantiles) of the whole stream in one
+      // pass — the mergeability contract, end-to-end through the sink
+      val got = graft.ops.Quantiles.quantilesFromSketch(
+        spark.read.parquet(s"$dir/sketch"), ps)
+        .collect().map(_.toString).toSeq
+      val oneShot = graft.ops.Quantiles.sketchQuantiles(
+        (b1 ++ b2 ++ b3).toDF("v"), "v", ps)
+        .collect().map(_.toString).toSeq
+      assert(got == oneShot)
+      // the all-dropped batch must not have landed a tag partition
+      val tags = new java.io.File(s"$dir/sketch").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_tag=")).toSet
+      assert(tags.size == 2, s"expected 2 tag partitions, got $tags")
+    } finally q.stop()
+  }
 }
