@@ -1122,6 +1122,14 @@ object ExtQueries {
         Tables.read(s, dir, "lineitem"), "l_extendedprice",
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))),
 
+    // Per-group sketch quantiles ("p99 per key"): all plan-side —
+    // per-group walks are windows over the bounded sketch table, no
+    // driver collect, no per-group job.
+    "q_quantile_sketch_grouped" -> ((s, dir) =>
+      graft.ops.Quantiles.groupedSketchQuantiles(
+        Tables.read(s, dir, "lineitem"), "l_extendedprice",
+        "l_returnflag", Seq(0.25, 0.5, 0.75, 0.99))),
+
     // Exact interpolated percentiles per group (sort-based, oracle-able).
     // Scalar p25/p50/p75 columns: the driver's pandas-side hash gate
     // cannot sort array cells, so the quartiles are unnested.
@@ -2580,6 +2588,30 @@ object ExtQueries {
          |SELECT p,
          |  ${sqlRound("CAST(bucket * f + f // 2 AS DOUBLE) / 100.0", 6)} AS q_est
          |FROM pick ORDER BY p""".stripMargin
+    },
+
+    "q_quantile_sketch_grouped" -> {
+      val B = 10
+      s"""WITH v AS (
+         |  SELECT l_returnflag AS k,
+         |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+         |      AS BIGINT) AS q FROM lineitem),
+         |vq AS (SELECT k, q FROM v WHERE q >= 1),
+         |b AS (SELECT k, length(bin(q)) AS blen,
+         |  CAST(pow(2.0, greatest(length(bin(q)) - $B, 0)) AS BIGINT) AS f,
+         |  q // CAST(pow(2.0, greatest(length(bin(q)) - $B, 0)) AS BIGINT)
+         |    AS bucket,
+         |  count(*) AS c FROM vq GROUP BY 1, 2, 3, 4),
+         |cum AS (SELECT k, f, bucket, c,
+         |  sum(c) OVER (PARTITION BY k ORDER BY blen, bucket) AS cum,
+         |  sum(c) OVER (PARTITION BY k) AS n FROM b),
+         |ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS p)
+         |SELECT cum.k AS l_returnflag, ps.p,
+         |  ${sqlRound("CAST(bucket * f + f // 2 AS DOUBLE) / 100.0", 6)} AS q_est
+         |FROM cum, ps
+         |WHERE cum.cum > floor(ps.p * CAST(cum.n - 1 AS DOUBLE))
+         |  AND cum.cum - cum.c <= floor(ps.p * CAST(cum.n - 1 AS DOUBLE))
+         |ORDER BY l_returnflag, p""".stripMargin
     },
 
     "q_quantile_2pass" -> {

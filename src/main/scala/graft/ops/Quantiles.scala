@@ -182,6 +182,52 @@ object Quantiles {
       .groupBy("blen", "f", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  /** Per-group sketch quantiles — the production "p99 per key" ask,
+    * same bucket function and guarantees as [[sketchQuantiles]] but
+    * entirely plan-side: per-group counts, cumulative rank walks, and
+    * rank picks are windows over the (group × bounded-sketch) table,
+    * so there is NO driver collect and NO per-group job — one pass
+    * over the data, one exchange of sketch rows, regardless of group
+    * count. Output: one row per (group, p). */
+  def groupedSketchQuantiles(df: DataFrame, value: String, key: String,
+                             ps: Seq[Double], prefixBits: Int = 10,
+                             quant: Int = 2): DataFrame = {
+    require(ps.nonEmpty, "groupedSketchQuantiles: ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupedSketchQuantiles: fractions must be in [0,1]: $ps")
+    require(prefixBits >= 1 && prefixBits <= 20,
+      s"groupedSketchQuantiles: prefixBits out of range: $prefixBits")
+    require(quant >= 0 && quant <= 9,
+      s"groupedSketchQuantiles: quant out of range: $quant")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qf = math.pow(10, quant)
+    val q = floor(col(value).cast("double") * lit(qf) + lit(0.5)).cast("long")
+    val buckets = df
+      .select(col(key), q.as("q")).filter(col("q") >= 1)
+      .withColumn("blen", length(bin(col("q"))).cast("int"))
+      .withColumn("f", pow(lit(2.0),
+        greatest(col("blen") - lit(prefixBits), lit(0))).cast("long"))
+      .withColumn("bucket", expr("q DIV f"))
+      .groupBy(col(key), col("blen"), col("f"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy("blen", "bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val cum = buckets
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+    val pDf = ps.map(p => Tuple1(p)).toDF("p")
+    val rk = floor(col("p") * (col("n") - lit(1)).cast("double")).cast("long")
+    cum.join(broadcast(pDf),
+        col("cum") > rk && col("cum") - col("c") <= rk)
+      .select(col(key), col("p"),
+        roundHalfUp((col("bucket") * col("f") + expr("f DIV 2"))
+          .cast("double") / lit(qf), 6).as("q_est"))
+      .orderBy(key, "p")
+  }
+
   /** Quantiles from a (possibly unioned) sketch table: the leading
     * re-aggregation is a no-op on a fresh sketch and THE merge on a
     * history of partial sketches. `quant` must match the value used

@@ -96,6 +96,24 @@ class QuantilesSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("grouped sketch == independent per-group sketches; no driver collect") {
+    val df = Seq(
+      ("a", 1.5), ("a", 2.5), ("a", 100.0), ("a", 3.5), ("a", 9.0),
+      ("b", 1000.0), ("b", 2000.0), ("b", 1500.0))
+      .toDF("k", "v")
+    val ps = Seq(0.0, 0.5, 1.0)
+    val grouped = Quantiles.groupedSketchQuantiles(df, "v", "k", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    for (k <- Seq("a", "b")) {
+      val solo = Quantiles.sketchQuantiles(
+        df.filter($"k" === k), "v", ps)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      for (p <- ps)
+        assert(grouped((k, p)) == solo(p), s"group $k p=$p diverged")
+    }
+  }
+
   test("sketch drops non-positive values; all-dropped input yields nulls") {
     val mixed = Seq(-5.0, 0.0, 0.001, 2.0, 3.0) // 0.001 quantizes to 0 -> drop
     val est = Quantiles.sketchQuantiles(mixed.toDF("v"), "v", Seq(0.0, 1.0))
