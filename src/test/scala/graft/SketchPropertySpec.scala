@@ -1,0 +1,106 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Bpe, Quantiles}
+
+/** Property tests: the guarantees the fixed-fixture specs pin are
+  * asserted here over RANDOM (seeded, reproducible) inputs — the
+  * sketch's error bound and merge identity, and BPE's distributed ==
+  * reference equality, must hold for any data, not just the fixtures
+  * someone thought of. Raw scalacheck Gens drawn with fixed seeds
+  * (the scalatest-scalacheck bridge isn't a declared dependency);
+  * a failing seed reproduces exactly. */
+class SketchPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default.withSize(60), Seed(seed))
+
+  private val valuesGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0.01, 9.99e7)
+      .map(v => math.rint(v * 100) / 100))
+
+  test("property: sketch quantiles always within 2^-B of the true rank value") {
+    for (s <- 1L to 8L) {
+      val vals = sample(valuesGen, s)
+      val p = sample(Gen.chooseNum(0.0, 1.0), s + 100)
+      val est = Quantiles.sketchQuantiles(vals.toDF("v"), "v", Seq(p),
+        prefixBits = 10).head().getDouble(1)
+      val sortedQ = vals.map(v => math.floor(v * 100 + 0.5)).sorted
+      val truth = sortedQ((p * (sortedQ.length - 1)).toLong.toInt) / 100.0
+      assert(truth > 0 && math.abs(est - truth) / truth <=
+        math.pow(2, -10) + 1e-12,
+        s"seed=$s p=$p est=$est truth=$truth n=${vals.length}")
+    }
+  }
+
+  test("property: splitting data arbitrarily and merging sketches is lossless") {
+    for (s <- 1L to 6L) {
+      val vals = sample(valuesGen, s + 200)
+      val cut = sample(Gen.chooseNum(1, 5), s + 300)
+      val ps = Seq(0.1, 0.5, 0.9)
+      val whole = Quantiles.sketchQuantiles(vals.toDF("v"), "v", ps)
+        .collect().map(_.toString).toSeq
+      val merged = Quantiles.quantilesFromSketch(
+        vals.grouped(math.max(1, vals.length / cut)).toSeq
+          .map(part => Quantiles.bucketCounts(part.toDF("v"), "v"))
+          .reduce(_ unionByName _), ps)
+        .collect().map(_.toString).toSeq
+      assert(merged == whole, s"seed=$s split at $cut diverged")
+    }
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+  private val corpusGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" "))))
+
+  /** Reference Sennrich trainer (the BpeSpec one, kept local). */
+  private def refMerges(corpus: Seq[String], merges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var segs: Map[Seq[String], Long] = corpus
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toSeq -> ws.length.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to merges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (syms, cnt) =>
+        syms.sliding(2).filter(_.length == 2).foreach { pr =>
+          counts((pr(0), pr(1))) = counts.getOrElse((pr(0), pr(1)), 0L) + cnt }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        out += ((rank, a, b, c))
+        segs = segs.map { case (syms, cnt) =>
+          val m = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              m += (a + b); i += 2
+            } else { m += syms(i); i += 1 }
+          }
+          m.toSeq -> cnt
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("property: distributed BPE == reference Sennrich on random corpora") {
+    // a,b,c,d words of length <= 6: dense pair collisions, frequent
+    // left==right runs, frequent early fusion — the adversarial zone
+    // for the fold and the tie-break
+    for (s <- 1L to 6L) {
+      val corpus = sample(corpusGen, s + 400)
+      val got = Bpe.train(corpus.toDF("text"), "text", merges = 6)
+        .merges.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got == refMerges(corpus, 6), s"seed=$s corpus=$corpus")
+    }
+  }
+}
