@@ -218,13 +218,136 @@ object Quantiles {
     val cum = buckets
       .withColumn("cum", sum("c").over(wCum))
       .withColumn("n", sum("c").over(wAll))
-    val pDf = ps.map(p => Tuple1(p)).toDF("p")
-    val rk = floor(col("p") * (col("n") - lit(1)).cast("double")).cast("long")
-    cum.join(broadcast(pDf),
-        col("cum") > rk && col("cum") - col("c") <= rk)
+    // rank pick is JOIN-FREE: explode the literal fraction list onto the
+    // bounded (group × sketch) rows and filter map-side — the same rows a
+    // theta-join would produce, but as Generate+Filter inside the window
+    // stage (a cum>rk AND cum−c<=rk join has no equi key and would plan a
+    // BroadcastNestedLoopJoin)
+    cum.withColumn("p", explode(typedLit(ps)))
+      .withColumn("rk",
+        floor(col("p") * (col("n") - lit(1)).cast("double")).cast("long"))
+      .filter(col("cum") > col("rk") && col("cum") - col("c") <= col("rk"))
       .select(col(key), col("p"),
         roundHalfUp((col("bucket") * col("f") + expr("f DIV 2"))
           .cast("double") / lit(qf), 6).as("q_est"))
+      .orderBy(key, "p")
+  }
+
+  /** Per-group EXACT interpolated quantiles — the grouped twin of
+    * [[exactQuantiles]] ("exact p99 per key"), with the driver kept out
+    * of the group dimension entirely: no collect is proportional to
+    * group count (the ungrouped version's O(bins) histogram collect
+    * would become O(groups×bins) here, so routing moves plan-side).
+    *
+    *  1. STATS — per-group (n, lo, hi): one partial-aggregated exchange
+    *     of ≤ |groups| rows. All-equal groups (lo == hi, incl. n == 1)
+    *     are answered directly from stats — no pass 2, so a degenerate
+    *     single-value group of any size never sorts.
+    *  2. HISTOGRAM — stats broadcast back onto the rows (map-side; the
+    *     corpus does NOT shuffle for the join), per-group fixed-width
+    *     bucket of each value, then groupBy(key, bucket): one exchange
+    *     of ≤ groups×bins rows. A per-group cumulative window turns
+    *     counts into exact rank routing; the fractions explode onto the
+    *     bounded histogram rows and filter map-side (the join-free rank
+    *     pick — same rewrite as [[groupedSketchQuantiles]]).
+    *  3. REFINE — the corpus filters to routed (key, bucket) cells via
+    *     a BROADCAST semi-join (≤ groups×2|ps| keys; map-side, the
+    *     corpus again does not shuffle to be filtered), survivors
+    *     (~2|ps|·N/bins rows total) shuffle once for a per-cell
+    *     row_number, and a broadcast join picks the ≤ groups×2|ps|
+    *     order statistics. Interpolation is the same IEEE-double
+    *     expression as [[exactQuantiles]].
+    *
+    * Scale bounds: every broadcast here is O(groups×|ps|) — the design
+    * holds to millions of groups (a dimension-table-sized broadcast);
+    * past that, exact-per-key wants [[groupedSketchQuantiles]] (fully
+    * plan-side, no broadcast) or a plain percentile() shuffle, which at
+    * that group cardinality is no longer skewed anyway. Rows with a
+    * null group key or null/NaN value are excluded (the documented
+    * contract — matches `quantile_cont` null handling; key nullability
+    * is the caller's).
+    *
+    * Output: (key, p DOUBLE, q DOUBLE rounded half-up to `scale`),
+    * ordered by (key, p). */
+  def groupedExactQuantiles(df: DataFrame, value: String, key: String,
+                            ps: Seq[Double], bins: Int = 1024,
+                            scale: Int = 4): DataFrame = {
+    require(ps.nonEmpty, "groupedExactQuantiles: ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupedExactQuantiles: fractions must be in [0,1]: $ps")
+    require(bins >= 2 && bins <= (1 << 20),
+      s"groupedExactQuantiles: bins out of range: $bins")
+    val v = df.select(col(key).as("k"), col(value).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull && !isnan(col("v")))
+
+    val stats = v.groupBy("k")
+      .agg(count("v").as("n"), min("v").as("lo"), max("v").as("hi"))
+
+    // all-equal groups: every order statistic IS lo — answered here
+    val flat = stats.filter(col("lo") === col("hi"))
+      .select(col("k"), explode(typedLit(ps)).as("p"), col("lo").as("q_raw"))
+
+    val multi = stats.filter(col("lo") < col("hi"))
+    // per-group fixed-width bucket, computed map-side under a broadcast
+    // of the group-bounded stats table
+    val bucket = least(
+      floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / lit(bins))),
+      lit(bins - 1)).cast("int")
+    val withB = v.join(broadcast(multi), "k").withColumn("b", bucket)
+
+    val hist = withB.groupBy("k", "b")
+      .agg(count(lit(1)).as("c"), first("n").as("n"))
+    val wCum = Window.partitionBy("k").orderBy("b")
+    val cum = hist.withColumn("cumBefore",
+      coalesce(sum("c").over(wCum.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+    // join-free rank routing: fractions (then their two order-statistic
+    // ranks) explode onto the bounded histogram rows; the filter keeps
+    // the one bucket that holds each rank. distinct: kLo == kHi on
+    // integral positions, and different p can need the same rank.
+    val routed = cum
+      .withColumn("p", explode(typedLit(ps)))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .select(col("k"), col("b"), col("cumBefore"), col("c"),
+        explode(array(floor(col("pos")).cast("long"),
+          ceil(col("pos")).cast("long"))).as("g"))
+      .filter(col("g") >= col("cumBefore") &&
+        col("g") < col("cumBefore") + col("c"))
+      .select(col("k"), col("b"), col("g"),
+        (col("g") - col("cumBefore")).as("r"))
+      .distinct()
+
+    // refine: broadcast-semi filter (corpus stays map-side), one
+    // exchange of the ~2|ps|·N/bins survivors for the per-cell sort
+    val wPick = Window.partitionBy("k", "b").orderBy("v")
+    val picked = withB.select("k", "b", "v")
+      .join(broadcast(routed.select("k", "b").distinct()),
+        Seq("k", "b"), "left_semi")
+      .withColumn("r", row_number().over(wPick).cast("long") - 1)
+      .join(broadcast(routed), Seq("k", "b", "r"))
+      .select(col("k"), col("g"), col("v"))
+
+    // interpolate: both pick joins are on (k, rank) with group-bounded
+    // sides (≤ groups×2|ps| rows each)
+    val pk = multi
+      .withColumn("p", explode(typedLit(ps)))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("kLo", floor(col("pos")).cast("long"))
+      .withColumn("kHi", ceil(col("pos")).cast("long"))
+    val xLo = picked.toDF("k", "kLo", "xLo")
+    val xHi = picked.toDF("k", "kHi", "xHi")
+    val interp = pk.join(broadcast(xLo), Seq("k", "kLo"))
+      .join(broadcast(xHi), Seq("k", "kHi"))
+      .withColumn("q_raw", when(col("kLo") === col("kHi"), col("xLo"))
+        // Spark Percentile's exact double expression — the same
+        // bit-parity anchor exactQuantiles uses
+        .otherwise((col("kHi") - col("pos")) * col("xLo") +
+          (col("pos") - col("kLo")) * col("xHi")))
+      .select(col("k"), col("p"), col("q_raw"))
+
+    flat.unionByName(interp)
+      .select(col("k").as(key), col("p"),
+        roundHalfUp(col("q_raw"), scale).as("q"))
       .orderBy(key, "p")
   }
 
@@ -254,10 +377,12 @@ object Quantiles {
       .orderBy("blen", "bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = buckets.withColumn("cum", sum("c").over(w))
-    val pDf = ps.map(p => Tuple1(p)).toDF("p")
+    // join-free rank pick (same rewrite as groupedSketchQuantiles):
+    // explode literal fractions onto the bounded sketch rows, filter
+    // map-side — no BroadcastNestedLoopJoin, no whitelist entry needed
+    cum.withColumn("p", explode(typedLit(ps)))
       .withColumn("rk", floor(col("p") * lit((n - 1).toDouble)).cast("long"))
-    pDf.join(broadcast(cum),
-        col("cum") > col("rk") && col("cum") - col("c") <= col("rk"))
+      .filter(col("cum") > col("rk") && col("cum") - col("c") <= col("rk"))
       .select(col("p"),
         roundHalfUp((col("bucket") * col("f") + expr("f DIV 2"))
           .cast("double") / lit(qf), 6).as("q_est"))

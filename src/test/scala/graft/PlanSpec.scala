@@ -125,14 +125,12 @@ class PlanSpec extends SparkSpec {
     //    definition — the broadcast side is the bounded query-id set and
     //    the per-pair cost is m map lookups, never a vector; the corpus
     //    side stays map-side (the FAISS ADC loop shape).
-    //  - q_quantile_sketch: the rank pick is a |ps|-row × sketch-row
-    //    range probe (cum > rk AND cum − c <= rk, no equi key); BOTH
-    //    sides are bounded regardless of data volume (ps is a literal
-    //    list, the sketch is ≤ 63·2^(B−1) rows) — metric assembly, not
-    //    a data-scale join (the q_dq_checks class).
+    // (q_quantile_sketch / q_quantile_sketch_grouped used to be here:
+    // the rank pick was a no-equi-key theta-join; both now explode the
+    // literal fraction list and filter map-side — zero joins.)
     val bruteForce = Set("q_similarity_cosine", "q_dedup_embed",
       "q_ngram_jaccard", "q_ngram_containment", "q_ann_ivf", "q_dq_checks",
-      "q_cluster_assign", "q_ann_pq", "q_quantile_sketch")
+      "q_cluster_assign", "q_ann_pq")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bruteForce)
       .filter { key =>
