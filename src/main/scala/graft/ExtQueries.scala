@@ -1130,6 +1130,16 @@ object ExtQueries {
         Tables.read(s, dir, "lineitem"), "l_extendedprice",
         "l_returnflag", Seq(0.25, 0.5, 0.75, 0.99))),
 
+    // Exact per-group quantiles ("exact p99 per key") — the grouped
+    // twin of q_quantile_2pass: histogram routing is plan-side (a
+    // per-group window over the bounded histogram), the corpus never
+    // shuffles for a join (stats/filter sides broadcast), and no
+    // driver collect is proportional to group count.
+    "q_quantile_grouped_2pass" -> ((s, dir) =>
+      graft.ops.Quantiles.groupedExactQuantiles(
+        Tables.read(s, dir, "lineitem"), "l_extendedprice",
+        "l_returnflag", Seq(0.01, 0.25, 0.5, 0.75, 0.99))),
+
     // Exact interpolated percentiles per group (sort-based, oracle-able).
     // Scalar p25/p50/p75 columns: the driver's pandas-side hash gate
     // cannot sort array cells, so the quartiles are unnested.
@@ -2621,6 +2631,15 @@ object ExtQueries {
            |FROM lineitem""".stripMargin
       Seq("0.01", "0.25", "0.50", "0.75", "0.99").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY p")
+    },
+
+    "q_quantile_grouped_2pass" -> {
+      def one(p: String) =
+        s"""SELECT l_returnflag, CAST($p AS DOUBLE) AS p,
+           |  ${sqlRound(s"quantile_cont(CAST(l_extendedprice AS DOUBLE), $p)", 4)} AS q
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      Seq("0.01", "0.25", "0.50", "0.75", "0.99").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY l_returnflag, p")
     },
 
     "q_percentiles" ->

@@ -77,7 +77,8 @@ object ScaleProbe {
     val opNames = Set("minhash", "dedup_incremental", "ann_ivf",
       "pagerank", "kmeans", "medoids", "semdedup_flat", "semdedup_tree",
       "exact_substr", "exact_substr_incremental", "embed_incremental",
-      "heavy_hitters", "bpe_train", "quantiles", "perplexity")
+      "heavy_hitters", "heavy_hitters_wide", "bpe_train", "quantiles",
+      "perplexity")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -311,6 +312,20 @@ object ScaleProbe {
           "tok", theta = 0.01).count()
       }
       scrub()
+      // the same operator with the input FRACTURED into 1024 partitions
+      // — the extreme-partition-count configuration the two-level merge
+      // exists for: level 1 pre-merges the 1024 partials into ~32 salt
+      // lanes, so no reducer funnels more than ~√P×k entries (the old
+      // single global aggregate landed P×k on one task). Expected: the
+      // wide row tracks the plain row (plus task-launch overhead), NOT
+      // a partitions-proportional single-reducer merge term.
+      val tHhWide = if (!want("heavy_hitters_wide")) -1.0 else best2 {
+        graft.ops.HeavyHitters.heavyHitters(
+          d.select(explode(split(col("text"), " ")).as("tok"))
+            .repartition(1024),
+          "tok", theta = 0.01).count()
+      }
+      scrub()
       // BPE training: ONE corpus-sized exchange (word counts), then 12
       // rounds over the distinct-word table. The suffixed copies widen
       // the vocabulary ~30× (realistic: bigger crawl, bigger vocab), so
@@ -345,6 +360,7 @@ object ScaleProbe {
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
         "exact_substr_incremental" -> tEsIncr,
         "embed_incremental" -> tEmbIncr, "heavy_hitters" -> tHh,
+        "heavy_hitters_wide" -> tHhWide,
         "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl)
         .filter(_._2 >= 0)
     }

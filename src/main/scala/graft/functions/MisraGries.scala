@@ -82,37 +82,15 @@ final class MGBuffer(val k: Int) {
   }
 }
 
-/** Mergeable Misra–Gries heavy-hitter candidate summary as a single
-  * aggregate: `mg_sketch(item, k)` keeps a bounded k-entry buffer per
-  * (partition, group) map-side, so the exchange carries at most `k`
-  * entries per partition per group — shuffle volume is
-  * `numPartitions × k`, independent of how many DISTINCT items the
-  * corpus holds. The full `groupBy(item).count()` alternative shuffles
-  * one row per distinct item (billions at 100 TB: typos, ids, URLs);
-  * this aggregate is how the frequency question stays bounded. Returns
-  * array<struct<item, cnt>> count-desc; `cnt` is a lower bound, only
-  * MEMBERSHIP carries the guarantee (true count > N/(k+1) ⇒ present). */
-case class MisraGriesSketch(item: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[MGBuffer] with UnaryLike[Expression]
-    with ExpectsInputTypes {
-  require(k > 0, "mg_sketch needs k > 0")
+/** The buffer/serde/eval shape shared by the two MG aggregates (build
+  * from items, merge of built sketches) — the guarantee lives in
+  * [[MGBuffer]], these are the Spark plumbing around it. */
+private[functions] trait MGAggShape extends TypedImperativeAggregate[MGBuffer] {
+  def k: Int
 
-  override def inputTypes: Seq[AbstractType] = Seq(StringType)
-  override def child: Expression = item
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("item", StringType, nullable = false),
-    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def dataType: DataType = MisraGriesSketch.sketchType
   override def nullable: Boolean = false
   override def createAggregationBuffer(): MGBuffer = new MGBuffer(k)
-
-  override def update(b: MGBuffer, input: InternalRow): MGBuffer = {
-    val v = item.eval(input)
-    // UTF8String may alias a reused scan buffer — copy to a String key
-    if (v != null) b.add(v.asInstanceOf[UTF8String].toString)
-    b
-  }
-
   override def merge(b: MGBuffer, o: MGBuffer): MGBuffer = b.merge(o)
 
   override def eval(b: MGBuffer): Any =
@@ -152,6 +130,32 @@ case class MisraGriesSketch(item: Expression, k: Int,
     }
     b
   }
+}
+
+/** Mergeable Misra–Gries heavy-hitter candidate summary as a single
+  * aggregate: `mg_sketch(item, k)` keeps a bounded k-entry buffer per
+  * (partition, group) map-side, so the exchange carries at most `k`
+  * entries per partition per group — shuffle volume is
+  * `numPartitions × k`, independent of how many DISTINCT items the
+  * corpus holds. The full `groupBy(item).count()` alternative shuffles
+  * one row per distinct item (billions at 100 TB: typos, ids, URLs);
+  * this aggregate is how the frequency question stays bounded. Returns
+  * array<struct<item, cnt>> count-desc; `cnt` is a lower bound, only
+  * MEMBERSHIP carries the guarantee (true count > N/(k+1) ⇒ present). */
+case class MisraGriesSketch(item: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends MGAggShape with UnaryLike[Expression] with ExpectsInputTypes {
+  require(k > 0, "mg_sketch needs k > 0")
+
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+  override def child: Expression = item
+
+  override def update(b: MGBuffer, input: InternalRow): MGBuffer = {
+    val v = item.eval(input)
+    // UTF8String may alias a reused scan buffer — copy to a String key
+    if (v != null) b.add(v.asInstanceOf[UTF8String].toString)
+    b
+  }
 
   override def withNewMutableAggBufferOffset(n: Int): MisraGriesSketch =
     copy(mutableAggBufferOffset = n)
@@ -162,9 +166,62 @@ case class MisraGriesSketch(item: Expression, k: Int,
   override def prettyName: String = "graft_mg_sketch"
 }
 
+/** Merge of ALREADY-BUILT sketches: `mg_merge(sketchCol, k)` folds rows
+  * of `array<struct<item,cnt>>` (mg_sketch output) into one summary via
+  * the same mergeable-summaries rule. This is the second level of a
+  * two-level merge tree: level 1 pre-merges partition partials into
+  * ~√P salt lanes, level 2 merges the √P lane sketches — no single
+  * reducer ever sees more than ~√P×k entries, where the single global
+  * `agg(mg_sketch(...))` funnels P×k into one task. The membership
+  * guarantee is merge-tree independent (Agarwal et al.), so any
+  * lane count yields the same candidate superset contract. Also the
+  * horizon-merge step for persisted per-batch partial sketches
+  * (streaming heavy hitters). */
+case class MisraGriesMerge(sketch: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends MGAggShape with UnaryLike[Expression] with ExpectsInputTypes {
+  require(k > 0, "mg_merge needs k > 0")
+
+  override def inputTypes: Seq[AbstractType] = Seq(MisraGriesSketch.sketchType)
+  override def child: Expression = sketch
+
+  override def update(b: MGBuffer, input: InternalRow): MGBuffer = {
+    val v = sketch.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val o = new MGBuffer(k)
+      var i = 0
+      while (i < arr.numElements()) {
+        val r = arr.getStruct(i, 2)
+        o.m.put(r.getUTF8String(0).toString, Array(r.getLong(1)))
+        i += 1
+      }
+      b.merge(o)
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MisraGriesMerge =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MisraGriesMerge =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(
+      newChild: Expression): MisraGriesMerge = copy(sketch = newChild)
+  override def prettyName: String = "graft_mg_merge"
+}
+
 object MisraGriesSketch {
+  /** array<struct<item string, cnt long>> — the sketch's row form. */
+  val sketchType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
   /** Column surface: `df.agg(mg_sketch(col, k))` or per-group via
     * groupBy. */
   def mg_sketch(item: Column, k: Int): Column =
     column(MisraGriesSketch(expression(item), k).toAggregateExpression())
+
+  /** Column surface for the sketch-of-sketches merge level. */
+  def mg_merge(sketch: Column, k: Int): Column =
+    column(MisraGriesMerge(expression(sketch), k).toAggregateExpression())
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import graft.functions.MisraGriesSketch.mg_sketch
+import graft.functions.MisraGriesSketch.{mg_merge, mg_sketch}
 import graft.functions.Rounding.roundHalfUp
 
 /** EXACT frequency-threshold detection ("which items make up at least
@@ -30,13 +30,17 @@ import graft.functions.Rounding.roundHalfUp
   *     never depends on the sketch's (merge-order-dependent) counts,
   *     only on its guaranteed membership.
   *
-  * Scale note: pass 1 is a GLOBAL aggregate, so the final merge lands
-  * every partition's partial buffer on one reducer — partitions × k
-  * entries (≈ 30 B each). That is the cost driver at extreme partition
-  * counts (10⁵ tasks × k=10³ ≈ 3 GB through one task); `coalesce` the
-  * input toward core count before the sketch pass there, or raise θ.
-  * The guarantee is merge-tree-independent, so coalescing never
-  * changes the answer.
+  * Scale note: pass 1 merges in TWO levels so no single reducer ever
+  * funnels every partition's partial buffer. Level 1 groups partitions
+  * into ~√P salt lanes (`pmod(spark_partition_id(), √P)` — each task
+  * emits ONE partial, each lane reducer merges ~√P of them); level 2
+  * merges the √P lane sketches (`mg_merge`) into the final candidate
+  * summary. Max per-task funnel is ~√P×k entries (10⁵ tasks × k=10³
+  * ≈ 10 MB) where a single global aggregate would land P×k (~3 GB) on
+  * one task. The MG membership guarantee is merge-tree independent
+  * (Agarwal et al., PODS'12 — pinned in HeavyHittersSpec), so the lane
+  * count never changes the candidate superset, and pass 2's exact
+  * recount makes the final answer identical under any partitioning.
   *
   * Returns (item, cnt, share) with share = cnt/N rounded half-up to
   * 6 dp, ordered cnt-desc then item-asc. Null items are excluded from
@@ -61,12 +65,18 @@ object HeavyHitters {
       s"theta=$theta needs a $k-entry sketch; below ~1e-6 use groupBy")
     val rows = df.filter(col(item).isNotNull)
       .select(col(item).cast("string").as("item"))
-    val first = rows.agg(mg_sketch(col("item"), k).as("cand"),
-      count(lit(1)).as("n")).head()
-    val n = first.getLong(1)
-    if (n == 0L)
+    // two-level merge (see scale note): lane count ≈ √(input partitions)
+    val parts = math.max(1, rows.rdd.getNumPartitions)
+    val lanes = math.max(1, math.ceil(math.sqrt(parts.toDouble)).toInt)
+    val lanePartials = rows
+      .groupBy(pmod(spark_partition_id(), lit(lanes)).as("_lane"))
+      .agg(mg_sketch(col("item"), k).as("s"), count(lit(1)).as("pn"))
+    val first = lanePartials
+      .agg(mg_merge(col("s"), k).as("cand"), sum("pn").as("n")).head()
+    if (first.isNullAt(1)) // zero lanes = empty input
       return rows.groupBy("item").agg(count(lit(1)).as("cnt"))
         .withColumn("share", lit(0.0))
+    val n = first.getLong(1)
     val cands = first.getSeq[Row](0).map(_.getString(0))
     val minCnt = math.ceil(theta * n).toLong
     rows.filter(col("item").isInCollection(cands))

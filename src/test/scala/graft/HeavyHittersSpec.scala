@@ -54,6 +54,37 @@ class HeavyHittersSpec extends SparkSpec {
         .as[(String, Long, Double)].collect().toSeq
       assert(got === expected, s"diverged at $parts partitions")
     }
+    // extreme partition count: more partitions (64) than salt lanes (8)
+    // — every lane merges multiple partials before the final mg_merge,
+    // exercising both levels of the two-level tree on a non-keyed split
+    val wide = HeavyHitters.heavyHitters(df.repartition(64), "item", theta)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(wide === expected, "two-level merge diverged at 64 partitions")
+  }
+
+  test("mg_merge of lane sketches preserves the membership guarantee") {
+    val df = skewed(400, 250, 1300)
+    // lanes = an arbitrary 7-way split of the data (any split is valid:
+    // the guarantee is merge-tree independent)
+    val lanes = df.groupBy(pmod(crc32(col("item")), lit(7)).as("lane"))
+      .agg(MisraGriesSketch.mg_sketch(col("item"), 20).as("s"))
+    val merged = lanes.agg(MisraGriesSketch.mg_merge(col("s"), 20)).head()
+      .getSeq[Row](0)
+    assert(merged.size <= 20, s"merge left ${merged.size} > k entries")
+    val items = merged.map(_.getString(0))
+    // N=1950, k=20: guarantee covers counts > 1950/21 ≈ 92.9
+    assert(items.contains("hot1") && items.contains("hot2"),
+      s"mg_merge evicted a guaranteed heavy item: $items")
+  }
+
+  test("mg_merge with no eviction anywhere is an exact count union") {
+    val a = Seq.fill(5)("x").toDF("item")
+      .agg(MisraGriesSketch.mg_sketch(col("item"), 16).as("s"))
+    val b = (Seq.fill(3)("x") ++ Seq.fill(2)("y")).toDF("item")
+      .agg(MisraGriesSketch.mg_sketch(col("item"), 16).as("s"))
+    val got = a.union(b).agg(MisraGriesSketch.mg_merge(col("s"), 16)).head()
+      .getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(("x", 8L), ("y", 2L)))
   }
 
   test("threshold edge: count exactly at ceil(theta*N) is included") {

@@ -141,6 +141,17 @@ class PlanSpec extends SparkSpec {
       s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
 
+  test("grouped exact quantiles: the corpus never shuffles for a join") {
+    // every corpus-touching join (stats re-attach, refine semi-filter,
+    // rank pick) must broadcast its group-bounded side — a sort-merge
+    // anywhere means the full value stream is shuffling to be filtered,
+    // the exact cost the histogram routing exists to avoid
+    val p = planOf("q_quantile_grouped_2pass")
+    assert(p.contains("BroadcastHashJoin"), s"broadcast joins lost:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"grouped quantiles shuffles the corpus for a join:\n$p")
+  }
+
   test("star join broadcasts the whole dimension chain") {
     val p = planOf("q_star_join")
     assert(count(p, "BroadcastHashJoin") >= 3,

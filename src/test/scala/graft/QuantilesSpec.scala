@@ -114,6 +114,56 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  // --- grouped exact 2-pass ---
+
+  private def groupedTruth(df: org.apache.spark.sql.DataFrame,
+                           qs: Seq[Double]): Map[(String, Double), Double] =
+    df.groupBy("k").agg(percentile(col("v"), array(qs.map(lit): _*)).as("q"))
+      .collect().flatMap { r =>
+        qs.zip(r.getSeq[Double](1)
+          .map(graft.functions.Rounding.roundHalfUpDouble(_, 9)))
+          .map { case (p, q) => (r.getString(0), p) -> q }
+      }.toMap
+
+  private def groupedGot(df: org.apache.spark.sql.DataFrame, qs: Seq[Double],
+                         bins: Int): Map[(String, Double), Double] =
+    Quantiles.groupedExactQuantiles(df, "v", "k", qs, bins = bins, scale = 9)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+
+  test("grouped exact matches sort-based percentile per group") {
+    // 3 groups of different sizes/ranges, incl. ranks on bucket edges
+    val vals = Iterator.iterate(12345L)(x => (x * 48271L) % 2147483647L)
+      .take(3000).zipWithIndex.map { case (x, i) =>
+        (s"g${i % 3}", (x % 100000) / 11.0 - 3000.0) }.toSeq
+    val df = vals.toDF("k", "v")
+    assert(groupedGot(df, ps, bins = 16) == groupedTruth(df, ps))
+  }
+
+  test("grouped: all-equal and single-row groups answered without refine") {
+    val df = (Seq.fill(500)(("flat", 7.5)) ++ Seq(("solo", 3.25)) ++
+      Seq(("ab", 1.0), ("ab", 2.0), ("ab", 3.0))).toDF("k", "v")
+    val got = groupedGot(df, Seq(0.0, 0.5, 1.0), bins = 4)
+    assert(got == Map(
+      ("flat", 0.0) -> 7.5, ("flat", 0.5) -> 7.5, ("flat", 1.0) -> 7.5,
+      ("solo", 0.0) -> 3.25, ("solo", 0.5) -> 3.25, ("solo", 1.0) -> 3.25,
+      ("ab", 0.0) -> 1.0, ("ab", 0.5) -> 2.0, ("ab", 1.0) -> 3.0))
+  }
+
+  test("grouped: null keys and null/NaN values are excluded") {
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", null), ("a", Double.NaN), ("a", 3.0),
+      (null, 99.0)).toDF("k", "v")
+    val got = groupedGot(df, Seq(0.5), bins = 4)
+    assert(got == Map(("a", 0.5) -> 2.0))
+  }
+
+  test("grouped: skewed group mass still routes exactly (tiny bins)") {
+    val df = ((Seq.fill(990)(("hot", 0.0)) ++ (1 to 10).map(i => ("hot", i * 10.0))) ++
+      (1 to 101).map(i => ("lin", i.toDouble))).toDF("k", "v")
+    assert(groupedGot(df, ps, bins = 4) == groupedTruth(df, ps))
+  }
+
   test("sketch drops non-positive values; all-dropped input yields nulls") {
     val mixed = Seq(-5.0, 0.0, 0.001, 2.0, 3.0) // 0.001 quantizes to 0 -> drop
     val est = Quantiles.sketchQuantiles(mixed.toDF("v"), "v", Seq(0.0, 1.0))
