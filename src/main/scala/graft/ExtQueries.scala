@@ -388,7 +388,12 @@ object ExtQueries {
     * subspace sqlDot sums left-associated, CASE zero-norm guard,
     * dots / (sqrt(qn²)·sqrt(rn²)), HALF_UP 6), the candidate rank
     * (ties to smallest neighbor), and the exact-cosine rerank. */
-  private def pqAnnOracleSql: String = {
+  /** Per-subspace PQ training/encoding CTEs (`e0..e{m-1}`, each a
+    * nested [[kmeansCtes]] chain) plus the m-way joined `pq` code
+    * table. The join chain AND the column list are generated from
+    * [[pqM]] — changing the subspace count regenerates both sides, so
+    * the oracle cannot silently desynchronize from the engine. */
+  private def pqSubspaceCtes: String = {
     val d = annDims / pqM
     def sub(j: Int): String = {
       val a = j * d + 1; val b = (j + 1) * d
@@ -398,27 +403,37 @@ object ExtQueries {
          |SELECT bb.vec_id, cc.cvec AS c$j FROM bf bb
          |JOIN c$annIvfIters cc ON bb.cid = cc.cid WHERE bb.rk = 1)""".stripMargin
     }
+    val pqCols = (0 until pqM).map(j => s"e$j.c$j").mkString(", ")
+    val pqJoins = (1 until pqM).map(j => s"JOIN e$j USING (vec_id)")
+      .mkString(" ")
+    s"""${(0 until pqM).map(sub).mkString(",\n")},
+       |pq AS (SELECT e0.vec_id, $pqCols
+       |       FROM e0 $pqJoins)""".stripMargin
+  }
+
+  /** The ADC approximate-cosine expression over `q.qvec` / `p.c{j}`
+    * (engine evaluation order: per-subspace dots summed left-
+    * associated, zero-norm CASE, HALF_UP 6). */
+  private def pqAdcExprSql: String = {
+    val d = annDims / pqM
     val dots = (0 until pqM).map(j =>
       s"(${sqlDot(s"q.qvec[${j * d + 1}:${(j + 1) * d}]", s"p.c$j")})").mkString(" + ")
     val rn2 = (0 until pqM).map(j =>
       s"(${sqlDot(s"p.c$j", s"p.c$j")})").mkString(" + ")
     val qn2 = s"(${sqlDot("q.qvec", "q.qvec")})"
-    val adcExpr = sqlRound(
+    sqlRound(
       s"CASE WHEN ($rn2) = 0 OR ($qn2) = 0 THEN 0.0 " +
         s"ELSE ($dots) / (sqrt($qn2) * sqrt($rn2)) END", 6)
+  }
+
+  /** Candidate-rank + exact-rerank + final-top-k tail shared by the two
+    * PQ oracles: `adc` must yield (query_id, neighbor_id, sim), `q`
+    * (query_id, qvec). */
+  private def pqRerankTailSql: String = {
     val exact = sqlRound(
       s"(${sqlDotU("q.qvec", "n.embedding")}) / (sqrt(${sqlDotU("q.qvec", "q.qvec")}) * " +
         s"sqrt(${sqlDotU("n.embedding", "n.embedding")}))", 6)
-    s"""WITH
-       |${(0 until pqM).map(sub).mkString(",\n")},
-       |pq AS (SELECT e0.vec_id, e0.c0, e1.c1, e2.c2, e3.c3
-       |       FROM e0 JOIN e1 USING (vec_id) JOIN e2 USING (vec_id)
-       |            JOIN e3 USING (vec_id)),
-       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-       |      WHERE vec_id < 5 AND embedding IS NOT NULL),
-       |adc AS (SELECT q.query_id, p.vec_id AS neighbor_id, $adcExpr AS sim
-       |        FROM q, pq p),
-       |cnd AS (SELECT query_id, neighbor_id, row_number() OVER (
+    s"""cnd AS (SELECT query_id, neighbor_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS ark FROM adc),
        |rr AS (SELECT c.query_id, c.neighbor_id, $exact AS sim
        |       FROM cnd c JOIN q ON q.query_id = c.query_id
@@ -428,6 +443,41 @@ object ExtQueries {
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM rr)
        |SELECT query_id, neighbor_id, sim, rk FROM fr WHERE rk <= $annTopK
        |ORDER BY query_id, rk""".stripMargin
+  }
+
+  private def pqAnnOracleSql: String =
+    s"""WITH
+       |$pqSubspaceCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |      WHERE vec_id < 5 AND embedding IS NOT NULL),
+       |adc AS (SELECT q.query_id, p.vec_id AS neighbor_id, $pqAdcExprSql AS sim
+       |        FROM q, pq p),
+       |$pqRerankTailSql""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.SimilarityOps.ivfpqTopK]] (IVFADC):
+    * the coarse quantizer is the q_ann_ivf chain (top-level kmeansCtes
+    * → `asg` lists, rounded nprobe probe rank), the code table is the
+    * q_ann_pq chain (pqSubspaceCtes — PQ on the raw vector, FAISS
+    * by_residual=false, so the ADC expression is the flat one), and the
+    * ADC scan joins ONLY the probed lists' members before the shared
+    * rerank tail. */
+  private def ivfpqAnnOracleSql: String = {
+    val probeSim = sqlRound(
+      s"${sqlDot("q.qvec", "c.cvec")} / (sqrt(${sqlDot("q.qvec", "q.qvec")}) * sqrt(${sqlDot("c.cvec", "c.cvec")}))", 6)
+    s"""${kmeansCtes("SELECT vec_id, embedding FROM embeddings", k = annK, iters = annIvfIters)},
+       |asg AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM bf WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, ev AS qvec FROM v WHERE vec_id < 5),
+       |ps AS (SELECT q.query_id, c.cid, $probeSim AS csim
+       |       FROM q, c$annIvfIters c),
+       |pp AS (SELECT query_id, cid, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY csim DESC, cid) AS crk FROM ps),
+       |$pqSubspaceCtes,
+       |adc AS (SELECT q.query_id, p.vec_id AS neighbor_id, $pqAdcExprSql AS sim
+       |        FROM pp JOIN asg a ON a.cluster = pp.cid
+       |          JOIN pq p ON p.vec_id = a.neighbor_id
+       |          JOIN q ON q.query_id = pp.query_id
+       |        WHERE pp.crk <= $annNprobe),
+       |$pqRerankTailSql""".stripMargin
   }
 
   /** BPE merge-round count ([[graft.ops.Bpe.train]]) — well below the
@@ -1603,6 +1653,23 @@ object ExtQueries {
         .orderBy("query_id", "rk")
     }),
 
+    // IVF-routed PQ (true IVFADC): the coarse quantizer routes each
+    // query to nprobe inverted lists and the ADC scan joins ONLY those
+    // lists' encoded rows (~nprobe/nlist of the corpus) before the
+    // exact rerank — the q_ann_pq flat scan's 100 TB shape. Oracled
+    // end-to-end: coarse kmeansCtes + probe rank (the q_ann_ivf chain)
+    // composed with the per-subspace pq chains and the shared ADC +
+    // rerank tail.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfpqTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", annTopK, nlist = annK, nprobe = annNprobe,
+        m = pqM, ksub = annK, iters = annIvfIters, cands = pqCands)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+    }),
+
     // LSH-bucketed ANN (scale path). bits is EXPLICIT, not autoBits:
     // the plane set must match the static oracle (which embeds the
     // sign matrix from HyperplaneLsh.signs), and skipping the sizing
@@ -2188,6 +2255,8 @@ object ExtQueries {
     "q_ann_ivf" -> ivfAnnOracleSql,
 
     "q_ann_pq" -> pqAnnOracleSql,
+
+    "q_ann_ivfpq" -> ivfpqAnnOracleSql,
 
     // The HLL key's oracle asserts the 3×rsd bound (within_rsd must be
     // TRUE) plus the exact counts — the estimate itself is engine-
@@ -2860,7 +2929,7 @@ object ExtQueries {
          |  CASE WHEN d.ppl <= t.p33 THEN 'head'
          |       WHEN d.ppl <= t.p66 THEN 'middle'
          |       ELSE 'tail' END AS bucket
-         |FROM ppl d JOIN th t ON t.lang = d.lang
+         |FROM ppl d JOIN th t ON t.lang IS NOT DISTINCT FROM d.lang
          |ORDER BY d.doc_id""".stripMargin,
 
     "q_unigram_logprob" ->

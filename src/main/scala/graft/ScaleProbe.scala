@@ -78,7 +78,7 @@ object ScaleProbe {
       "pagerank", "kmeans", "medoids", "semdedup_flat", "semdedup_tree",
       "exact_substr", "exact_substr_incremental", "embed_incremental",
       "heavy_hitters", "heavy_hitters_wide", "bpe_train", "quantiles",
-      "perplexity")
+      "perplexity", "ann_pq_search", "ann_ivfpq_search")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -326,6 +326,44 @@ object ScaleProbe {
           "tok", theta = 0.01).count()
       }
       scrub()
+      // PQ-ADC search over a PREBUILT landed encoded index (build and
+      // encode untimed — the serve-time question): the flat scan ADC-
+      // scores every encoded row, expected growth ~N. The paired
+      // ivfpq row below is the routed comparison.
+      val tPqSearch = if (!want("ann_pq_search")) -1.0 else {
+        val built = graft.ops.SimilarityOps.buildPqIndex(
+          e, "embedding", "vec_id", m = 4, ksub = 8, iters = 2)
+        val p = s"$root/pqenc_x${scale}_$tag"
+        built.enc.write.mode("overwrite").parquet(p)
+        val idx = built.copy(enc = spark.read.parquet(p))
+        scrub()
+        best2 {
+          graft.ops.SimilarityOps.pqSearch(idx,
+            e.filter(col("vec_id") < 50), "embedding", "vec_id", 10).count()
+        }
+      }
+      scrub()
+      // IVF-routed ADC search over the SAME corpus with nlist scaled as
+      // ~sqrt-of-corpus (lists stay constant-sized — the FAISS sizing
+      // rule): the probe joins nprobe of nlist lists, so the routed
+      // scan's expected growth is ~N·nprobe/nlist ≈ sqrt(N) — the
+      // sublinearity composing IVF with PQ buys over the flat row.
+      val tIvfpqSearch = if (!want("ann_ivfpq_search")) -1.0 else {
+        val nlist = 16 * math.max(1, math.sqrt(scale.toDouble).toInt)
+        val built = graft.ops.SimilarityOps.buildPqIndex(
+          e, "embedding", "vec_id", m = 4, ksub = 8, iters = 2,
+          nlist = nlist)
+        val p = s"$root/ivfpqenc_x${scale}_$tag"
+        built.enc.write.mode("overwrite").parquet(p)
+        val idx = built.copy(enc = spark.read.parquet(p))
+        scrub()
+        best2 {
+          graft.ops.SimilarityOps.pqSearch(idx,
+            e.filter(col("vec_id") < 50), "embedding", "vec_id", 10,
+            nprobe = 4).count()
+        }
+      }
+      scrub()
       // BPE training: ONE corpus-sized exchange (word counts), then 12
       // rounds over the distinct-word table. The suffixed copies widen
       // the vocabulary ~30× (realistic: bigger crawl, bigger vocab), so
@@ -360,7 +398,8 @@ object ScaleProbe {
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
         "exact_substr_incremental" -> tEsIncr,
         "embed_incremental" -> tEmbIncr, "heavy_hitters" -> tHh,
-        "heavy_hitters_wide" -> tHhWide,
+        "heavy_hitters_wide" -> tHhWide, "ann_pq_search" -> tPqSearch,
+        "ann_ivfpq_search" -> tIvfpqSearch,
         "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl)
         .filter(_._2 >= 0)
     }

@@ -307,41 +307,65 @@ object SimilarityOps {
     * matching [[graft.functions.Kernels.cosine]]'s zero branch. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, vec: String, id: String,
              k: Int, m: Int = 4, ksub: Int = 8, iters: Int = 2,
-             cands: Int = 32): DataFrame = {
-    require(k >= 1 && cands >= k, s"pqTopK: need cands >= k >= 1, got k=$k cands=$cands")
-    require(m >= 1 && ksub >= 1, s"pqTopK: m and ksub must be >= 1")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // query set is broadcast-small by the ANN contract — one pinned
-    // evaluation (the lshTopK rationale), collected for the ADC tables
-    val qPlan = queries
-      .select(col(id).cast("long").as("query_id"), col(vec).as("qvec"))
-      .filter(col("qvec").isNotNull).dropDuplicates("query_id")
-    val qRows = qPlan.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    require(qRows.nonEmpty, "pqTopK: empty query set")
-    val dim = qRows.head._2.length
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+             cands: Int = 32): DataFrame =
+    pqSearch(buildPqIndex(corpus, vec, id, m, ksub, iters),
+      queries, vec, id, k, cands)
+
+  /** A built PQ index: the encoded corpus (m codes + the vector for
+    * rerank; persist and the ADC scan prunes to the code columns),
+    * the per-subspace codebooks, and — when `coarse` is set — the IVF
+    * coarse-quantizer centroids whose list assignment rides in the
+    * `cluster` column. Build once, search many times. */
+  final case class PqIndex(enc: DataFrame,
+                           books: Seq[Seq[(Long, Array[Float])]],
+                           coarse: Option[Seq[(Long, Array[Float])]],
+                           m: Int, d: Int)
+
+  /** Train + encode the PQ (optionally IVF-routed) index. `nlist = 0`
+    * builds the flat layout ([[pqTopK]]'s scan); `nlist > 0` adds the
+    * coarse quantizer — a deterministic full-corpus
+    * [[Clustering.kmeans]], the [[ivfIndexFromModel]] stance, so the
+    * DuckDB oracle replays routing bit-for-bit — and stamps each row's
+    * inverted-list id map-side. Everything here is scans: training is
+    * (m + 1{ivf})·iters passes, encoding one pass, no corpus shuffle.
+    * At real scale train on a sample (the [[buildIvfIndex]] stance);
+    * full-corpus keeps the oracle replayable. */
+  def buildPqIndex(corpus: DataFrame, vec: String, id: String, m: Int = 4,
+                   ksub: Int = 8, iters: Int = 2, nlist: Int = 0): PqIndex = {
+    require(m >= 1 && ksub >= 1, s"buildPqIndex: m and ksub must be >= 1")
+    val headRow = corpus.filter(col(vec).isNotNull).select(col(vec)).head()
+    val dim = headRow.getSeq[Float](0).length
+    require(dim % m == 0, s"buildPqIndex: dim $dim not divisible by m=$m")
     val d = dim / m
 
-    // 1. TRAIN: one deterministic codebook per subspace
+    // one deterministic codebook per subspace
     val books: Seq[Seq[(Long, Array[Float])]] = (0 until m).map { j =>
       Clustering.kmeans(
         corpus.select(col(id), slice(col(vec), j * d + 1, d).as(vec)),
         vec, id, ksub, iters).centroids
     }
+    val coarse = if (nlist <= 0) None else Some(
+      Clustering.kmeans(corpus, vec, id, nlist, iters).centroids)
 
-    // 2. ENCODE — the persisted "index": m codes per vector, map-side
-    val enc = (0 until m).foldLeft(
-      corpus.filter(col(vec).isNotNull)
-        .select(col(id).cast("long").as("neighbor_id"), col(vec).as("nvec"))) {
-      case (df, j) =>
-        df.withColumn(s"_c$j", graft.functions.Expressions.best_centroid(
-          slice(col("nvec"), j * d + 1, d), books(j)).getField("cid"))
+    val base = corpus.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("neighbor_id"), col(vec).as("nvec"))
+    val routed = coarse.fold(base)(cents => base.withColumn("cluster",
+      graft.functions.Expressions.best_centroid(col("nvec"), cents)
+        .getField("cid")))
+    val enc = (0 until m).foldLeft(routed) { case (df, j) =>
+      df.withColumn(s"_c$j", graft.functions.Expressions.best_centroid(
+        slice(col("nvec"), j * d + 1, d), books(j)).getField("cid"))
     }
+    PqIndex(enc, books, coarse, m, d)
+  }
 
-    // 3. ADC tables: m·ksub·(|Q|+1) doubles of driver state (the
-    // k-means-centroid precedent), broadcast as literal maps
+  /** The ADC scoring column over an encoded row's `_c0.._cm-1` codes
+    * and `query_id`: m·ksub·(|Q|+1) doubles of driver state (the
+    * k-means-centroid precedent) broadcast as literal maps; per row the
+    * cost is m map lookups — the vector is never touched. */
+  private def pqAdcColumn(books: Seq[Seq[(Long, Array[Float])]],
+                          qRows: Array[(Long, Array[Float])],
+                          m: Int, d: Int): Column = {
     val nMaps: Seq[Map[Long, Double]] = books.map(_.map { case (cid, cw) =>
       cid -> graft.functions.Kernels.dot(cw, cw) }.toMap)
     val dotMaps: Seq[Map[Long, Map[Long, Double]]] = (0 until m).map { j =>
@@ -353,24 +377,69 @@ object SimilarityOps {
     }
     val qn2Map: Map[Long, Double] = qRows.map { case (qid, qv) =>
       qid -> graft.functions.Kernels.dot(qv, qv) }.toMap
-
-    val qIds = qRows.map(_._1).toSeq.toDF("query_id")
     val dots = (0 until m).map(j => element_at(
         element_at(typedLit(dotMaps(j)), col("query_id")), col(s"_c$j")))
       .reduce(_ + _)
     val rn2 = (0 until m)
       .map(j => element_at(typedLit(nMaps(j)), col(s"_c$j"))).reduce(_ + _)
     val qn2 = element_at(typedLit(qn2Map), col("query_id"))
-    val adc = roundHalfUp(when(rn2 === 0.0 || qn2 === 0.0, lit(0.0))
+    roundHalfUp(when(rn2 === 0.0 || qn2 === 0.0, lit(0.0))
       .otherwise(dots / (sqrt(qn2) * sqrt(rn2))), 6)
-    val scored = enc.crossJoin(broadcast(qIds)).withColumn("sim", adc)
+  }
 
-    // 4. bounded ADC top-cands, then exact rerank of |Q|·cands rows
+  /** Search a built PQ index: ADC-score, take the top `cands` per query
+    * (bounded aggregate), exact-rerank only those |Q|·cands rows. On a
+    * flat index the ADC pass scans every encoded row; on an IVF-routed
+    * index ([[buildPqIndex]] with nlist > 0) queries first rank the
+    * coarse centroids (the [[ivfSearch]] probe discipline: rounded
+    * cosine, ties to the smallest cluster id) and the ADC scan joins
+    * only the `nprobe` probed lists — ~nprobe/nlist of the corpus per
+    * query batch, the true FAISS IVFADC shape. PQ encodes the raw
+    * vector (FAISS `by_residual=false`), so the ADC expression is
+    * identical in both layouts and the oracle replays one formula. */
+  def pqSearch(index: PqIndex, queries: DataFrame, vec: String, id: String,
+               k: Int, cands: Int = 32, nprobe: Int = 4): DataFrame = {
+    require(k >= 1 && cands >= k,
+      s"pqSearch: need cands >= k >= 1, got k=$k cands=$cands")
+    val spark = index.enc.sparkSession
+    import spark.implicits._
+    // query set is broadcast-small by the ANN contract — one pinned
+    // evaluation (the lshTopK rationale), collected for the ADC tables
+    val qPlan = queries
+      .select(col(id).cast("long").as("query_id"), col(vec).as("qvec"))
+      .filter(col("qvec").isNotNull).dropDuplicates("query_id")
+    val qRows = qPlan.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(qRows.nonEmpty, "pqSearch: empty query set")
+    require(qRows.head._2.length == index.m * index.d,
+      s"pqSearch: query dim ${qRows.head._2.length} != index dim " +
+        s"${index.m * index.d}")
+    val adc = pqAdcColumn(index.books, qRows, index.m, index.d)
+
+    val scoredBase = index.coarse match {
+      case None =>
+        index.enc.crossJoin(broadcast(qRows.map(_._1).toSeq.toDF("query_id")))
+      case Some(cents) =>
+        val centDf = cents.toDF("cluster", "centroid")
+        val q = qRows.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+          .toDF("query_id", "qvec")
+        val qProbes = q.crossJoin(broadcast(centDf))
+          .withColumn("csim",
+            roundHalfUp(cosine_sim(col("qvec"), col("centroid")), 6))
+          .withColumn("crk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("csim").desc, col("cluster"))))
+          .filter(col("crk") <= nprobe)
+          .select("query_id", "cluster")
+        index.enc.join(broadcast(qProbes), Seq("cluster"))
+    }
+    val scored = scoredBase.withColumn("sim", adc)
+
+    // bounded ADC top-cands, then exact rerank of |Q|·cands rows
     val cand = rankTopK(scored.select("query_id", "neighbor_id", "sim"), cands)
       .select("query_id", "neighbor_id")
     val qVecs = qRows.toSeq.map { case (qid, v) => (qid, v.toSeq) }
       .toDF("query_id", "qvec")
-    corpus.select(col(id).cast("long").as("neighbor_id"), col(vec).as("nvec"))
+    index.enc.select(col("neighbor_id"), col("nvec"))
       .join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(qVecs), Seq("query_id"))
       .withColumn("sim", roundHalfUp(cosine_sim(col("qvec"), col("nvec")), 6))
@@ -378,5 +447,16 @@ object SimilarityOps {
         .orderBy(col("sim").desc, col("neighbor_id"))).cast("int"))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** IVFADC in one call: coarse-routed ADC scan + exact rerank. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, vec: String,
+                id: String, k: Int, nlist: Int, nprobe: Int = 4,
+                m: Int = 4, ksub: Int = 8, iters: Int = 2,
+                cands: Int = 32): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1,
+      s"ivfpqTopK: need nlist >= 1 and nprobe >= 1")
+    pqSearch(buildPqIndex(corpus, vec, id, m, ksub, iters, nlist = nlist),
+      queries, vec, id, k, cands, nprobe)
   }
 }

@@ -274,4 +274,49 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", k = 1, m = 5)
     }
   }
+
+  test("IVFPQ: partners recalled through routed ADC; index reusable") {
+    val df = planted
+    val idx = SimilarityOps.buildPqIndex(df, "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 2, nlist = 8)
+    val out = SimilarityOps.pqSearch(idx, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3, cands = 16, nprobe = 4).collect()
+    for (q <- 0L until 5L) {
+      val rows = out.filter(_.getLong(0) == q).sortBy(_.getInt(3))
+      assert(rows.nonEmpty && rows(0).getLong(1) == q, s"query $q lost itself")
+      assert(rows.exists(_.getLong(1) == 100L + q),
+        s"query $q lost its planted near-duplicate")
+    }
+    // the same index serves a second query set without retraining
+    val out2 = SimilarityOps.pqSearch(idx,
+      df.filter($"vec_id" >= 100 && $"vec_id" < 105),
+      "embedding", "vec_id", k = 1, cands = 16, nprobe = 2)
+    assert(out2.count() == 5)
+  }
+
+  test("IVFPQ probing every list equals flat PQ exactly") {
+    // nprobe = nlist makes routing a no-op: the ADC scored set is the
+    // whole corpus on both paths, so candidates, rerank, and ranks
+    // must be IDENTICAL — pins that routing only prunes, never alters
+    val df = planted
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted.toSeq
+    val full = norm(SimilarityOps.ivfpqTopK(df, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3, nlist = 8, nprobe = 8,
+      m = 4, ksub = 8, iters = 2, cands = 16).collect())
+    val flat = norm(SimilarityOps.pqTopK(df, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3, m = 4, ksub = 8, iters = 2,
+      cands = 16).collect())
+    assert(full == flat)
+  }
+
+  test("IVFPQ is deterministic across partitionings") {
+    val df = planted
+    def run(c: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.ivfpqTopK(c, c.filter($"vec_id" < 5), "embedding",
+        "vec_id", k = 3, nlist = 8, nprobe = 4, m = 4, ksub = 8,
+        iters = 2, cands = 16)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(df) == run(df.repartition(7)))
+  }
 }
