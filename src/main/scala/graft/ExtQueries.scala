@@ -517,13 +517,14 @@ object ExtQueries {
     }.mkString(",\n")
   }
 
-  /** Shared training CTEs: word counts (the one corpus-sized step) +
-    * character seeding + all `bpeMerges` replayed rounds. */
-  private def bpeBaseCtes: String =
+  /** Shared training CTEs: word counts (the one corpus-sized step,
+    * over the rows matching `trainWhere`) + character seeding + all
+    * `bpeMerges` replayed rounds. */
+  private def bpeBaseCtes(trainWhere: String = "text IS NOT NULL"): String =
     s"""words AS MATERIALIZED (
        |  SELECT w, count(*)::BIGINT cnt FROM (
        |    SELECT unnest(str_split(text, ' ')) w FROM documents
-       |    WHERE text IS NOT NULL)
+       |    WHERE $trainWhere)
        |  WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY w),
        |w0 AS MATERIALIZED (SELECT w, cnt,
        |  list_filter(str_split(w, ''), x -> x <> '') syms FROM words),
@@ -531,19 +532,16 @@ object ExtQueries {
 
   private def bpeTrainOracleSql: String =
     s"""WITH
-       |$bpeBaseCtes
+       |${bpeBaseCtes()}
        |${(1 to bpeMerges).map(i =>
           s"SELECT CAST($i AS INT) merge_rank, l AS lft, r AS rgt, " +
             s"c::BIGINT pair_count FROM b$i").mkString("\nUNION ALL\n")}
        |ORDER BY merge_rank""".stripMargin
 
-  /** Encode replay: documents exploded to positioned words, joined to
-    * the final round's word segmentation (w$bpeMerges), re-aggregated
-    * per doc with the token stream in word order. */
-  private def bpeEncodeOracleSql: String =
-    s"""WITH
-       |$bpeBaseCtes,
-       |docw AS (
+  /** The per-doc re-aggregation tail shared by the two encode oracles:
+    * positioned words joined to a word-segmentation table `segTbl`. */
+  private def bpeEncodeTailSql(segTbl: String): String =
+    s"""docw AS (
        |  SELECT doc_id, i, ws[i] w FROM (
        |    SELECT doc_id, str_split(text, ' ') ws FROM documents
        |    WHERE text IS NOT NULL) d,
@@ -553,8 +551,43 @@ object ExtQueries {
        |  sum(len(v.syms))::BIGINT AS n_bpe_tokens,
        |  string_agg(array_to_string(v.syms, ' '), ' ' ORDER BY d.i)
        |    AS bpe_tokens
-       |FROM docw d JOIN w$bpeMerges v ON v.w = d.w
+       |FROM docw d JOIN $segTbl v ON v.w = d.w
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** Encode replay: documents exploded to positioned words, joined to
+    * the final round's word segmentation (w$bpeMerges), re-aggregated
+    * per doc with the token stream in word order. */
+  private def bpeEncodeOracleSql: String =
+    s"""WITH
+       |${bpeBaseCtes()},
+       |${bpeEncodeTailSql(s"w$bpeMerges")}""".stripMargin
+
+  /** OOV-encode replay: the model trains on HALF the corpus (even
+    * doc_ids) and encodes ALL documents. Every encode word — in-vocab
+    * or OOV — replays the learned rules b1..bM with the training
+    * chain's sentinel-replace (we_i); on in-vocab words that
+    * reproduces the dictionary segmentation exactly (the engine's
+    * fast-path/replay equivalence, pinned in BpeSpec), on OOV words
+    * it IS the engine's bpe_segment path. */
+  private def bpeEncodeOovOracleSql: String = {
+    val S = "chr(31)"
+    val replay = (1 to bpeMerges).map { i =>
+      s"""we$i AS MATERIALIZED (SELECT w, list_filter(str_split(replace(
+         |    $S || array_to_string(syms, $S||$S) || $S,
+         |    $S||b.l||$S||$S||b.r||$S,
+         |    $S||b.l||b.r||$S), chr(31)), x -> x <> '') syms
+         |  FROM we${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |${bpeBaseCtes("text IS NOT NULL AND doc_id % 2 = 0")},
+       |we0 AS MATERIALIZED (SELECT w,
+       |  list_filter(str_split(w, ''), x -> x <> '') syms
+       |  FROM (SELECT DISTINCT unnest(str_split(text, ' ')) w
+       |        FROM documents WHERE text IS NOT NULL)
+       |  WHERE w <> '' AND NOT contains(w, chr(31))),
+       |$replay,
+       |${bpeEncodeTailSql(s"we$bpeMerges")}""".stripMargin
+  }
 
   /** ExactSubstr-span hyperparameters ([[graft.ops.DedupOps
     * .exactSubstrSpans]]), defined once for the key and its oracle. */
@@ -1495,6 +1528,19 @@ object ExtQueries {
     "q_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       val model = graft.ops.Bpe.train(d, "text", merges = bpeMerges)
+      graft.ops.Bpe.encode(d, "text", "doc_id", model).orderBy("doc_id")
+    }),
+
+    // Encode with OOV rule replay: the model trains on HALF the corpus
+    // (even doc_ids) and encodes ALL documents — odd-doc words missing
+    // from the vocabulary replay the learned rule table (the Sennrich
+    // encode semantics, native BpeSegmentWord kernel) instead of
+    // degrading to characters; in-vocab words keep the broadcast
+    // dictionary fast path.
+    "q_bpe_encode_oov" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.ops.Bpe.train(
+        d.filter(col("doc_id") % 2 === 0), "text", merges = bpeMerges)
       graft.ops.Bpe.encode(d, "text", "doc_id", model).orderBy("doc_id")
     }),
 
@@ -2548,6 +2594,7 @@ object ExtQueries {
     // non-overlapping merge of all bpeMerges rounds re-derived in SQL.
     "q_bpe_train" -> bpeTrainOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_bpe_encode_oov" -> bpeEncodeOovOracleSql,
 
     "q_tfidf" ->
       s"""WITH terms AS (

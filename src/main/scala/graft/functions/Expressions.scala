@@ -490,6 +490,31 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** [[Kernels.bpeSegment]] as an expression: Sennrich merge-rule
+    * replay for one word — the encode-time OOV path. The rule table
+    * rides as codegen reference objects (the [[BestCentroid]]
+    * pattern), bounded by the merge count; per row the cost is
+    * O(rules × word length). */
+  case class BpeSegmentWord(child: Expression,
+                            lefts: Array[String], rights: Array[String])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(lefts.length == rights.length,
+      s"bpe_segment: ${lefts.length} lefts vs ${rights.length} rights")
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bpeSegment(input.asInstanceOf[UTF8String], lefts, rights)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("lefts", lefts, "java.lang.String[]")
+      val rRef = ctx.addReferenceObj("rights", rights, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.bpeSegment($a, $lRef, $rRef);")
+    }
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -529,6 +554,10 @@ object Expressions {
     column(BestCentroidRouted(expression(vec),
       coarse.map(_._2).toArray, coarse.map(_._1).toArray,
       fine.map(_._3).toArray, fine.map(_._1).toArray, fine.map(_._2).toArray))
+  /** `rules` in merge-rank order. */
+  def bpe_segment(word: Column, rules: Seq[(String, String)]): Column =
+    column(BpeSegmentWord(expression(word),
+      rules.map(_._1).toArray, rules.map(_._2).toArray))
   def z_order(a: Column, b: Column): Column =
     column(ZOrderKey(expression(a.cast("long")), expression(b.cast("long"))))
   def bloom_might_contain(key: Column,

@@ -548,4 +548,43 @@ object Kernels {
     }
     out.toArray
   }
+
+  /** Sennrich merge-rule replay for ONE word: code-point character
+    * seeding, then each learned rule applied in rank order with the
+    * left-to-right non-overlapping scan — exactly the training fold's
+    * semantics (Bpe.mergeFold: after a merge the new symbol is l+r
+    * with r nonempty, so it can never re-match as a left element in
+    * the same pass). Replaying the full rule table on an in-vocab
+    * word therefore reproduces its trained segmentation; the encode
+    * path uses this for the OOV tail only. */
+  def bpeSegment(word: org.apache.spark.unsafe.types.UTF8String,
+                 lefts: Array[String], rights: Array[String])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = word.toString
+    var syms = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var ci = 0
+    while (ci < s.length) {
+      val n = Character.charCount(s.codePointAt(ci))
+      syms += s.substring(ci, ci + n)
+      ci += n
+    }
+    var k = 0
+    while (k < lefts.length) {
+      if (syms.length > 1) {
+        val l = lefts(k); val r = rights(k)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      syms.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+        .toArray[Any])
+  }
 }

@@ -125,15 +125,24 @@ object Bpe {
     * count and the full token stream (space-joined, word order
     * preserved). Encoding is the scale path described on [[BpeModel]]:
     * explode to words, broadcast-join the vocab segmentation, one
-    * per-doc re-aggregation — the merge rules are never replayed
-    * per row. Words absent from the training vocabulary segment to
-    * characters (the merges-don't-apply degenerate; a production
-    * tokenizer would replay rules for the OOV tail — here the
-    * fallback keeps the operator total and deterministic). */
+    * per-doc re-aggregation — for in-vocab words the merge rules are
+    * never replayed per row. Words ABSENT from the training
+    * vocabulary replay the learned rule table in rank order (the
+    * Sennrich encode semantics) via the native
+    * [[graft.functions.Expressions.BpeSegmentWord]] kernel — a
+    * coalesce branch, so only the OOV tail pays the O(rules × len)
+    * replay; the rule table is bounded driver state (≤ merges rows)
+    * riding as codegen constants. On an in-vocab word the replay
+    * would reproduce the dictionary entry exactly (same fold
+    * semantics — pinned in BpeSpec), so the fast path is a pure
+    * optimization, never a semantic fork. */
   def encode(df: DataFrame, text: String, id: String,
              model: BpeModel): DataFrame = {
     Reserved.requireAbsent(df, "bpeEncode",
       Seq("_pos", "_w", "_syms", "n_bpe_tokens", "bpe_tokens"))
+    val rules = model.merges.orderBy("merge_rank")
+      .select("lft", "rgt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
     val docWords = df
       .select(col(id), posexplode(split(col(text), " "))
         .as(Seq("_pos", "_w")))
@@ -142,7 +151,8 @@ object Bpe {
       .join(broadcast(model.vocab.withColumnRenamed("w", "_w")
         .withColumnRenamed("syms", "_syms")), Seq("_w"), "left")
       .select(col(id), col("_pos"), coalesce(col("_syms"),
-        filter(split(col("_w"), ""), s => s =!= "")).as("_syms"))
+        graft.functions.Expressions.bpe_segment(col("_w"), rules))
+        .as("_syms"))
       .groupBy(id)
       .agg(
         sum(size(col("_syms"))).as("n_bpe_tokens"),

@@ -93,7 +93,7 @@ class BpeSpec extends SparkSpec {
     assert(model.merges.count() == 1)
   }
 
-  test("encode: token counts, stream order, and OOV char fallback") {
+  test("encode: token counts, stream order, and OOV replay") {
     val model = Bpe.train(corpus.toDF("text"), "text", 10)
     val docs = Seq((1L, "low newest"), (2L, "zzz low")).toDF("doc_id", "text")
     val out = Bpe.encode(docs, "text", "doc_id", model)
@@ -102,10 +102,57 @@ class BpeSpec extends SparkSpec {
     val exp1 = refVocab("low") ++ refVocab("newest")
     assert(out(0).getLong(1) == exp1.length)
     assert(out(0).getString(2) == exp1.mkString(" "))
-    // 'zzz' is OOV -> character segmentation
+    // 'zzz' is OOV and no learned rule touches 'z': the replay leaves
+    // the character segmentation
     val exp2 = Seq("z", "z", "z") ++ refVocab("low")
     assert(out(1).getLong(1) == exp2.length)
     assert(out(1).getString(2) == exp2.mkString(" "))
+  }
+
+  /** Reference Sennrich ENCODER: apply the learned rules in rank order
+    * to a word's character split, left-to-right non-overlapping — what
+    * the engine's OOV path must equal. */
+  private def refReplay(w: String,
+                        rules: Seq[(String, String)]): Seq[String] =
+    rules.foldLeft(w.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+
+  test("encode OOV: learned rules replay, not character degradation") {
+    val model = Bpe.train(corpus.toDF("text"), "text", 10)
+    val rules = model.merges.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // OOV words built from in-vocab material: the rules MUST fire
+    for (w <- Seq("lowlow", "newlow", "widestest")) {
+      val exp = refReplay(w, rules)
+      assert(exp != w.map(_.toString), s"fixture $w should actually merge")
+      val out = Bpe.encode(Seq((1L, w)).toDF("doc_id", "text"),
+        "text", "doc_id", model).head()
+      assert(out.getLong(1) == exp.length, s"$w token count")
+      assert(out.getString(2) == exp.mkString(" "), s"$w stream")
+    }
+  }
+
+  test("replaying the full rule table reproduces the dictionary exactly") {
+    // the fast-path/replay equivalence the encode design rests on:
+    // vocab entries ARE the fixpoint of replaying training's rules
+    val model = Bpe.train(corpus.toDF("text"), "text", 10)
+    val rules = model.merges.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = model.vocab.collect()
+      .map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    val replayed = vocab.keys.toSeq.toDF("w")
+      .select(col("w"),
+        graft.functions.Expressions.bpe_segment(col("w"), rules).as("syms"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    assert(replayed == vocab)
   }
 
   test("words containing the sentinel are dropped, not corrupted") {

@@ -204,7 +204,8 @@ class PlanSpec extends SparkSpec {
       // + sort (vocab joins broadcast); 2-pass quantiles = histogram
       // (refine runs in its own jobs, exchange <= bins rows)
       "q_perplexity" -> 5, "q_quantile_sketch" -> 3,
-      "q_bpe_encode" -> 2, "q_quantile_2pass" -> 1)
+      "q_bpe_encode" -> 2, "q_bpe_encode_oov" -> 2,
+      "q_quantile_2pass" -> 1)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
