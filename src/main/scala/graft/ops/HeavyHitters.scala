@@ -78,11 +78,57 @@ object HeavyHitters {
         .withColumn("share", lit(0.0))
     val n = first.getLong(1)
     val cands = first.getSeq[Row](0).map(_.getString(0))
+    exactPass(rows, cands, n, theta)
+  }
+
+  /** Pass 2: exact recount of the ≤ k candidate literals against the
+    * already-normalized (non-null, string-cast `item` column) rows. */
+  private def exactPass(rows: DataFrame, cands: Seq[String], n: Long,
+                        theta: Double): DataFrame = {
     val minCnt = math.ceil(theta * n).toLong
     rows.filter(col("item").isInCollection(cands))
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= lit(minCnt))
       .withColumn("share", roundHalfUp(col("cnt") / lit(n.toDouble), 6))
       .orderBy(col("cnt").desc, col("item"))
+  }
+
+  /** θ-heavy items over an ARBITRARY horizon of persisted per-batch MG
+    * partials ([[graft.streaming.EventStream.heavyHitterSketchSink]]'s
+    * landed table, optionally filtered to a tag subset): the partials
+    * merge into one candidate summary (`mg_merge` — bounded rows in,
+    * one bounded buffer out; the streaming analogue of the two-level
+    * tree), then [[exactPass]] recounts the candidates against `data`,
+    * which must be the SAME horizon's rows (the sink's source,
+    * re-read). N comes from the recorded per-batch counts — no extra
+    * counting scan. The answer is exact and identical to running
+    * [[heavyHitters]] over the concatenated horizon, because the MG
+    * membership guarantee is merge-tree independent and pass 2 never
+    * depends on sketch counts. Requires every partial to share one
+    * capacity `k` with k ≥ 2·⌈1/θ⌉ — the superset guarantee's floor
+    * (a sink sized for θ₀ serves any θ ≥ θ₀). */
+  def heavyHittersFromSketches(sketches: DataFrame, data: DataFrame,
+                               item: String, theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1]: $theta")
+    val rows = data.filter(col(item).isNotNull)
+      .select(col(item).cast("string").as("item"))
+    val ks = sketches.select("k").distinct().collect().map(_.getInt(0))
+    if (ks.isEmpty) // empty horizon
+      return rows.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .withColumn("share", lit(0.0)).limit(0)
+    require(ks.length == 1,
+      s"heavyHittersFromSketches: mixed sketch capacities ${ks.sorted.toSeq}")
+    val k = ks.head
+    require(k >= 2 * math.ceil(1.0 / theta).toInt,
+      s"stored capacity k=$k cannot guarantee a superset at theta=$theta " +
+        s"(needs k >= 2*ceil(1/theta) = ${2 * math.ceil(1.0 / theta).toInt})")
+    val first = sketches
+      .agg(mg_merge(col("sketch"), k).as("cand"), sum("n").as("n")).head()
+    val n = if (first.isNullAt(1)) 0L else first.getLong(1)
+    if (n == 0L)
+      return rows.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .withColumn("share", lit(0.0)).limit(0)
+    val cands = first.getSeq[Row](0).map(_.getString(0))
+    exactPass(rows, cands, n, theta)
   }
 }

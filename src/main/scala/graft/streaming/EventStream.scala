@@ -247,6 +247,39 @@ object EventStream {
       ()
     }
 
+  /** Streaming heavy-hitter maintenance over the mergeable Misra–Gries
+    * summary ([[graft.functions.MisraGriesSketch]]): each micro-batch
+    * lands ONE row — its bounded k-entry partial sketch plus its
+    * non-null item count — under the replay-idempotent
+    * `(appId-batchId)` tag scheme (a foreachBatch replay overwrites
+    * exactly its own partition, so at-least-once delivery never
+    * double-counts). θ-heavy queries over ANY accumulated horizon are
+    * then [[graft.ops.HeavyHitters.heavyHittersFromSketches]]: merge
+    * the partials (readback bounded by k × batches, never data
+    * volume), exact-recount the candidates against the horizon's
+    * rows. Size `k ≥ 2·⌈1/θ_min⌉` for the smallest θ the horizon
+    * queries will ask. Same `appId` caveat as [[nearDupSink]]. */
+  def heavyHitterSketchSink(stream: DataFrame, sketchPath: String,
+                            item: String, appId: String, k: Int = 1024)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tag = s"$appId-$batchId"
+      val partial = batch.filter(col(item).isNotNull)
+        .select(col(item).cast("string").as("item"))
+        .agg(graft.functions.MisraGriesSketch.mg_sketch(col("item"), k)
+          .as("sketch"), count(lit(1)).as("n"))
+        .withColumn("k", lit(k))
+        // an all-null/empty batch has nothing to merge — never land a
+        // zero-count partial (and never a schema-less dir)
+        .filter(col("n") > 0)
+      if (!partial.isEmpty)
+        partial.withColumn("batch_tag", lit(tag))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_tag").parquet(sketchPath)
+      ()
+    }
+
   case class Impression(i_id: Long, i_ts: Timestamp, i_user: Long)
   case class Click(c_id: Long, c_ts: Timestamp, c_user: Long)
 

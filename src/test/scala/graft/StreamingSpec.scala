@@ -447,6 +447,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitter sink: merged partials + recount == one-shot") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val mem = MemoryStream[Option[String]]
+    val q = EventStream.heavyHitterSketchSink(mem.toDF().toDF("item"),
+        s"$dir/hh", "item", appId = "spec-hh", k = 32)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // the hot item is split across batches so NEITHER batch alone is
+    // decisive — only the merged summary + recount sees it heavy
+    val b1 = Seq.fill(120)(Some("hot")) ++ (0 until 200).map(i => Some(s"a$i"))
+    val b2 = Seq.fill(150)(Some("hot")) ++ Seq.fill(90)(Some("warm")) ++
+      (0 until 240).map(i => Some(s"b$i"))
+    val b3 = Seq(None, None) // all-null batch: no tag partition
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val horizon = (b1 ++ b2 ++ b3).toDF("item")
+      val got = graft.ops.HeavyHitters.heavyHittersFromSketches(
+        spark.read.parquet(s"$dir/hh"), horizon, "item", theta = 0.1)
+        .collect().map(_.toString).toSeq
+      val oneShot = graft.ops.HeavyHitters.heavyHitters(
+        horizon, "item", theta = 0.1)
+        .collect().map(_.toString).toSeq
+      assert(got == oneShot && got.nonEmpty)
+      assert(got.exists(_.contains("hot")), s"cross-batch heavy item lost: $got")
+      // the all-null batch must not have landed a tag partition
+      val tags = new java.io.File(s"$dir/hh").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_tag=")).toSet
+      assert(tags.size == 2, s"expected 2 tag partitions, got $tags")
+      // a too-ambitious theta (below the sink's capacity floor) must
+      // fail LOUDLY, not silently return a non-superset answer
+      intercept[IllegalArgumentException] {
+        graft.ops.HeavyHitters.heavyHittersFromSketches(
+          spark.read.parquet(s"$dir/hh"), horizon, "item", theta = 0.01)
+      }
+    } finally q.stop()
+  }
+
   test("streaming quantile-sketch sink: merged partials == one-shot sketch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
