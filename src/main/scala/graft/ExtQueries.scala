@@ -193,8 +193,14 @@ object ExtQueries {
     * with `faf`/`fbf` — the final routed assignment against `f_iters`.
     * Callers append their SELECT after this. */
   private def treeKmeansCtes(corpusSql: String, k: Int, g: Int,
-                             iters: Int): String = {
-    val perGroup = (k + g - 1) / g
+                             iters: Int,
+                             perGroupSql: Option[String] = None): String = {
+    // k reaches the tree ONLY through the per-group seed count
+    // (kmeansTree: perGroup = ceil(k/g), `srk <= perGroup`), so a
+    // DATA-DERIVED k (the scaled-k policy) replays by swapping the
+    // literal for a scalar subquery — the CTE structure never depends
+    // on k, only g and iters unroll.
+    val perGroup = perGroupSql.getOrElse(((k + g - 1) / g).toString)
     val simExpr = sqlRound(
       s"${sqlDot("ev", "cvec")} / (sqrt(${sqlDot("ev", "ev")}) * sqrt(${sqlDot("cvec", "cvec")}))", 6)
     val rounds = (1 to iters).map { i =>
@@ -998,6 +1004,25 @@ object ExtQueries {
         k = 8, g = 3, iters = 2)
         .assignments
         .select(col("vec_id"), col("cluster_id"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup under the SCALED-k OPERATING POLICY (Abbas et al.:
+    // k ∝ corpus, here ceil(n/16) floored at AutoTreeK+1) with tree
+    // routing — the plan you'd actually run at 100×: cluster sizes
+    // stay ~constant as the corpus grows, so the within-cluster pair
+    // stage grows ~linearly instead of the fixed-k keys' quadratic
+    // (their k=8 pin is for oracle simplicity; this key hash-gates the
+    // production configuration). k is derived from the non-null-vector
+    // count on BOTH sides (the oracle computes it as a scalar subquery
+    // — k only enters the tree through the per-group seed count).
+    "q_semdedup_scaled" -> ((s, dir) => {
+      val e = embWithAffineMutants(s, dir)
+      val n = e.filter(col("embedding").isNotNull).count()
+      val k = math.max(graft.ops.Clustering.AutoTreeK + 1,
+        math.ceil(n / 16.0).toInt)
+      graft.ops.Clustering.semdedup(e, "embedding", "vec_id", k = k,
+        iters = 2, threshold = 0.95, routing = "tree", treeG = 8)
         .orderBy("vec_id")
     }),
 
@@ -2383,6 +2408,30 @@ object ExtQueries {
       val pairSim =
         sqlRound(s"(${sqlDotU("x.ev", "y.ev")}) / (x.nrm * y.nrm)", 6)
       s"""${treeKmeansCtes(affineMutantCorpusSql, k = 8, g = 3, iters = 2)},
+         |asg AS MATERIALIZED (SELECT vec_id, fid AS cid FROM fbf WHERE rk = 1),
+         |pv AS MATERIALIZED (SELECT a.vec_id, a.cid, v.ev,
+         |         sqrt(${sqlDot("v.ev", "v.ev")}) AS nrm
+         |       FROM asg a JOIN v ON v.vec_id = a.vec_id),
+         |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb, $pairSim AS psim
+         |       FROM pv x JOIN pv y
+         |       ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |dr AS (SELECT DISTINCT idb FROM pr WHERE psim >= 0.95)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id FROM asg a
+         |WHERE a.vec_id NOT IN (SELECT idb FROM dr) ORDER BY a.vec_id""".stripMargin
+    },
+
+    // Scaled-k tree semdedup: identical drop CTEs, but the per-group
+    // fine-seed count derives from the corpus size as a scalar
+    // subquery — ceil(k/8) with k = greatest(33, ceil(|v|/16)), the
+    // engine key's exact formula (k reaches the tree only through
+    // this one count, so the unrolled CTE structure stays static).
+    "q_semdedup_scaled" -> {
+      val pairSim =
+        sqlRound(s"(${sqlDotU("x.ev", "y.ev")}) / (x.nrm * y.nrm)", 6)
+      val perGroupSql =
+        "(SELECT CAST(ceil(greatest(33.0, ceil(count(*) / 16.0)) / 8.0) AS BIGINT) FROM v)"
+      s"""${treeKmeansCtes(affineMutantCorpusSql, k = 33, g = 8, iters = 2,
+            perGroupSql = Some(perGroupSql))},
          |asg AS MATERIALIZED (SELECT vec_id, fid AS cid FROM fbf WHERE rk = 1),
          |pv AS MATERIALIZED (SELECT a.vec_id, a.cid, v.ev,
          |         sqrt(${sqlDot("v.ev", "v.ev")}) AS nrm

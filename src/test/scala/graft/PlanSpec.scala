@@ -266,11 +266,14 @@ class PlanSpec extends SparkSpec {
   test("semdedup: pair search confined to clusters — no cartesian, no nested loop") {
     // the quadratic term must stay local to a cluster: the self-join
     // keys on cluster_id (hash or broadcast are both fine), and nothing
-    // may regress into the all-pairs shapes
-    val p = planOf("q_semdedup")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"semdedup regressed to an all-pairs join:\n$p")
+    // may regress into the all-pairs shapes. The scaled-k key is the
+    // production configuration — same invariant must hold there.
+    for (key <- Seq("q_semdedup", "q_semdedup_scaled")) {
+      val p = planOf(key)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$key regressed to an all-pairs join:\n$p")
+    }
   }
 
   test("exact-substr spans: two aggregations, in-bucket pairs, no join") {
