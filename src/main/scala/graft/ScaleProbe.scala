@@ -78,7 +78,8 @@ object ScaleProbe {
       "pagerank", "kmeans", "medoids", "semdedup_flat", "semdedup_tree",
       "exact_substr", "exact_substr_incremental", "embed_incremental",
       "heavy_hitters", "heavy_hitters_wide", "bpe_train", "quantiles",
-      "perplexity", "ann_pq_search", "ann_ivfpq_search")
+      "perplexity", "ann_pq_search", "ann_ivfpq_search",
+      "embed_incremental_folded")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -298,6 +299,36 @@ object ScaleProbe {
         }._1
       }
       scrub()
+      // the embed_incremental probe against an index accreted as 16
+      // tagged appends and then FOLDED + COMPACTED — the maintenance
+      // twin of the row above (which probes a 1-tag index). The fold
+      // collapses the 16 tag partitions into one _folded tag and
+      // compact rewrites the small files, so the probe's per-partition
+      // file listing and scan fan-in return to the fresh-index shape;
+      // expected: this row tracks embed_incremental, NOT a 16× file-
+      // count term. (Pairs emitted during accretion are warm-up, not
+      // timed; the timed window is probe-after-maintenance only.)
+      val tEmbFold = if (!want("embed_incremental_folded")) -1.0 else {
+        val embIdx = s"$root/embfidx_x${scale}_$tag"
+        val eHist = e.filter(col("vec_id") % 100 =!= 0)
+        val eBatch = e.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => (x * lit(1.1) + lit(0.01)).cast("float")).as("embedding"))
+        for (i <- 0 until 16)
+          graft.ops.EmbedIndex.appendAndFindDups(spark,
+            eHist.filter(col("vec_id") % 16 === i), embIdx,
+            "embedding", "vec_id", batchTag = Some(s"h$i"))
+        graft.ops.EmbedIndex.foldBatches(spark, embIdx)
+        graft.ops.EmbedIndex.compact(spark, embIdx)
+        scrub()
+        // single-shot, as for the sibling incremental rows
+        time {
+          graft.ops.EmbedIndex.appendAndFindDups(spark, eBatch, embIdx,
+            "embedding", "vec_id", batchTag = Some("daily")).count()
+        }._1
+      }
+      scrub()
       // two-pass exact heavy hitters over the token stream: pass 1 is
       // a linear scan into partition-bounded MG buffers (shuffle =
       // partitions × k regardless of distinct cardinality — at 30× the
@@ -397,7 +428,8 @@ object ScaleProbe {
         "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
         "exact_substr_incremental" -> tEsIncr,
-        "embed_incremental" -> tEmbIncr, "heavy_hitters" -> tHh,
+        "embed_incremental" -> tEmbIncr,
+        "embed_incremental_folded" -> tEmbFold, "heavy_hitters" -> tHh,
         "heavy_hitters_wide" -> tHhWide, "ann_pq_search" -> tPqSearch,
         "ann_ivfpq_search" -> tIvfpqSearch,
         "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl)
