@@ -1569,6 +1569,16 @@ object ExtQueries {
       graft.ops.Bpe.encode(d, "text", "doc_id", model).orderBy("doc_id")
     }),
 
+    // PER-GROUP exact heavy hitters (θ-heavy tokens per language):
+    // grouped MG candidate sketches + broadcast-semi recount, the
+    // whole pipeline plan-side — no driver collect at any group
+    // cardinality (the q_heavy_hitters harness, grouped).
+    "q_heavy_hitters_grouped" -> ((s, dir) =>
+      graft.ops.HeavyHitters.groupedHeavyHitters(
+        docs(s, dir).select(col("lang"),
+          explode(split(col("text"), " ")).as("tok")),
+        "tok", "lang", theta = 0.03)),
+
     // TF-IDF keyword extraction: top-5 terms per document (explode ->
     // partial-agg'd term counts -> df join -> per-doc window).
     "q_tfidf" -> ((s, dir) =>
@@ -2638,6 +2648,18 @@ object ExtQueries {
          |FROM c CROSS JOIN n
          |WHERE cnt >= ceil(0.0335 * n.total)
          |ORDER BY cnt DESC, item""".stripMargin,
+
+    "q_heavy_hitters_grouped" ->
+      s"""WITH r AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |g AS (SELECT lang, count(*) AS n FROM r GROUP BY lang),
+         |c AS (SELECT lang, tok, count(*) AS cnt FROM r GROUP BY lang, tok)
+         |SELECT c.lang, c.tok, c.cnt,
+         |  ${sqlRound("c.cnt / CAST(g.n AS DOUBLE)", 6)} AS share
+         |FROM c JOIN g USING (lang)
+         |WHERE c.cnt >= ceil(0.03 * g.n)
+         |ORDER BY lang, cnt DESC, tok""".stripMargin,
 
     // Full-training replays: every pair count, arg-max choice, and
     // non-overlapping merge of all bpeMerges rounds re-derived in SQL.

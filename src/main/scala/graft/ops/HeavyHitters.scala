@@ -93,6 +93,46 @@ object HeavyHitters {
       .orderBy(col("cnt").desc, col("item"))
   }
 
+  /** PER-GROUP θ-heavy items ("which tokens dominate each language /
+    * domain?") with the whole pipeline plan-side — no driver collect at
+    * all, so group cardinality never touches driver memory. Pass 1
+    * aggregates one bounded MG summary + count PER GROUP (exchange:
+    * partitions × groups-per-partition × k entries, each buffer
+    * bounded); candidates explode from the sketch rows and come back
+    * to the data as a BROADCAST semi-join on (group, item) — ≤
+    * groups×k keys, the dimension-table-sized broadcast stance of
+    * [[Quantiles.groupedExactQuantiles]] — so the corpus never
+    * shuffles to be filtered. Pass 2 recounts survivors exactly and
+    * thresholds against the per-group count (ceil in the plan, the
+    * same IEEE arithmetic the oracle runs). Same guarantee as
+    * [[heavyHitters]], applied per group: any item with in-group
+    * count > N_g/(k+1) survives its group's summary, and
+    * k = slack·⌈1/θ⌉ makes that a superset of the θ-heavy set.
+    * Rows with a null group key or null item are excluded (the
+    * grouped-operator null contract). Output: (key, item, cnt,
+    * share), ordered (key, cnt desc, item). */
+  def groupedHeavyHitters(df: DataFrame, item: String, key: String,
+                          theta: Double, slack: Int = 2): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1]: $theta")
+    require(slack >= 2, s"slack < 2 breaks the superset guarantee: $slack")
+    val k = math.max(16, slack * math.ceil(1.0 / theta).toInt)
+    require(k <= (1 << 20),
+      s"theta=$theta needs a $k-entry sketch; below ~1e-6 use groupBy")
+    val rows = df.filter(col(item).isNotNull && col(key).isNotNull)
+      .select(col(key).as("k"), col(item).cast("string").as("item"))
+    val sk = rows.groupBy("k")
+      .agg(mg_sketch(col("item"), k).as("s"), count(lit(1)).as("n"))
+    val cands = sk.select(col("k"), explode(col("s")).as("e"))
+      .select(col("k"), col("e.item").as("item"))
+    rows.join(broadcast(cands), Seq("k", "item"), "left_semi")
+      .groupBy("k", "item").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(sk.select(col("k"), col("n"))), Seq("k"))
+      .filter(col("cnt") >= ceil(lit(theta) * col("n")))
+      .select(col("k").as(key), col("item").as(item), col("cnt"),
+        roundHalfUp(col("cnt") / col("n").cast("double"), 6).as("share"))
+      .orderBy(col(key), col("cnt").desc, col(item))
+  }
+
   /** θ-heavy items over an ARBITRARY horizon of persisted per-batch MG
     * partials ([[graft.streaming.EventStream.heavyHitterSketchSink]]'s
     * landed table, optionally filtered to a tag subset): the partials

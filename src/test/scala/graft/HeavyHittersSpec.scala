@@ -62,6 +62,31 @@ class HeavyHittersSpec extends SparkSpec {
     assert(wide === expected, "two-level merge diverged at 64 partitions")
   }
 
+  test("grouped heavy hitters: exact per-group answer, partitioning-invariant") {
+    // g1 under active eviction (61 distinct vs k=16), g2 tiny with a
+    // sub-threshold item; theta applies RELATIVE to each group's count
+    val df = (Seq.fill(40)(("g1", "hot")) ++
+      (0 until 60).map(i => ("g1", s"n$i")) ++
+      Seq.fill(9)(("g2", "x")) ++ Seq(("g2", "y"))).toDF("k", "item")
+    val expected = Seq(("g1", "hot", 40L, 0.4), ("g2", "x", 9L, 0.9))
+    for (parts <- Seq(1, 7)) {
+      val got = HeavyHitters.groupedHeavyHitters(
+          df.repartition(parts), "item", "k", theta = 0.2)
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(got == expected, s"diverged at $parts partitions")
+    }
+  }
+
+  test("grouped heavy hitters: null keys and null items are excluded") {
+    val df = Seq[(Option[String], Option[String])](
+      (Some("g"), Some("a")), (Some("g"), Some("a")),
+      (Some("g"), None), (None, Some("a")))
+      .toDF("k", "item")
+    val got = HeavyHitters.groupedHeavyHitters(df, "item", "k", 0.5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("g", "a", 2L, 1.0)))
+  }
+
   test("mg_merge of lane sketches preserves the membership guarantee") {
     val df = skewed(400, 250, 1300)
     // lanes = an arbitrary 7-way split of the data (any split is valid:

@@ -145,6 +145,16 @@ class PlanSpec extends SparkSpec {
       s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
 
+  test("grouped heavy hitters: candidate filter broadcasts, no corpus join shuffle") {
+    // the (group, item) candidate set is groups×k-bounded and must come
+    // back to the token stream as a broadcast semi-join — a sort-merge
+    // would shuffle every token to be filtered
+    val p = planOf("q_heavy_hitters_grouped")
+    assert(p.contains("BroadcastHashJoin"), s"broadcast joins lost:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"grouped heavy hitters shuffles the corpus for a join:\n$p")
+  }
+
   test("grouped exact quantiles: the corpus never shuffles for a join") {
     // every corpus-touching join (stats re-attach, refine semi-filter,
     // rank pick) must broadcast its group-bounded side — a sort-merge
