@@ -1751,6 +1751,29 @@ object ExtQueries {
         .orderBy("query_id", "rk")
     }),
 
+    // Persisted IVFADC index (PqDiskIndex): built ONCE under a
+    // content-keyed fixture path — encoded table range-clustered on
+    // the inverted-list id so the probe IN-list prunes files — and
+    // each run times ONLY the disk search. Oracled with the SAME SQL
+    // as q_ann_ivfpq: disk search ≡ ivfpqTopK under one training
+    // configuration (PqDiskIndexSpec pins the equality).
+    "q_ann_ivfpq_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val fx = graft.Fixtures.ensure("ivfpq_idx",
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.Fixtures.contentKey(s"ivfpq_idx|$dir", e, "vec_id", "embedding")) { p =>
+        graft.ops.PqDiskIndex.build(s, e, p + "/pq", "embedding", "vec_id",
+          m = pqM, ksub = annK, iters = annIvfIters, nlist = annK,
+          numFiles = 8)
+      }
+      graft.ops.PqDiskIndex.search(s, e.filter(col("vec_id") < 5),
+          fx + "/pq", "embedding", "vec_id", annTopK, cands = pqCands,
+          nprobe = annNprobe)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("long"))
+        .orderBy("query_id", "rk")
+    }),
+
     // LSH-bucketed ANN (scale path). bits is EXPLICIT, not autoBits:
     // the plane set must match the static oracle (which embeds the
     // sign matrix from HyperplaneLsh.signs), and skipping the sizing
@@ -2338,6 +2361,7 @@ object ExtQueries {
     "q_ann_pq" -> pqAnnOracleSql,
 
     "q_ann_ivfpq" -> ivfpqAnnOracleSql,
+    "q_ann_ivfpq_index" -> ivfpqAnnOracleSql,
 
     // The HLL key's oracle asserts the 3×rsd bound (within_rsd must be
     // TRUE) plus the exact counts — the estimate itself is engine-

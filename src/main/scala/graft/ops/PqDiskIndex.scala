@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVFADC (IVF-routed product-quantization) index — the
+  * serve-time complement of [[SimilarityOps.ivfpqTopK]], and the PQ
+  * sibling of [[AnnIndex]]: build once (train coarse quantizer +
+  * per-subspace codebooks, encode the corpus), append new vectors per
+  * batch under the FIXED codebooks, search any time from disk without
+  * retraining or re-encoding the stored corpus.
+  *
+  * Layout under `indexPath`:
+  *  - `encoded/`: (neighbor_id, nvec, cluster, _c0.._c{m-1})
+  *    RANGE-CLUSTERED on the coarse `cluster` id
+  *    ([[Layout.writeRangeClustered]]) — each parquet file covers a
+  *    contiguous inverted-list slice, so a probe's `cluster IN (...)`
+  *    filter pushes into the scan and prunes whole files/row groups by
+  *    min/max stats. A search READS ~nprobe/nlist of the index — the
+  *    on-disk realization of the IVF routing cut; the ADC pass needs
+  *    only the m int code columns (column pruning does the rest), the
+  *    full vector column is touched by the |Q|·cands rerank alone.
+  *  - `books/`: (j, cid, cvec) — the m per-subspace codebooks.
+  *  - `coarse/`: (cid, cvec) — the coarse quantizer centroids.
+  *  - `_meta_pq`: "m d", written LAST — its presence marks the index
+  *    complete (the [[AnnIndex]] crash-safety discipline: build drops
+  *    the meta FIRST, so a crash mid-rebuild fails loudly at read
+  *    time instead of silently serving codes under the wrong books).
+  *
+  * Codebooks are FIXED at build time: appended vectors are encoded
+  * under the stored books/coarse (the FAISS add-after-train
+  * contract), so codes stay comparable as the index accretes; retrain
+  * by rebuilding when drift warrants it.
+  */
+object PqDiskIndex {
+
+  private def encPath(p: String) = p + "/encoded"
+  private def booksPath(p: String) = p + "/books"
+  private def coarsePath(p: String) = p + "/coarse"
+  private def metaPath(p: String) = new Path(p, "_meta_pq")
+
+  private def fsFor(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Build (or rebuild) the index: deterministic full-corpus training
+    * ([[SimilarityOps.buildPqIndex]] — oracle-replayable), encode, land
+    * range-clustered on the inverted-list id. */
+  def build(spark: SparkSession, corpus: DataFrame, indexPath: String,
+            vec: String, id: String, m: Int = 4, ksub: Int = 8,
+            iters: Int = 2, nlist: Int = 8, numFiles: Int = 32): Unit = {
+    require(nlist >= 1, "PqDiskIndex: nlist must be >= 1 (IVF-routed)")
+    val fs = fsFor(spark, indexPath)
+    fs.delete(metaPath(indexPath), false)
+    val idx = SimilarityOps.buildPqIndex(corpus, vec, id, m, ksub, iters,
+      nlist = nlist)
+    import spark.implicits._
+    val booksDf = idx.books.zipWithIndex.flatMap { case (book, j) =>
+      book.map { case (cid, cw) => (j, cid, cw.toSeq) }
+    }.toDF("j", "cid", "cvec")
+    booksDf.write.mode(SaveMode.Overwrite).parquet(booksPath(indexPath))
+    idx.coarse.get.map { case (cid, cw) => (cid, cw.toSeq) }
+      .toDF("cid", "cvec")
+      .write.mode(SaveMode.Overwrite).parquet(coarsePath(indexPath))
+    Layout.writeRangeClustered(idx.enc, encPath(indexPath),
+      Seq("cluster"), numFiles)
+    val out = fs.create(metaPath(indexPath), true)
+    try out.write(s"${idx.m} ${idx.d}".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, indexPath: String): (Int, Int) = {
+    val fs = fsFor(spark, indexPath)
+    val in = fs.open(metaPath(indexPath))
+    val parts =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.split(' ')
+      finally in.close()
+    (parts(0).toInt, parts(1).toInt)
+  }
+
+  /** Load the stored model + encoded table as an in-memory-shaped
+    * [[SimilarityOps.PqIndex]] (books/coarse are bounded; the encoded
+    * table stays a lazy scan). */
+  def loadIndex(spark: SparkSession, indexPath: String)
+      : SimilarityOps.PqIndex = {
+    val (m, d) = readMeta(spark, indexPath)
+    val books = spark.read.parquet(booksPath(indexPath))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1)
+    val bookSeq = (0 until m).map(j =>
+      books(j).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    val coarse = spark.read.parquet(coarsePath(indexPath))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    SimilarityOps.PqIndex(spark.read.parquet(encPath(indexPath)),
+      bookSeq, Some(coarse), m, d)
+  }
+
+  /** Append a batch, encoded under the index's FIXED books + coarse
+    * quantizer; the batch's files are range-clustered on cluster like
+    * the base build, so probe pruning keeps working as it accretes. */
+  def append(spark: SparkSession, batch: DataFrame, indexPath: String,
+             vec: String, id: String, numFiles: Int = 4): Unit = {
+    val idx = loadIndex(spark, indexPath)
+    val base = batch.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("neighbor_id"), col(vec).as("nvec"))
+      .withColumn("cluster", graft.functions.Expressions
+        .best_centroid(col("nvec"), idx.coarse.get).getField("cid"))
+    val enc = (0 until idx.m).foldLeft(base) { case (df, j) =>
+      df.withColumn(s"_c$j", graft.functions.Expressions.best_centroid(
+        slice(col("nvec"), j * idx.d + 1, idx.d), idx.books(j))
+        .getField("cid"))
+    }
+    Layout.writeRangeClustered(enc, encPath(indexPath),
+      Seq("cluster"), numFiles, SaveMode.Append)
+  }
+
+  /** IVFADC search against the stored index — identical output to
+    * [[SimilarityOps.ivfpqTopK]] under the same training configuration
+    * (PqDiskIndexSpec pins the equality), but the probed inverted
+    * lists are ALSO computed driver-side (same kernels and rounding as
+    * the plan-side probe rank, so the two probe sets agree by
+    * construction) and pushed into the encoded scan as a `cluster IN`
+    * literal filter, where the range-clustered layout turns them into
+    * file/row-group pruning. */
+  def search(spark: SparkSession, queries: DataFrame, indexPath: String,
+             vec: String, id: String, k: Int, cands: Int = 32,
+             nprobe: Int = 4): DataFrame = {
+    val idx = loadIndex(spark, indexPath)
+    val cents = idx.coarse.get
+    val qRows = queries
+      .select(col(id).cast("long").as("query_id"), col(vec).as("qvec"))
+      .filter(col("qvec").isNotNull).dropDuplicates("query_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeKeys = qRows.flatMap { case (_, qv) =>
+      cents.map { case (cid, cv) =>
+        (graft.functions.Rounding.roundHalfUpDouble(
+          graft.functions.Kernels.cosine(qv, cv), 6), cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
+    }.distinct.toSeq
+    val pruned = idx.copy(enc =
+      idx.enc.filter(col("cluster").isInCollection(probeKeys)))
+    SimilarityOps.pqSearch(pruned, queries, vec, id, k, cands, nprobe)
+  }
+}

@@ -125,16 +125,18 @@ class PlanSpec extends SparkSpec {
     //    definition — the broadcast side is the bounded query-id set and
     //    the per-pair cost is m map lookups, never a vector; the corpus
     //    side stays map-side (the FAISS ADC loop shape).
-    //  - q_ann_ivfpq: only the PROBE step is dense — |Q| × nlist
-    //    centroid rows, both bounded (the q_ann_ivf shape); the ADC
-    //    scan itself joins the probed lists on the cluster equi key
-    //    (broadcast hash), never all-pairs.
+    //  - q_ann_ivfpq / q_ann_ivfpq_index: only the PROBE step is dense
+    //    — |Q| × nlist centroid rows, both bounded (the q_ann_ivf
+    //    shape); the ADC scan itself joins the probed lists on the
+    //    cluster equi key (broadcast hash), never all-pairs. The
+    //    _index twin additionally pushes the probe set into the
+    //    encoded scan as an IN literal (file pruning).
     // (q_quantile_sketch / q_quantile_sketch_grouped used to be here:
     // the rank pick was a no-equi-key theta-join; both now explode the
     // literal fraction list and filter map-side — zero joins.)
     val bruteForce = Set("q_similarity_cosine", "q_dedup_embed",
       "q_ngram_jaccard", "q_ngram_containment", "q_ann_ivf", "q_dq_checks",
-      "q_cluster_assign", "q_ann_pq", "q_ann_ivfpq")
+      "q_cluster_assign", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_index")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bruteForce)
       .filter { key =>

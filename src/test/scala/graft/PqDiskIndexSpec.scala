@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{PqDiskIndex, SimilarityOps}
+
+/** Persisted IVFADC index: disk search ≡ in-memory ivfpqTopK, appends
+  * encode under the FIXED stored codebooks, crash-safety meta contract. */
+class PqDiskIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("pqdisk").toString
+
+  private def planted = {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val bases = Seq.fill(5)(vec())
+    (bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      bases.zipWithIndex.map { case (v, i) => (100L + i, jitter(v)) } ++
+      (0 until 50).map(i => (200L + i, vec()))).toDF("vec_id", "embedding")
+  }
+
+  test("disk search equals in-memory ivfpqTopK exactly") {
+    val df = planted
+    val dir = tmp()
+    PqDiskIndex.build(spark, df, s"$dir/pq", "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 2, nlist = 8, numFiles = 4)
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted.toSeq
+    val disk = norm(PqDiskIndex.search(spark, df.filter($"vec_id" < 5),
+      s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 4)
+      .collect())
+    val mem = norm(SimilarityOps.ivfpqTopK(df, df.filter($"vec_id" < 5),
+      "embedding", "vec_id", k = 3, nlist = 8, nprobe = 4,
+      m = 4, ksub = 8, iters = 2, cands = 16).collect())
+    assert(disk == mem)
+  }
+
+  test("probe pruning pushes a cluster IN filter into the encoded scan") {
+    val df = planted
+    val dir = tmp()
+    PqDiskIndex.build(spark, df, s"$dir/pq", "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 2, nlist = 8, numFiles = 4)
+    val p = PqDiskIndex.search(spark, df.filter($"vec_id" < 2),
+        s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 2)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("In(cluster"),
+      s"cluster probe filter not pushed into the scan:\n$p")
+  }
+
+  test("append encodes under the stored codebooks; new vectors searchable") {
+    val df = planted
+    val dir = tmp()
+    // build WITHOUT the planted partners, then append them
+    PqDiskIndex.build(spark, df.filter($"vec_id" < 100 || $"vec_id" >= 200),
+      s"$dir/pq", "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 2, nlist = 8, numFiles = 4)
+    PqDiskIndex.append(spark,
+      df.filter($"vec_id" >= 100 && $"vec_id" < 200),
+      s"$dir/pq", "embedding", "vec_id")
+    val out = PqDiskIndex.search(spark, df.filter($"vec_id" < 5),
+      s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 4)
+      .collect()
+    for (q <- 0L until 5L) {
+      val rows = out.filter(_.getLong(0) == q)
+      assert(rows.exists(_.getLong(1) == 100L + q),
+        s"appended partner of query $q not found")
+    }
+  }
+
+  test("missing meta (crashed rebuild) fails loudly, not silently") {
+    val df = planted
+    val dir = tmp()
+    PqDiskIndex.build(spark, df, s"$dir/pq", "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 2, nlist = 8)
+    new java.io.File(s"$dir/pq/_meta_pq").delete()
+    intercept[Exception] {
+      PqDiskIndex.search(spark, df.filter($"vec_id" < 2), s"$dir/pq",
+        "embedding", "vec_id", k = 1)
+    }
+  }
+}
