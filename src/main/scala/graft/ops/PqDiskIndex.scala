@@ -118,6 +118,35 @@ object PqDiskIndex {
       Seq("cluster"), numFiles, SaveMode.Append)
   }
 
+  /** Re-cluster the accreted encoded table back into `numFiles`
+    * range-clustered files — the maintenance op the append path calls
+    * for, the PQ sibling of [[EmbedIndex.compact]]. Each append is
+    * itself range-clustered so pruning stays CORRECT as the index
+    * accretes, but every append lands its own file set whose cluster
+    * ranges overlap the base build's: a probe's `cluster IN` filter
+    * then opens ~appends× more files than a fresh build, and at
+    * streaming cadence the file count alone (driver listing, per-file
+    * open) becomes the cost before any byte is scanned. Compaction
+    * rewrites `encoded/` as ONE range-clustered file set — the
+    * fresh-build shape — through the stage-and-swap discipline
+    * ([[Layout.swapInPlace]], self-healing on entry), so a crash
+    * leaves the old or the new table, never half. Books, coarse, and
+    * the meta marker are untouched: compaction moves bytes, it never
+    * re-quantizes — codes stay bit-identical, so search results are
+    * unchanged by construction (PqDiskIndexSpec pins the equality). */
+  def compact(spark: SparkSession, indexPath: String,
+              numFiles: Int = 32): Unit = {
+    readMeta(spark, indexPath) // incomplete index: fail loudly, as search
+    val fs = fsFor(spark, indexPath)
+    val p = new Path(encPath(indexPath))
+    Layout.recoverSwap(fs, p)
+    val tmp = Layout.stagingPath(p, "compact_tmp")
+    fs.delete(tmp, true) // stale staging from a crashed run, never authoritative
+    Layout.writeRangeClustered(spark.read.parquet(p.toString),
+      tmp.toString, Seq("cluster"), numFiles)
+    Layout.swapInPlace(fs, tmp, p)
+  }
+
   /** IVFADC search against the stored index — identical output to
     * [[SimilarityOps.ivfpqTopK]] under the same training configuration
     * (PqDiskIndexSpec pins the equality), but the probed inverted

@@ -70,6 +70,39 @@ class PqDiskIndexSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle: accreted appends → compact → identical search, fresh-build file count") {
+    val df = planted
+    val dir = tmp()
+    // build on the non-partner corpus, then accrete the partners as 5
+    // single-id appends — each lands its own range-clustered file set,
+    // so encoded/ holds ~6 overlapping generations before compaction
+    PqDiskIndex.build(spark, df.filter($"vec_id" < 100 || $"vec_id" >= 200),
+      s"$dir/pq", "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 2, nlist = 8, numFiles = 4)
+    for (i <- 0 until 5)
+      PqDiskIndex.append(spark, df.filter($"vec_id" === (100L + i)),
+        s"$dir/pq", "embedding", "vec_id")
+    def encFiles() = new java.io.File(s"$dir/pq/encoded").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    def results() = PqDiskIndex.search(spark, df.filter($"vec_id" < 5),
+      s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val before = results()
+    val filesBefore = encFiles()
+    PqDiskIndex.compact(spark, s"$dir/pq", numFiles = 4)
+    assert(results() == before,
+      "compaction changed search results — it must move bytes, not codes")
+    assert(encFiles() <= 4 && encFiles() < filesBefore,
+      s"expected <=4 files after compact (was $filesBefore, now ${encFiles()})")
+    // meta untouched: the index still loads and appends still work
+    PqDiskIndex.append(spark, df.filter($"vec_id" === 210L)
+      .select(lit(300L).as("vec_id"), $"embedding"),
+      s"$dir/pq", "embedding", "vec_id")
+    assert(PqDiskIndex.search(spark, df.filter($"vec_id" === 2L),
+      s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 8)
+      .collect().nonEmpty)
+  }
+
   test("missing meta (crashed rebuild) fails loudly, not silently") {
     val df = planted
     val dir = tmp()
