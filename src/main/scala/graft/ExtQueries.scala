@@ -1273,6 +1273,31 @@ object ExtQueries {
       DedupOps.connectedComponents(pairs).orderBy("id")
     }),
 
+    // The same clustering MAINTAINED incrementally: base-base pairs
+    // build a persisted label store (fixture-cached), then the
+    // mutant-involving pairs arrive as a daily batch that merges and
+    // extends components in O(batch + affected members) — the resolved
+    // labels must equal the one-shot components over the union (the
+    // q_dedup_components oracle verbatim). The daily append replays
+    // every invocation under a fixed tag: idempotent by construction.
+    "q_dedup_components_incremental" -> ((s, dir) => {
+      val d = clusterDocs(s, dir)
+      val pairs = DedupOps.ngramJaccard(d, d, "text", "doc_id")
+        .filter(col("inter") * 10 >= col("uni") * 3)
+      val hist = pairs.filter(col("id_b") < 1000000L) // base-base only
+      val daily = pairs.filter(col("id_b") >= 1000000L) // mutant arrivals
+      val fx = graft.Fixtures.ensure("comp_idx",
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.Fixtures.contentKey(s"comp_idx|$dir", d, "doc_id", "text")) { p =>
+        graft.ops.ComponentsIndex.appendAndLabel(s, hist, p + "/idx",
+          batchTag = Some("hist"))
+        ()
+      }
+      graft.ops.ComponentsIndex.appendAndLabel(s, daily, fx + "/idx",
+        batchTag = Some("daily"))
+      graft.ops.ComponentsIndex.currentLabels(s, fx + "/idx").orderBy("id")
+    }),
+
     // Dedup applied end-to-end: exact-Jaccard pairs -> components ->
     // corpus minus non-representatives (one survivor per cluster).
     "q_dedup_apply" -> ((s, dir) => {
@@ -1917,6 +1942,41 @@ object ExtQueries {
       |    array_to_string(toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)], ' ')
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
+  // One-shot connected components over the clusterDocs exact-Jaccard
+  // pairs — shared verbatim by q_dedup_components and its incremental
+  // twin (whose resolved labels must equal the one-shot by contract).
+  private val componentsOracleSql =
+    """WITH RECURSIVE
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE doc_id < 20)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_transform(range(1, len(toks) - 1),
+      |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |         ELSE CAST([] AS VARCHAR[]) END AS s
+      |  FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
+      |        >= len(list_distinct(a.s || b.s)) * 3),
+      |e AS (SELECT id_a AS s, id_b AS t FROM p
+      |      UNION SELECT id_b, id_a FROM p),
+      |v AS (SELECT DISTINCT s AS id FROM e),
+      |reach(a, b) AS (
+      |  SELECT id, id FROM v
+      |  UNION
+      |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s)
+      |SELECT a AS id, min(b) AS component
+      |FROM reach GROUP BY a ORDER BY id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Round-trip oracle for the synthetic-container probe: the payload
     // builder's arithmetic (Multimodal.syntheticPayload — header sizes,
@@ -2478,37 +2538,12 @@ object ExtQueries {
          |WHERE a.vec_id NOT IN (SELECT idb FROM dr) ORDER BY a.vec_id""".stripMargin
     },
 
-    "q_dedup_components" ->
-      """WITH RECURSIVE
-        |d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE doc_id < 40
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents WHERE doc_id < 20)),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-        |         ELSE CAST([] AS VARCHAR[]) END AS s
-        |  FROM d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
-        |        >= len(list_distinct(a.s || b.s)) * 3),
-        |e AS (SELECT id_a AS s, id_b AS t FROM p
-        |      UNION SELECT id_b, id_a FROM p),
-        |v AS (SELECT DISTINCT s AS id FROM e),
-        |reach(a, b) AS (
-        |  SELECT id, id FROM v
-        |  UNION
-        |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s)
-        |SELECT a AS id, min(b) AS component
-        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    "q_dedup_components" -> componentsOracleSql,
+
+    // The incremental label store resolves to the SAME one-shot
+    // components over the accumulated pairs — the oracle is identical
+    // by the union-identity contract ComponentsIndexSpec pins.
+    "q_dedup_components_incremental" -> componentsOracleSql,
 
     "q_dedup_apply" ->
       """WITH RECURSIVE

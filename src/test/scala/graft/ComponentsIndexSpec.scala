@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{ComponentsIndex, DedupOps}
+
+/** Incremental connected components over the persisted label store:
+  * per-batch updates must resolve to the one-shot components over the
+  * accumulated pair set, labels only decrease, replays and compaction
+  * change nothing. */
+class ComponentsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDf(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+
+  // batch 3 bridges batch 1's {1,2,3} with batch 2's {10,11}, and
+  // attaches a brand-new id to batch 2's {20,21}
+  private val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+  private val b2 = Seq((20L, 21L))
+  private val b3 = Seq((3L, 10L), (21L, 30L))
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("incremental batches resolve to one-shot components over the union") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b2: _*), idx,
+      batchTag = Some("b2"))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx,
+      batchTag = Some("b3"))
+    val inc = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    val full = labelsOf(DedupOps.connectedComponents(
+      pairsDf((b1 ++ b2 ++ b3): _*)))
+    assert(inc == full, s"incremental=$inc one-shot=$full")
+    // the bridge merged {1,2,3} ∪ {10,11} under the global min
+    assert(inc(11L) == 1L && inc(30L) == 20L)
+  }
+
+  test("labels only ever decrease across batches") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"))
+    val after1 = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx,
+      batchTag = Some("b3"))
+    val after2 = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    for ((id, c) <- after1)
+      assert(after2(id) <= c, s"label of $id regressed: $c -> ${after2(id)}")
+  }
+
+  test("appendAndLabel returns the affected set's post-batch labels") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"))
+    val out = labelsOf(ComponentsIndex.appendAndLabel(spark,
+      pairsDf((3L, 10L)), idx, batchTag = Some("b3")))
+    // batch endpoints AND dragged-along members of both components
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
+  test("tagged replay is idempotent, including after later batches") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx,
+      batchTag = Some("b3"))
+    val before = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    // blind retry of b3 (same tag): self-excludes its first attempt,
+    // recomputes the same changed-set, overwrites in place
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx,
+      batchTag = Some("b3"))
+    assert(labelsOf(ComponentsIndex.currentLabels(spark, idx)) == before)
+    // untagged replay derives the same content tag — same discipline
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx)
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx)
+    assert(labelsOf(ComponentsIndex.currentLabels(spark, idx)) == before)
+  }
+
+  test("lookupLabels prunes to the asked ids and matches the full resolve") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf((b1 ++ b2): _*), idx,
+      batchTag = Some("b1"))
+    val got = labelsOf(ComponentsIndex.lookupLabels(spark, idx,
+      Seq(2L, 20L, 999L).toDF("id")))
+    assert(got == Map(2L -> 1L, 20L -> 20L)) // unseen id absent, not null
+    val p = ComponentsIndex.lookupLabels(spark, idx, Seq(2L).toDF("id"))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("ib#"),
+      s"byid lookup does not prune on ib:\n$p")
+  }
+
+  test("a batch that changes nothing writes nothing") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"))
+    val before = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    // (1,3) is already inside component 1 — no label moves
+    val out = ComponentsIndex.appendAndLabel(spark, pairsDf((1L, 3L)), idx,
+      batchTag = Some("noop"))
+    assert(labelsOf(out) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(labelsOf(ComponentsIndex.currentLabels(spark, idx)) == before)
+    val tags = new java.io.File(idx + "/byid").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName)
+    assert(!tags.exists(_.contains("noop")),
+      s"no-op batch landed partitions: ${tags.mkString(",")}")
+  }
+
+  test("compact folds to current labels; future merges still work") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b2: _*), idx,
+      batchTag = Some("b2"))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx,
+      batchTag = Some("b3"))
+    val before = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    ComponentsIndex.compact(spark, idx, numFiles = 4)
+    assert(labelsOf(ComponentsIndex.currentLabels(spark, idx)) == before)
+    // post-compact appends keep merging correctly against folded rows
+    ComponentsIndex.appendAndLabel(spark, pairsDf((30L, 1L)), idx,
+      batchTag = Some("b4"))
+    val after = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    assert(after(30L) == 1L && after(21L) == 1L && after(20L) == 1L,
+      s"post-compact merge incomplete: $after")
+  }
+
+  test("empty batch returns an empty frame and creates nothing") {
+    val idx = tmpDir() + "/cidx"
+    val out = ComponentsIndex.appendAndLabel(spark,
+      pairsDf().filter(lit(false)), idx)
+    assert(out.isEmpty)
+    assert(!new java.io.File(idx + "/byid").exists())
+  }
+}

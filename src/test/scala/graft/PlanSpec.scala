@@ -147,6 +147,17 @@ class PlanSpec extends SparkSpec {
       s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
 
+  test("incremental components: the resolved export is one agg, no joins") {
+    // the probe/merge machinery runs eagerly inside the key; the plan
+    // under test is the currentLabels export — a min-fold over byid/
+    // plus the presentation orderBy, nothing else. A join or a third
+    // exchange means label resolution stopped being a pure min-lattice
+    // fold.
+    val p = planOf("q_dedup_components_incremental")
+    assert(!p.contains("Join"), s"label resolve grew a join:\n$p")
+    assert(count(p, "Exchange") <= 2, s"label resolve re-shuffles:\n$p")
+  }
+
   test("grouped heavy hitters: candidate filter broadcasts, no corpus join shuffle") {
     // the (group, item) candidate set is groups×k-bounded and must come
     // back to the token stream as a broadcast semi-join — a sort-merge
