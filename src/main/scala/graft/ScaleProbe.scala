@@ -79,7 +79,7 @@ object ScaleProbe {
       "exact_substr", "exact_substr_incremental", "embed_incremental",
       "heavy_hitters", "heavy_hitters_wide", "bpe_train", "quantiles",
       "perplexity", "ann_pq_search", "ann_ivfpq_search",
-      "embed_incremental_folded")
+      "embed_incremental_folded", "components_incremental")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -174,6 +174,34 @@ object ScaleProbe {
         time {
           graft.ops.DedupIndex.appendAndFindDups(spark, batch, idx,
             "text", "doc_id", batchTag = Some("daily")).count()
+        }._1
+      }
+      scrub()
+      // incremental components: history pairs build the persisted label
+      // store untimed (ids grouped 4 per component), then the timed
+      // daily batch (1% of the quad groups) attaches a NEW id to an
+      // existing component and bridges it with its neighbour — the
+      // O(batch + affected members) claim measured: affected membership
+      // is batch-proportional by construction (9 docs per batch group),
+      // so expected growth tracks the batch, never the stored history.
+      val tCompIncr = if (!want("components_incremental")) -1.0 else {
+        val cIdx = s"$root/cidx_x${scale}_$tag"
+        val n = 5000L * scale
+        val ids = spark.range(n)
+        val hist = ids.filter(col("id") % 4 =!= 0)
+          .select((col("id") - col("id") % 4).as("id_a"),
+            col("id").as("id_b"))
+        graft.ops.ComponentsIndex.appendAndLabel(spark, hist, cIdx,
+          batchTag = Some("hist"))
+        val daily = ids.filter(col("id") % 400 === 0)
+          .select(col("id").as("id_a"), (col("id") + lit(n)).as("id_b"))
+          .unionByName(ids.filter(col("id") % 400 === 0)
+            .select(col("id").as("id_a"), (col("id") + 4).as("id_b")))
+        scrub()
+        // single-shot (a same-tag replay measures overwrite, not probe)
+        time {
+          graft.ops.ComponentsIndex.appendAndLabel(spark, daily, cIdx,
+            batchTag = Some("daily")).count()
         }._1
       }
       scrub()
@@ -424,6 +452,7 @@ object ScaleProbe {
       }
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
+        "components_incremental" -> tCompIncr,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
         "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,
