@@ -800,6 +800,32 @@ object ExtQueries {
     withPrefixMutants(d, d.filter(col("doc_id") < 20))
   }
 
+  /** The incrementally-MAINTAINED cluster labels over the clusterDocs
+    * exact-Jaccard pair stream: base-base pairs build the persisted
+    * store once (fixture-cached), the mutant-involving pairs replay as
+    * the daily batch every invocation (tag-idempotent), and the current
+    * labels resolve from the store — shared by the components and
+    * apply incremental keys. Must equal the one-shot components over
+    * ALL pairs (the ComponentsIndexSpec union identity), so both keys
+    * share their batch twins' oracles verbatim. */
+  private def incrementalLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = clusterDocs(s, dir)
+    val pairs = DedupOps.ngramJaccard(d, d, "text", "doc_id")
+      .filter(col("inter") * 10 >= col("uni") * 3)
+    val hist = pairs.filter(col("id_b") < 1000000L) // base-base only
+    val daily = pairs.filter(col("id_b") >= 1000000L) // mutant arrivals
+    val fx = graft.Fixtures.ensure("comp_idx",
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.Fixtures.contentKey(s"comp_idx|$dir", d, "doc_id", "text")) { p =>
+      graft.ops.ComponentsIndex.appendAndLabel(s, hist, p + "/idx",
+        batchTag = Some("hist"))
+      ()
+    }
+    graft.ops.ComponentsIndex.appendAndLabel(s, daily, fx + "/idx",
+      batchTag = Some("daily"))
+    graft.ops.ComponentsIndex.currentLabels(s, fx + "/idx")
+  }
+
   val queries: Map[String, Q] = Map(
     // Text statistics (chars/tokens/avg token length).
     "q_text_stats" -> ((s, dir) =>
@@ -1280,22 +1306,20 @@ object ExtQueries {
     // labels must equal the one-shot components over the union (the
     // q_dedup_components oracle verbatim). The daily append replays
     // every invocation under a fixed tag: idempotent by construction.
-    "q_dedup_components_incremental" -> ((s, dir) => {
+    "q_dedup_components_incremental" -> ((s, dir) =>
+      incrementalLabels(s, dir).orderBy("id")),
+
+    // The apply step against the MAINTAINED store: the corpus keeps one
+    // representative per cluster (label == own id) — no pair recompute,
+    // no one-shot CC, just an anti-join against the bounded drop set
+    // resolved from the label store. Oracle = q_dedup_apply verbatim.
+    "q_dedup_apply_incremental" -> ((s, dir) => {
       val d = clusterDocs(s, dir)
-      val pairs = DedupOps.ngramJaccard(d, d, "text", "doc_id")
-        .filter(col("inter") * 10 >= col("uni") * 3)
-      val hist = pairs.filter(col("id_b") < 1000000L) // base-base only
-      val daily = pairs.filter(col("id_b") >= 1000000L) // mutant arrivals
-      val fx = graft.Fixtures.ensure("comp_idx",
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          graft.Fixtures.contentKey(s"comp_idx|$dir", d, "doc_id", "text")) { p =>
-        graft.ops.ComponentsIndex.appendAndLabel(s, hist, p + "/idx",
-          batchTag = Some("hist"))
-        ()
-      }
-      graft.ops.ComponentsIndex.appendAndLabel(s, daily, fx + "/idx",
-        batchTag = Some("daily"))
-      graft.ops.ComponentsIndex.currentLabels(s, fx + "/idx").orderBy("id")
+      val drop = incrementalLabels(s, dir)
+        .filter(col("component") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      d.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // Dedup applied end-to-end: exact-Jaccard pairs -> components ->
@@ -1977,6 +2001,44 @@ object ExtQueries {
       |SELECT a AS id, min(b) AS component
       |FROM reach GROUP BY a ORDER BY id""".stripMargin
 
+  // The apply step over the same pair derivation: corpus rows whose id
+  // is not a non-representative member — shared by q_dedup_apply and
+  // its incremental twin.
+  private val applyOracleSql =
+    """WITH RECURSIVE
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE doc_id < 20)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_transform(range(1, len(toks) - 1),
+      |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |         ELSE CAST([] AS VARCHAR[]) END AS s
+      |  FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
+      |        >= len(list_distinct(a.s || b.s)) * 3),
+      |e AS (SELECT id_a AS s, id_b AS t FROM p
+      |      UNION SELECT id_b, id_a FROM p),
+      |v AS (SELECT DISTINCT s AS id FROM e),
+      |reach(a, b) AS (
+      |  SELECT id, id FROM v
+      |  UNION
+      |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
+      |cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+      |SELECT d.doc_id FROM d
+      |WHERE NOT EXISTS (SELECT 1 FROM cc
+      |                  WHERE cc.id = d.doc_id AND cc.id != cc.component)
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Round-trip oracle for the synthetic-container probe: the payload
     // builder's arithmetic (Multimodal.syntheticPayload — header sizes,
@@ -2545,40 +2607,11 @@ object ExtQueries {
     // by the union-identity contract ComponentsIndexSpec pins.
     "q_dedup_components_incremental" -> componentsOracleSql,
 
-    "q_dedup_apply" ->
-      """WITH RECURSIVE
-        |d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE doc_id < 40
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents WHERE doc_id < 20)),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-        |         ELSE CAST([] AS VARCHAR[]) END AS s
-        |  FROM d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
-        |        >= len(list_distinct(a.s || b.s)) * 3),
-        |e AS (SELECT id_a AS s, id_b AS t FROM p
-        |      UNION SELECT id_b, id_a FROM p),
-        |v AS (SELECT DISTINCT s AS id FROM e),
-        |reach(a, b) AS (
-        |  SELECT id, id FROM v
-        |  UNION
-        |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
-        |cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
-        |SELECT d.doc_id FROM d
-        |WHERE NOT EXISTS (SELECT 1 FROM cc
-        |                  WHERE cc.id = d.doc_id AND cc.id != cc.component)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_apply" -> applyOracleSql,
+
+    // Same survivors, resolved from the maintained label store — the
+    // apply twin of the components union identity.
+    "q_dedup_apply_incremental" -> applyOracleSql,
 
     "q_chunk_tokens" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

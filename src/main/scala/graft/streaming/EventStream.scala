@@ -247,6 +247,52 @@ object EventStream {
       ()
     }
 
+  /** Streaming cluster-label maintenance over a persisted
+    * [[graft.ops.ComponentsIndex]]: each micro-batch of duplicate
+    * pairs updates the stable per-document labels in O(batch +
+    * affected members) under the replay-idempotent `(appId-batchId)`
+    * tag scheme — and the store is a min-lattice besides, so even a
+    * tag-scheme violation can only duplicate rows, never corrupt a
+    * label. Query-time labels over the accumulated stream are
+    * [[graft.ops.ComponentsIndex.currentLabels]] /
+    * `lookupLabels` on the landed store. Same `appId` caveat as
+    * [[nearDupSink]]: change it whenever checkpointLocation is
+    * reset. */
+  def componentsSink(pairsStream: DataFrame, indexPath: String,
+                     appId: String,
+                     idA: String = "id_a", idB: String = "id_b")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.ops.ComponentsIndex.appendAndLabel(batch.sparkSession, batch,
+        indexPath, idA, idB, batchTag = Some(s"$appId-$batchId"))
+      ()
+    }
+
+  /** The full streaming dedup pipeline in one sink: each micro-batch
+    * of documents probes + appends the [[graft.ops.DedupIndex]] (near
+    * -dup pairs vs all history, O(batch)), then feeds the discovered
+    * pairs straight into the [[graft.ops.ComponentsIndex]] label store
+    * — documents in, maintained cluster labels out, no intermediate
+    * pairs table to re-scan. Both stores advance under the SAME
+    * `(appId-batchId)` tag, so an at-least-once replay overwrites its
+    * own partitions on both: the re-probed pair set is deterministic
+    * (DedupIndex replay contract) and the label update self-excludes
+    * its first attempt (ComponentsIndex replay contract). Same `appId`
+    * caveat as [[nearDupSink]]. */
+  def dedupClusterSink(docsStream: DataFrame, dedupIndexPath: String,
+                       labelsIndexPath: String, text: String, id: String,
+                       appId: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tag = s"$appId-$batchId"
+      val pairs = graft.ops.DedupIndex.appendAndFindDups(
+        batch.sparkSession, batch, dedupIndexPath, text, id,
+        threshold = threshold, batchTag = Some(tag))
+      graft.ops.ComponentsIndex.appendAndLabel(batch.sparkSession, pairs,
+        labelsIndexPath, batchTag = Some(tag))
+      ()
+    }
+
   /** Streaming heavy-hitter maintenance over the mergeable Misra–Gries
     * summary ([[graft.functions.MisraGriesSketch]]): each micro-batch
     * lands ONE row — its bounded k-entry partial sketch plus its

@@ -156,6 +156,13 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q_dedup_components_incremental")
     assert(!p.contains("Join"), s"label resolve grew a join:\n$p")
     assert(count(p, "Exchange") <= 2, s"label resolve re-shuffles:\n$p")
+    // the apply twin: the drop set (non-representatives) is bounded by
+    // the pair count, so it must come back to the corpus as a BROADCAST
+    // anti join — a sort-merge would shuffle the corpus to be filtered
+    val pa = planOf("q_dedup_apply_incremental")
+    assert(pa.contains("BroadcastHashJoin"), s"drop-set broadcast lost:\n$pa")
+    assert(!pa.contains("SortMergeJoin") && !pa.contains("ShuffledHashJoin"),
+      s"apply shuffles the corpus for the drop set:\n$pa")
   }
 
   test("grouped heavy hitters: candidate filter broadcasts, no corpus join shuffle") {

@@ -447,6 +447,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming components sink: accumulated labels == one-shot CC") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStream.componentsSink(mem.toDF().toDF("id_a", "id_b"),
+        s"$dir/cidx", appId = "spec-cc")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 2's (3,10) bridges batch 1's two components — the merge
+      // must happen against the STORE, not within any single batch
+      mem.addData((1L, 2L), (2L, 3L), (10L, 11L))
+      q.processAllAvailable()
+      mem.addData((3L, 10L), (20L, 21L))
+      q.processAllAvailable()
+      val got = graft.ops.ComponentsIndex.currentLabels(spark, s"$dir/cidx")
+        .as[(Long, Long)].collect().toMap
+      val full = graft.ops.DedupOps.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (20L, 21L))
+          .toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == full, s"streamed=$got one-shot=$full")
+      assert(got(11L) == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup-cluster sink: documents in, maintained labels out") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.dedupClusterSink(mem.toDF().toDF("doc_id", "text"),
+        s"$dir/idx", s"$dir/cidx", "text", "doc_id", appId = "spec-dc")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog " * 8
+      mem.addData((0L, base),
+        (1L, "completely different words about spark engines " * 10))
+      q.processAllAvailable()
+      // no pairs yet — the label store must not even exist
+      assert(!new java.io.File(s"$dir/cidx/byid").exists())
+      // two near-dups of doc 0 arrive in separate batches: the second
+      // pair is found against the INDEX and must land in doc 0's
+      // existing cluster, labeled by the smallest member
+      mem.addData((10L, base + "extra tail tokens appended here"))
+      q.processAllAvailable()
+      mem.addData((20L, base + "another slightly different tail"))
+      q.processAllAvailable()
+      val got = graft.ops.ComponentsIndex.currentLabels(spark, s"$dir/cidx")
+        .as[(Long, Long)].collect().toMap
+      assert(got.get(10L).contains(0L) && got.get(20L).contains(0L),
+        s"cross-batch cluster incomplete: $got")
+      assert(!got.contains(1L), s"unrelated doc joined a cluster: $got")
+    } finally q.stop()
+  }
+
   test("streaming heavy-hitter sink: merged partials + recount == one-shot") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
