@@ -1309,6 +1309,18 @@ object ExtQueries {
     "q_dedup_components_incremental" -> ((s, dir) =>
       incrementalLabels(s, dir).orderBy("id")),
 
+    // Connected components on a HIGH-DIAMETER pair graph (7 chains of
+    // 31 docs each, the verbatim-overlap-chain shape): large-star /
+    // small-star contraction (Kiveris et al.) converges in O(log² n)
+    // rounds where min-label propagation needs one round per diameter
+    // unit — this graph's diameter 30 already exceeds propagation's
+    // default budget.
+    "q_dedup_components_star" -> ((s, dir) => {
+      val pairs = docs(s, dir).filter(col("doc_id") < 210)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 7).as("id_b"))
+      DedupOps.connectedComponentsStar(pairs).orderBy("id")
+    }),
+
     // The apply step against the MAINTAINED store: the corpus keeps one
     // representative per cluster (label == own id) — no pair recompute,
     // no one-shot CC, just an anti-join against the bounded drop set
@@ -2606,6 +2618,19 @@ object ExtQueries {
     // components over the accumulated pairs — the oracle is identical
     // by the union-identity contract ComponentsIndexSpec pins.
     "q_dedup_components_incremental" -> componentsOracleSql,
+
+    "q_dedup_components_star" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT doc_id AS s, doc_id + 7 AS t
+        |       FROM documents WHERE doc_id < 210),
+        |e AS (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+        |v AS (SELECT DISTINCT s AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s)
+        |SELECT a AS id, min(b) AS component
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     "q_dedup_apply" -> applyOracleSql,
 

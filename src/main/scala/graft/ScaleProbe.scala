@@ -79,7 +79,8 @@ object ScaleProbe {
       "exact_substr", "exact_substr_incremental", "embed_incremental",
       "heavy_hitters", "heavy_hitters_wide", "bpe_train", "quantiles",
       "perplexity", "ann_pq_search", "ann_ivfpq_search",
-      "embed_incremental_folded", "components_incremental")
+      "embed_incremental_folded", "components_incremental",
+      "components_star")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -203,6 +204,21 @@ object ScaleProbe {
           graft.ops.ComponentsIndex.appendAndLabel(spark, daily, cIdx,
             batchTag = Some("daily")).count()
         }._1
+      }
+      scrub()
+      // star-contraction components over ONE chain spanning the whole
+      // id domain — the pathological diameter case (min-label
+      // propagation would need n rounds; its budget refuses at 25).
+      // Expected growth: rounds ~log²(n) with each round a bounded
+      // shuffle of the edge set — i.e. a few extra rounds at 30×, not
+      // 30× the rounds.
+      val tCompStar = if (!want("components_star")) -1.0 else {
+        val n = 5000L * scale
+        val chain = spark.range(n - 1)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        best2 {
+          graft.ops.DedupOps.connectedComponentsStar(chain).count()
+        }
       }
       scrub()
       // IVF ANN: 50 broadcast queries against the corpus
@@ -453,6 +469,7 @@ object ScaleProbe {
       spark.catalog.clearCache()
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "components_incremental" -> tCompIncr,
+        "components_star" -> tCompStar,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
         "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,

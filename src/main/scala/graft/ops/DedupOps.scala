@@ -591,6 +591,89 @@ object DedupOps {
     * from the result (the lineage below the labels is truncated). */
   def releaseComponents(labels: DataFrame): Unit = freeCheckpoint(labels)
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the HIGH-DIAMETER scale path.
+    * [[connectedComponents]]' min-label propagation needs one round per
+    * unit of component diameter, which is the right trade for near-
+    * clique duplicate clusters (diameter 2-3) but deadline-misses on
+    * chain-shaped pair graphs (verbatim-overlap chains across a crawl:
+    * doc A overlaps B overlaps C …), where diameter grows with the
+    * corpus. Star contraction converges in O(log² n) rounds REGARDLESS
+    * of diameter: each large-star round hangs every node's larger
+    * neighbors off its neighborhood minimum (halving tree height),
+    * each small-star round flattens the smaller neighbors onto it, and
+    * the fixpoint is a star forest — every node pointing directly at
+    * its component's minimum id, the same labeling contract as
+    * [[connectedComponents]] (StarComponentsSpec pins the equality).
+    *
+    * Per round: one neighborhood-min aggregation + one equi join over
+    * the current edge set — edges only ever point from larger to
+    * smaller, and the total edge count never grows above the input's
+    * symmetrized size (the paper's invariant), so every round is a
+    * bounded shuffle of the (pair-bounded, corpus-independent) edge
+    * set. Same storage discipline as the propagation loop: each
+    * iteration's frame is checkpoint-cut and its predecessor released.
+    */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b",
+                              maxIter: Int = 50): DataFrame = {
+    val nodes0 = cut(pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id"))).distinct())
+    // child → parent orientation (t < s), self-loops dropped: a
+    // self-pair asserts no connectivity and would survive every round
+    var edges = cut(pairs
+      .filter(col(idA) =!= col(idB))
+      .select(greatest(col(idA), col(idB)).as("s"),
+        least(col(idA), col(idB)).as("t"))
+      .distinct())
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrs = edges.select(col("s"), col("t"))
+        .unionByName(edges.select(col("t").as("s"), col("s").as("t")))
+      // LARGE-STAR: every edge processed from its SMALLER endpoint u —
+      // each strictly-larger neighbor v re-hangs onto m = min(Γ(u)∪{u})
+      val minsL = nbrs.groupBy("s").agg(min(col("t")).as("mn"))
+        .select(col("s"), least(col("mn"), col("s")).as("m"))
+      val large = nbrs.join(minsL, "s")
+        .filter(col("t") > col("s"))
+        .filter(col("t") =!= col("m"))
+        .select(col("t").as("s"), col("m").as("t"))
+        .distinct()
+      // SMALL-STAR over the large-star output: every edge processed
+      // from its LARGER endpoint u — the smaller neighbors (and u)
+      // flatten onto m = min(Γ⁻(u)∪{u}) = min(Γ⁻(u))
+      val nbrs2 = large.select(col("s"), col("t"))
+        .unionByName(large.select(col("t").as("s"), col("s").as("t")))
+        .filter(col("t") < col("s"))
+      val minsS = nbrs2.groupBy("s").agg(min(col("t")).as("m"))
+      val next = cut(nbrs2.join(minsS, "s")
+        .filter(col("t") =!= col("m"))
+        .select(col("t").as("s"), col("m").as("t"))
+        .unionByName(minsS.select(col("s"), col("m").as("t")))
+        .distinct())
+      // fixpoint: the edge set stopped moving (set equality — counts
+      // match and nothing in next is absent from the previous round)
+      converged =
+        next.count() == edges.count() &&
+          next.join(edges, Seq("s", "t"), "left_anti").isEmpty
+      freeCheckpoint(edges)
+      edges = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStar: not converged after $maxIter rounds — " +
+        "star contraction needs O(log² n); raise maxIter")
+    // star forest: every child points directly at its component's
+    // minimum; roots and isolated nodes label themselves
+    val out = nodes0.join(edges.select(col("s").as("id"),
+        col("t").as("component")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    out
+  }
+
   /** Apply near-dup clustering to a corpus: keep ONE representative (the
     * smallest id) per duplicate cluster and pass every unclustered doc
     * through — the final step of the candidate-pairs → components →
