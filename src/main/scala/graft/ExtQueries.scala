@@ -864,6 +864,30 @@ object ExtQueries {
         .select(col("doc_id"), col("n_copies"))
         .orderBy("doc_id")),
 
+    // Exact dedup MAINTAINED incrementally: each batch appends one
+    // bounded summary row per digest (min id + copy count) to the
+    // persisted DigestIndex, and the accumulated groups fold to the
+    // one-shot exactDupGroups answer in ANY batch order (min and sum
+    // are monoids). The daily append replays every invocation under a
+    // fixed tag — idempotent by construction.
+    "q_dedup_exact_incremental" -> ((s, dir) => {
+      val all = docs(s, dir).select("doc_id", "text")
+      val hist = all.filter(col("doc_id") % 2 === 0)
+      val daily = all.filter(col("doc_id") % 2 =!= 0)
+      val fx = graft.Fixtures.ensure("digest_idx",
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.Fixtures.contentKey(s"digest_idx|$dir", all, "doc_id", "text")) { p =>
+        graft.ops.DigestIndex.appendAndDedup(s, hist, p + "/idx",
+          "text", "doc_id", batchTag = Some("hist"))
+        ()
+      }
+      graft.ops.DigestIndex.appendAndDedup(s, daily, fx + "/idx",
+        "text", "doc_id", batchTag = Some("daily"))
+      graft.ops.DigestIndex.currentGroups(s, fx + "/idx")
+        .select(col("id").as("doc_id"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
     // Exact n-gram Jaccard over a bounded candidate set (ground truth).
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 60)
@@ -2399,6 +2423,12 @@ object ExtQueries {
     },
 
     "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // The DigestIndex fold is min/sum per digest — the one-shot groups
+    // verbatim, in any batch order.
+    "q_dedup_exact_incremental" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 

@@ -80,7 +80,7 @@ object ScaleProbe {
       "heavy_hitters", "heavy_hitters_wide", "bpe_train", "quantiles",
       "perplexity", "ann_pq_search", "ann_ivfpq_search",
       "embed_incremental_folded", "components_incremental",
-      "components_star")
+      "components_star", "dedup_exact_incremental")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -174,6 +174,28 @@ object ScaleProbe {
         // measure a different operation)
         time {
           graft.ops.DedupIndex.appendAndFindDups(spark, batch, idx,
+            "text", "doc_id", batchTag = Some("daily")).count()
+        }._1
+      }
+      scrub()
+      // incremental EXACT dedup: digest history indexed untimed, then
+      // the timed 1% batch (half first-arrivals, half exact copies of
+      // history) probes and appends — the cheapest of the incremental
+      // family: the probe currency is one 32-byte digest summary row
+      // per batch document, pruned to the batch's db buckets.
+      val tDigIncr = if (!want("dedup_exact_incremental")) -1.0 else {
+        val dgIdx = s"$root/dgidx_x${scale}_$tag"
+        val hist = d.filter(col("doc_id") % 100 =!= 0)
+        val batch = d.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            when(col("doc_id") % 200 === 0, col("text")) // exact history copy
+              .otherwise(concat(lit("fresh "), col("text"))).as("text"))
+        graft.ops.DigestIndex.appendAndDedup(spark, hist, dgIdx,
+          "text", "doc_id", batchTag = Some("hist"))
+        scrub()
+        // single-shot (a same-tag replay measures overwrite, not probe)
+        time {
+          graft.ops.DigestIndex.appendAndDedup(spark, batch, dgIdx,
             "text", "doc_id", batchTag = Some("daily")).count()
         }._1
       }
@@ -470,6 +492,7 @@ object ScaleProbe {
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "components_incremental" -> tCompIncr,
         "components_star" -> tCompStar,
+        "dedup_exact_incremental" -> tDigIncr,
         "ann_ivf" -> tIvf, "pagerank" -> tPr, "kmeans" -> tKm,
         "medoids" -> tMed, "semdedup_flat" -> tSem,
         "semdedup_tree" -> tSemTree, "exact_substr" -> tEs,

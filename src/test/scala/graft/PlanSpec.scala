@@ -163,6 +163,11 @@ class PlanSpec extends SparkSpec {
     assert(pa.contains("BroadcastHashJoin"), s"drop-set broadcast lost:\n$pa")
     assert(!pa.contains("SortMergeJoin") && !pa.contains("ShuffledHashJoin"),
       s"apply shuffles the corpus for the drop set:\n$pa")
+    // the digest store's export is the same pure-fold contract: one
+    // groupBy over bounded summary rows + the presentation orderBy
+    val pd = planOf("q_dedup_exact_incremental")
+    assert(!pd.contains("Join"), s"digest groups export grew a join:\n$pd")
+    assert(count(pd, "Exchange") <= 2, s"digest export re-shuffles:\n$pd")
   }
 
   test("grouped heavy hitters: candidate filter broadcasts, no corpus join shuffle") {
