@@ -247,6 +247,31 @@ object EventStream {
       ()
     }
 
+  /** Streaming EXACT dedup over a persisted [[graft.ops.DigestIndex]]:
+    * each micro-batch is filtered to its FIRST-ARRIVAL documents
+    * (digest unseen across the whole stream history, O(batch) probe)
+    * and those land at `keptPath` under the replay-idempotent
+    * `(appId-batchId)` tag scheme — the keep-first filter that turns
+    * an at-least-once ingest stream into an exactly-once-content
+    * corpus. Same `appId` caveat as [[nearDupSink]]. */
+  def exactDedupSink(docsStream: DataFrame, indexPath: String,
+                     keptPath: String, text: String, id: String,
+                     appId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tag = s"$appId-$batchId"
+      val kept = graft.ops.DigestIndex.appendAndDedup(
+        batch.sparkSession, batch, indexPath, text, id,
+        batchTag = Some(tag))
+      // an empty keep set writes nothing — never a schema-less dir
+      if (!kept.isEmpty)
+        kept.withColumn("batch_tag", lit(tag))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_tag").parquet(keptPath)
+      ()
+    }
+
   /** Streaming cluster-label maintenance over a persisted
     * [[graft.ops.ComponentsIndex]]: each micro-batch of duplicate
     * pairs updates the stable per-document labels in O(batch +

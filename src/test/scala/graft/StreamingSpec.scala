@@ -447,6 +447,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup sink keeps first arrivals across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.exactDedupSink(mem.toDF().toDF("doc_id", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id", appId = "spec-xd")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((5L, "alpha body"), (7L, "alpha body"), (6L, "beta body"))
+      q.processAllAvailable()
+      // a cross-batch redelivery of known content and one fresh doc
+      mem.addData((1L, "alpha body"), (9L, "gamma body"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$dir/kept")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(5L, 6L, 9L),
+        s"first-arrival set wrong: $kept")
+      // the accumulated groups still see every copy
+      val groups = graft.ops.DigestIndex.currentGroups(spark, s"$dir/didx")
+        .as[(Long, Long)].collect().toMap
+      assert(groups(1L) == 3L && groups(6L) == 1L && groups(9L) == 1L,
+        s"groups wrong: $groups")
+    } finally q.stop()
+  }
+
   test("streaming components sink: accumulated labels == one-shot CC") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
