@@ -86,7 +86,17 @@ object ComponentsIndex {
                      indexPath: String,
                      idA: String = "id_a", idB: String = "id_b",
                      batchTag: Option[String] = None,
-                     maxIter: Int = 25): DataFrame = {
+                     maxIter: Int = 25,
+                     star: Boolean = false): DataFrame = {
+    // the union graph's diameter is the batch's pair-chain length + 2
+    // (stored components arrive as stars): near-clique dup batches
+    // resolve in a few propagation rounds, but a batch that CHAINS
+    // (verbatim-overlap runs) should pass star = true to switch the
+    // merge to connectedComponentsStar — same labels (StarComponents-
+    // Spec pins the equality), diameter-independent round count
+    def cc(g: DataFrame) =
+      if (star) DedupOps.connectedComponentsStar(g, maxIter = maxIter)
+      else DedupOps.connectedComponents(g, maxIter = maxIter)
     val p = pairs.select(col(idA).cast("long").as("id_a"),
       col(idB).cast("long").as("id_b")).persist()
     try {
@@ -104,7 +114,7 @@ object ComponentsIndex {
         Layout.contentTag(p, Seq("id_a", "id_b")))
       val (labels, prior) =
         if (!exists) {
-          val l = DedupOps.connectedComponents(p, maxIter = maxIter)
+          val l = cc(p)
           (l, l.select(col("id"), col("component").as("old"))
             .filter(lit(false)))
         } else {
@@ -139,7 +149,7 @@ object ComponentsIndex {
           // row — keeps its component connected through the label
           val g = p.unionByName(members.select(
             col("id").as("id_a"), col("component").as("id_b")))
-          val next = DedupOps.connectedComponents(g, maxIter = maxIter)
+          val next = cc(g)
           // labels only decrease; anything else is a broken invariant
           val regressed = next.join(
             members.withColumnRenamed("component", "old"), Seq("id"))

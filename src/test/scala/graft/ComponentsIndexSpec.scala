@@ -126,6 +126,28 @@ class ComponentsIndexSpec extends SparkSpec {
       s"post-compact merge incomplete: $after")
   }
 
+  test("star-contraction merge produces identical labels, and survives a chain batch") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"), star = true)
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx,
+      batchTag = Some("b3"), star = true)
+    val viaStar = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    val idx2 = tmpDir() + "/cidx2"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx2,
+      batchTag = Some("b1"))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx2,
+      batchTag = Some("b3"))
+    assert(viaStar == labelsOf(ComponentsIndex.currentLabels(spark, idx2)))
+    // a 100-link chain batch against the same store: propagation's
+    // default budget would refuse; star contracts it
+    val chain = (1000L until 1100L).map(i => (i, i + 1))
+    val out = ComponentsIndex.appendAndLabel(spark, pairsDf(chain: _*),
+      idx, batchTag = Some("chain"), star = true)
+    assert(out.count() == 101 &&
+      labelsOf(ComponentsIndex.currentLabels(spark, idx))(1100L) == 1000L)
+  }
+
   test("empty batch returns an empty frame and creates nothing") {
     val idx = tmpDir() + "/cidx"
     val out = ComponentsIndex.appendAndLabel(spark,
