@@ -1533,6 +1533,42 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The curation funnel MAINTAINED incrementally: quality-passing
+    // batches accrete the persisted digest store (only passers enter),
+    // representatives resolve from the store's order-free min fold —
+    // the SAME keep set as q_curate's one-shot window, any batch order
+    // — then the decontamination scan and the hash draw run unchanged.
+    // The incremental win: a daily batch re-runs quality map-side and
+    // probes O(batch) digests; history is never re-read.
+    "q_curate_incremental" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val q = TextOps.qualityScore(corpus, "text")
+        .filter(col("quality") >= 0.3)
+      val fx = graft.Fixtures.ensure("curate_didx",
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.Fixtures.contentKey(s"curate_didx|$dir", all, "doc_id", "text")) { p =>
+        graft.ops.DigestIndex.appendAndDedup(s,
+          q.filter(col("doc_id") % 2 === 0), p + "/idx",
+          "text", "doc_id", batchTag = Some("hist"))
+        ()
+      }
+      graft.ops.DigestIndex.appendAndDedup(s,
+        q.filter(col("doc_id") % 2 =!= 0), fx + "/idx",
+        "text", "doc_id", batchTag = Some("daily"))
+      val reps = graft.ops.DigestIndex.currentGroups(s, fx + "/idx")
+        .select(col("id").as("doc_id"))
+      val deduped = q.join(reps, Seq("doc_id"), "left_semi")
+      val contaminated = DedupOps
+        .contaminationScan(deduped, bench, "text", "doc_id", w = 3)
+        .select("doc_id")
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(hashMod(col("doc_id"), 100) < 50)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate 5-grams: shingles shared by >= 3 distinct docs across
     // docs+mutants (mutants guarantee shared prefixes). Per-doc distinct
     // arrays make count(*) the distinct-doc count — one exchange.
@@ -2717,6 +2753,53 @@ object ExtQueries {
         |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_curate" -> {
+      val qexpr = sqlRound(
+        "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
+        "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |t AS (
+         |  SELECT doc_id, text, lang, string_split(text, ' ') AS toks,
+         |         length(text) AS nch,
+         |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
+         |  FROM corpus),
+         |h AS (
+         |  SELECT doc_id, text, lang, len(toks) AS n_tokens,
+         |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+         |         punct, nch
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, text, lang, $qexpr AS quality FROM h
+         |  WHERE $qexpr >= 0.3),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+         |dq AS (SELECT q.* FROM q JOIN reps USING (doc_id)),
+         |dsh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM dq)),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |        WHERE doc_id % 50 = 0)),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM
+         |    (SELECT doc_id, unnest(list_distinct(s)) AS sh FROM dsh) c
+         |    JOIN bsh USING (sh))
+         |SELECT dq.doc_id, dq.lang, dq.quality FROM dq
+         |WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND (dq.doc_id * 2654435761) % 100 < 50
+         |ORDER BY dq.doc_id""".stripMargin
+    },
+
+    // The incremental funnel resolves the SAME keep set: reps from the
+    // digest store's min fold == the one-shot min-per-text window.
+    "q_curate_incremental" -> {
       val qexpr = sqlRound(
         "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
         "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)

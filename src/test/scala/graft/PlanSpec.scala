@@ -240,7 +240,12 @@ class PlanSpec extends SparkSpec {
       // (refine runs in its own jobs, exchange <= bins rows)
       "q_perplexity" -> 5, "q_quantile_sketch" -> 3,
       "q_bpe_encode" -> 2, "q_bpe_encode_oov" -> 2,
-      "q_quantile_2pass" -> 1)
+      "q_quantile_2pass" -> 1,
+      // r12: the incremental funnel — store fold (digest groupBy) +
+      // reps semi + contamination hash join + presentation sort; the
+      // quality stage itself is map-side, one exchange fewer than
+      // q_curate's in-plan window dedup
+      "q_curate_incremental" -> 5)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
