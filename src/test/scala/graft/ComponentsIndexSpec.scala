@@ -148,6 +148,38 @@ class ComponentsIndexSpec extends SparkSpec {
       labelsOf(ComponentsIndex.currentLabels(spark, idx))(1100L) == 1000L)
   }
 
+  test("crash between the two writes: reads stay consistent, tagged retry heals") {
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b2: _*), idx,
+      batchTag = Some("b2"))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx,
+      batchTag = Some("b3"))
+    // simulate the documented crash window: byid landed, bycomp didn't
+    // (byid is written FIRST, so this is the only half-written state)
+    def rmTag(table: String): Unit =
+      new java.io.File(s"$idx/$table").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName == "batch_tag=b3")
+        .foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
+    rmTag("bycomp")
+    // reads are CONSISTENT in the crashed state: endpoint labels
+    // already reflect b3 (byid survived)
+    val crashed = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    assert(crashed(11L) == 1L && crashed(30L) == 20L)
+    // the standard discipline: replay the same tag; self-exclusion
+    // recomputes b3's exact changed-set and rewrites BOTH tables
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b3: _*), idx,
+      batchTag = Some("b3"))
+    // bycomp completeness restored: a later merge drags b3's members
+    ComponentsIndex.appendAndLabel(spark, pairsDf((30L, 2L)), idx,
+      batchTag = Some("b4"))
+    val healed = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    assert(healed(30L) == 1L && healed(21L) == 1L && healed(20L) == 1L,
+      s"post-heal merge incomplete: $healed")
+  }
+
   test("empty batch returns an empty frame and creates nothing") {
     val idx = tmpDir() + "/cidx"
     val out = ComponentsIndex.appendAndLabel(spark,
