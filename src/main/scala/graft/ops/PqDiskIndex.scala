@@ -62,11 +62,28 @@ object PqDiskIndex {
     idx.coarse.get.map { case (cid, cw) => (cid, cw.toSeq) }
       .toDF("cid", "cvec")
       .write.mode(SaveMode.Overwrite).parquet(coarsePath(indexPath))
-    Layout.writeRangeClustered(idx.enc, encPath(indexPath),
-      Seq("cluster"), numFiles)
+    // tag-scoped layout (batch_tag=base): appends land their own tag
+    // partitions via dynamic overwrite, so blind retries are
+    // replay-idempotent — range clustering on `cluster` holds WITHIN
+    // each tag partition, which is what the probe's per-file min/max
+    // pruning needs
+    writeTagged(idx.enc, encPath(indexPath), "base", numFiles,
+      SaveMode.Overwrite)
     val out = fs.create(metaPath(indexPath), true)
     try out.write(s"${idx.m} ${idx.d}".getBytes("UTF-8")) finally out.close()
   }
+
+  /** Range-cluster on `cluster` inside one `batch_tag` partition and
+    * land it via dynamic partition overwrite — the tag discipline of
+    * the other indexes applied to the range-clustered layout. */
+  private def writeTagged(enc: DataFrame, path: String, tag: String,
+                          numFiles: Int, mode: SaveMode): Unit =
+    enc.withColumn("batch_tag", lit(tag))
+      .repartitionByRange(numFiles, col("cluster"))
+      .sortWithinPartitions(col("cluster"))
+      .write.mode(mode)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_tag").parquet(path)
 
   private def readMeta(spark: SparkSession, indexPath: String): (Int, Int) = {
     val fs = fsFor(spark, indexPath)
@@ -101,9 +118,18 @@ object PqDiskIndex {
 
   /** Append a batch, encoded under the index's FIXED books + coarse
     * quantizer; the batch's files are range-clustered on cluster like
-    * the base build, so probe pruning keeps working as it accretes. */
+    * the base build, so probe pruning keeps working as it accretes.
+    * Replay-idempotent: the batch lands in its own `batch_tag`
+    * partition (caller's tag, else a content tag over the encoded
+    * rows) via dynamic overwrite, so a blind retry overwrites exactly
+    * its own partition instead of double-appending. An index built by
+    * a pre-tagging version (no `batch_tag` partition) keeps appending
+    * untagged — mixing the layouts breaks partition discovery — with
+    * the legacy caveat that blind retries there double-append; an
+    * explicit tag against such an index fails fast. */
   def append(spark: SparkSession, batch: DataFrame, indexPath: String,
-             vec: String, id: String, numFiles: Int = 4): Unit = {
+             vec: String, id: String, numFiles: Int = 4,
+             batchTag: Option[String] = None): Unit = {
     val idx = loadIndex(spark, indexPath)
     val base = batch.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("neighbor_id"), col(vec).as("nvec"))
@@ -114,8 +140,19 @@ object PqDiskIndex {
         slice(col("nvec"), j * idx.d + 1, idx.d), idx.books(j))
         .getField("cid"))
     }
-    Layout.writeRangeClustered(enc, encPath(indexPath),
-      Seq("cluster"), numFiles, SaveMode.Append)
+    val legacyUntagged = !idx.enc.columns.contains("batch_tag")
+    require(!(legacyUntagged && batchTag.isDefined),
+      s"PqDiskIndex at $indexPath was built untagged; a tagged append " +
+        "would break its partition discovery — rebuild the index or " +
+        "keep appending untagged (batchTag = None)")
+    if (legacyUntagged)
+      Layout.writeRangeClustered(enc, encPath(indexPath),
+        Seq("cluster"), numFiles, SaveMode.Append)
+    else
+      writeTagged(enc, encPath(indexPath),
+        batchTag.getOrElse(Layout.contentTag(enc,
+          "neighbor_id" +: "cluster" +: (0 until idx.m).map(j => s"_c$j"))),
+        numFiles, SaveMode.Overwrite)
   }
 
   /** Re-cluster the accreted encoded table back into `numFiles`
@@ -142,8 +179,14 @@ object PqDiskIndex {
     Layout.recoverSwap(fs, p)
     val tmp = Layout.stagingPath(p, "compact_tmp")
     fs.delete(tmp, true) // stale staging from a crashed run, never authoritative
-    Layout.writeRangeClustered(spark.read.parquet(p.toString),
-      tmp.toString, Seq("cluster"), numFiles)
+    val cur = spark.read.parquet(p.toString)
+    if (cur.columns.contains("batch_tag"))
+      // fold every tag into one generation; folding forfeits the folded
+      // batches' replay idempotency (run behind the retry horizon)
+      writeTagged(cur.drop("batch_tag"), tmp.toString, "folded",
+        numFiles, SaveMode.Overwrite)
+    else
+      Layout.writeRangeClustered(cur, tmp.toString, Seq("cluster"), numFiles)
     Layout.swapInPlace(fs, tmp, p)
   }
 

@@ -82,8 +82,12 @@ class PqDiskIndexSpec extends SparkSpec {
     for (i <- 0 until 5)
       PqDiskIndex.append(spark, df.filter($"vec_id" === (100L + i)),
         s"$dir/pq", "embedding", "vec_id")
-    def encFiles() = new java.io.File(s"$dir/pq/encoded").listFiles()
-      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    def encFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/pq/encoded"))
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    }
     def results() = PqDiskIndex.search(spark, df.filter($"vec_id" < 5),
       s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 4)
       .collect().map(_.toString).sorted.toSeq
@@ -101,6 +105,42 @@ class PqDiskIndexSpec extends SparkSpec {
     assert(PqDiskIndex.search(spark, df.filter($"vec_id" === 2L),
       s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 8)
       .collect().nonEmpty)
+  }
+
+  test("append replays are idempotent under the tag discipline") {
+    val df = planted
+    val dir = tmp()
+    PqDiskIndex.build(spark, df.filter($"vec_id" < 100 || $"vec_id" >= 200),
+      s"$dir/pq", "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 2, nlist = 8, numFiles = 4)
+    val batch = df.filter($"vec_id" >= 100 && $"vec_id" < 200)
+    PqDiskIndex.append(spark, batch, s"$dir/pq", "embedding", "vec_id",
+      batchTag = Some("d1"))
+    val rows = spark.read.parquet(s"$dir/pq/encoded").count()
+    val res = PqDiskIndex.search(spark, df.filter($"vec_id" < 5),
+      s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    // blind retry, same tag: overwrites its own partition — row count
+    // and search results unchanged
+    PqDiskIndex.append(spark, batch, s"$dir/pq", "embedding", "vec_id",
+      batchTag = Some("d1"))
+    assert(spark.read.parquet(s"$dir/pq/encoded").count() == rows,
+      "tagged replay double-appended")
+    assert(PqDiskIndex.search(spark, df.filter($"vec_id" < 5),
+        s"$dir/pq", "embedding", "vec_id", k = 3, cands = 16, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq == res,
+      "tagged replay changed search results")
+    // untagged blind retries re-derive the same content tag: a fresh
+    // index appended twice holds the batch ONCE
+    val dir2 = tmp()
+    PqDiskIndex.build(spark, df.filter($"vec_id" < 100 || $"vec_id" >= 200),
+      s"$dir2/pq", "embedding", "vec_id",
+      m = 4, ksub = 8, iters = 2, nlist = 8, numFiles = 4)
+    val base2 = spark.read.parquet(s"$dir2/pq/encoded").count()
+    PqDiskIndex.append(spark, batch, s"$dir2/pq", "embedding", "vec_id")
+    PqDiskIndex.append(spark, batch, s"$dir2/pq", "embedding", "vec_id")
+    assert(spark.read.parquet(s"$dir2/pq/encoded").count() ==
+      base2 + batch.count(), "content-tag replay double-appended")
   }
 
   test("missing meta (crashed rebuild) fails loudly, not silently") {
