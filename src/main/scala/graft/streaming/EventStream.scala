@@ -247,6 +247,28 @@ object EventStream {
       ()
     }
 
+  /** Streaming ANN ingest over a persisted [[graft.ops.PqDiskIndex]]:
+    * each micro-batch of (id, vector) rows is encoded under the
+    * index's FIXED stored codebooks and landed as its own tag-scoped
+    * generation — searches see the accumulated corpus immediately, and
+    * an at-least-once replay overwrites exactly its own partition
+    * (the PQ append tag discipline). The index must exist (built once
+    * from a training corpus); codebooks are never retrained by the
+    * stream — rebuild offline when drift warrants. Run
+    * [[graft.ops.PqDiskIndex.compact]] as steady-state maintenance:
+    * every batch adds a file generation and the probe's file-listing
+    * cost accretes with them. Same `appId` caveat as
+    * [[nearDupSink]]. */
+  def annIngestSink(vecStream: DataFrame, indexPath: String,
+                    vec: String, id: String, appId: String,
+                    numFiles: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.ops.PqDiskIndex.append(batch.sparkSession, batch, indexPath,
+        vec, id, numFiles, batchTag = Some(s"$appId-$batchId"))
+      ()
+    }
+
   /** Streaming EXACT dedup over a persisted [[graft.ops.DigestIndex]]:
     * each micro-batch is filtered to its FIRST-ARRIVAL documents
     * (digest unseen across the whole stream history, O(batch) probe)

@@ -447,6 +447,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: appended vectors searchable across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    def vect(seed: Long, mut: Boolean = false): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val base = Array.fill(32)(rnd.nextGaussian().toFloat)
+      if (mut) base.map(x => (x * 1.05f) + 0.01f) else base
+    }
+    // train/build on a base corpus; the stream only ever APPENDS
+    val corpus = ((0L until 5L).map(i => (i, vect(i))) ++
+      (200L until 240L).map(i => (i, vect(i)))).toDF("vec_id", "embedding")
+    graft.ops.PqDiskIndex.build(spark, corpus, s"$dir/pq",
+      "embedding", "vec_id", m = 4, ksub = 8, iters = 2, nlist = 8,
+      numFiles = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = EventStream.annIngestSink(mem.toDF().toDF("vec_id", "embedding"),
+        s"$dir/pq", "embedding", "vec_id", appId = "spec-ann")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((100L, vect(0, mut = true)), (101L, vect(1, mut = true)))
+      q.processAllAvailable()
+      mem.addData((102L, vect(2, mut = true)))
+      q.processAllAvailable()
+      val hits = graft.ops.PqDiskIndex.search(spark,
+          corpus.filter($"vec_id" < 3), s"$dir/pq", "embedding", "vec_id",
+          k = 3, cands = 16, nprobe = 8)
+        .collect().groupBy(_.getLong(0))
+      for (qid <- 0L until 3L)
+        assert(hits(qid).exists(_.getLong(1) == 100L + qid),
+          s"streamed partner of query $qid not searchable: ${hits(qid).toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup sink keeps first arrivals across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
