@@ -52,6 +52,18 @@ object PqDiskIndex {
     require(nlist >= 1, "PqDiskIndex: nlist must be >= 1 (IVF-routed)")
     val fs = fsFor(spark, indexPath)
     fs.delete(metaPath(indexPath), false)
+    // A rebuild replaces the WHOLE encoded table, not just the base
+    // generation: an index that has accreted append/folded tag
+    // partitions holds codes encoded under the OLD books — retraining
+    // and then landing only `batch_tag=base` via dynamic overwrite
+    // would leave those stale codes live, and search would silently
+    // decode them against the NEW books (exactly the wrong-books
+    // failure the meta marker exists to make loud). Heal any crashed
+    // compact swap first so the delete removes the committed copy and
+    // leaves no `.swap_old` residue behind.
+    val enc = new Path(encPath(indexPath))
+    Layout.recoverSwap(fs, enc)
+    fs.delete(enc, true)
     val idx = SimilarityOps.buildPqIndex(corpus, vec, id, m, ksub, iters,
       nlist = nlist)
     import spark.implicits._
@@ -98,10 +110,16 @@ object PqDiskIndex {
 
   /** Load the stored model + encoded table as an in-memory-shaped
     * [[SimilarityOps.PqIndex]] (books/coarse are bounded; the encoded
-    * table stays a lazy scan). */
+    * table stays a lazy scan). Read-only callers racing [[compact]]'s
+    * stage-and-swap see the last committed copy of `encoded/`
+    * ([[Layout.committedReadPath]]): mid-swap the live path may be a
+    * partial rename-in, and the marker-less `.swap_old` sibling is the
+    * authoritative table. */
   def loadIndex(spark: SparkSession, indexPath: String)
       : SimilarityOps.PqIndex = {
     val (m, d) = readMeta(spark, indexPath)
+    val encRead = Layout.committedReadPath(fsFor(spark, indexPath),
+      new Path(encPath(indexPath)))
     val books = spark.read.parquet(booksPath(indexPath))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
@@ -112,7 +130,7 @@ object PqDiskIndex {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
-    SimilarityOps.PqIndex(spark.read.parquet(encPath(indexPath)),
+    SimilarityOps.PqIndex(spark.read.parquet(encRead.toString),
       bookSeq, Some(coarse), m, d)
   }
 
@@ -130,6 +148,14 @@ object PqDiskIndex {
   def append(spark: SparkSession, batch: DataFrame, indexPath: String,
              vec: String, id: String, numFiles: Int = 4,
              batchTag: Option[String] = None): Unit = {
+    // Owning-writer entry discipline (Layout.healTable's REQUIRED rule):
+    // a compact that crashed after its rename-in but before the commit
+    // marker leaves `encoded/` marker-less — an append landing there
+    // would be deleted wholesale by the NEXT compact's recoverSwap
+    // (restore-old discards the recreated dir), silently losing every
+    // batch streamed since the crash. Heal first, append second.
+    Layout.recoverSwap(fsFor(spark, indexPath),
+      new Path(encPath(indexPath)))
     val idx = loadIndex(spark, indexPath)
     val base = batch.filter(col(vec).isNotNull)
       .select(col(id).cast("long").as("neighbor_id"), col(vec).as("nvec"))
@@ -172,7 +198,8 @@ object PqDiskIndex {
     * re-quantizes — codes stay bit-identical, so search results are
     * unchanged by construction (PqDiskIndexSpec pins the equality). */
   def compact(spark: SparkSession, indexPath: String,
-              numFiles: Int = 32): Unit = {
+              numFiles: Int = 32,
+              keepTags: Set[String] = Set.empty): Unit = {
     readMeta(spark, indexPath) // incomplete index: fail loudly, as search
     val fs = fsFor(spark, indexPath)
     val p = new Path(encPath(indexPath))
@@ -180,39 +207,54 @@ object PqDiskIndex {
     val tmp = Layout.stagingPath(p, "compact_tmp")
     fs.delete(tmp, true) // stale staging from a crashed run, never authoritative
     val cur = spark.read.parquet(p.toString)
-    if (cur.columns.contains("batch_tag"))
-      // fold every tag into one generation; folding forfeits the folded
-      // batches' replay idempotency (run behind the retry horizon)
-      writeTagged(cur.drop("batch_tag"), tmp.toString, "folded",
-        numFiles, SaveMode.Overwrite)
-    else
+    if (cur.columns.contains("batch_tag")) {
+      // fold tags outside the retry horizon into one generation
+      // (folding forfeits the folded batches' replay idempotency — keep
+      // every tag still inside the caller's retry horizon in
+      // `keepTags`); kept tags are rewritten through, re-range-
+      // clustered within their own partition, so their replay contract
+      // AND the probe's per-file pruning both survive the compaction
+      require(!keepTags.contains("folded"),
+        "'folded' cannot also be a kept tag")
+      val tags = cur.select("batch_tag").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val kept = tags.filter(keepTags.contains)
+      writeTagged(
+        cur.filter(!col("batch_tag").isInCollection(keepTags.toSeq :+ ""))
+          .drop("batch_tag"),
+        tmp.toString, "folded", numFiles, SaveMode.Overwrite)
+      kept.foreach(t => writeTagged(
+        cur.filter(col("batch_tag") === t).drop("batch_tag"),
+        tmp.toString, t, math.max(1, numFiles / 8), SaveMode.Overwrite))
+    } else
       Layout.writeRangeClustered(cur, tmp.toString, Seq("cluster"), numFiles)
     Layout.swapInPlace(fs, tmp, p)
   }
 
   /** IVFADC search against the stored index — identical output to
     * [[SimilarityOps.ivfpqTopK]] under the same training configuration
-    * (PqDiskIndexSpec pins the equality), but the probed inverted
-    * lists are ALSO computed driver-side (same kernels and rounding as
-    * the plan-side probe rank, so the two probe sets agree by
-    * construction) and pushed into the encoded scan as a `cluster IN`
-    * literal filter, where the range-clustered layout turns them into
-    * file/row-group pruning. */
+    * (PqDiskIndexSpec pins the equality), but the union of probed
+    * inverted lists is pushed into the encoded scan as a `cluster IN`
+    * literal filter, where the range-clustered layout turns it into
+    * file/row-group pruning. The per-query probe ranking runs IN THE
+    * PLAN ([[SimilarityOps.coarseProbes]] — the same code pqSearch's
+    * IVF routing uses, so the probe sets agree by construction); the
+    * only thing collected here is the DISTINCT probed cluster ids,
+    * ≤ nlist longs, never a query vector — a 10⁶-query batch costs the
+    * driver nothing. (pqSearch itself still collects the query set to
+    * build its ADC lookup tables; that is its documented
+    * broadcast-small-queries contract, shared with every ANN path.) */
   def search(spark: SparkSession, queries: DataFrame, indexPath: String,
              vec: String, id: String, k: Int, cands: Int = 32,
              nprobe: Int = 4): DataFrame = {
     val idx = loadIndex(spark, indexPath)
-    val cents = idx.coarse.get
-    val qRows = queries
+    val qPlan = queries
       .select(col(id).cast("long").as("query_id"), col(vec).as("qvec"))
       .filter(col("qvec").isNotNull).dropDuplicates("query_id")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probeKeys = qRows.flatMap { case (_, qv) =>
-      cents.map { case (cid, cv) =>
-        (graft.functions.Rounding.roundHalfUpDouble(
-          graft.functions.Kernels.cosine(qv, cv), 6), cid)
-      }.sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2)
-    }.distinct.toSeq
+    val probeKeys = SimilarityOps
+      .coarseProbes(qPlan, idx.coarse.get, nprobe)
+      .select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
     val pruned = idx.copy(enc =
       idx.enc.filter(col("cluster").isInCollection(probeKeys)))
     SimilarityOps.pqSearch(pruned, queries, vec, id, k, cands, nprobe)

@@ -387,6 +387,31 @@ object SimilarityOps {
       .otherwise(dots / (sqrt(qn2) * sqrt(rn2))), 6)
   }
 
+  /** Per-query coarse-quantizer probe assignment, IN THE PLAN: rank the
+    * (bounded, broadcast) centroid table against each query row by
+    * rounded cosine — ties to the smallest cluster id, the [[ivfSearch]]
+    * probe discipline — and keep each query's top `nprobe` lists.
+    * Shared by [[pqSearch]]'s IVF routing and
+    * [[PqDiskIndex.search]]'s file-pruning probe, so the two probe
+    * sets agree by construction (same code, not merely the same
+    * formula). `q` must carry (query_id, qvec); output is
+    * (query_id, cluster). */
+  private[ops] def coarseProbes(q: DataFrame,
+                                cents: Seq[(Long, Array[Float])],
+                                nprobe: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val centDf = cents.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cluster", "centroid")
+    q.crossJoin(broadcast(centDf))
+      .withColumn("csim",
+        roundHalfUp(cosine_sim(col("qvec"), col("centroid")), 6))
+      .withColumn("crk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("csim").desc, col("cluster"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "cluster")
+  }
+
   /** Search a built PQ index: ADC-score, take the top `cands` per query
     * (bounded aggregate), exact-rerank only those |Q|·cands rows. On a
     * flat index the ADC pass scans every encoded row; on an IVF-routed
@@ -420,17 +445,10 @@ object SimilarityOps {
       case None =>
         index.enc.crossJoin(broadcast(qRows.map(_._1).toSeq.toDF("query_id")))
       case Some(cents) =>
-        val centDf = cents.toDF("cluster", "centroid")
         val q = qRows.toSeq.map { case (qid, v) => (qid, v.toSeq) }
           .toDF("query_id", "qvec")
-        val qProbes = q.crossJoin(broadcast(centDf))
-          .withColumn("csim",
-            roundHalfUp(cosine_sim(col("qvec"), col("centroid")), 6))
-          .withColumn("crk", row_number().over(Window.partitionBy("query_id")
-            .orderBy(col("csim").desc, col("cluster"))))
-          .filter(col("crk") <= nprobe)
-          .select("query_id", "cluster")
-        index.enc.join(broadcast(qProbes), Seq("cluster"))
+        index.enc.join(broadcast(coarseProbes(q, cents, nprobe)),
+          Seq("cluster"))
     }
     val scored = scoredBase.withColumn("sim", adc)
 
