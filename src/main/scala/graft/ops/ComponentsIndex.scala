@@ -90,13 +90,15 @@ object ComponentsIndex {
                      star: Boolean = false): DataFrame = {
     // the union graph's diameter is the batch's pair-chain length + 2
     // (stored components arrive as stars): near-clique dup batches
-    // resolve in a few propagation rounds, but a batch that CHAINS
-    // (verbatim-overlap runs) should pass star = true to switch the
-    // merge to connectedComponentsStar — same labels (StarComponents-
-    // Spec pins the equality), diameter-independent round count
+    // resolve in a few propagation rounds, and a batch that CHAINS
+    // (verbatim-overlap runs) falls back AUTOMATICALLY to
+    // connectedComponentsStar — same labels (StarComponentsSpec pins
+    // the equality), diameter-independent round count — so the DEFAULT
+    // configuration survives any batch shape. star = true skips the
+    // propagation attempt for callers that KNOW their batches chain.
     def cc(g: DataFrame) =
       if (star) DedupOps.connectedComponentsStar(g, maxIter = maxIter)
-      else DedupOps.connectedComponents(g, maxIter = maxIter)
+      else DedupOps.connectedComponentsAuto(g, maxIter = maxIter)
     val p = pairs.select(col(idA).cast("long").as("id_a"),
       col(idB).cast("long").as("id_b")).persist()
     try {
@@ -226,24 +228,27 @@ object ComponentsIndex {
     * appends are unaffected (ComponentsIndexSpec pins the equality). */
   def compact(spark: SparkSession, indexPath: String,
               numFiles: Int = NB): Unit = {
-    val cur = currentLabels(spark, indexPath).persist()
-    cur.count()
+    // localCheckpoint, not persist: the fold must be materialized
+    // INDEPENDENT of the tables being swapped — a persisted partition
+    // evicted under memory pressure would recompute from the live
+    // byid/ path mid-swap (absent between swapInPlace's two renames)
+    // and fail the job or race the rewrite. The lineage cut severs
+    // that dependency (the DigestIndex.compact discipline).
+    val cur = currentLabels(spark, indexPath).localCheckpoint(true)
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      for ((path, keyCol, bCol) <- Seq(
-          (byIdPath(indexPath), "id", "ib"),
-          (byCompPath(indexPath), "component", "cb"))) {
-        val live = new Path(path)
-        Layout.recoverSwap(fs, live)
-        val tmp = Layout.stagingPath(live, "compact_tmp")
-        fs.delete(tmp, true) // stale staging, never authoritative
-        cur.select(bucketOf(col(keyCol)).as(bCol),
-            lit("folded").as("batch_tag"), col("id"), col("component"))
-          .repartition(numFiles, col(bCol))
-          .write.partitionBy(bCol, "batch_tag").parquet(tmp.toString)
-        Layout.swapInPlace(fs, tmp, live)
-      }
-    } finally { cur.unpersist(); () }
+    for ((path, keyCol, bCol) <- Seq(
+        (byIdPath(indexPath), "id", "ib"),
+        (byCompPath(indexPath), "component", "cb"))) {
+      val live = new Path(path)
+      Layout.recoverSwap(fs, live)
+      val tmp = Layout.stagingPath(live, "compact_tmp")
+      fs.delete(tmp, true) // stale staging, never authoritative
+      cur.select(bucketOf(col(keyCol)).as(bCol),
+          lit("folded").as("batch_tag"), col("id"), col("component"))
+        .repartition(numFiles, col(bCol))
+        .write.partitionBy(bCol, "batch_tag").parquet(tmp.toString)
+      Layout.swapInPlace(fs, tmp, live)
+    }
   }
 }

@@ -547,8 +547,15 @@ object DedupOps {
       case _ => ()
     }
 
-  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+  /** Min-label propagation core shared by [[connectedComponents]]
+    * (which REFUSES a non-converged answer) and
+    * [[connectedComponentsAuto]] (which falls back to star
+    * contraction): returns the labels plus whether the propagation
+    * actually reached its fixpoint within `maxIter` rounds. The edge
+    * checkpoint is always released; a non-converged labels frame is the
+    * CALLER's to release (or throw away loudly). */
+  private def propagateLabels(pairs: DataFrame, idA: String, idB: String,
+                              maxIter: Int): (DataFrame, Boolean) = {
     val edges = cut(pairs.select(col(idA).as("s"), col(idB).as("t"))
       .unionByName(pairs.select(col(idB).as("s"), col(idA).as("t")))
       .distinct())
@@ -567,19 +574,51 @@ object DedupOps {
       labels = next
       i += 1
     }
+    val out = labels.select(col("id"), col("label").as("component"))
+    freeCheckpoint(edges) // the result needs only the final labels
+    (out, converged)
+  }
+
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val (out, converged) = propagateLabels(pairs, idA, idB, maxIter)
     // partially-propagated labels are SILENT under-dedup downstream
     // (several nodes of one cluster still read as their own
     // representative) — refuse to return them. Duplicate clusters are
     // near-cliques (diameter 2-3); a component needing > maxIter rounds
     // means pathological chaining the caller must opt into via a
     // larger maxIter, not a quietly wrong answer.
+    if (!converged) freeCheckpoint(out)
     require(converged,
       s"connectedComponents: not converged after $maxIter rounds — " +
         "component diameter exceeds maxIter; raise it (or pre-split " +
         "the pair set) rather than accept partially-merged components")
-    val out = labels.select(col("id"), col("label").as("component"))
-    freeCheckpoint(edges) // the result needs only the final labels
     out
+  }
+
+  /** [[connectedComponents]] with an automatic DIAMETER fallback: run
+    * min-label propagation (the cheap path for near-clique duplicate
+    * clusters, fixpoint in 2-3 rounds), and if the pair graph turns out
+    * to chain past the round budget, discard the partial labels and
+    * rerun as [[connectedComponentsStar]] — identical labels by the
+    * star-contraction contract (StarComponentsSpec pins the ≡),
+    * O(log² n) rounds regardless of diameter. The right DEFAULT for
+    * ingest paths that cannot know a batch's graph shape up front
+    * ([[graft.ops.ComponentsIndex.appendAndLabel]], the streaming
+    * sinks): clique-shaped batches never pay the star constant, and a
+    * verbatim-overlap chain degrades to the scale path instead of
+    * aborting the run. Cost of the miss: the `maxIter` wasted
+    * propagation rounds before the fallback — bounded, loud in logs,
+    * never wrong. */
+  def connectedComponentsAuto(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b", maxIter: Int = 25,
+                              starMaxIter: Int = 50): DataFrame = {
+    val (out, converged) = propagateLabels(pairs, idA, idB, maxIter)
+    if (converged) out
+    else {
+      freeCheckpoint(out) // partial labels: release, never return
+      connectedComponentsStar(pairs, idA, idB, starMaxIter)
+    }
   }
 
   /** Release the storage behind a [[connectedComponents]] result once it
@@ -653,11 +692,16 @@ object DedupOps {
         .select(col("t").as("s"), col("m").as("t"))
         .unionByName(minsS.select(col("s"), col("m").as("t")))
         .distinct())
-      // fixpoint: the edge set stopped moving (set equality — counts
-      // match and nothing in next is absent from the previous round)
+      // fixpoint: the edge set stopped moving. Set equality as ONE
+      // action (both sides are distinct sets, so an empty symmetric
+      // difference IS equality) — the previous count+count+anti form
+      // launched two to three jobs per round on the bench's most
+      // expensive key; the union-of-antis is a single job over two
+      // bounded edge frames
       converged =
-        next.count() == edges.count() &&
-          next.join(edges, Seq("s", "t"), "left_anti").isEmpty
+        next.join(edges, Seq("s", "t"), "left_anti")
+          .unionByName(edges.join(next, Seq("s", "t"), "left_anti"))
+          .isEmpty
       freeCheckpoint(edges)
       edges = next
       i += 1

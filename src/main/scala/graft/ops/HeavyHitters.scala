@@ -65,8 +65,15 @@ object HeavyHitters {
       s"theta=$theta needs a $k-entry sketch; below ~1e-6 use groupBy")
     val rows = df.filter(col(item).isNotNull)
       .select(col(item).cast("string").as("item"))
-    // two-level merge (see scale note): lane count ≈ √(input partitions)
-    val parts = math.max(1, rows.rdd.getNumPartitions)
+    // two-level merge (see scale note): lane count ≈ √(cluster
+    // parallelism). defaultParallelism, not rdd.getNumPartitions — the
+    // latter materializes an RDD lineage just to size the lanes and
+    // breaks the single declarative pass-1 plan. Any lane count keeps
+    // the answer identical (MG membership is merge-tree independent +
+    // pass-2 exact recount); √parallelism keeps BOTH funnel stages
+    // bounded: each lane merges ~tasks/√C buffers, the final reducer
+    // merges √C buffers, never the P×k single-reducer funnel.
+    val parts = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
     val lanes = math.max(1, math.ceil(math.sqrt(parts.toDouble)).toInt)
     val lanePartials = rows
       .groupBy(pmod(spark_partition_id(), lit(lanes)).as("_lane"))

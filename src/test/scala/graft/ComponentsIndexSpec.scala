@@ -148,6 +148,30 @@ class ComponentsIndexSpec extends SparkSpec {
       labelsOf(ComponentsIndex.currentLabels(spark, idx))(1100L) == 1000L)
   }
 
+  test("DEFAULT config survives a chain-shaped batch via the auto star fallback") {
+    // a 35-link chain exceeds propagation's default 25-round budget;
+    // the default merge must fall back to star contraction instead of
+    // aborting the ingest run — and produce the same labels a forced
+    // star merge would
+    val idx = tmpDir() + "/cidx"
+    ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,
+      batchTag = Some("b1"))
+    val chain = (500L until 535L).map(i => (i, i + 1))
+    val out = ComponentsIndex.appendAndLabel(spark, pairsDf(chain: _*),
+      idx, batchTag = Some("chain")) // default star=false, maxIter=25
+    assert(out.count() == 36, "chain batch did not label all 36 members")
+    val labels = labelsOf(ComponentsIndex.currentLabels(spark, idx))
+    assert((500L to 535L).forall(labels(_) == 500L),
+      "auto fallback produced wrong chain labels")
+    assert(labels(3L) == 1L, "earlier batch labels disturbed")
+    // and a SECOND chain batch bridging into the first still works
+    // through the default path (members arrive as stars + a new chain)
+    val bridge = (535L until 560L).map(i => (i, i + 1))
+    ComponentsIndex.appendAndLabel(spark, pairsDf(bridge: _*), idx,
+      batchTag = Some("bridge"))
+    assert(labelsOf(ComponentsIndex.currentLabels(spark, idx))(560L) == 500L)
+  }
+
   test("crash between the two writes: reads stay consistent, tagged retry heals") {
     val idx = tmpDir() + "/cidx"
     ComponentsIndex.appendAndLabel(spark, pairsDf(b1: _*), idx,

@@ -36,6 +36,23 @@ class StarComponentsSpec extends SparkSpec {
       s"chain not fully contracted: ${star.filter(_._2 != 0L)}")
   }
 
+  test("connectedComponentsAuto: propagation when it converges, star fallback past the budget") {
+    // clique-shaped input: converges inside the budget, labels match
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (9L, 8L))
+      .toDF("id_a", "id_b")
+    assert(labelsOf(DedupOps.connectedComponentsAuto(clique)) ==
+      labelsOf(DedupOps.connectedComponents(clique)))
+    // chain past the budget: plain propagation refuses, auto falls back
+    // to star and returns the full contraction
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(chain, maxIter = 25)
+    }
+    val auto = labelsOf(DedupOps.connectedComponentsAuto(chain, maxIter = 25))
+    assert(auto.size == 61 && auto.values.forall(_ == 0L),
+      s"auto fallback did not contract the chain: ${auto.filter(_._2 != 0L)}")
+  }
+
   test("self-loops assert no connectivity; isolated nodes label themselves") {
     val pairs = Seq((5L, 5L), (9L, 9L), (1L, 2L)).toDF("id_a", "id_b")
     val star = labelsOf(DedupOps.connectedComponentsStar(pairs))
