@@ -294,6 +294,60 @@ object EventStream {
       ()
     }
 
+  /** The FULL training-data curation funnel as one streaming sink —
+    * the streaming twin of the `q_curate_incremental` batch pipeline,
+    * every stage composed inside one foreachBatch under the shared
+    * `(appId-batchId)` tag:
+    *  1. quality gate ([[graft.ops.TextOps.qualityScore]] ≥
+    *     `minQuality`) — map-side, only passers enter the funnel;
+    *  2. exact dedup: [[graft.ops.DigestIndex.appendAndDedup]] filters
+    *     the batch to FIRST-ARRIVAL documents against the whole stream
+    *     history (O(batch) pruned probe) and accretes the store;
+    *  3. decontamination: shingle overlap against the (bounded,
+    *     broadcast) `benchmark` set drops any doc sharing a w-gram
+    *     with an eval document ([[graft.ops.DedupOps.contaminationScan]]);
+    *  4. deterministic hash draw ([[graft.functions.PortableHash]]
+    *     `< samplePct` of 100) — the subsampling stage.
+    * Survivors land at `keptPath` in the batch's own tag partition, so
+    * an at-least-once replay overwrites exactly its own output AND
+    * recomputes the same first-arrival set (DigestIndex replay
+    * self-exclusion) — the whole funnel is replay-idempotent
+    * end-to-end (StreamingSpec drives a redelivery through it).
+    * Dedup semantics vs the batch funnel: first-arrival (stream
+    * history wins) rather than the store fold's global-min-id
+    * representative — identical keep sets whenever each content's
+    * smallest id arrives in its earliest batch, the usual monotone
+    * ingest shape; under out-of-order id arrival both keep exactly one
+    * copy per content, the stream keeping the earlier-seen one. Same
+    * `appId` caveat as [[nearDupSink]]. */
+  def curateSink(docsStream: DataFrame, indexPath: String,
+                 keptPath: String, text: String, id: String,
+                 appId: String, benchmark: DataFrame,
+                 minQuality: Double = 0.3, w: Int = 3,
+                 samplePct: Int = 50)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tag = s"$appId-$batchId"
+      val q = graft.ops.TextOps.qualityScore(batch, text)
+        .filter(col("quality") >= minQuality)
+      val firsts = graft.ops.DigestIndex.appendAndDedup(
+        batch.sparkSession, q, indexPath, text, id, batchTag = Some(tag))
+      val contaminated = graft.ops.DedupOps
+        .contaminationScan(firsts, benchmark, text, id, w = w)
+        .select(id)
+      val kept = firsts
+        .join(contaminated, Seq(id), "left_anti")
+        .filter(graft.functions.PortableHash
+          .hashMod(col(id), 100) < samplePct)
+      // an empty keep set writes nothing — never a schema-less dir
+      if (!kept.isEmpty)
+        kept.withColumn("batch_tag", lit(tag))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_tag").parquet(keptPath)
+      ()
+    }
+
   /** Streaming cluster-label maintenance over a persisted
     * [[graft.ops.ComponentsIndex]]: each micro-batch of duplicate
     * pairs updates the stable per-document labels in O(batch +
@@ -307,11 +361,17 @@ object EventStream {
     * reset. */
   def componentsSink(pairsStream: DataFrame, indexPath: String,
                      appId: String,
-                     idA: String = "id_a", idB: String = "id_b")
+                     idA: String = "id_a", idB: String = "id_b",
+                     star: Boolean = false, maxIter: Int = 25)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     pairsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // star/maxIter plumbed through so chain-shaped ingest can force
+      // the diameter-independent merge up front; the default is safe
+      // regardless (appendAndLabel auto-falls-back to star contraction
+      // when a batch chains past the propagation budget)
       graft.ops.ComponentsIndex.appendAndLabel(batch.sparkSession, batch,
-        indexPath, idA, idB, batchTag = Some(s"$appId-$batchId"))
+        indexPath, idA, idB, batchTag = Some(s"$appId-$batchId"),
+        maxIter = maxIter, star = star)
       ()
     }
 
@@ -328,15 +388,21 @@ object EventStream {
     * caveat as [[nearDupSink]]. */
   def dedupClusterSink(docsStream: DataFrame, dedupIndexPath: String,
                        labelsIndexPath: String, text: String, id: String,
-                       appId: String, threshold: Double = 0.5)
+                       appId: String, threshold: Double = 0.5,
+                       star: Boolean = false, maxIter: Int = 25)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val tag = s"$appId-$batchId"
       val pairs = graft.ops.DedupIndex.appendAndFindDups(
         batch.sparkSession, batch, dedupIndexPath, text, id,
         threshold = threshold, batchTag = Some(tag))
+      // near-dup pair batches are near-cliques in practice, but a
+      // verbatim-overlap run CAN chain — the label merge auto-falls-
+      // back to star contraction, and callers that know their corpus
+      // chains can force it via star = true
       graft.ops.ComponentsIndex.appendAndLabel(batch.sparkSession, pairs,
-        labelsIndexPath, batchTag = Some(tag))
+        labelsIndexPath, batchTag = Some(tag),
+        maxIter = maxIter, star = star)
       ()
     }
 

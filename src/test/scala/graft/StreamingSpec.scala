@@ -507,6 +507,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation funnel == batch funnel over the same batches; replay-idempotent") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    // pick ids by their deterministic draw value so the keep set is
+    // provably non-empty AND the sampling stage actually drops someone
+    val hm = (1L to 40L).toDF("doc_id")
+      .withColumn("h", graft.functions.PortableHash.hashMod($"doc_id", 100))
+      .as[(Long, Long)].collect().toMap
+    val in = (1L to 40L).filter(hm(_) < 50)   // survives the 50% draw
+    val out = (1L to 40L).filter(hm(_) >= 50) // drawn out
+    val good1 = "the cat sat on the mat and the dog lay by the door"
+    val good2 = "a bird in the hand is worth two in the bush they say"
+    val good3 = "to be or not to be that is the question for the ages"
+    val drawn = "all that glitters is not gold and all is well that ends well"
+    val contam = "the quick brown fox jumps over the lazy dog again and again"
+    val junk = "%%% !!! ;;; ,,, ... ???"
+    // monotone ingest: each content's smallest id arrives in its
+    // earliest batch (the regime where first-arrival == min-id rep)
+    val b1 = Seq((in(0), good1), (in(1), good2), (out(0), junk),
+      (in(2), contam))
+    val b2 = Seq((in(3), good1), (in(4), good3), (out(1), drawn),
+      (in(5), good2))
+    val bench = Seq((900L, "see the quick brown fox jumps over it"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.curateSink(mem.toDF().toDF("doc_id", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id",
+        appId = "spec-cf", benchmark = bench)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    // the batch funnel (q_curate_incremental's shape) over the same
+    // two batches on its own store
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val qual = graft.ops.TextOps.qualityScore(all, "text")
+      .filter($"quality" >= 0.3)
+    val b1ids = b1.map(_._1).toSet
+    graft.ops.DigestIndex.appendAndDedup(spark,
+      qual.filter($"doc_id".isInCollection(b1ids)), s"$dir/didx2",
+      "text", "doc_id", batchTag = Some("hist"))
+    graft.ops.DigestIndex.appendAndDedup(spark,
+      qual.filter(!$"doc_id".isInCollection(b1ids)), s"$dir/didx2",
+      "text", "doc_id", batchTag = Some("daily"))
+    val reps = graft.ops.DigestIndex.currentGroups(spark, s"$dir/didx2")
+      .select($"id".as("doc_id"))
+    val deduped = qual.join(reps, Seq("doc_id"), "left_semi")
+    val contaminated = graft.ops.DedupOps
+      .contaminationScan(deduped, bench, "text", "doc_id", w = 3)
+      .select("doc_id")
+    val expected = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(graft.functions.PortableHash.hashMod($"doc_id", 100) < 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected == Set(in(0), in(1), in(4)),
+      s"batch-funnel fixture drifted: $expected") // quality+dedup+decontam+draw all bit
+    assert(streamed == expected,
+      s"streamed=$streamed batch=$expected")
+    // at-least-once replay: a NEW lineage re-delivers the same batches
+    // under the same appId — every stage overwrites its own tag
+    // partitions, so the keep set and the store are unchanged
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStream.curateSink(mem2.toDF().toDF("doc_id", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id",
+        appId = "spec-cf", benchmark = bench)
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      mem2.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet == expected,
+      "replayed funnel changed the keep set")
+    assert(graft.ops.DigestIndex.currentGroups(spark, s"$dir/didx")
+      .count() == 5, "replay double-appended the digest store")
+  }
+
   test("streaming components sink: accumulated labels == one-shot CC") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
