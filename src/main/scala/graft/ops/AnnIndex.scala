@@ -25,8 +25,9 @@ import graft.functions.Rounding.roundHalfUp
   *
   * Appends write their own range-clustered files; per-file disjointness
   * holds within each batch, so pruning stays effective while batches
-  * accrete — re-run [[build]] (or [[Layout.compactPartitions]]-style
-  * maintenance) when small appended files accumulate.
+  * accrete — run [[compact]] (bucket-preserving re-cluster through the
+  * stage-and-swap discipline) when small appended files accumulate, or
+  * re-run [[build]] to re-key the planes.
   *
   * Searches mirror lshTopK's multi-probe scheme (base bucket + all
   * 1-bit flips), with the probe keys computed driver-side from the
@@ -78,14 +79,47 @@ object AnnIndex {
 
   /** Append a batch of new vectors under the index's fixed plane set.
     * The batch's files are range-clustered on bucket like the base
-    * build, so probe pruning keeps working as the index accretes. */
+    * build, so probe pruning keeps working as the index accretes.
+    * Heals a crashed [[compact]] swap at entry (the owning-writer
+    * discipline): without it, a batch landed in the marker-less window
+    * would be deleted wholesale by the next compact's restore-old
+    * recovery. NOTE: appends are untagged (flat layout) — a blind
+    * retry double-appends its rows; results stay correct because the
+    * top-k aggregate dedups by neighbor id, but storage grows — prefer
+    * the tag-scoped indexes where at-least-once delivery is the norm. */
   def append(spark: SparkSession, batch: DataFrame, indexPath: String,
              vec: String, id: String, numFiles: Int = 4): Unit = {
+    Layout.recoverSwap(fsFor(spark, indexPath),
+      new Path(vecsPath(indexPath)))
     val b = readBits(spark, indexPath)
     Layout.writeRangeClustered(
       batch.select(col(id).as("neighbor_id"), col(vec).as("nvec"),
         hyperplane_lsh(col(vec), b).as("bucket")),
       vecsPath(indexPath), Seq("bucket"), numFiles, SaveMode.Append)
+  }
+
+  /** Re-cluster the accreted vector table back into `numFiles`
+    * range-clustered files — the [[PqDiskIndex.compact]] move for the
+    * LSH layout: every append lands its own file set whose bucket
+    * ranges overlap the base build's, so a probe's `bucket IN` filter
+    * opens ~appends× more files than a fresh build. Rewrites
+    * `vectors/` as ONE range-clustered file set through the
+    * stage-and-swap discipline; planes (`_meta_bits`) are untouched —
+    * compaction moves bytes, it never re-hashes, so search results
+    * are unchanged by construction (AnnIndexSpec pins it). A plain
+    * [[Layout.compact]] would be WRONG here: its hash repartition
+    * destroys the bucket range-clustering that probe pruning needs. */
+  def compact(spark: SparkSession, indexPath: String,
+              numFiles: Int = 32): Unit = {
+    readBits(spark, indexPath) // incomplete index: fail loudly, as search
+    val fs = fsFor(spark, indexPath)
+    val p = new Path(vecsPath(indexPath))
+    Layout.recoverSwap(fs, p)
+    val tmp = Layout.stagingPath(p, "compact_tmp")
+    fs.delete(tmp, true) // stale staging from a crashed run, never authoritative
+    Layout.writeRangeClustered(spark.read.parquet(p.toString),
+      tmp.toString, Seq("bucket"), numFiles)
+    Layout.swapInPlace(fs, tmp, p)
   }
 
   /** Multi-probe cosine top-k against the stored index. Identical
@@ -125,7 +159,10 @@ object AnnIndex {
     val qProbes = qBase
       .withColumn("bucket", explode(array_distinct(probes)))
       .select("query_id", "bucket")
-    val c = spark.read.parquet(vecsPath(indexPath))
+    // read-only path: a search racing a compact mid-swap follows the
+    // last COMMITTED copy (marker semantics), never a partial rename-in
+    val c = spark.read.parquet(Layout.committedReadPath(
+        fsFor(spark, indexPath), new Path(vecsPath(indexPath))).toString)
       .filter(col("bucket").isInCollection(probeKeys))
     val scored = c.join(broadcast(qProbes), Seq("bucket"))
       .join(broadcast(qBase.select(col("query_id"), col("qvec"))), Seq("query_id"))

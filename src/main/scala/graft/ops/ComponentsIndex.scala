@@ -226,6 +226,22 @@ object ComponentsIndex {
     * this behind it). Current labels are unchanged by construction —
     * the fold keeps exactly each id's min — so lookups and future
     * appends are unaffected (ComponentsIndexSpec pins the equality). */
+  /** Horizon-aware partition maintenance: fold label rows of batches
+    * OUTSIDE the retry horizon into one `batch_tag=folded` partition
+    * per bucket dir on BOTH access paths, kept tags copied through
+    * with their replay contract intact ([[Layout.foldBatchTags]]).
+    * Unlike [[compact]] this keeps superseded rows (harmless dead
+    * weight under the min-lattice — the read-side min ignores them);
+    * run [[compact]] once every tag is behind the horizon for the
+    * stronger current-labels-only shape. Returns outer dirs
+    * rewritten. */
+  def foldBatches(spark: SparkSession, indexPath: String,
+                  keepTags: Set[String] = Set.empty,
+                  targetFileBytes: Long = 512L << 20): Int =
+    Seq(byIdPath(indexPath), byCompPath(indexPath)).map(
+      Layout.foldBatchTags(spark, _, keepTags,
+        targetFileBytes = targetFileBytes)).sum
+
   def compact(spark: SparkSession, indexPath: String,
               numFiles: Int = NB): Unit = {
     // localCheckpoint, not persist: the fold must be materialized

@@ -124,6 +124,22 @@ object DigestIndex {
     * idempotency for the folded history (run it behind the retry
     * horizon); every [[currentGroups]] / probe answer is unchanged by
     * the monoid fold (DigestIndexSpec pins it). */
+  /** Horizon-aware partition maintenance: fold summary rows of batches
+    * OUTSIDE the retry horizon (`keepTags` = the tags still inside it)
+    * into one `batch_tag=folded` partition per `db` dir, kept tags
+    * copied through with their replay contract intact
+    * ([[Layout.foldBatchTags]]). Unlike [[compact]] this does not
+    * min/sum-aggregate the folded rows — the monoid fold happens at
+    * read ([[currentGroups]] / the probe's distinct), so answers are
+    * unchanged either way; run [[compact]] instead once every tag is
+    * behind the horizon for the stronger one-row-per-digest shape.
+    * Returns outer dirs rewritten. */
+  def foldBatches(spark: SparkSession, indexPath: String,
+                  keepTags: Set[String] = Set.empty,
+                  targetFileBytes: Long = 512L << 20): Int =
+    Layout.foldBatchTags(spark, digestsPath(indexPath), keepTags,
+      targetFileBytes = targetFileBytes)
+
   def compact(spark: SparkSession, indexPath: String,
               numFiles: Int = NB): Unit = {
     val live = new Path(digestsPath(indexPath))

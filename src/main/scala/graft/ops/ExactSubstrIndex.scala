@@ -128,6 +128,22 @@ object ExactSubstrIndex {
     Layout.foldBatchTags(spark, anchorsPath(indexPath), keepTags,
       targetFileBytes = targetFileBytes)
 
+  /** Steady-state file maintenance, mirroring [[DedupIndex.compact]]:
+    * rewrite the small files appends accrete under `anchors/`,
+    * layout-preserving (every hb / batch_tag partition stays its own
+    * directory through the stage-and-swap), so probe pruning and the
+    * tagged replay contract are untouched. Returns dirs rewritten. */
+  def compact(spark: SparkSession, indexPath: String,
+              targetFileBytes: Long = 512L << 20): Int = {
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tp = new Path(anchorsPath(indexPath))
+    Layout.recoverSwap(fs, tp)
+    if (Layout.hasCommittedFiles(fs, tp))
+      Layout.compactPartitions(spark, tp.toString, targetFileBytes)
+    else 0
+  }
+
   /** The batch's kernel-collapsed anchor contexts with the index's
     * hb fan-out column attached. */
   private[graft] def batchContexts(batch: DataFrame, text: String,

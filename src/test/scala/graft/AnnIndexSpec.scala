@@ -66,6 +66,51 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact: accreted appends re-cluster, search identical, crash window safe") {
+    val df = planted
+    val idx = tmpDir() + "/ann"
+    AnnIndex.build(spark, df.filter($"vec_id" < 100 || $"vec_id" >= 200),
+      idx, "embedding", "vec_id", bits = 8, numFiles = 4)
+    for (i <- 0 until 5)
+      AnnIndex.append(spark, df.filter($"vec_id" === (100L + i)),
+        idx, "embedding", "vec_id")
+    def vecFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/vectors"))
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    }
+    def results() = collectHits(AnnIndex.search(spark,
+      df.filter($"vec_id" < 5), idx, "embedding", "vec_id", k = 3))
+    val before = results()
+    val filesBefore = vecFiles()
+    AnnIndex.compact(spark, idx, numFiles = 4)
+    assert(results() == before,
+      "compaction changed search results — it must move bytes, not buckets")
+    assert(vecFiles() <= 4 && vecFiles() < filesBefore,
+      s"expected <=4 files after compact (was $filesBefore, now ${vecFiles()})")
+    // crash window: live copy aside without a commit marker — a search
+    // follows the committed copy; an append heals before writing, so
+    // its rows survive the next compact
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(s"$idx/vectors")
+    val old = new org.apache.hadoop.fs.Path(s"$idx/.vectors.swap_old")
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, old, false, conf)
+    assert(results() == before, "mid-swap search did not read committed copy")
+    AnnIndex.append(spark, df.filter($"vec_id" === 210L)
+      .select(lit(300L).as("vec_id"), $"embedding"), idx,
+      "embedding", "vec_id")
+    AnnIndex.compact(spark, idx, numFiles = 4)
+    // k = 3, not 1: the appended vector is a copy of id 210, so the two
+    // tie at sim 1.0 and the smaller id wins rank 1
+    assert(AnnIndex.search(spark, df.filter($"vec_id" === 210L)
+        .select(lit(300L).as("vec_id"), $"embedding"), idx,
+        "embedding", "vec_id", k = 3)
+      .collect().exists(_.getLong(1) == 300L),
+      "batch appended in the crash window was lost")
+  }
+
   test("probe keys push down into the index scan") {
     val df = planted
     val idx = tmpDir() + "/ann"
