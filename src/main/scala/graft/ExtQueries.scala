@@ -1417,6 +1417,33 @@ object ExtQueries {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // Temperature-sampled mixing (mT5/CC-100): target share ∝ n^0.5 —
+    // weights derived from the per-source counts, then the identical
+    // binding-source hash-threshold draw. α = 0.5 on purpose: sqrt is
+    // IEEE-correctly-rounded on every engine, so the oracle's
+    // thresholds are bit-identical (general pow has ulp latitude).
+    "q_sample_temperature" -> ((s, dir) =>
+      graft.ops.Mixing.temperatureSample(docs(s, dir), "source", "doc_id",
+        alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // Token-budget curation: per language, the greedy
+    // (quality desc, id) prefix whose running token sum fits a 2000-
+    // token budget — computed as a histogram-threshold two-pass (one
+    // groups×bins exchange + a window over ONLY the boundary bin), not
+    // the naive per-group window that funnels each language through
+    // one sorted task. Oracle replays the naive window; MixingSpec
+    // pins the two-pass ≡ naive equality structurally.
+    "q_token_budget" -> ((s, dir) => {
+      val q = TextOps.qualityScore(docs(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      graft.ops.Mixing.selectToBudget(q, "lang", "quality", "n_tokens",
+          "doc_id", budget = 2000L)
+        .orderBy("doc_id")
+    }),
+
     // Context-window sequence packing: docs laid end-to-end into
     // 512-token bins across 8 hash shards (per-shard running sums; one
     // exchange).
@@ -3195,6 +3222,51 @@ object ExtQueries {
         |FROM documents d JOIN r USING (source)
         |WHERE (d.doc_id * 2654435761) % 1000000 < thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // sqrt is IEEE-correctly-rounded in BOTH engines, so the derived
+    // weights — and therefore the floor'd thresholds — are bit-equal
+    // to Mixing.temperatureSample's driver arithmetic (same
+    // left-associated double chain).
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |j AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS wt, n
+        |      FROM c WHERE n > 0),
+        |t AS (SELECT min(n / wt) AS total FROM j),
+        |r AS (SELECT source,
+        |        CASE WHEN n / wt = total THEN 1000000
+        |             ELSE CAST(floor(wt * total / n * 1000000) AS BIGINT)
+        |        END AS thr
+        |      FROM j, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // replays the NAIVE per-group window — the engine's two-pass
+    // histogram-threshold selection must be bit-identical to it
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |         length(text) AS nch,
+         |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |h AS (
+         |  SELECT doc_id, lang, len(toks) AS n_tokens,
+         |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+         |         punct, nch
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    ${sqlRound("greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + (stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)} AS quality
+         |  FROM h),
+         |c AS (
+         |  SELECT doc_id, lang, quality, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM q WHERE quality IS NOT NULL)
+         |SELECT doc_id, lang, quality, n_tokens FROM c
+         |WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH d AS (

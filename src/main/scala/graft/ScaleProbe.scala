@@ -80,7 +80,7 @@ object ScaleProbe {
       "heavy_hitters", "heavy_hitters_wide", "bpe_train", "quantiles",
       "perplexity", "ann_pq_search", "ann_ivfpq_search",
       "embed_incremental_folded", "components_incremental",
-      "components_star", "dedup_exact_incremental")
+      "components_star", "dedup_exact_incremental", "ann_recall")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -488,7 +488,68 @@ object ScaleProbe {
         graft.ops.TextOps.perplexityFilter(
           d.withColumn("lang", lit("xx")), "text", "doc_id", "lang").count()
       }
+      scrub()
+      // ANN QUALITY at scale, not time: plant an exact-duplicate
+      // partner for 16 query vectors (ids offset +8e8, past every
+      // scaled id) and measure partner-recall@10 for each ANN path —
+      // the guard §6's timing rows cannot provide. Growth in corpus
+      // size degrades approximate recall through specific mechanisms
+      // (LSH bucket-cap crossings, IVF nprobe starvation, PQ ADC
+      // code-collision ties breaking toward smaller ids), and a
+      // timing-only probe would read "fast AND useless" as a win. The
+      // values here are FRACTIONS (0..1), not seconds; their x1→xN
+      // "ratio" is the degradation factor (1.0 = no quality loss).
+      // Config matches the graded keys' shape, with nlist following
+      // the same sqrt-of-corpus FAISS sizing as the ivfpq timing row.
+      val recalls: Map[String, Double] = if (!want("ann_recall")) Map.empty
+      else {
+        val off = 800000000L
+        val nq = 16
+        val queries = e.filter(col("vec_id") < nq)
+        val corpus = e.unionByName(queries.select(
+          (col("vec_id") + lit(off)).as("vec_id"), col("embedding")))
+        def hitFrac(res: DataFrame): Double =
+          res.filter(col("rk") <= 10 &&
+              col("neighbor_id") === col("query_id") + lit(off))
+            .select("query_id").distinct().count().toDouble / nq
+        val nlist = 16 * math.max(1, math.sqrt(scale.toDouble).toInt)
+        val r = Map(
+          "recall_lsh" -> hitFrac(graft.ops.SimilarityOps.lshTopK(
+            corpus, queries, "embedding", "vec_id", 10)),
+          "recall_ivf" -> hitFrac(graft.ops.SimilarityOps.ivfTopK(
+            corpus, queries, "embedding", "vec_id", 10)),
+          "recall_pq" -> hitFrac(graft.ops.SimilarityOps.pqSearch(
+            graft.ops.SimilarityOps.buildPqIndex(
+              corpus, "embedding", "vec_id", m = 4, ksub = 8, iters = 2),
+            queries, "embedding", "vec_id", 10)),
+          "recall_ivfpq" -> hitFrac(graft.ops.SimilarityOps.pqSearch(
+            graft.ops.SimilarityOps.buildPqIndex(
+              corpus, "embedding", "vec_id", m = 4, ksub = 8, iters = 2,
+              nlist = nlist),
+            queries, "embedding", "vec_id", 10, nprobe = 4)),
+          // the OPERATING-POLICY twin: code capacity sized to the
+          // corpus (ksub ~ 8·√scale — the FAISS more-bits-for-more-
+          // vectors rule), everything else identical. The fixed-config
+          // rows above deliberately freeze ksub to EXPOSE the ADC
+          // code-collision failure mode; these show the documented
+          // sizing policy restores recall at the same cands budget.
+          "recall_pq_sized" -> hitFrac(graft.ops.SimilarityOps.pqSearch(
+            graft.ops.SimilarityOps.buildPqIndex(
+              corpus, "embedding", "vec_id", m = 4,
+              ksub = 8 * math.max(1, math.sqrt(scale.toDouble).toInt),
+              iters = 2),
+            queries, "embedding", "vec_id", 10)),
+          "recall_ivfpq_sized" -> hitFrac(graft.ops.SimilarityOps.pqSearch(
+            graft.ops.SimilarityOps.buildPqIndex(
+              corpus, "embedding", "vec_id", m = 4,
+              ksub = 8 * math.max(1, math.sqrt(scale.toDouble).toInt),
+              iters = 2, nlist = nlist),
+            queries, "embedding", "vec_id", 10, nprobe = 4)))
+        scrub()
+        r
+      }
       spark.catalog.clearCache()
+      recalls ++
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "components_incremental" -> tCompIncr,
         "components_star" -> tCompStar,
