@@ -668,6 +668,13 @@ object DedupOps {
       .distinct())
     var converged = false
     var i = 0
+    // carried across rounds: |edges| is last round's |next|, so the
+    // steady-state convergence check is ONE count job per round (the
+    // set-equality anti join runs only on a count match, i.e. at the
+    // fixpoint and on the rare same-size reshuffle round) — the
+    // count+count+anti triple this replaces ran two jobs per round on
+    // the bench's most expensive key
+    var edgeCount = edges.count()
     while (!converged && i < maxIter) {
       val nbrs = edges.select(col("s"), col("t"))
         .unionByName(edges.select(col("t").as("s"), col("s").as("t")))
@@ -692,16 +699,13 @@ object DedupOps {
         .select(col("t").as("s"), col("m").as("t"))
         .unionByName(minsS.select(col("s"), col("m").as("t")))
         .distinct())
-      // fixpoint: the edge set stopped moving. Set equality as ONE
-      // action (both sides are distinct sets, so an empty symmetric
-      // difference IS equality) — the previous count+count+anti form
-      // launched two to three jobs per round on the bench's most
-      // expensive key; the union-of-antis is a single job over two
-      // bounded edge frames
-      converged =
-        next.join(edges, Seq("s", "t"), "left_anti")
-          .unionByName(edges.join(next, Seq("s", "t"), "left_anti"))
-          .isEmpty
+      // fixpoint: the edge set stopped moving (set equality — counts
+      // match, then one anti confirms nothing moved; equal-size
+      // distinct sets with an empty difference are equal)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("s", "t"), "left_anti").isEmpty
+      edgeCount = nextCount
       freeCheckpoint(edges)
       edges = next
       i += 1
