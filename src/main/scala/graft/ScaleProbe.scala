@@ -80,7 +80,8 @@ object ScaleProbe {
       "heavy_hitters", "heavy_hitters_wide", "bpe_train", "quantiles",
       "perplexity", "ann_pq_search", "ann_ivfpq_search",
       "embed_incremental_folded", "components_incremental",
-      "components_star", "dedup_exact_incremental", "ann_recall")
+      "components_star", "dedup_exact_incremental", "ann_recall",
+      "token_budget", "token_budget_naive")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -489,6 +490,31 @@ object ScaleProbe {
           d.withColumn("lang", lit("xx")), "text", "doc_id", "lang").count()
       }
       scrub()
+      // token-budget selection, two-pass histogram-threshold vs the
+      // naive per-group window. Quality is a cheap deterministic hash
+      // draw and tokens a length proxy so the row times the SELECTION
+      // shape, not quality arithmetic. The two-pass exchanges
+      // groups×bins weights + windows only the boundary bin; the naive
+      // form funnels EVERY group through one sorted task — the
+      // straggler the two-pass exists to avoid (same keep set;
+      // MixingSpec pins the equality).
+      val budgetRows = d.select(col("doc_id"),
+        (pmod(col("doc_id"), lit(7)).cast("string")).as("g"),
+        (pmod(xxhash64(col("doc_id")), lit(10000)) / 10000.0).as("q"),
+        length(col("text")).cast("long").as("toks"))
+      val budget = 200000L * scale
+      val tBudget = if (!want("token_budget")) -1.0 else best2 {
+        graft.ops.Mixing.selectToBudget(budgetRows, "g", "q", "toks",
+          "doc_id", budget).count()
+      }
+      scrub()
+      val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
+        budgetRows.withColumn("_cum",
+            sum(col("toks")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("g").orderBy(col("q").desc, col("doc_id"))))
+          .filter(col("_cum") <= budget).count()
+      }
+      scrub()
       // ANN QUALITY at scale, not time: plant an exact-duplicate
       // partner for 16 query vectors (ids offset +8e8, past every
       // scaled id) and measure partner-recall@10 for each ANN path —
@@ -562,7 +588,8 @@ object ScaleProbe {
         "embed_incremental_folded" -> tEmbFold, "heavy_hitters" -> tHh,
         "heavy_hitters_wide" -> tHhWide, "ann_pq_search" -> tPqSearch,
         "ann_ivfpq_search" -> tIvfpqSearch,
-        "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl)
+        "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl,
+        "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive)
         .filter(_._2 >= 0)
     }
 

@@ -444,4 +444,89 @@ object TextOps {
           .otherwise("tail"))
       .drop("_p33", "_p66")
   }
+
+  /** Gopher-style within-document REPETITION signals (Rae et al. 2021,
+    * appendix A1.2 — the quality rules that catch template/boilerplate
+    * spam the cross-doc dedup family cannot, because the repetition is
+    * inside one document): per document,
+    *  - `top{n}_frac` for n ∈ `topNs`: fraction of the document's
+    *    characters attributable to its single most frequent word
+    *    n-gram — `count × chars(gram) / chars(text)`, ties to the
+    *    lexicographically smallest gram (can exceed 1 for overlapping
+    *    occurrences; it is a signal, not a probability);
+    *  - `dup{dupN}_frac`: fraction of non-space characters lying in
+    *    token positions covered by some word dupN-gram that occurs
+    *    MORE THAN ONCE in the document — position coverage, so
+    *    overlapping duplicate grams never double-count a character.
+    *
+    * Distribution shape: the top-gram stats are one partial-aggregated
+    * (id, gram) count per n followed by a `min(struct(-cnt, gram))`
+    * per-doc fold — the arg-max-with-lex-tie as ONE aggregation, no
+    * window, so the exchange is distinct grams and the per-doc result
+    * is a single row. The duplicate-coverage pass marks dup-gram
+    * positions with one (id, gram) window count, explodes the covered
+    * position ranges, and folds distinct positions against per-token
+    * lengths — every stage keyed on (id, …): corpus-proportional
+    * exchanges, nothing quadratic, nothing driver-side. Contract:
+    * single-space-tokenized text (the [[DedupOps.shingles]] contract);
+    * null-text rows are excluded. */
+  def repetitionSignals(df: DataFrame, text: String, id: String,
+                        topNs: Seq[Int] = Seq(2, 3, 4),
+                        dupN: Int = 6): DataFrame = {
+    require(topNs.nonEmpty && topNs.forall(_ >= 2) && dupN >= 2,
+      s"repetitionSignals: n-gram sizes must be >= 2 ($topNs, $dupN)")
+    Reserved.requireAbsent(df, "repetitionSignals",
+      Seq("_gram", "_cnt", "_pos", "_tokpos", "_pick", "_tl", "_cl") ++
+        topNs.map(n => s"top${n}_frac") :+ s"dup${dupN}_frac")
+    val base = df.filter(col(text).isNotNull)
+      .select(col(id), col(text).as("_text"),
+        length(col(text)).as("_nch"))
+    // top-n-gram char fraction, one agg chain per n
+    val tops = topNs.map { n =>
+      val picked = base
+        .select(col(id),
+          explode(DedupOps.shingles(col("_text"), n)).as("_gram"))
+        .groupBy(col(id), col("_gram")).agg(count(lit(1)).as("_cnt"))
+        // arg-max with min-gram tie in ONE fold: min over (-cnt, gram)
+        .groupBy(col(id))
+        .agg(min(struct((-col("_cnt")).as("nc"), col("_gram").as("g")))
+          .as("_pick"))
+        .select(col(id), (-col("_pick.nc")).as("_cnt"),
+          col("_pick.g").as("_gram"))
+      picked.select(col(id), col("_cnt"), col("_gram"))
+        .withColumnRenamed("_cnt", s"_cnt$n")
+        .withColumnRenamed("_gram", s"_gram$n")
+    }
+    // duplicate-n-gram POSITION coverage over non-space characters
+    val grams = base.select(col(id),
+      posexplode(DedupOps.shingles(col("_text"), dupN))
+        .as(Seq("_pos", "_gram")))
+    val dupPositions = grams
+      .withColumn("_cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(id), col("_gram"))))
+      .filter(col("_cnt") >= 2)
+      .select(col(id),
+        explode(sequence(col("_pos"), col("_pos") + lit(dupN - 1)))
+          .as("_tokpos"))
+      .distinct()
+    val tokLens = base.select(col(id),
+        posexplode(tokens(col("_text"))).as(Seq("_tokpos", "_tok")))
+      .select(col(id), col("_tokpos"), length(col("_tok")).as("_l"))
+    val tot = tokLens.groupBy(col(id)).agg(sum(col("_l")).as("_tl"))
+    val covered = tokLens.join(dupPositions, Seq(id, "_tokpos"))
+      .groupBy(col(id)).agg(sum(col("_l")).as("_cl"))
+    val joined = tops.foldLeft(base.join(tot, Seq(id), "left")
+        .join(covered, Seq(id), "left"))(
+      (acc, t) => acc.join(t, Seq(id), "left"))
+    val outCols = col(id) +: (topNs.map { n =>
+      roundHalfUp(coalesce(
+        (col(s"_cnt$n") * length(col(s"_gram$n"))).cast("double") /
+          nullif(col("_nch"), lit(0)), lit(0.0)), 6).as(s"top${n}_frac")
+    } :+ roundHalfUp(coalesce(
+      col("_cl").cast("double") / nullif(col("_tl"), lit(0)), lit(0.0)), 6)
+      .as(s"dup${dupN}_frac"))
+    joined.select(outCols: _*)
+  }
+
 }

@@ -92,6 +92,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 1L, 0.0, 0.0)))
   }
 
+  test("Gopher repetition signals: top-n-gram char fraction + dup-gram coverage") {
+    // doc 1: "x y x y x y z" — top 2-gram "x y" occurs 3x, len 3,
+    // nch 13 -> top2 = 9/13; its dup 2-grams "x y"(3x) and "y x"(2x)
+    // cover ALL 7 token positions
+    // doc 2: all distinct tokens -> every frac 0 except top-n of cnt 1
+    // doc 3: "a b c d e f a b c d e f" — the 6-gram "a b c d e f"
+    // occurs twice -> coverage = all 12 positions -> dup6 = 1.0
+    val df = Seq(
+      (1L, "x y x y x y z"),
+      (2L, "p q r s t u v w"),
+      (3L, "a b c d e f a b c d e f")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(df, "text", "doc_id",
+        topNs = Seq(2), dupN = 6)
+      .select("doc_id", "top2_frac", "dup6_frac")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L,
+      math.rint(3.0 * 3 / 13 * 1e6) / 1e6, 0.0)), s"got ${out(0)}")
+    // doc 2: most frequent 2-gram has cnt 1 (lex smallest "p q"),
+    // frac = 3/15; no dup 6-grams
+    assert(out(1) == ((2L, math.rint(3.0 / 15 * 1e6) / 1e6, 0.0)),
+      s"got ${out(1)}")
+    // doc 3 top 2-gram: "a b" (cnt 2, len 3, nch 23)
+    assert(out(2)._2 == math.rint(3.0 * 2 / 23 * 1e6) / 1e6 &&
+      out(2)._3 == 1.0, s"got ${out(2)}")
+    // fewer tokens than any n: all signals zero, row still present
+    val tiny = TextOps.repetitionSignals(
+      Seq((9L, "one")).toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(tiny.toSeq == Seq((9L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("TF-IDF: rare terms outrank common ones, ranks deterministic") {
     val docs = Seq(
       (1L, "apple apple banana"),
