@@ -358,6 +358,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"kmeanspp assignment grew a join:\n$p")
   }
 
+  test("temperature sampling: the kept corpus is a map-side filter, no join") {
+    // counts are one driver-collected aggregate at CONSTRUCTION; the
+    // returned plan must be scan -> hash-threshold filter (+ the
+    // presentation orderBy) — a per-source rank or a weights join
+    // would put the biggest source through one sorted task
+    val p = planOf("q_sample_temperature")
+    assert(!p.contains("Join"), s"temperature sample grew a join:\n$p")
+    assert(count(p, "Window") == 0, s"temperature sample grew a rank:\n$p")
+    assert(count(p, "Exchange") <= 1,
+      s"temperature sample shuffled beyond the orderBy:\n$p")
+  }
+
+  test("token budget: the Window sits under the boundary-bin filter") {
+    // pass 2's window may only see the boundary bin's slice — a Window
+    // whose input is the whole corpus is the naive straggler shape.
+    // The boundary filter (_b = _boundary) must appear DEEPER in the
+    // plan (smaller operator id) than the Window that consumes it.
+    val p = planOf("q_token_budget")
+    val windows = nodeIds(p, "Window")
+    assert(windows.nonEmpty, s"token budget lost its boundary window:\n$p")
+    val filterIds = p.linesIterator.zipWithIndex.collect {
+      case (l, _) if l.matches(raw"\(\d+\) Filter( .*)?") =>
+        l.substring(l.indexOf('(') + 1, l.indexOf(')')).toInt
+    }.toSeq
+    // at least one Filter deeper than the deepest Window, and the
+    // boundary predicate text must exist in the plan details
+    assert(filterIds.exists(_ < windows.min),
+      s"no filter below the boundary window:\n$p")
+    assert(p.contains("_boundary"),
+      s"boundary-bin predicate missing from the plan:\n$p")
+  }
+
   test("incremental watermark filter prunes with pushdown") {
     // on a natively-typed order column the watermark predicate reaches
     // the scan (events.ts is a ns->µs conversion, so its filter runs
