@@ -613,6 +613,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming components sink survives a chain-shaped batch by DEFAULT") {
+    // a 40-link verbatim-overlap chain in ONE micro-batch exceeds the
+    // propagation round budget; the default sink config must ride the
+    // auto star fallback instead of killing the streaming query
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStream.componentsSink(mem.toDF().toDF("id_a", "id_b"),
+        s"$dir/cidx", appId = "spec-chain")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((700L until 740L).map(i => (i, i + 1)): _*)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"chain batch killed the stream: ${q.exception}")
+      val labels = graft.ops.ComponentsIndex
+        .currentLabels(spark, s"$dir/cidx")
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == 41 && (700L to 740L).forall(labels(_) == 700L),
+        s"chain not fully contracted: ${labels.filter(_._2 != 700L)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup-cluster sink: documents in, maintained labels out") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
