@@ -476,8 +476,10 @@ object TextOps {
     require(topNs.nonEmpty && topNs.forall(_ >= 2) && dupN >= 2,
       s"repetitionSignals: n-gram sizes must be >= 2 ($topNs, $dupN)")
     Reserved.requireAbsent(df, "repetitionSignals",
-      Seq("_gram", "_cnt", "_pos", "_tokpos", "_pick", "_tl", "_cl") ++
-        topNs.map(n => s"top${n}_frac") :+ s"dup${dupN}_frac")
+      Seq("_gram", "_cnt", "_pos", "_tokpos", "_pick", "_tl", "_cl",
+        "_text", "_nch", "_tok", "_l") ++
+        topNs.flatMap(n => Seq(s"_cnt$n", s"_gram$n", s"top${n}_frac")) :+
+        s"dup${dupN}_frac")
     val base = df.filter(col(text).isNotNull)
       .select(col(id), col(text).as("_text"),
         length(col(text)).as("_nch"))
