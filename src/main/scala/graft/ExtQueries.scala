@@ -1428,19 +1428,34 @@ object ExtQueries {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // General-dyadic-α twin: α = 0.25 = 1/2² routes through the
+    // repeated-correctly-rounded-sqrt chain (sqrt(sqrt(n))), so the
+    // thresholds stay bit-portable to the oracle — the flatter mix
+    // (stronger upsampling of rare sources) the 0.3-ish α range of
+    // mT5 configs asks for, with none of pow's ulp latitude.
+    "q_sample_temp25" -> ((s, dir) =>
+      graft.ops.Mixing.temperatureSample(docs(s, dir), "source", "doc_id",
+        alpha = 0.25)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // Token-budget curation: per language, the greedy
     // (quality desc, id) prefix whose running token sum fits a 2000-
     // token budget — computed as a histogram-threshold two-pass (one
     // groups×bins exchange + a window over ONLY the boundary bin), not
     // the naive per-group window that funnels each language through
     // one sorted task. Oracle replays the naive window; MixingSpec
-    // pins the two-pass ≡ naive equality structurally.
+    // pins the two-pass ≡ naive equality structurally. naiveBelow = 0
+    // FORCES the two-pass here so the graded artifact pins the scale
+    // plan (PlanSpec asserts the boundary-bin window); the production
+    // default auto-routes small inputs through the naive window at the
+    // measured crossover — same rows, same hash, either way.
     "q_token_budget" -> ((s, dir) => {
       val q = TextOps.qualityScore(docs(s, dir), "text")
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_tokens").cast("long").as("n_tokens"))
       graft.ops.Mixing.selectToBudget(q, "lang", "quality", "n_tokens",
-          "doc_id", budget = 2000L)
+          "doc_id", budget = 2000L, naiveBelow = 0L)
         .orderBy("doc_id")
     }),
 
@@ -1685,6 +1700,73 @@ object ExtQueries {
             concat_ws(" ", slice(toks, 1, 8))))
           .otherwise(col("text")))
       TextOps.repetitionSignals(synth, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher quality rules (Rae et al. A1.1): word-count bounds, mean
+    // word length, symbol-to-word ratio, bullet/ellipsis line
+    // fractions, alpha-word fraction, min distinct stop-word hits —
+    // one map-side pass, every ratio rounded before its threshold
+    // compare. Bullet and ellipsis LINES don't occur naturally in the
+    // single-line synthetic docs, so docs with doc_id % 7 == 0 get two
+    // bullet lines and % 11 == 0 an ellipsis line appended
+    // (deterministic synthesis, replayed by the oracle) — both line
+    // rules actually fire in the graded data.
+    "q_gopher_quality" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val synth = d.withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit("\n• bullet line one\n• bullet line two")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit("\nto be continued...")))
+            .otherwise(col("text")))
+      TextOps.gopherQuality(synth, "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+          col("alpha_frac"), col("stop_hits"), col("gopher_keep"))
+        .orderBy("doc_id")
+    }),
+
+    // C4 line/document filters (Raffel et al. §2.2): terminal-
+    // punctuation line rule, >= 3 words per line, javascript/cookie
+    // marker lines dropped, '{' / 'lorem ipsum' documents dropped
+    // wholesale — the whole operator ONE map-side projection (the line
+    // filter is an array HOF inside the row; no explode, no exchange).
+    // Lines are synthesized deterministically (docs are single-line):
+    // tokens chunked 10 per line, terminal '.' on (doc_id + line) % 3
+    // == 0 lines, a javascript marker line on % 9, a cookie line on
+    // % 15, a '{' code line on % 13, a lorem-ipsum line on % 17 — the
+    // oracle replays the identical synthesis.
+    "q_c4_filters" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val toks = split(col("text"), " ")
+      val nLines = ceil(size(toks) / lit(10.0)).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1),
+        i => concat(
+          concat_ws(" ", slice(toks, i * 10 + 1, lit(10))),
+          when((col("doc_id") + i) % 3 === 0, lit(".")).otherwise(lit(""))))
+      val synth = d
+        .withColumn("text", concat_ws("\n", lines))
+        .withColumn("text",
+          when(col("doc_id") % 9 === 0, concat(col("text"),
+            lit("\nplease enable javascript to view this page.")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 15 === 0, concat(col("text"),
+            lit("\nwe use cookies to improve your experience.")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"),
+            lit("\nfunction f() { return 1; }")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, concat(col("text"),
+            lit("\nlorem ipsum dolor sit amet.")))
+            .otherwise(col("text")))
+      TextOps.c4Filters(synth, "text", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -3194,6 +3276,100 @@ object ExtQueries {
          |ORDER BY d.doc_id""".stripMargin
     },
 
+    // every ratio rounded to 6 BEFORE its threshold compare, exactly
+    // like the engine — the keep decision is an exact comparison of
+    // canonical values on both sides
+    "q_gopher_quality" -> {
+      val stops = TextOps.gopherStopwords.map(w => s"'$w'")
+        .mkString("[", ",", "]")
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+         |            WHERE text IS NOT NULL),
+         |d1 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || chr(10) ||
+         |    '• bullet line one' || chr(10) || '• bullet line two'
+         |  ELSE text END AS text FROM d0),
+         |d2 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 11 = 0 THEN text || chr(10) ||
+         |    'to be continued...'
+         |  ELSE text END AS text FROM d1),
+         |w AS (SELECT doc_id, text,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |    AS words,
+         |  string_split(text, chr(10)) AS lines FROM d2),
+         |s AS (SELECT doc_id,
+         |  len(words) AS nw,
+         |  length(regexp_replace(text, '\\s+', '', 'g')) AS wchars,
+         |  length(text) - length(replace(text, '#', '')) AS hashes,
+         |  len(regexp_extract_all(text, '\\.\\.\\.')) AS ell,
+         |  len(lines) AS nl,
+         |  len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %')) AS bl,
+         |  len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS el,
+         |  len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+         |  len(list_intersect(
+         |    list_distinct(list_transform(words, x -> lower(x))),
+         |    $stops)) AS stop_hits
+         |  FROM w),
+         |m AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |  ${sqlRound("wchars / nullif(nw, 0)", 6)} AS mean_word_len,
+         |  ${sqlRound("(hashes + ell) / nullif(nw, 0)", 6)} AS symbol_ratio,
+         |  ${sqlRound("bl / nullif(nl, 0)", 6)} AS bullet_frac,
+         |  ${sqlRound("el / nullif(nl, 0)", 6)} AS ellipsis_frac,
+         |  ${sqlRound("aw / nullif(nw, 0)", 6)} AS alpha_frac,
+         |  CAST(stop_hits AS BIGINT) AS stop_hits
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+         |  coalesce(n_words >= 50 AND n_words <= 100000 AND
+         |    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |    symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
+         |    ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND
+         |    stop_hits >= 2, FALSE) AS gopher_keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // replays the synthesis (10-token lines, modular punctuation and
+    // marker lines) and then the C4 rules: terminal punct + >= 3 words
+    // + no javascript/cookie marker per line; '{' / 'lorem ipsum'
+    // documents dropped wholesale; all-lines-dropped docs disappear
+    "q_c4_filters" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |l0 AS (SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+        |    i -> array_to_string(toks[(i*10+1):(i*10+10)], ' ') ||
+        |         CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
+        |    AS lines0
+        |  FROM d),
+        |t1 AS (SELECT doc_id,
+        |  array_to_string(lines0, chr(10)) AS text FROM l0),
+        |t2 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text ||
+        |  chr(10) || 'please enable javascript to view this page.'
+        |  ELSE text END AS text FROM t1),
+        |t3 AS (SELECT doc_id, CASE WHEN doc_id % 15 = 0 THEN text ||
+        |  chr(10) || 'we use cookies to improve your experience.'
+        |  ELSE text END AS text FROM t2),
+        |t4 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text ||
+        |  chr(10) || 'function f() { return 1; }'
+        |  ELSE text END AS text FROM t3),
+        |t5 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text ||
+        |  chr(10) || 'lorem ipsum dolor sit amet.'
+        |  ELSE text END AS text FROM t4),
+        |f AS (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |  FROM t5
+        |  WHERE NOT contains(lower(text), '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum')),
+        |k AS (SELECT doc_id, lines,
+        |  list_filter(lines, l ->
+        |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+        |    AND NOT contains(lower(l), 'javascript')
+        |    AND NOT contains(lower(l), 'cookie')) AS kept
+        |  FROM f)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM k WHERE len(kept) >= 1 ORDER BY doc_id""".stripMargin,
+
     "q_entropy" ->
       s"""WITH e AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -3299,6 +3475,24 @@ object ExtQueries {
     "q_sample_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
         |j AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS wt, n
+        |      FROM c WHERE n > 0),
+        |t AS (SELECT min(n / wt) AS total FROM j),
+        |r AS (SELECT source,
+        |        CASE WHEN n / wt = total THEN 1000000
+        |             ELSE CAST(floor(wt * total / n * 1000000) AS BIGINT)
+        |        END AS thr
+        |      FROM j, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // α = 0.25 replays the engine's dyadic sqrt CHAIN verbatim:
+    // n^0.25 = sqrt(sqrt(n)), every step correctly rounded in both
+    // engines, so thresholds are bit-equal (same rationale as α=0.5)
+    "q_sample_temp25" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |j AS (SELECT source, sqrt(sqrt(CAST(n AS DOUBLE))) AS wt, n
         |      FROM c WHERE n > 0),
         |t AS (SELECT min(n / wt) AS total FROM j),
         |r AS (SELECT source,

@@ -81,7 +81,7 @@ object ScaleProbe {
       "perplexity", "ann_pq_search", "ann_ivfpq_search",
       "embed_incremental_folded", "components_incremental",
       "components_star", "dedup_exact_incremental", "ann_recall",
-      "token_budget", "token_budget_naive")
+      "embed_recall", "token_budget", "token_budget_naive")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -504,8 +504,11 @@ object ScaleProbe {
         length(col("text")).cast("long").as("toks"))
       val budget = 200000L * scale
       val tBudget = if (!want("token_budget")) -1.0 else best2 {
+        // naiveBelow = 0: this row times the TWO-PASS shape at every
+        // scale (the auto-select default would route the small scales
+        // through the naive window and blind the comparison)
         graft.ops.Mixing.selectToBudget(budgetRows, "g", "q", "toks",
-          "doc_id", budget).count()
+          "doc_id", budget, naiveBelow = 0L).count()
       }
       scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
@@ -574,8 +577,34 @@ object ScaleProbe {
         scrub()
         r
       }
+      // EmbedIndex QUALITY at scale (a fraction, like the ann_recall
+      // rows): plant EXACT duplicates of 16 history vectors in a probe
+      // batch (new ids offset past every scaled id, embeddings
+      // identical) and measure the fraction whose partner pair the
+      // incremental probe reports. The timing rows above can't see the
+      // failure this guards: at 30× history the maxBucket cap crossing
+      // could silently DROP true pairs (capped buckets trade recall
+      // for boundedness), and "fast but deaf" would read as a win.
+      val rEmb: Map[String, Double] = if (!want("embed_recall")) Map.empty
+      else {
+        val embIdx = s"$root/embridx_x${scale}_$tag"
+        val off = 800000000L
+        val nq = 16
+        graft.ops.EmbedIndex.appendAndFindDups(spark, e, embIdx,
+          "embedding", "vec_id", batchTag = Some("hist"))
+        val probes = e.filter(col("vec_id") < nq)
+          .select((col("vec_id") + lit(off)).as("vec_id"),
+            col("embedding"))
+        val pairs = graft.ops.EmbedIndex.appendAndFindDups(spark, probes,
+          embIdx, "embedding", "vec_id", batchTag = Some("probe"))
+        val hit = pairs
+          .filter(col("id_b") === col("id_a") + lit(off))
+          .select("id_a").distinct().count().toDouble / nq
+        scrub()
+        Map("embed_recall" -> hit)
+      }
       spark.catalog.clearCache()
-      recalls ++
+      recalls ++ rEmb ++
       Map("minhash" -> tMinhash, "dedup_incremental" -> tIncr,
         "components_incremental" -> tCompIncr,
         "components_star" -> tCompStar,

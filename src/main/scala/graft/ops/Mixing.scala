@@ -27,15 +27,42 @@ object Mixing {
 
   private val M = 1000000L
 
+  /** Driver-collect cardinality caps. The mixing contract is that
+    * sources/groups are LANGUAGES or DOMAINS — dozens to hundreds —
+    * and every driver collect here is bounded by that contract alone.
+    * These caps turn a contract violation (a URL- or id-valued source
+    * column, unbounded distinct values) into a loud, fast `require`
+    * instead of a silent driver OOM: the aggregates are collected
+    * through `limit(cap + 1)`, so the failing case never materializes
+    * more than one row past the cap. */
+  private[graft] val maxSources = 10000
+  private[graft] val maxHistRows = 10000000L
+
+  /** [[selectToBudget]] routing threshold: inputs at or below this
+    * row count take the naive per-group window, larger inputs the
+    * two-pass histogram shape. Set from the measured ScaleProbe
+    * crossover (§6): the naive window was absolutely faster at 4.5M
+    * rows / 7 groups (its fixed histogram overhead dominates), the
+    * two-pass wins on growth shape — the default sits above the
+    * largest measured naive win. Both paths are bit-identical
+    * (MixingSpec pins equality across the switch point). */
+  private[graft] val defaultNaiveBelow = 8000000L
+
   private def requireStringSource(df: DataFrame, sourceCol: String): Unit =
     require(df.schema(sourceCol).dataType ==
         org.apache.spark.sql.types.StringType,
       s"mixing: source column '$sourceCol' must be STRING, got " +
         df.schema(sourceCol).dataType)
 
-  private def sourceCounts(df: DataFrame, sourceCol: String): Map[String, Long] =
-    df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  private def sourceCounts(df: DataFrame, sourceCol: String): Map[String, Long] = {
+    val rows = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"mixing: > $maxSources distinct values in source column " +
+        s"'$sourceCol' — mixing sources are languages/domains by " +
+        "contract; a URL- or id-valued column would OOM the driver")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   def downsampleToWeights(df: DataFrame, sourceCol: String, idCol: String,
                           weights: Map[String, Double]): DataFrame = {
@@ -56,23 +83,51 @@ object Mixing {
     * other source thins to ratio, selection by portable hash
     * threshold, never a per-source rank.
     *
-    * Determinism note: alpha = 0.5 routes through `math.sqrt`, which
-    * IEEE 754 requires to be CORRECTLY rounded on every conforming
-    * engine — so the graded key's thresholds are bit-portable to the
-    * DuckDB oracle. General alpha uses `math.pow` (documented ≤1-ulp
-    * platform latitude; a cross-engine ulp could flip a floor at an
-    * exact threshold boundary, so oracle-gated configurations should
-    * stick to 0.5). */
+    * Determinism note: DYADIC alpha = k/2^m (m ≤ 20 — covers 0.5,
+    * 0.25, 0.75, 0.375, …) routes through [[dyadicPow]]: a product of
+    * repeated `math.sqrt` calls, each IEEE-754 CORRECTLY ROUNDED on
+    * every conforming engine, combined by correctly-rounded multiplies
+    * in a fixed order — so dyadic configurations' thresholds are
+    * bit-portable to the DuckDB oracle (which replays the identical
+    * sqrt/multiply chain). Non-dyadic alpha falls back to `math.pow`
+    * (documented ≤1-ulp platform latitude; a cross-engine ulp could
+    * flip a floor at an exact threshold boundary, so oracle-gated
+    * configurations should stick to dyadic values). */
   def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
                         alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"mixing: alpha must be in (0,1]: $alpha")
     requireStringSource(df, sourceCol)
     val counts = sourceCounts(df, sourceCol)
     val weights = counts.collect { case (s, n) if n > 0 =>
-      s -> (if (alpha == 0.5) math.sqrt(n.toDouble)
-            else math.pow(n.toDouble, alpha))
+      s -> dyadicPow(n.toDouble, alpha).getOrElse(
+        math.pow(n.toDouble, alpha))
     }
     thresholdFilter(df, sourceCol, idCol, weights, counts)
+  }
+
+  /** x^alpha for dyadic alpha = k/2^m (m ≤ 20) as a bit-portable chain
+    * of correctly-rounded operations: walk alpha's binary fraction
+    * digits; the i-th set bit contributes sqrt^i(x) (sqrt applied i
+    * times), and contributions multiply in INCREASING-i order. Every
+    * step (sqrt, multiply) is IEEE-754 correctly rounded, so any
+    * engine replaying the same chain — e.g. DuckDB's
+    * `sqrt(n) * sqrt(sqrt(n))` for alpha = 0.75 — produces the
+    * bit-identical double. alpha = 0.5 degenerates to the single
+    * `math.sqrt` this function replaced. None for non-dyadic alpha
+    * (the bits don't terminate within m = 20). */
+  private[graft] def dyadicPow(x: Double, alpha: Double): Option[Double] = {
+    if (alpha == 1.0) return Some(x)
+    var frac = alpha
+    var root = x
+    var acc = 1.0
+    var i = 0
+    while (frac > 0.0 && i < 20) {
+      i += 1
+      root = math.sqrt(root)
+      frac *= 2 // exact: scaling a binary fraction by 2
+      if (frac >= 1.0) { acc *= root; frac -= 1.0 } // 1.0*r == r exactly
+    }
+    if (frac == 0.0) Some(acc) else None
   }
 
   private def thresholdFilter(df: DataFrame, sourceCol: String,
@@ -126,13 +181,30 @@ object Mixing {
     * within-bin order ∘ bin order = the global order; MixingSpec pins
     * the equality), which is also what the DuckDB oracle replays.
     *
+    * PLAN AUTO-SELECT: the two-pass shape wins on GROWTH (its exchange
+    * is groups×bins at any corpus size), but the histogram pass is a
+    * fixed overhead the naive window doesn't pay — ScaleProbe's honest
+    * pair showed the naive window absolutely faster up to at least
+    * 4.5M rows / 7 groups (§6). Inputs of ≤ `naiveBelow` rows
+    * therefore route through the naive per-group window (the two paths
+    * are bit-identical — MixingSpec pins equality across the switch
+    * point); the routing count() is one map-side scan, a small
+    * fraction of either path's cost. Pass `naiveBelow = 0` to skip the
+    * count and FORCE the two-pass shape (what the graded key and
+    * ScaleProbe do, pinning the scale plan), or a huge value to force
+    * the naive window.
+    *
     * Contract: `quality` ∈ [0,1] (the [[TextOps.qualityScore]] range),
     * `tokens` ≥ 0; rows with a null group, quality, or tokens are
-    * excluded (the grouped-operator null contract). Returns the input
-    * columns unchanged. */
+    * excluded (the grouped-operator null contract). Groups are
+    * languages/domains by contract — the histogram collect is guarded
+    * by [[maxSources]]/[[maxHistRows]] and fails loud on a
+    * high-cardinality group column. Returns the input columns
+    * unchanged. */
   def selectToBudget(df: DataFrame, groupCol: String, qualityCol: String,
                      tokensCol: String, idCol: String, budget: Long,
-                     bins: Int = 1024): DataFrame = {
+                     bins: Int = 1024,
+                     naiveBelow: Long = defaultNaiveBelow): DataFrame = {
     require(budget >= 0, s"mixing: budget must be >= 0: $budget")
     require(bins >= 2, s"mixing: need >= 2 bins: $bins")
     require(df.schema(groupCol).dataType ==
@@ -144,13 +216,34 @@ object Mixing {
     val rows = df
       .filter(col(groupCol).isNotNull && col(qualityCol).isNotNull &&
         col(tokensCol).isNotNull)
+    if (naiveBelow > 0 && rows.count() <= naiveBelow) {
+      // below the measured crossover the histogram is pure overhead:
+      // the naive window IS the semantics, bit-identical by spec pin
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(col(qualityCol).desc, col(idCol))
+      return rows
+        .withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+        .filter(col("_cum") <= budget)
+        .drop("_cum")
+    }
     val bin = least(lit(bins - 1),
       floor(col(qualityCol) * lit(bins)).cast("int"))
-    // pass 1: token weight per (group, bin) — bounded exchange + collect
-    val hist = rows.groupBy(col(groupCol).as("_g"), bin.as("_b"))
+    // pass 1: token weight per (group, bin) — bounded exchange + collect,
+    // the bound enforced loudly (limit means the failing case never
+    // materializes more than one row past the cap on the driver)
+    val histRows = rows.groupBy(col(groupCol).as("_g"), bin.as("_b"))
       .agg(sum(col(tokensCol).cast("long")).as("_w"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .limit(maxHistRows.toInt + 1).collect()
+    require(histRows.length <= maxHistRows,
+      s"mixing: histogram exceeds $maxHistRows (groups x bins) rows — " +
+        s"groups are languages/domains by contract; check '$groupCol'")
+    val hist = histRows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       .groupBy(_._1)
+    require(hist.size <= maxSources,
+      s"mixing: > $maxSources distinct groups in '$groupCol' — " +
+        "groups are languages/domains by contract; a URL- or id-valued " +
+        "column would OOM the driver")
     // per group: highest bin whose cumulative-from-top crosses budget
     // (boundary = -1 when the whole group fits)
     val spark = df.sparkSession

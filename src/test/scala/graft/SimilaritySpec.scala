@@ -319,4 +319,22 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
     assert(run(df) == run(df.repartition(7)))
   }
+
+  test("sizedPq pins the measured §6 recall configurations") {
+    import graft.ops.SimilarityOps.sizedPq
+    // the ScaleProbe reference corpus (2000 vectors) and its 30× twin:
+    // exactly the configurations the recall table measured at 1.000
+    assert(sizedPq(2000L) == ((8, 16)))
+    assert(sizedPq(30L * 2000L) == ((40, 80))) // floor(sqrt(30)) = 5
+    // sub-reference corpora never shrink below the base config
+    assert(sizedPq(100L) == ((8, 16)))
+    assert(sizedPq(0L) == ((8, 16)))
+    // growth is ~sqrt(corpus): 100x corpus -> 10x codewords/lists
+    assert(sizedPq(100L * 2000L) == ((80, 160)))
+    // the driver-side codebook cap binds ksub (nlist keeps scaling
+    // at the capped factor, never past it)
+    val (k, n) = sizedPq(4000000L * 2000L)
+    assert(k == 4096 && n == 16 * (4096 / 8),
+      s"cap mis-applied: ($k, $n)")
+  }
 }

@@ -587,6 +587,55 @@ class StreamingSpec extends SparkSpec {
       .count() == 5, "replay double-appended the digest store")
   }
 
+  test("curation funnel under NON-monotone ids: stream keeps FIRST ARRIVAL, batch fold keeps MIN id — the documented divergence") {
+    // curateSink's documented contract (EventStream.scala): the stream
+    // keeps the first-SEEN copy of each content; the batch funnel's
+    // store fold resolves the global-min-id representative. The two
+    // agree exactly when each content's smallest id arrives in its
+    // earliest batch (monotone ingest). This case drives the OTHER
+    // regime — a smaller id arriving LATER — and pins that (a) both
+    // keep exactly one copy, (b) the stream keeps the earlier-seen
+    // LARGER id while the fold resolves the later-arriving SMALLER id.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val hm = (1L to 60L).toDF("doc_id")
+      .withColumn("h", graft.functions.PortableHash.hashMod($"doc_id", 100))
+      .as[(Long, Long)].collect().toMap
+    val survivors = (1L to 60L).filter(hm(_) < 50)
+    val small = survivors.head       // arrives LAST
+    val big = survivors.last         // arrives FIRST
+    assert(small < big)
+    val dup = "the cat sat on the mat and the dog lay by the door"
+    val bench = Seq((900L, "nothing here overlaps the corpus at all"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.curateSink(mem.toDF().toDF("doc_id", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id",
+        appId = "spec-nm", benchmark = bench)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((big, dup)); q.processAllAvailable()
+      mem.addData((small, dup)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(big),
+      s"stream must keep the first-arrival (larger) id: $streamed")
+    // the batch funnel over its own store: the min-lattice fold
+    // resolves the SMALLER id even though it arrived later
+    graft.ops.DigestIndex.appendAndDedup(spark,
+      Seq((big, dup)).toDF("doc_id", "text"), s"$dir/didx2",
+      "text", "doc_id", batchTag = Some("b0"))
+    graft.ops.DigestIndex.appendAndDedup(spark,
+      Seq((small, dup)).toDF("doc_id", "text"), s"$dir/didx2",
+      "text", "doc_id", batchTag = Some("b1"))
+    val folded = graft.ops.DigestIndex.currentGroups(spark, s"$dir/didx2")
+      .select($"id").as[Long].collect().toSet
+    assert(folded == Set(small),
+      s"store fold must resolve the global-min id: $folded")
+  }
+
   test("streaming components sink: accumulated labels == one-shot CC") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

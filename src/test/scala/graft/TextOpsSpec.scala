@@ -271,4 +271,84 @@ class TextOpsSpec extends SparkSpec {
       "a null document must not read as 'no repetition'")
     assert(out(1)._4.contains(0.0)) // real single-bigram doc still 0.0
   }
+
+  // 53 words, mean length ~4.7, five distinct Gopher stopwords — clears
+  // every A1.1 threshold (shared by the gopherQuality/gopherRules tests)
+  private val goodText =
+    ("the quick brown fox jumps over lazy dogs near river " +
+      "banks and that gentle stream will have carried those with small " +
+      "stones beyond reach while evening light fades softly into night " +
+      "air above quiet fields where birds settle down among tall grass " +
+      "waiting for morning sun to rise again over distant eastern hills")
+
+  test("gopher quality: each rule fires on its planted violator, clean doc passes") {
+    val docs = Seq(
+      (1L, goodText),                                   // passes all rules
+      (2L, "too few words"),                            // word-count floor
+      (3L, Seq.fill(60)("a").mkString(" ")),            // mean len < 3
+      (4L, Seq.fill(60)("# extraordinarily").mkString(" ")), // symbols+len
+      (5L, goodText + Seq.fill(30)("\n• x y").mkString), // bullet lines
+      (6L, goodText.split(" ").take(52).mkString(" ") +
+        "\nwait...\nmore...\nagain..."),                 // ellipsis lines
+      (7L, Seq.fill(60)("123 456").mkString(" ")),       // alpha fraction
+      (8L, Seq.fill(60)("zebra quagga").mkString(" "))   // stop-word floor
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(docs, "text")
+      .select("doc_id", "gopher_keep").as[(Long, Boolean)]
+      .collect().toMap
+    assert(out(1L), "the clean document must pass")
+    for (id <- 2L to 8L)
+      assert(!out(id), s"planted violator $id slipped through")
+    // null text: null signals, keep = false (never null)
+    val nulls = TextOps.gopherQuality(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"), "text")
+      .select("gopher_keep", "n_words").collect()(0)
+    assert(!nulls.getBoolean(0) && nulls.isNullAt(1))
+  }
+
+  test("c4 filters: line-boundary edge cases") {
+    val docs = Seq(
+      // trailing newline -> empty last line (dropped: no terminal punct
+      // is 'ends with' on empty = false); empty middle line dropped too
+      (1L, "good line stays here.\n\nanother good line stays!\n"),
+      // exactly 3 words keeps, 2 words drops, quote-ending keeps
+      (2L, "three words here.\ntwo words.\nhe said \"stop here.\""),
+      // javascript/cookie markers drop the LINE, case-insensitive
+      (3L, "a fine first line.\nEnable JavaScript to continue please.\n" +
+        "This site uses Cookies for login purposes.\nlast line stays."),
+      // '{' anywhere drops the DOCUMENT
+      (4L, "perfectly good line here.\nvar x = { a: 1 };"),
+      // 'lorem ipsum' drops the DOCUMENT, case-insensitive
+      (5L, "perfectly good line here.\nLorem Ipsum dolor sit amet."),
+      // all lines fail -> doc disappears (no empty-text row)
+      (6L, "no punct line\nshort.\n"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Filters(docs, "text", "doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, 4L, 2L,
+      "good line stays here.\nanother good line stays!")))
+    assert(out(2L) == ((2L, 3L, 2L,
+      "three words here.\nhe said \"stop here.\"")))
+    assert(out(3L) == ((3L, 4L, 2L,
+      "a fine first line.\nlast line stays.")))
+  }
+
+  test("gopher rules: quarantine split names exactly the violated rules") {
+    val docs = Seq(
+      (1L, Option(goodText)),
+      (2L, Option("too few words")),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val (clean, bad) = graft.ops.Quarantine.split(
+      docs, TextOps.gopherRules("text"))
+    assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val reasons = bad.select("doc_id", "reasons")
+      .as[(Long, String)].collect().toMap
+    // 3 words: word-count floor + zero stopword hits, nothing else
+    assert(reasons(2L) == "gopher_word_count,gopher_stopwords")
+    // null text: every rule's signal is undefined -> all 7 violated
+    assert(reasons(3L).split(",").length == 7)
+  }
 }
