@@ -1448,8 +1448,8 @@ object ExtQueries {
     // pins the two-pass ≡ naive equality structurally. naiveBelow = 0
     // FORCES the two-pass here so the graded artifact pins the scale
     // plan (PlanSpec asserts the boundary-bin window); the production
-    // default auto-routes small inputs through the naive window at the
-    // measured crossover — same rows, same hash, either way.
+    // default auto-routes small inputs through the naive window below
+    // the single-task sort bound — same rows, same hash, either way.
     "q_token_budget" -> ((s, dir) => {
       val q = TextOps.qualityScore(docs(s, dir), "text")
         .select(col("doc_id"), col("lang"), col("quality"),

@@ -40,12 +40,20 @@ object Mixing {
 
   /** [[selectToBudget]] routing threshold: inputs at or below this
     * row count take the naive per-group window, larger inputs the
-    * two-pass histogram shape. Set from the measured ScaleProbe
-    * crossover (§6): the naive window was absolutely faster at 4.5M
-    * rows / 7 groups (its fixed histogram overhead dominates), the
-    * two-pass wins on growth shape — the default sits above the
-    * largest measured naive win. Both paths are bit-identical
-    * (MixingSpec pins equality across the switch point). */
+    * two-pass histogram shape. Measured (§6, r14 300× probe — 1.5M
+    * rows / 7 groups): the naive window stays absolutely faster
+    * through the largest feasible probe (1.22 vs 1.89 s; slopes
+    * 6.8e-7 vs 9.0e-7 s/row on 32 cores), i.e. there is NO timing
+    * crossover while every group's sorted run fits one healthy task —
+    * the two-pass's advantage is the regime the probe can't reach,
+    * where a single group outgrows one task's sort/memory budget and
+    * becomes a spilling straggler. The default therefore bounds the
+    * WORST-CASE single-task sort: at or below 8M total rows even a
+    * one-group input sorts ≤ 8M rows in one task (seconds, no spill
+    * at curation row widths); beyond it the two-pass's per-task work
+    * is bounded by bins regardless of group skew. Both paths are
+    * bit-identical (MixingSpec pins equality across the switch
+    * point). */
   private[graft] val defaultNaiveBelow = 8000000L
 
   private def requireStringSource(df: DataFrame, sourceCol: String): Unit =
