@@ -1459,6 +1459,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): score every doc by
+    // the log-ratio of its hashed-unigram bag under a TARGET corpus
+    // (docs with doc_id % 10 == 0 — a deterministic "domain sample")
+    // vs the RAW corpus, keep the top half by the exact-quantile
+    // threshold. Portable polynomial bucket hash so the oracle replays
+    // feature assignment bit-for-bit; threshold replayed as
+    // quantile_cont over the rounded weights.
+    "q_dsir" -> ((s, dir) => {
+      val raw = docs(s, dir)
+      val target = raw.filter(col("doc_id") % 10 === 0)
+      graft.ops.Mixing.importanceResample(raw, target, "text", "doc_id",
+          frac = 0.5, buckets = 256, addK = 0.5, portable = true)
+        .orderBy("doc_id")
+    }),
+
     // Context-window sequence packing: docs laid end-to-end into
     // 512-token bins across 8 hash shards (per-shard running sums; one
     // exchange).
@@ -3530,6 +3545,42 @@ object ExtQueries {
          |  FROM q WHERE quality IS NOT NULL)
          |SELECT doc_id, lang, quality, n_tokens FROM c
          |WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
+
+    // replays the engine term for term: the polynomial bucket fold,
+    // the add-k smoothed log-ratio (same left-to-right arithmetic
+    // shape), the rounded per-doc weight, and the quantile_cont
+    // threshold over the rounded weights
+    "q_dsir" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS _w
+         |  FROM documents WHERE text IS NOT NULL),
+         |wf AS (SELECT doc_id, _w FROM w WHERE _w <> ''),
+         |b AS (
+         |  SELECT doc_id, _w,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(_w) + 1),
+         |          i -> CAST(unicode(_w[i]) AS BIGINT))),
+         |      (a, c) -> (a * 31 + c) % 1048576) % 256 AS _b
+         |  FROM wf),
+         |rc AS (SELECT _b, count(*) AS c FROM b GROUP BY 1),
+         |tc AS (SELECT _b, count(*) AS c FROM b
+         |       WHERE doc_id % 10 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c) FROM rc) AS rtot,
+         |               (SELECT coalesce(sum(c), 0) FROM tc) AS ttot),
+         |lw AS (
+         |  SELECT rc._b,
+         |    ln((coalesce(tc.c, 0) + 0.5) / (ttot + 0.5 * 256)) -
+         |    ln((rc.c + 0.5) / (rtot + 0.5 * 256)) AS _lw
+         |  FROM rc LEFT JOIN tc ON rc._b = tc._b, tot),
+         |dc AS (SELECT doc_id, _b, count(*) AS c FROM b GROUP BY 1, 2),
+         |wts AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |    ${sqlRound("sum(c * _lw)", 6)} AS logweight
+         |  FROM dc JOIN lw USING (_b) GROUP BY doc_id),
+         |thr AS (SELECT ${sqlRound("quantile_cont(logweight, 0.5)", 6)}
+         |          AS t FROM wts)
+         |SELECT doc_id, n_feats, logweight FROM wts, thr
+         |WHERE logweight >= t ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH d AS (

@@ -170,6 +170,47 @@ class MixingSpec extends SparkSpec {
       s"big source far from 2x small (=50): $t25")
   }
 
+  test("DSIR: target-like docs outweigh off-target; resample keeps the top fraction under both hashes") {
+    import org.apache.spark.sql.functions._
+    val a = "alpha beta gamma delta epsilon"
+    val b = "omega psi chi phi upsilon"
+    val raw = ((0L until 40L).map((_, a)) ++
+      (100L until 140L).map((_, b))).toDF("doc_id", "text")
+    val target = (1000L until 1010L).map((_, a)).toDF("doc_id", "text")
+    // weights: every target-vocab doc strictly above every off-target doc
+    val w = Mixing.importanceWeights(raw, target, "text", "doc_id",
+      portable = true).as[(Long, Long, Double)].collect()
+    val wa = w.filter(_._1 < 40L).map(_._3).distinct.toSeq
+    val wb = w.filter(_._1 >= 100L).map(_._3).distinct.toSeq
+    assert(wa.size == 1 && wb.size == 1 && wa.head > wb.head,
+      s"weights not separated: a=$wa b=$wb")
+    // frac = 0.5 keeps exactly the target-like half — under BOTH the
+    // portable polynomial bucket and the native xxhash bucket (the
+    // numeric weights differ, the selection must not)
+    for (portable <- Seq(true, false)) {
+      val kept = Mixing.importanceResample(raw, target, "text", "doc_id",
+          frac = 0.5, portable = portable)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == (0L until 40L).toSet, s"portable=$portable: $kept")
+    }
+    // empty raw corpus: empty result, no NPE on the null threshold
+    assert(Mixing.importanceResample(raw.filter(lit(false)), target,
+      "text", "doc_id", frac = 0.5).count() == 0)
+    // model/apply split: a model fit ONCE scores an unseen micro-batch
+    // map-side (the streaming stance) — target-vocab batch doc above
+    // the off-vocab one; fully-unseen words carry no features
+    val model = Mixing.importanceModel(raw, target, "text",
+      portable = true)
+    val batch = Seq((7000L, a), (7001L, b), (7002L, "zzz yyy xxx www"))
+      .toDF("doc_id", "text")
+    val scored = Mixing.applyImportanceWeights(batch, model, "text",
+        "doc_id", portable = true)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(7000L) > scored(7001L))
+    assert(!scored.contains(7002L),
+      "unseen-vocab doc must carry no features, not a fake score")
+  }
+
   test("driver-collect guards fail loud on high-cardinality misuse") {
     import org.apache.spark.sql.functions._
     // a URL-like source column: > maxSources distinct values must fail

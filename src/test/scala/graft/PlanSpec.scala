@@ -370,6 +370,21 @@ class PlanSpec extends SparkSpec {
       s"temperature sample shuffled beyond the orderBy:\n$p")
   }
 
+  test("DSIR: weights plan has no corpus sort-merge and no window; the model joins broadcast") {
+    // the returned plan is the scoring side (the quantile threshold is
+    // resolved eagerly through the bounded two-pass machinery): a
+    // (id, bucket) partial-aggregated exchange + a BROADCAST join of
+    // the ≤ buckets model rows + the per-doc fold. A SortMergeJoin
+    // means the model stopped broadcasting; a Window means someone
+    // re-introduced a rank; both are the 100 TB regressions.
+    val p = planOf("q_dsir")
+    assert(!p.contains("SortMergeJoin"),
+      s"DSIR model join stopped broadcasting:\n$p")
+    assert(count(p, "Window") == 0, s"DSIR grew a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the broadcast model join:\n$p")
+  }
+
   test("token budget: the Window sits under the boundary-bin filter") {
     // pass 2's window may only see the boundary bin's slice — a Window
     // whose input is the whole corpus is the naive straggler shape.
