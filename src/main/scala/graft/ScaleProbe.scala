@@ -81,7 +81,7 @@ object ScaleProbe {
       "perplexity", "ann_pq_search", "ann_ivfpq_search",
       "embed_incremental_folded", "components_incremental",
       "components_star", "dedup_exact_incremental", "ann_recall",
-      "embed_recall", "token_budget", "token_budget_naive")
+      "embed_recall", "token_budget", "token_budget_naive", "dsir")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -511,6 +511,18 @@ object ScaleProbe {
           "doc_id", budget, naiveBelow = 0L).count()
       }
       scrub()
+      // DSIR scoring + exact-quantile selection: two bucket-bounded
+      // distribution scans, a broadcast model join over (id, bucket)
+      // aggregates, the per-doc fold, and the two-pass quantile
+      // threshold — expected growth ~N (scans), with NO corpus sort
+      // and no data-bounded driver collect. Native hash (the
+      // production path; the portable fold is an oracle-parity cost).
+      val tDsir = if (!want("dsir")) -1.0 else best2 {
+        graft.ops.Mixing.importanceResample(d,
+          d.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+          frac = 0.5).count()
+      }
+      scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
         budgetRows.withColumn("_cum",
             sum(col("toks")).over(org.apache.spark.sql.expressions.Window
@@ -618,7 +630,8 @@ object ScaleProbe {
         "heavy_hitters_wide" -> tHhWide, "ann_pq_search" -> tPqSearch,
         "ann_ivfpq_search" -> tIvfpqSearch,
         "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl,
-        "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive)
+        "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive,
+        "dsir" -> tDsir)
         .filter(_._2 >= 0)
     }
 

@@ -381,9 +381,46 @@ object DedupOps {
               length(col(text)) - acc.getField("cur")))).as("text_clean"))
   }
 
+  /** Choose the LSH banding (bands, rowsPerBand) for a target Jaccard
+    * threshold — the datasketch `optimal_param` policy restricted to
+    * exact divisors of the signature length `k` (this op's contract:
+    * bands × rowsPerBand = k). Minimizes
+    * `fpWeight·FP + (1−fpWeight)·FN`, where FP/FN are the fixed-grid
+    * integrals of the banding S-curve `P(hit|s) = 1 − (1 − s^r)^b`
+    * below/above the threshold. Deterministic (fixed 1000-point
+    * midpoint grid, ties to the fewest bands — fewer bands = fewer
+    * bucket exchanges). [[minhashDupPairs]]' defaults (k=64, bands=16)
+    * are exactly `lshParams(0.5, 64)`: the 16/4 S-curve's midpoint
+    * (1/16)^(1/4) = 0.5 — the policy makes the sizing reproducible
+    * instead of folklore, the [[SimilarityOps.sizedPq]] stance. */
+  def lshParams(threshold: Double, k: Int = 64,
+                fpWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"lshParams: threshold must be in (0,1): $threshold")
+    require(k >= 2, s"lshParams: need k >= 2: $k")
+    require(fpWeight >= 0 && fpWeight <= 1,
+      s"lshParams: fpWeight must be in [0,1]: $fpWeight")
+    val grid = 1000
+    def cost(b: Int, r: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val hit = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += hit else fn += 1.0 - hit
+        i += 1
+      }
+      (fpWeight * fp + (1.0 - fpWeight) * fn) / grid
+    }
+    (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      .minBy { case (b, r) => cost(b, r) }
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * Jaccard. bands*rowsPerBand must equal the signature length.
     * Returns (idA, idB, est_jaccard) with idA < idB, est >= threshold.
+    * Size `bands` for a non-default threshold with [[lshParams]].
     */
   def minhashDupPairs(df: DataFrame, text: String, id: String,
                       shingleWidth: Int = 3, k: Int = 64, bands: Int = 16,

@@ -271,4 +271,26 @@ class DedupOpsSpec extends SparkSpec {
     // every surviving gram is in >= 2 distinct docs
     assert(out.values.forall(_._1 >= 2))
   }
+
+  test("lshParams: pins the op defaults at t=0.5; threshold moves bands the right way") {
+    import graft.ops.DedupOps.lshParams
+    // the 16/4 S-curve midpoint (1/16)^(1/4) = 0.5 exactly — the
+    // op's documented defaults must be the policy's answer
+    assert(lshParams(0.5, 64) == ((16, 4)))
+    // a HIGHER threshold needs a steeper curve further right: fewer
+    // bands, more rows per band — and vice versa
+    val (bHi, rHi) = lshParams(0.8, 64)
+    val (bLo, rLo) = lshParams(0.2, 64)
+    assert(bHi < 16 && rHi > 4, s"t=0.8 -> ($bHi, $rHi)")
+    assert(bLo > 16 && rLo < 4, s"t=0.2 -> ($bLo, $rLo)")
+    // every answer satisfies the op's divisibility contract
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); k <- Seq(16, 64, 128)) {
+      val (b, r) = lshParams(t, k)
+      assert(b * r == k && b >= 1 && r >= 1, s"t=$t k=$k -> ($b, $r)")
+    }
+    // weighting: caring only about false positives never picks MORE
+    // bands (more bands = more accidental bucket hits)
+    val (bFp, _) = lshParams(0.5, 64, fpWeight = 1.0)
+    assert(bFp <= 16, s"fp-only picked more bands: $bFp")
+  }
 }
