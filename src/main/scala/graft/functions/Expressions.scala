@@ -99,6 +99,22 @@ object Expressions {
         s"${ev.value} = graft.functions.Kernels.simhashFromArrayData($a);")
   }
 
+  /** Portable polynomial feature bucket over code points
+    * ([[Kernels.polyBucket]]) — the oracle-replayable DSIR hashing
+    * primitive, codegen'd so the per-word cost is one tight loop. */
+  case class PolyBucket(child: Expression, buckets: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.polyBucket(input.asInstanceOf[UTF8String], buckets)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.polyBucket($a, ${buckets}L);")
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * rolling FNV hash over character k-grams, minimum per sliding window of
     * w hashes, consecutive-duplicate-collapsed, returned sorted distinct.
@@ -533,6 +549,8 @@ object Expressions {
     column(CommonSuffixLen(expression(a), expression(b)))
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
     column(WinnowFingerprint(expression(text), k, w))
+  def poly_bucket(text: Column, buckets: Long): Column =
+    column(PolyBucket(expression(text), buckets))
   def hyperplane_lsh(vec: Column, bits: Int): Column =
     column(HyperplaneLsh(expression(vec), bits))
   def minhash_sig(tokens: Column, shingleWidth: Int, k: Int): Column =

@@ -587,4 +587,25 @@ object Kernels {
       syms.map(org.apache.spark.unsafe.types.UTF8String.fromString)
         .toArray[Any])
   }
+
+  /** Portable polynomial feature bucket (the DSIR hashing primitive):
+    * `acc = (acc·31 + codepoint) mod 2^20` folded left-to-right over
+    * UNICODE CODE POINTS, then mod `buckets` — exactly the integer
+    * chain a DuckDB oracle replays with
+    * `list_reduce(... unicode(w[i]) ...)`. Code points (not UTF-16
+    * units) on purpose: that is what `unicode()` yields, so the two
+    * engines agree beyond the BMP too. One tight JVM loop instead of
+    * the split("")/aggregate HOF chain — no per-char string array. */
+  def polyBucket(s: org.apache.spark.unsafe.types.UTF8String,
+                 buckets: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1048576L
+      i += Character.charCount(cp)
+    }
+    acc % buckets
+  }
 }

@@ -166,12 +166,13 @@ object Mixing {
     * variant: polynomial codepoint hash folded left-to-right,
     * `acc = (acc*31 + codepoint) mod 2^20`, then mod `buckets` — pure
     * integer arithmetic both engines replay exactly (DuckDB:
-    * `list_reduce` over `unicode(w[i])`). Costs a per-character fold;
-    * the graded keys pay it for oracle parity. */
+    * `list_reduce` over `unicode(w[i])`). A codegen'd native kernel
+    * ([[graft.functions.Kernels.polyBucket]]): one tight per-word
+    * loop, no per-char string array — the oracle-parity cost over
+    * [[nativeWordBucket]] is the character fold itself, nothing
+    * structural. */
   def portableWordBucket(w: Column, buckets: Int): Column =
-    pmod(aggregate(filter(split(w, ""), c => c =!= ""), lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"),
-        lit(1048576L))), lit(buckets.toLong))
+    graft.functions.Expressions.poly_bucket(w, buckets.toLong)
 
   /** Engine-native bucket (xxhash64 — fast, NOT oracle-portable): the
     * production default; feature quality only needs hash uniformity. */
