@@ -302,6 +302,13 @@ object EventStream {
     *     ([[graft.ops.TextOps.gopherQuality]]) — the document-shape
     *     filters production pipelines run first; map-side, signal
     *     columns dropped after the keep decision;
+    *  0b. (optional, `dsir = Some((model, minLogweight))`) DSIR
+    *     domain-relevance gate: score each doc against a FROZEN
+    *     [[graft.ops.Mixing.importanceModel]] (fit once on samples,
+    *     broadcast — the model/apply split exists exactly for this
+    *     stage) and keep `logweight ≥ minLogweight`. Docs with no
+    *     model-known features score no weight and are dropped — the
+    *     same no-features contract as the batch operator;
     *  1. quality gate ([[graft.ops.TextOps.qualityScore]] ≥
     *     `minQuality`) — map-side, only passers enter the funnel;
     *  2. exact dedup: [[graft.ops.DigestIndex.appendAndDedup]] filters
@@ -330,7 +337,9 @@ object EventStream {
                  keptPath: String, text: String, id: String,
                  appId: String, benchmark: DataFrame,
                  minQuality: Double = 0.3, w: Int = 3,
-                 samplePct: Int = 50, gopher: Boolean = false)
+                 samplePct: Int = 50, gopher: Boolean = false,
+                 dsir: Option[(DataFrame, Double)] = None,
+                 dsirBuckets: Int = 256, dsirPortable: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val tag = s"$appId-$batchId"
@@ -339,7 +348,19 @@ object EventStream {
         else graft.ops.TextOps.gopherQuality(batch, text)
           .filter(col("gopher_keep"))
           .drop(graft.ops.TextOps.gopherCols: _*)
-      val q = graft.ops.TextOps.qualityScore(pre, text)
+      val scored = dsir match {
+        case None => pre
+        case Some((model, minLw)) =>
+          // dsirBuckets/dsirPortable MUST match the model's fit
+          // configuration — the bucket hash is part of the model
+          val keep = graft.ops.Mixing
+            .applyImportanceWeights(pre, model, text, id,
+              buckets = dsirBuckets, portable = dsirPortable)
+            .filter(col("logweight") >= minLw)
+            .select(id)
+          pre.join(keep, Seq(id), "left_semi")
+      }
+      val q = graft.ops.TextOps.qualityScore(scored, text)
         .filter(col("quality") >= minQuality)
       val firsts = graft.ops.DigestIndex.appendAndDedup(
         batch.sparkSession, q, indexPath, text, id, batchTag = Some(tag))

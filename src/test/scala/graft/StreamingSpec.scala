@@ -636,6 +636,50 @@ class StreamingSpec extends SparkSpec {
       s"store fold must resolve the global-min id: $folded")
   }
 
+  test("curation funnel optional stages: gopher rules + a frozen DSIR model gate the stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    // on-domain docs: clear every Gopher A1.1 rule (53 words, mean len
+    // ~4.7, five distinct stopwords); distinct texts so exact dedup
+    // never collapses them
+    val a1 = "the quick brown fox jumps over lazy dogs near river " +
+      "banks and that gentle stream will have carried those with small " +
+      "stones beyond reach while evening light fades softly into night " +
+      "air above quiet fields where birds settle down among tall grass " +
+      "waiting for morning sun to rise again over distant eastern hills"
+    val a2 = a1.replace("hills", "peaks")
+    // off-domain doc: PASSES gopher (60 words, stopword skeleton) but
+    // its content vocabulary never appears in the target corpus
+    val b = Seq.fill(6)(Seq("the", "zorp", "and", "blick", "that",
+      "grum", "with", "flarn", "have", "plim")).flatten.mkString(" ")
+    val short = "too few words" // fails the Gopher word-count floor
+    val raw = Seq((1L, a1), (2L, a2), (3L, b)).toDF("doc_id", "text")
+    val target = Seq((10L, a1), (11L, a2)).toDF("doc_id", "text")
+    val model = graft.ops.Mixing.importanceModel(raw, target, "text")
+    // the frozen model separates the domains at logweight 0
+    val wts = graft.ops.Mixing
+      .applyImportanceWeights(raw, model, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(wts(1L) > 0 && wts(2L) > 0 && wts(3L) < 0, s"model: $wts")
+    val bench = Seq((900L, "benchmark phrase sharing nothing else"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.curateSink(mem.toDF().toDF("doc_id", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id",
+        appId = "spec-st", benchmark = bench, samplePct = 100,
+        gopher = true, dsir = Some((model, 0.0)))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((21L, a1), (22L, short)); q.processAllAvailable()
+      mem.addData((23L, a2), (24L, b)); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(21L, 23L),
+      s"gopher must drop 22, the DSIR gate must drop 24: $kept")
+  }
+
   test("streaming components sink: accumulated labels == one-shot CC") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
