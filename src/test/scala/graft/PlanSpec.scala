@@ -370,6 +370,18 @@ class PlanSpec extends SparkSpec {
       s"temperature sample shuffled beyond the orderBy:\n$p")
   }
 
+  test("quality rules are ONE map-side projection: no exchange beyond the presentation orderBy") {
+    // gopherQuality and c4Filters are per-row expression work by
+    // design — a Window, a join, or a second Exchange here means
+    // someone turned a scan-bound rule into a shuffle
+    for (key <- Seq("q_gopher_quality", "q_c4_filters")) {
+      val p = planOf(key)
+      assert(count(p, "Exchange") <= 1, s"$key grew an exchange:\n$p")
+      assert(count(p, "Window") == 0, s"$key grew a window:\n$p")
+      assert(!p.contains("Join"), s"$key grew a join:\n$p")
+    }
+  }
+
   test("DSIR: weights plan has no corpus sort-merge and no window; the model joins broadcast") {
     // the returned plan is the scoring side (the quantile threshold is
     // resolved eagerly through the bounded two-pass machinery): a
