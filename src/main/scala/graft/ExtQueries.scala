@@ -1459,6 +1459,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Fuzzy decontamination: (doc, benchmark) pairs at w-gram Jaccard
+    // >= 0.3 — catches REPHRASED eval leakage the binary any-shingle
+    // scan over-/under-fires on. Benchmark synthesized as the 60%
+    // prefix of every 25th doc (bench_id = doc_id + 5,000,000), so
+    // each benchmark doc is a planted near-copy of its source; the
+    // oracle replays the synthesis and the exact distinct-shingle
+    // Jaccard.
+    "q_decontam_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val toks = split(col("text"), " ")
+      val bench = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("bench_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(floor((size(toks) * 3) / 5).cast("int"), lit(3))))
+            .as("text"))
+      DedupOps.fuzzyContamination(d, bench, "text", "doc_id", "bench_id",
+          w = 3, threshold = 0.3)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): score every doc by
     // the log-ratio of its hashed-unigram bag under a TARGET corpus
     // (docs with doc_id % 10 == 0 — a deterministic "domain sample")
@@ -3501,6 +3521,39 @@ object ExtQueries {
         |FROM documents d JOIN r USING (source)
         |WHERE (d.doc_id * 2654435761) % 1000000 < thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // exact distinct-shingle Jaccard over the replayed synthesis; the
+    // engine's 8-byte hash join must agree with the string-level truth
+    "q_decontam_fuzzy" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE text IS NOT NULL),
+         |sa AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         |       ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM d),
+         |bt AS (SELECT doc_id + 5000000 AS bench_id,
+         |  string_split(array_to_string(
+         |    toks[1:greatest(CAST((len(toks)*3)//5 AS INT), 3)], ' '),
+         |    ' ') AS toks
+         |  FROM d WHERE doc_id % 25 = 0),
+         |sb AS (SELECT bench_id,
+         |  CASE WHEN len(toks) >= 3
+         |       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         |       ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM bt),
+         |j AS (
+         |  SELECT a.doc_id, b.bench_id,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |    ${sqlRound(
+              "len(list_intersect(a.s, b.s)) / " +
+                "nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)",
+              6)} AS jaccard
+         |  FROM sa a, sb b)
+         |SELECT doc_id, bench_id, inter, jaccard FROM j
+         |WHERE jaccard >= 0.3 ORDER BY doc_id, bench_id""".stripMargin,
 
     // α = 0.25 replays the engine's dyadic sqrt CHAIN verbatim:
     // n^0.25 = sqrt(sqrt(n)), every step correctly rounded in both

@@ -272,6 +272,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.values.forall(_._1 >= 2))
   }
 
+  test("fuzzy decontamination: rephrased benchmark found with exact jaccard; unrelated passes; threshold cuts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    // the 6-token prefix of doc 1 — a "rephrased" eval doc
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("bench_id", "text")
+    val out = graft.ops.DedupOps.fuzzyContamination(docs, bench,
+        "text", "doc_id", "bench_id", w = 3, threshold = 0.3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: 8 shingles, bench: 4, intersection 4 -> j = 4/8 = 0.5;
+    // doc 2 shares nothing
+    assert(out == Seq((1L, 100L, 4L, 0.5)), s"got $out")
+    // a tighter threshold cuts the same pair
+    assert(graft.ops.DedupOps.fuzzyContamination(docs, bench,
+      "text", "doc_id", "bench_id", w = 3, threshold = 0.6).count() == 0)
+  }
+
   test("lshParams: pins the op defaults at t=0.5; threshold moves bands the right way") {
     import graft.ops.DedupOps.lshParams
     // the 16/4 S-curve midpoint (1/16)^(1/4) = 0.5 exactly — the
