@@ -1459,6 +1459,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Card-number PII: maximal 13-19-digit runs validated by the Luhn
+    // checksum (a non-regular property no regex family can express) —
+    // planted deterministically: a VALID number on doc_id % 6, an
+    // invalid same-shape number on % 8, a 20-digit non-candidate run
+    // on % 9; the oracle replays the synthesis and the checksum.
+    "q_pii_cards" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val synth = d
+        .withColumn("text", when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" pay 4111111111111111 now")))
+          .otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 8 === 0,
+          concat(col("text"), lit(" ref 4111111111111112 logged")))
+          .otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" tsid 12345678901234567890 x")))
+          .otherwise(col("text")))
+      TextOps.cardSignals(synth, "text")
+        .select(col("doc_id"), col("n_card_candidates"),
+          col("n_luhn_valid"))
+        .orderBy("doc_id")
+    }),
+
     // Fuzzy decontamination: (doc, benchmark) pairs at w-gram Jaccard
     // >= 0.3 — catches REPHRASED eval leakage the binary any-shingle
     // scan over-/under-fires on. Benchmark synthesized as the 60%
@@ -3521,6 +3544,36 @@ object ExtQueries {
         |FROM documents d JOIN r USING (source)
         |WHERE (d.doc_id * 2654435761) % 1000000 < thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // replays the synthesis + the Luhn fold: reversed digit string,
+    // every second digit doubled (minus 9 past 9), sum mod 10
+    "q_pii_cards" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |            WHERE text IS NOT NULL),
+        |d1 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0
+        |  THEN text || ' pay 4111111111111111 now' ELSE text END AS text
+        |  FROM d0),
+        |d2 AS (SELECT doc_id, CASE WHEN doc_id % 8 = 0
+        |  THEN text || ' ref 4111111111111112 logged' ELSE text END AS text
+        |  FROM d1),
+        |d3 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |  THEN text || ' tsid 12345678901234567890 x' ELSE text END AS text
+        |  FROM d2),
+        |c AS (SELECT doc_id,
+        |  list_filter(regexp_extract_all(text, '[0-9]+'),
+        |    r -> length(r) BETWEEN 13 AND 19) AS cands
+        |  FROM d3)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
+        |  CAST(len(list_filter(cands, c ->
+        |    list_sum(list_transform(range(1, length(c) + 1), i ->
+        |      CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN 2 * (unicode(reverse(c)[i]) - 48) > 9
+        |             THEN 2 * (unicode(reverse(c)[i]) - 48) - 9
+        |             ELSE 2 * (unicode(reverse(c)[i]) - 48) END
+        |      ELSE unicode(reverse(c)[i]) - 48 END)) % 10 = 0))
+        |    AS BIGINT) AS n_luhn_valid
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // exact distinct-shingle Jaccard over the replayed synthesis; the
     // engine's 8-byte hash join must agree with the string-level truth

@@ -115,6 +115,36 @@ object Expressions {
         s"${ev.value} = graft.functions.Kernels.polyBucket($a, ${buckets}L);")
   }
 
+  /** Luhn checksum validity of a digit string ([[Kernels.luhnValid]])
+    * — composes inside array HOF lambdas over regex candidates. */
+  case class LuhnValid(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.luhnValid(input.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.luhnValid($a);")
+  }
+
+  /** Redact Luhn-valid 13–19-digit runs ([[Kernels.redactCards]]) —
+    * the checksum-conditional replacement plain regex cannot do. */
+  case class RedactCards(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.redactCards(input.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.redactCards($a);")
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * rolling FNV hash over character k-grams, minimum per sliding window of
     * w hashes, consecutive-duplicate-collapsed, returned sorted distinct.
@@ -551,6 +581,10 @@ object Expressions {
     column(WinnowFingerprint(expression(text), k, w))
   def poly_bucket(text: Column, buckets: Long): Column =
     column(PolyBucket(expression(text), buckets))
+  def luhn_valid(digits: Column): Column =
+    column(LuhnValid(expression(digits)))
+  def redact_cards(text: Column): Column =
+    column(RedactCards(expression(text)))
   def hyperplane_lsh(vec: Column, bits: Int): Column =
     column(HyperplaneLsh(expression(vec), bits))
   def minhash_sig(tokens: Column, shingleWidth: Int, k: Int): Column =

@@ -588,6 +588,59 @@ object Kernels {
         .toArray[Any])
   }
 
+  /** Luhn checksum over a digit string (ISO/IEC 7812) — the validator
+    * that separates real card numbers from arbitrary digit runs in
+    * PII scrubbing: from the RIGHT, double every second digit
+    * (subtract 9 past 9), valid iff the sum ≡ 0 (mod 10). False on
+    * empty or non-digit input (never throws — scrub paths feed it
+    * regex candidates, not validated data). */
+  def luhnValid(s: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val str = s.toString
+    if (str.isEmpty) return false
+    var sum = 0
+    var i = str.length - 1
+    var pos = 1
+    while (i >= 0) {
+      val c = str.charAt(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
+      if (pos % 2 == 0) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      i -= 1
+      pos += 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Redact Luhn-VALID 13–19-digit runs in one pass: scan for maximal
+    * digit runs, validate each with [[luhnValid]], splice `<CARD>`
+    * over the valid ones — the conditional replacement a regex engine
+    * cannot express (replace only when a checksum holds). Runs longer
+    * than 19 digits are left alone (not a card; a regex {13,19} would
+    * wrongly redact their prefix). */
+  def redactCards(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    val out = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < str.length && str.charAt(j) >= '0' &&
+          str.charAt(j) <= '9') j += 1
+        val run = str.substring(i, j)
+        if (run.length >= 13 && run.length <= 19 &&
+            luhnValid(org.apache.spark.unsafe.types.UTF8String
+              .fromString(run)))
+          out.append("<CARD>")
+        else out.append(run)
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+
   /** Portable polynomial feature bucket (the DSIR hashing primitive):
     * `acc = (acc·31 + codepoint) mod 2^20` folded left-to-right over
     * UNICODE CODE POINTS, then mod `buckets` — exactly the integer

@@ -157,6 +157,38 @@ object TextOps {
       .drop("_email_redacted")
   }
 
+  /** Card-number PII signals: maximal digit runs of card length
+    * (13–19) and how many pass the Luhn checksum — the validator that
+    * separates real card numbers from ids/timestamps, which the
+    * [[redactPii]] regex family structurally cannot (a checksum is
+    * not a regular language). Candidates are MAXIMAL `[0-9]+` runs
+    * filtered by length, not a `{13,19}` regex — the latter would
+    * count a 19-digit prefix of a longer run on both engines and a
+    * lookaround guard is not RE2-portable. Map-side; appends
+    * (n_card_candidates, n_luhn_valid). */
+  def cardSignals(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "cardSignals",
+      Seq("n_card_candidates", "n_luhn_valid"))
+    val cands = filter(
+      regexp_extract_all(col(text), lit("[0-9]+"), lit(0)),
+      r => length(r) >= 13 && length(r) <= 19)
+    df.withColumn("n_card_candidates", size(cands).cast("long"))
+      .withColumn("n_luhn_valid",
+        size(filter(cands,
+          r => graft.functions.Expressions.luhn_valid(r))).cast("long"))
+  }
+
+  /** Luhn-conditional card redaction: every Luhn-VALID 13–19-digit
+    * maximal run becomes `<CARD>`; invalid runs (and longer ones —
+    * not cards) survive untouched. One codegen'd kernel pass
+    * ([[graft.functions.Kernels.redactCards]]); composes with
+    * [[redactPii]]'s email/phone scrub. */
+  def redactCardNumbers(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "redactCardNumbers", Seq("redacted_cards"))
+    df.withColumn("redacted_cards",
+      graft.functions.Expressions.redact_cards(col(text)))
+  }
+
   /** Shannon entropy of the per-document token distribution (nats) —
     * the low-entropy filter of LLM-corpus quality pipelines: generated
     * spam and template pages sit far below natural prose. Computed as

@@ -336,6 +336,33 @@ class TextOpsSpec extends SparkSpec {
       "a fine first line.\nlast line stays.")))
   }
 
+  test("card PII: Luhn separates real numbers from digit noise; redaction is checksum-conditional") {
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),            // valid Visa test number
+      (2L, "ref 4111111111111112 logged"),         // same shape, bad checksum
+      (3L, "tsid 12345678901234567890 x"),         // 20 digits: not a candidate
+      (4L, "call 555-867-5309 ok"),                // short runs: not candidates
+      (5L, "two 4111111111111111 and 4539578763621486 cards")
+    ).toDF("doc_id", "text")
+    val sig = TextOps.cardSignals(docs, "text")
+      .select("doc_id", "n_card_candidates", "n_luhn_valid")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sig(1L) == ((1L, 1L)))
+    assert(sig(2L) == ((1L, 0L)))
+    assert(sig(3L) == ((0L, 0L)))
+    assert(sig(4L) == ((0L, 0L)))
+    assert(sig(5L) == ((2L, 2L)))
+    val red = TextOps.redactCardNumbers(docs, "text")
+      .select("doc_id", "redacted_cards")
+      .as[(Long, String)].collect().toMap
+    assert(red(1L) == "pay <CARD> now")
+    assert(red(2L) == "ref 4111111111111112 logged",
+      "an invalid checksum must NOT be redacted")
+    assert(red(3L) == "tsid 12345678901234567890 x",
+      "a 20-digit run is not a card; its prefix must not be eaten")
+    assert(red(5L) == "two <CARD> and <CARD> cards")
+  }
+
   test("gopher rules: quarantine split names exactly the violated rules") {
     val docs = Seq(
       (1L, Option(goodText)),
