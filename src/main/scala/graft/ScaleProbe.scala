@@ -81,7 +81,8 @@ object ScaleProbe {
       "perplexity", "ann_pq_search", "ann_ivfpq_search",
       "embed_incremental_folded", "components_incremental",
       "components_star", "dedup_exact_incremental", "ann_recall",
-      "embed_recall", "token_budget", "token_budget_naive", "dsir")
+      "embed_recall", "token_budget", "token_budget_naive", "dsir",
+      "decontam_fuzzy")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -523,6 +524,26 @@ object ScaleProbe {
           frac = 0.5).count()
       }
       scrub()
+      // fuzzy decontamination: a BOUNDED benchmark (1% of base docs,
+      // 60% prefixes) broadcasts; corpus shingles reduce to 8-byte
+      // hashes map-side and only matching (id, bench) rows exchange.
+      // Expected growth ~N (the corpus scan); the benchmark side is
+      // constant — the oracle's quadratic cross join is exactly what
+      // this shape avoids.
+      val tFuzzy = if (!want("decontam_fuzzy")) -1.0 else {
+        val bToks = split(col("text"), " ")
+        val bench = spark.read.parquet(dPaths(1))
+          .filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + lit(700000000L)).as("bench_id"),
+            concat_ws(" ", slice(bToks, lit(1),
+              greatest(floor((size(bToks) * 3) / 5).cast("int"), lit(3))))
+              .as("text"))
+        best2 {
+          graft.ops.DedupOps.fuzzyContamination(d, bench, "text",
+            "doc_id", "bench_id", w = 3, threshold = 0.3).count()
+        }
+      }
+      scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
         budgetRows.withColumn("_cum",
             sum(col("toks")).over(org.apache.spark.sql.expressions.Window
@@ -631,7 +652,7 @@ object ScaleProbe {
         "ann_ivfpq_search" -> tIvfpqSearch,
         "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl,
         "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive,
-        "dsir" -> tDsir)
+        "dsir" -> tDsir, "decontam_fuzzy" -> tFuzzy)
         .filter(_._2 >= 0)
     }
 
