@@ -204,6 +204,25 @@ class MixingSpec extends SparkSpec {
     assert(Mixing.waterFill(Map("a" -> 5L), 0L) == Map("a" -> 0L))
   }
 
+  test("waterFill composes with selectToBudgets: kept tokens respect every budget and the global target") {
+    import org.apache.spark.sql.functions._
+    val df = budgetCorpus(8, 300)
+    val supply = df.groupBy("g").agg(sum("toks").as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = 2000L
+    val budgets = Mixing.waterFill(supply, total)
+    assert(budgets.values.sum == math.min(total, supply.values.sum))
+    val kept = Mixing.selectToBudgets(df, "g", "q", "toks", "id",
+      budgets, naiveBelow = 0L)
+    val keptTokens = kept.groupBy("g").agg(sum("toks").as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((g, n) <- keptTokens)
+      assert(n <= budgets(g), s"group $g kept $n > budget ${budgets(g)}")
+    // doc granularity can undershoot a budget, never overshoot the target
+    assert(keptTokens.values.sum <= total)
+    assert(keptTokens.values.sum > 0)
+  }
+
   test("DSIR: target-like docs outweigh off-target; resample keeps the top fraction under both hashes") {
     import org.apache.spark.sql.functions._
     val a = "alpha beta gamma delta epsilon"
