@@ -438,19 +438,12 @@ object Mixing {
       case Left(b)  => b
       case Right(m) => m(g)
     }
-    // the budget the plan compares against: a literal for the global
-    // form (the graded key's pinned shape), a broadcast column for
-    // the per-group form
-    def budgetCol(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-      import spark.implicits._
-      budget match {
-        case Left(_)  => null
-        case Right(m) => broadcast(m.toSeq.toDF("_g2", "_budget"))
-      }
-    }
     if (naiveBelow > 0 && rows.count() <= naiveBelow) {
       // below the measured crossover the histogram is pure overhead:
-      // the naive window IS the semantics, bit-identical by spec pin
+      // the naive window IS the semantics, bit-identical by spec pin.
+      // The budget the filter compares against: a literal for the
+      // global form (the graded key's pinned shape), a broadcast
+      // column for the per-group form.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(groupCol))
         .orderBy(col(qualityCol).desc, col(idCol))
@@ -458,11 +451,12 @@ object Mixing {
         .withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
       return (budget match {
         case Left(b) => cum.filter(col("_cum") <= b)
-        case Right(_) => cum
-          .join(budgetCol(df.sparkSession),
-            col(groupCol) === col("_g2"), "inner")
-          .filter(col("_cum") <= col("_budget"))
-          .drop("_g2", "_budget")
+        case Right(m) =>
+          import df.sparkSession.implicits._
+          cum.join(broadcast(m.toSeq.toDF("_g2", "_budget")),
+              col(groupCol) === col("_g2"), "inner")
+            .filter(col("_cum") <= col("_budget"))
+            .drop("_g2", "_budget")
       }).drop("_cum")
     }
     val bin = least(lit(bins - 1),
