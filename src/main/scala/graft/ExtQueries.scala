@@ -1482,6 +1482,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-free splits: train/val/test assignment by DEDUP CLUSTER
+    // (the q_dedup_components pair derivation), so the planted mutants
+    // and their originals always land in the SAME split — a per-doc
+    // hash split would let near-dups straddle the train/test boundary
+    // and the eval would score memorization. Singletons label
+    // themselves; the hash draw runs on the label.
+    "q_split_leakfree" -> ((s, dir) => {
+      val d = clusterDocs(s, dir)
+      val pairs = DedupOps.ngramJaccard(d, d, "text", "doc_id")
+        .filter(col("inter") * 10 >= col("uni") * 3)
+      DedupOps.leakFreeSplit(d, pairs, "doc_id")
+        .select(col("doc_id"), col("group_id"), col("bucket"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Fuzzy decontamination: (doc, benchmark) pairs at w-gram Jaccard
     // >= 0.3 — catches REPHRASED eval leakage the binary any-shingle
     // scan over-/under-fires on. Benchmark synthesized as the 60%
@@ -3642,6 +3658,50 @@ object ExtQueries {
         |FROM documents d JOIN r USING (source)
         |WHERE (d.doc_id * 2654435761) % 1000000 < thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the q_dedup_components pair derivation + label fold, then the
+    // q_split_assign hash draw on the LABEL — mutants and originals
+    // provably share a split
+    "q_split_leakfree" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 20)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
+        |        >= len(list_distinct(a.s || b.s)) * 3),
+        |e AS (SELECT id_a AS s, id_b AS t FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |v AS (SELECT DISTINCT s AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
+        |comp AS (SELECT a AS id, min(b) AS component
+        |         FROM reach GROUP BY a),
+        |g AS (SELECT d.doc_id,
+        |        coalesce(comp.component, d.doc_id) AS group_id
+        |      FROM d LEFT JOIN comp ON d.doc_id = comp.id)
+        |SELECT doc_id, group_id,
+        |  (group_id * 2654435761) % 100 AS bucket,
+        |  CASE WHEN (group_id * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN (group_id * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // the per-group-budget twin: the naive window against a CASE of
     // the static budgets; unbudgeted languages (es, zh) drop wholesale

@@ -102,6 +102,36 @@ object DedupOps {
       .agg(countDistinct(col("shh")).as("n_contaminated"))
   }
 
+  /** LEAKAGE-FREE train/val/test split: assignment by DEDUP CLUSTER,
+    * not by document — a plain per-doc hash split puts near-duplicate
+    * pairs on both sides of the train/test boundary, and the eval
+    * silently scores memorization. Here every document inherits its
+    * connected-component label from `pairs` (singletons label
+    * themselves), and the deterministic hash draw runs on the LABEL,
+    * so an entire duplicate cluster lands in one split. Shape: the
+    * components fold ([[connectedComponents]]) plus one left join of
+    * the (id, component) table — labels are one row per clustered doc,
+    * exchanges keyed on id; the split itself is map-side. Returns the
+    * input plus (group_id, bucket, split). */
+  def leakFreeSplit(df: DataFrame, pairs: DataFrame, id: String,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"leakFreeSplit: bad split percentages ($trainPct, $valPct)")
+    Reserved.requireAbsent(df, "leakFreeSplit",
+      Seq("_cid", "_comp", "group_id", "bucket", "split"))
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("_cid"), col("component").as("_comp"))
+    val b = graft.functions.PortableHash.hashMod(col("group_id"), 100)
+    df.join(comp, col(id) === col("_cid"), "left")
+      .withColumn("group_id", coalesce(col("_comp"), col(id)))
+      .drop("_cid", "_comp")
+      .withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** FUZZY decontamination: (doc, benchmark) pairs whose exact w-gram
     * Jaccard similarity clears `threshold` — the quantified complement
     * of [[contaminationScan]]'s any-shared-shingle rule. The binary

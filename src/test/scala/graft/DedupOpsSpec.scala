@@ -272,6 +272,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.values.forall(_._1 >= 2))
   }
 
+  test("leak-free split: a whole dup cluster shares one split; singletons self-label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "shared near duplicate content body text here today"),
+      (2L, "shared near duplicate content body text here today extra"),
+      (3L, "completely different island document standing alone")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = graft.ops.DedupOps.leakFreeSplit(docs, pairs, "doc_id")
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // clustered docs share the min-label group and therefore the split
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L)
+    assert(out(1L)._3 == out(2L)._3,
+      "near-dup pair straddled the split boundary")
+    // the singleton labels itself and draws independently
+    assert(out(3L)._2 == 3L)
+    // bucket is the portable hash of the LABEL, not the doc id: doc 2
+    // must get doc 1's draw, not its own
+    val ownDraw = (2L * 2654435761L) % 100
+    val labelDraw = (1L * 2654435761L) % 100
+    if (ownDraw != labelDraw) {
+      val b2 = graft.ops.DedupOps.leakFreeSplit(docs, pairs, "doc_id")
+        .filter(col("doc_id") === 2L).select("bucket")
+        .as[Long].head()
+      assert(b2 == labelDraw, s"doc 2 drew on its own id: $b2")
+    }
+  }
+
   test("fuzzy decontamination: rephrased benchmark found with exact jaccard; unrelated passes; threshold cuts") {
     import spark.implicits._
     val docs = Seq(
