@@ -8,7 +8,7 @@ package graft
   * spreads any ambient drift across all keys instead of billing it to
   * whichever ran last), rep 1 excluded (codegen compile + fixture
   * build), min and median reported. Run:
-  *   sbt "Test/runMain graft.TopKeysAB [sfDir] [reps]"
+  *   sbt "Test/runMain graft.TopKeysAB [sfDir] [reps] [k1,k2,...]"
   * Interpretation: if a key's controlled MIN sits at its r12 level,
   * the r13 driver number was ambient; if the min reproduces the r13
   * level, the key genuinely regressed and needs a root cause. */
@@ -16,8 +16,11 @@ object TopKeysAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(8)
-    val keys = Seq("q_pagerank", "q_curate_incremental",
-      "q_dedup_components_star")
+    val keys = args.lift(2).map(_.split(',').toSeq).getOrElse(
+      Seq("q_pagerank", "q_curate_incremental",
+        "q_dedup_components_star"))
+    keys.foreach(k => require(SparkEntry.queries.contains(k),
+      s"TopKeysAB: unknown key $k"))
     val spark = Graft.harnessSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // Bench's warm-up stance: tables + window/broadcast machinery
