@@ -1482,6 +1482,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Novelty scoring over the mutant corpus: the planted 80%-prefix
+    // mutants (doc_id + 1,000,000, always LATER than their source)
+    // must score ~0 novelty while their sources keep their fresh
+    // grams — the contribution signal that catches copies without
+    // pair mining.
+    "q_novelty" -> ((s, dir) =>
+      DedupOps.noveltyScore(docsWithMutants(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // Leakage-free splits: train/val/test assignment by DEDUP CLUSTER
     // (the q_dedup_components pair derivation), so the planted mutants
     // and their originals always land in the SAME split — a per-doc
@@ -3658,6 +3667,34 @@ object ExtQueries {
         |FROM documents d JOIN r USING (source)
         |WHERE (d.doc_id * 2654435761) % 1000000 < thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // first-attribution per gram (min doc id), then the per-doc fold —
+    // the mutants (always later ids) must score ~0
+    "q_novelty" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+         |       ELSE CAST([] AS VARCHAR[]) END AS s
+         |  FROM base),
+         |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |f AS (SELECT gram, min(doc_id) AS first FROM g GROUP BY 1)
+         |SELECT g.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  ${sqlRound(
+            "sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END) / count(*)",
+            6)} AS novelty
+         |FROM g JOIN f USING (gram)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // the q_dedup_components pair derivation + label fold, then the
     // q_split_assign hash draw on the LABEL — mutants and originals

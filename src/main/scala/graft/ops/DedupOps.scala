@@ -102,6 +102,35 @@ object DedupOps {
       .agg(countDistinct(col("shh")).as("n_contaminated"))
   }
 
+  /** NOVELTY scoring: per document, the fraction of its distinct
+    * w-grams that appear FIRST in this document under ascending-id
+    * corpus order — the "contribution" signal of the dedup
+    * literature: a verbatim copy of earlier content scores 0, fresh
+    * content scores 1, boilerplate-heavy pages score low without any
+    * pair mining. Shape: one (gram → min id) aggregate and one
+    * gram-keyed join back — both partial-aggregated, keyed on the
+    * gram text because the output needs exact first-attribution; at
+    * extreme scale the join key would carry xxhash64(gram) (the
+    * [[boilerplateNgrams]] hashPrefilter precedent) — here the text
+    * key keeps the op bit-identical to the oracle. Docs with fewer
+    * than `w` tokens have no grams and drop out (the documented
+    * contract). Returns (id, n_grams, n_novel, novelty·6dp). */
+  def noveltyScore(df: DataFrame, text: String, id: String,
+                   w: Int = 3): DataFrame = {
+    val grams = df
+      .select(col(id), explode(array_distinct(shingles(col(text), w)))
+        .as("_gram"))
+    val firstSeen = grams.groupBy(col("_gram"))
+      .agg(min(col(id)).as("_first"))
+    grams.join(firstSeen, Seq("_gram"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col(id), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .withColumn("novelty", graft.functions.Rounding.roundHalfUp(
+        col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   /** LEAKAGE-FREE train/val/test split: assignment by DEDUP CLUSTER,
     * not by document — a plain per-doc hash split puts near-duplicate
     * pairs on both sides of the train/test boundary, and the eval

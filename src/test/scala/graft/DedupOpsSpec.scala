@@ -272,6 +272,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.values.forall(_._1 >= 2))
   }
 
+  test("novelty: a verbatim later copy scores 0, fresh content 1, partial overlap in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // verbatim copy, later id
+      (3L, "totally fresh unrelated content words here"),
+      // shares its first 3-gram with doc 1, adds 3 new grams
+      (4L, "alpha beta gamma omicron sigma tau")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.noveltyScore(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 0L, 0.0)), "verbatim copy must score 0")
+    assert(out(3L) == ((4L, 4L, 1.0)))
+    assert(out(4L) == ((4L, 3L, 0.75)), s"partial overlap: ${out(4L)}")
+  }
+
   test("leak-free split: a whole dup cluster shares one split; singletons self-label") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
