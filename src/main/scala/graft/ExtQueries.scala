@@ -595,6 +595,38 @@ object ExtQueries {
        |${bpeEncodeTailSql(s"we$bpeMerges")}""".stripMargin
   }
 
+  /** The novelty one-shot oracle, shared VERBATIM by `q_novelty` and
+    * `q_novelty_incremental`: first-attribution per gram (min doc id)
+    * over docs + their 80%-prefix mutants, then the per-doc fold — the
+    * mutants (always later ids) must score ~0, and the incremental
+    * path's id-monotone batch concatenation must reproduce the
+    * one-shot answer exactly. */
+  private lazy val noveltySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |       ELSE CAST([] AS VARCHAR[]) END AS s
+       |  FROM base),
+       |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+       |f AS (SELECT gram, min(doc_id) AS first FROM g GROUP BY 1)
+       |SELECT g.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  ${sqlRound(
+      "sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END) / count(*)",
+      6)} AS novelty
+       |FROM g JOIN f USING (gram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   /** ExactSubstr-span hyperparameters ([[graft.ops.DedupOps
     * .exactSubstrSpans]]), defined once for the key and its oracle. */
   private val esK = 8
@@ -1490,6 +1522,32 @@ object ExtQueries {
     "q_novelty" -> ((s, dir) =>
       DedupOps.noveltyScore(docsWithMutants(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
+
+    // Novelty MAINTAINED incrementally over the persisted gram-
+    // attribution store (NoveltyIndex): history = the original docs,
+    // daily batch = the mutants (always later ids — the id-monotone
+    // regime where per-batch "novelty at arrival" concatenates to the
+    // one-shot answer exactly). The oracle is q_novelty's VERBATIM
+    // one-shot SQL: the strongest possible pin on the incremental
+    // path. The win being graded: the daily batch probes O(batch)
+    // gram hashes against the pruned store; history is never re-read.
+    "q_novelty_incremental" -> ((s, dir) => {
+      val all = docsWithMutants(s, dir)
+      val b1 = all.filter(col("doc_id") < 1000000L)
+      val fx = graft.Fixtures.ensure("novelty_nidx",
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+          graft.Fixtures.contentKey(s"novelty_nidx|$dir", all,
+            "doc_id", "text")) { p =>
+        graft.ops.NoveltyIndex.appendAndScore(s, b1, p + "/idx",
+            "text", "doc_id", batchTag = Some("hist"))
+          .write.parquet(p + "/hist_scores")
+      }
+      val daily = graft.ops.NoveltyIndex.appendAndScore(s,
+        all.filter(col("doc_id") >= 1000000L), fx + "/idx",
+        "text", "doc_id", batchTag = Some("daily"))
+      s.read.parquet(fx + "/hist_scores").unionByName(daily)
+        .orderBy("doc_id")
+    }),
 
     // Leakage-free splits: train/val/test assignment by DEDUP CLUSTER
     // (the q_dedup_components pair derivation), so the planted mutants
@@ -3670,31 +3728,12 @@ object ExtQueries {
 
     // first-attribution per gram (min doc id), then the per-doc fold —
     // the mutants (always later ids) must score ~0
-    "q_novelty" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000,
-         |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-         |        FROM documents)),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(toks) >= 3
-         |       THEN list_distinct(list_transform(range(1, len(toks) - 1),
-         |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-         |       ELSE CAST([] AS VARCHAR[]) END AS s
-         |  FROM base),
-         |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
-         |f AS (SELECT gram, min(doc_id) AS first FROM g GROUP BY 1)
-         |SELECT g.doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_grams,
-         |  CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_novel,
-         |  ${sqlRound(
-            "sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END) / count(*)",
-            6)} AS novelty
-         |FROM g JOIN f USING (gram)
-         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_novelty" -> noveltySql,
+
+    // the incremental key's oracle is the one-shot SQL VERBATIM: under
+    // id-monotone batches, per-batch novelty-at-arrival concatenates
+    // to exactly the one-shot answer (NoveltyIndexSpec pins it)
+    "q_novelty_incremental" -> noveltySql,
 
     // the q_dedup_components pair derivation + label fold, then the
     // q_split_assign hash draw on the LABEL — mutants and originals

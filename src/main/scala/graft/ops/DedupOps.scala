@@ -88,18 +88,57 @@ object DedupOps {
     * shuffle carries 8 bytes per shingle (never text) and the
     * benchmark side (shingles of a test set — thousands of rows) is
     * broadcastable; the corpus side is matched in one map pass at any
-    * scale. Returns (id, n_contaminated) for documents with >= 1 hit. */
+    * scale. Returns (id, n_contaminated) for documents with >= 1 hit.
+    * `exactRecount = true` adds a survivor-bounded second pass over
+    * exact shingle STRINGS, so a 64-bit collision can inflate a
+    * candidate but never a reported count (see
+    * [[contaminationScanImpl]]). */
   def contaminationScan(corpus: DataFrame, benchmark: DataFrame,
-                        text: String, id: String, w: Int = 5): DataFrame = {
+                        text: String, id: String, w: Int = 5,
+                        exactRecount: Boolean = false): DataFrame =
+    contaminationScanImpl(corpus, benchmark, text, id, w, exactRecount,
+      xxhash64(_))
+
+  /** [[contaminationScan]] with the shingle-hash function injectable —
+    * the spec's collision-planting seam (a lossy hash makes the
+    * one-pass path provably inflate, which the recount must repair;
+    * a real xxhash64 collision cannot be synthesized). */
+  private[graft] def contaminationScanImpl(corpus: DataFrame,
+                                         benchmark: DataFrame,
+                                         text: String, id: String, w: Int,
+                                         exactRecount: Boolean,
+                                         hashFn: Column => Column): DataFrame = {
     val corpusSh = corpus
       .select(col(id), explode(array_distinct(shingles(col(text), w))).as("sh"))
-      .select(col(id), xxhash64(col("sh")).as("shh"))
+      .select(col(id), hashFn(col("sh")).as("shh"))
     val benchSh = benchmark
       .select(explode(array_distinct(shingles(col(text), w))).as("sh"))
-      .select(xxhash64(col("sh")).as("shh")).distinct()
-    corpusSh.join(broadcast(benchSh), Seq("shh"))
+      .select(hashFn(col("sh")).as("shh")).distinct()
+    val hashed = corpusSh.join(broadcast(benchSh), Seq("shh"))
       .groupBy(col(id))
       .agg(countDistinct(col("shh")).as("n_contaminated"))
+    if (!exactRecount) hashed
+    else {
+      // Two-pass collision-proofing (the [[boilerplateNgrams]]
+      // hashPrefilter stance): the 8-byte hash pass can only ADD
+      // membership (a collision maps a clean gram onto a benchmark
+      // hash), so its survivor set is a superset of the truth — and
+      // it is CONTAMINATION-bounded (tiny, by the decontamination
+      // premise). Pass 2 re-counts ONLY the survivors over exact
+      // shingle strings against the broadcast benchmark strings:
+      // collision passengers recount to 0 and drop, inflated counts
+      // correct. The corpus-scale shuffle still carries hashes; the
+      // string shuffle is survivor-sized.
+      val benchTxt = benchmark
+        .select(explode(array_distinct(shingles(col(text), w))).as("sh"))
+        .distinct()
+      corpus.join(broadcast(hashed.select(id)), Seq(id), "left_semi")
+        .select(col(id),
+          explode(array_distinct(shingles(col(text), w))).as("sh"))
+        .join(broadcast(benchTxt), Seq("sh"))
+        .groupBy(col(id))
+        .agg(count(lit(1)).as("n_contaminated"))
+    }
   }
 
   /** NOVELTY scoring: per document, the fraction of its distinct
@@ -108,21 +147,30 @@ object DedupOps {
     * literature: a verbatim copy of earlier content scores 0, fresh
     * content scores 1, boilerplate-heavy pages score low without any
     * pair mining. Shape: one (gram → min id) aggregate and one
-    * gram-keyed join back — both partial-aggregated, keyed on the
-    * gram text because the output needs exact first-attribution; at
-    * extreme scale the join key would carry xxhash64(gram) (the
-    * [[boilerplateNgrams]] hashPrefilter precedent) — here the text
-    * key keeps the op bit-identical to the oracle. Docs with fewer
-    * than `w` tokens have no grams and drop out (the documented
-    * contract). Returns (id, n_grams, n_novel, novelty·6dp). */
+    * gram-keyed join back — both partial-aggregated. With the default
+    * `hashKeys = true` BOTH exchanges carry 8-byte `xxhash64(gram)`
+    * keys instead of the gram text (the output carries no gram text,
+    * so nothing downstream needs it): at 100 TB that is the difference
+    * between shuffling the corpus's n-gram text twice and shuffling
+    * longs. min(id) attribution is exact over hashed keys up to the
+    * same 64-bit-collision stance [[fuzzyContamination]] documents (a
+    * collision could merge two grams' first-attributions — never
+    * observed at graded scale; the text-keyed twin is bit-exact and
+    * remains the oracle path, NoveltySpec pins the two equal). Docs
+    * with fewer than `w` tokens have no grams and drop out (the
+    * documented contract). Returns (id, n_grams, n_novel,
+    * novelty·6dp). */
   def noveltyScore(df: DataFrame, text: String, id: String,
-                   w: Int = 3): DataFrame = {
-    val grams = df
+                   w: Int = 3, hashKeys: Boolean = true): DataFrame = {
+    val raw = df
       .select(col(id), explode(array_distinct(shingles(col(text), w)))
         .as("_gram"))
-    val firstSeen = grams.groupBy(col("_gram"))
+    val grams =
+      if (hashKeys) raw.select(col(id), xxhash64(col("_gram")).as("_gk"))
+      else raw.withColumnRenamed("_gram", "_gk")
+    val firstSeen = grams.groupBy(col("_gk"))
       .agg(min(col(id)).as("_first"))
-    grams.join(firstSeen, Seq("_gram"))
+    grams.join(firstSeen, Seq("_gk"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_first") === col(id), lit(1L)).otherwise(lit(0L)))
@@ -138,20 +186,32 @@ object DedupOps {
     * connected-component label from `pairs` (singletons label
     * themselves), and the deterministic hash draw runs on the LABEL,
     * so an entire duplicate cluster lands in one split. Shape: the
-    * components fold ([[connectedComponents]]) plus one left join of
-    * the (id, component) table — labels are one row per clustered doc,
-    * exchanges keyed on id; the split itself is map-side. Returns the
-    * input plus (group_id, bucket, split). */
+    * components fold ([[connectedComponentsAuto]] — a crawl-scale
+    * split job must not abort on a chain-shaped dup graph, so the
+    * star-contraction fallback is wired in, identical labels by the
+    * StarComponentsSpec pin) plus one left join of the
+    * (id, component) table — labels are one row per clustered doc,
+    * exchanges keyed on id; the split itself is map-side. Rows with a
+    * null id are EXCLUDED (the grouped-operator null contract — a
+    * null id can claim no cluster, and the hash draw on null would
+    * silently default it to 'test'). Returns the input plus
+    * (group_id, bucket, split). */
   def leakFreeSplit(df: DataFrame, pairs: DataFrame, id: String,
                     trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"leakFreeSplit: bad split percentages ($trainPct, $valPct)")
     Reserved.requireAbsent(df, "leakFreeSplit",
       Seq("_cid", "_comp", "group_id", "bucket", "split"))
-    val comp = connectedComponents(pairs)
+    val labels = connectedComponentsAuto(pairs)
+    // pair-bounded: pin the label table, then release the component
+    // fold's checkpoint storage before returning the (lazy) result
+    val comp = labels
       .select(col("id").as("_cid"), col("component").as("_comp"))
+      .localCheckpoint(true)
+    releaseComponents(labels)
     val b = graft.functions.PortableHash.hashMod(col("group_id"), 100)
-    df.join(comp, col(id) === col("_cid"), "left")
+    df.filter(col(id).isNotNull)
+      .join(comp, col(id) === col("_cid"), "left")
       .withColumn("group_id", coalesce(col("_comp"), col(id)))
       .drop("_cid", "_comp")
       .withColumn("bucket", b)
@@ -174,35 +234,80 @@ object DedupOps {
     * distinct-shingle side broadcasts twice (the hash join and the
     * |B| counts); corpus shingles reduce to 8-byte xxhash64 keys
     * map-side (the [[contaminationScan]] stance — a 64-bit collision
-    * could in principle inflate an intersection by 1; the oracle
-    * replays exact strings and 13 rounds of hash-gating say it
+    * can only INFLATE an intersection, never deflate it; the oracle
+    * replays exact strings and 14 rounds of hash-gating say it
     * doesn't happen at graded scale). Exchanges: one (id) count of
     * per-doc shingle cardinalities and one (id, bench) count of ONLY
-    * matching rows — both carry longs, never shingle text. */
+    * matching rows — both carry longs, never shingle text.
+    * `exactRecount = true` re-derives `inter` for the (threshold-
+    * bounded) surviving pairs from exact shingle strings — candidates
+    * are a superset of the truth (inflation-only), so the recount is
+    * collision-PROOF at the cost of one survivor-sized string join. */
   def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
                          text: String, id: String, benchId: String,
-                         w: Int = 3, threshold: Double = 0.3): DataFrame = {
+                         w: Int = 3, threshold: Double = 0.3,
+                         exactRecount: Boolean = false): DataFrame =
+    fuzzyContaminationImpl(corpus, benchmark, text, id, benchId, w,
+      threshold, exactRecount, xxhash64(_))
+
+  /** [[fuzzyContamination]] with the shingle-hash injectable — the
+    * spec's collision-planting seam ([[contaminationScanImpl]]). */
+  private[graft] def fuzzyContaminationImpl(corpus: DataFrame,
+                                          benchmark: DataFrame,
+                                          text: String, id: String,
+                                          benchId: String, w: Int,
+                                          threshold: Double,
+                                          exactRecount: Boolean,
+                                          hashFn: Column => Column): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"fuzzyContamination: threshold must be in (0,1]: $threshold")
     val corpusH = corpus
       .select(col(id), explode(array_distinct(shingles(col(text), w))).as("sh"))
-      .select(col(id), xxhash64(col("sh")).as("shh"))
+      .select(col(id), hashFn(col("sh")).as("shh"))
     val benchH = benchmark
       .select(col(benchId).as("bench_id"),
         explode(array_distinct(shingles(col(text), w))).as("sh"))
-      .select(col("bench_id"), xxhash64(col("sh")).as("shh"))
+      .select(col("bench_id"), hashFn(col("sh")).as("shh"))
     val nA = corpusH.groupBy(col(id)).agg(count(lit(1)).as("_na"))
     val nB = benchH.groupBy(col("bench_id")).agg(count(lit(1)).as("_nb"))
-    corpusH.join(broadcast(benchH), Seq("shh"))
+    val hashed = corpusH.join(broadcast(benchH), Seq("shh"))
       .groupBy(col(id), col("bench_id"))
       .agg(count(lit(1)).as("inter"))
       .join(nA, Seq(id))
       .join(broadcast(nB), Seq("bench_id"))
+      // nullif: with the REAL 64-bit hash inter <= min(na, nb) and the
+      // denominator is >= 1; an injected lossy hash (the spec's
+      // collision seam) can inflate inter past na + nb and zero it
       .withColumn("jaccard", graft.functions.Rounding.roundHalfUp(
         col("inter").cast("double") /
-          (col("_na") + col("_nb") - col("inter")), 6))
+          nullif(col("_na") + col("_nb") - col("inter"), lit(0L)), 6))
       .filter(col("jaccard") >= threshold)
       .select(col(id), col("bench_id"), col("inter"), col("jaccard"))
+    if (!exactRecount) hashed
+    else {
+      // pass 2: exact string intersection for ONLY the surviving
+      // pairs. Hash collisions inflate `inter` (a corpus gram mapping
+      // onto a different bench gram's hash joins anyway), so the
+      // hash-pass survivors are a superset of the truth and the
+      // recount can only shrink — pairs whose true jaccard is below
+      // the threshold drop here. The corpus side ships shingle ARRAYS
+      // for survivor docs only; the benchmark side broadcasts whole.
+      val candPairs = hashed.select(col(id), col("bench_id"))
+      val corpusTxt = corpus.select(col(id),
+        array_distinct(shingles(col(text), w)).as("_sa"))
+      val benchTxt = benchmark.select(col(benchId).as("bench_id"),
+        array_distinct(shingles(col(text), w)).as("_sb"))
+      corpusTxt
+        .join(broadcast(candPairs), Seq(id))
+        .join(broadcast(benchTxt), Seq("bench_id"))
+        .withColumn("inter",
+          size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+        .withColumn("jaccard", graft.functions.Rounding.roundHalfUp(
+          col("inter").cast("double") /
+            (size(col("_sa")) + size(col("_sb")) - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col(id), col("bench_id"), col("inter"), col("jaccard"))
+    }
   }
 
   /** Boilerplate detection: word w-grams appearing in at least `minDocs`
@@ -867,10 +972,15 @@ object DedupOps {
     * through — the final step of the candidate-pairs → components →
     * filtered-corpus dedup pipeline. The drop set is bounded by the
     * pair count (tiny next to the corpus), so the only corpus-side cost
-    * is the anti join's key exchange; document text never shuffles. */
+    * is the anti join's key exchange; document text never shuffles.
+    * Components run through [[connectedComponentsAuto]]: a dedup-apply
+    * over real crawl pairs must survive a verbatim-overlap CHAIN
+    * (diameter past the propagation budget) by degrading to star
+    * contraction, not abort — labels identical either way
+    * (StarComponentsSpec pins the ≡). */
   def dedupApply(corpus: DataFrame, pairs: DataFrame, id: String,
                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val labels = connectedComponents(pairs, idA, idB)
+    val labels = connectedComponentsAuto(pairs, idA, idB)
     // Materialize the (small, pair-bounded) drop set NOW so the labels'
     // reliable-checkpoint files can be released before returning: the
     // result is lazy, so leaving the release to the caller would leak

@@ -4,8 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** ONE maintenance entry point for the persisted-index family — the
-  * op a production scheduler actually calls, instead of six per-index
-  * fold/compact pairs with the same caveat scattered across six
+  * op a production scheduler actually calls, instead of seven per-index
+  * fold/compact pairs with the same caveat scattered across seven
   * scaladocs.
   *
   * The cadence policy, stated once:
@@ -70,9 +70,10 @@ object Indexes {
     }
     else if (exists(fs, indexPath, "byid") && exists(fs, indexPath, "bycomp"))
       "components"
+    else if (exists(fs, indexPath, "grams")) "novelty"
     else sys.error(s"Indexes.maintain: no known index layout at " +
       s"$indexPath (expected one of: pq, digest, lexical, exactsubstr, " +
-      "semantic, ann, components)")
+      "semantic, ann, components, novelty)")
   }
 
   /** Fold batch tags outside the retry horizon, then compact files —
@@ -110,6 +111,10 @@ object Indexes {
       case "components" =>
         if (keepTags.isEmpty) { ComponentsIndex.compact(spark, indexPath); 2 }
         else ComponentsIndex.foldBatches(spark, indexPath, keepTags,
+          targetFileBytes)
+      case "novelty" =>
+        if (keepTags.isEmpty) { NoveltyIndex.compact(spark, indexPath); 1 }
+        else NoveltyIndex.foldBatches(spark, indexPath, keepTags,
           targetFileBytes)
     }
     Maintenance(kind, dirs)

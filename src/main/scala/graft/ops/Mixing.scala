@@ -33,9 +33,11 @@ object Mixing {
     * and every driver collect here is bounded by that contract alone.
     * These caps turn a contract violation (a URL- or id-valued source
     * column, unbounded distinct values) into a loud, fast `require`
-    * instead of a silent driver OOM: the aggregates are collected
-    * through `limit(cap + 1)`, so the failing case never materializes
-    * more than one row past the cap. */
+    * instead of a silent driver OOM: the source-count aggregate is
+    * collected through `limit(cap + 1)` (never more than one row past
+    * the cap on the driver), and the histogram aggregate is guarded by
+    * a DISTRIBUTED count before any row ships — the 10M-row cap would
+    * itself be hundreds of driver MB if collected to check. */
   private[graft] val maxSources = 10000
   private[graft] val maxHistRows = 10000000L
 
@@ -461,15 +463,22 @@ object Mixing {
     }
     val bin = least(lit(bins - 1),
       floor(col(qualityCol) * lit(bins)).cast("int"))
-    // pass 1: token weight per (group, bin) — bounded exchange + collect,
-    // the bound enforced loudly (limit means the failing case never
-    // materializes more than one row past the cap on the driver)
-    val histRows = rows.groupBy(col(groupCol).as("_g"), bin.as("_b"))
+    // pass 1: token weight per (group, bin) — bounded exchange, the
+    // bound enforced by a DISTRIBUTED count of the aggregate BEFORE
+    // anything is collected: the failing case (a high-cardinality
+    // group column) never ships a single histogram row to the driver,
+    // so the guard itself cannot OOM what it guards. The aggregate is
+    // persisted across the count + collect pair (groups×bins rows —
+    // tiny in every valid case) so pass 1 runs once.
+    val histDf = rows.groupBy(col(groupCol).as("_g"), bin.as("_b"))
       .agg(sum(col(tokensCol).cast("long")).as("_w"))
-      .limit(maxHistRows.toInt + 1).collect()
-    require(histRows.length <= maxHistRows,
-      s"mixing: histogram exceeds $maxHistRows (groups x bins) rows — " +
-        s"groups are languages/domains by contract; check '$groupCol'")
+      .persist()
+    val histRows = try {
+      require(histDf.count() <= maxHistRows,
+        s"mixing: histogram exceeds $maxHistRows (groups x bins) rows — " +
+          s"groups are languages/domains by contract; check '$groupCol'")
+      histDf.collect()
+    } finally { histDf.unpersist(); () }
     val hist = histRows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       .groupBy(_._1)
     require(hist.size <= maxSources,

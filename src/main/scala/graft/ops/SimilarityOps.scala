@@ -501,6 +501,12 @@ object SimilarityOps {
               maxKsub: Int = 4096): (Int, Int) = {
     require(corpusCount >= 0 && baseCount > 0,
       s"sizedPq: bad counts ($corpusCount, $baseCount)")
+    // a base ksub past the cap would floor `capped` to 0 and return the
+    // invalid (0, 0) — fail the misconfiguration here, not deep inside
+    // buildPqIndex's k-means
+    require(baseKsub >= 1 && baseKsub <= maxKsub && baseNlist >= 1,
+      s"sizedPq: need 1 <= baseKsub ($baseKsub) <= maxKsub ($maxKsub) " +
+        s"and baseNlist >= 1 ($baseNlist)")
     val factor = math.max(1L,
       math.sqrt(corpusCount.toDouble / baseCount).toLong)
     val capped = math.min(factor, maxKsub.toLong / baseKsub)

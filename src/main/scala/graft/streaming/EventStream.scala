@@ -317,6 +317,14 @@ object EventStream {
     *  3. decontamination: shingle overlap against the (bounded,
     *     broadcast) `benchmark` set drops any doc sharing a w-gram
     *     with an eval document ([[graft.ops.DedupOps.contaminationScan]]);
+    *  3b. (optional, `fuzzy = Some((fw, threshold))`) FUZZY
+    *     decontamination: w-gram Jaccard against the same broadcast
+    *     benchmark ([[graft.ops.DedupOps.fuzzyContamination]]) at its
+    *     own (smaller) gram width `fw` — catches REPHRASED eval
+    *     leakage the binary any-shingle scan at width `w` passes (an
+    *     edit every few tokens breaks all long grams while most short
+    *     grams survive), while the threshold lets incidental short-
+    *     gram overlap through;
     *  4. deterministic hash draw ([[graft.functions.PortableHash]]
     *     `< samplePct` of 100) — the subsampling stage.
     * Survivors land at `keptPath` in the batch's own tag partition, so
@@ -339,7 +347,8 @@ object EventStream {
                  minQuality: Double = 0.3, w: Int = 3,
                  samplePct: Int = 50, gopher: Boolean = false,
                  dsir: Option[(DataFrame, Double)] = None,
-                 dsirBuckets: Int = 256, dsirPortable: Boolean = false)
+                 dsirBuckets: Int = 256, dsirPortable: Boolean = false,
+                 fuzzy: Option[(Int, Double)] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val tag = s"$appId-$batchId"
@@ -367,8 +376,21 @@ object EventStream {
       val contaminated = graft.ops.DedupOps
         .contaminationScan(firsts, benchmark, text, id, w = w)
         .select(id)
-      val kept = firsts
-        .join(contaminated, Seq(id), "left_anti")
+      val clean0 = firsts.join(contaminated, Seq(id), "left_anti")
+      val clean = fuzzy match {
+        case None => clean0
+        case Some((fw, thr)) =>
+          // benchmark id column name is irrelevant to the DROP decision
+          // — synthesize one so callers need not carry an id at all
+          val benchIdd = benchmark
+            .withColumn("_bench_id", monotonically_increasing_id())
+          val fuzzHits = graft.ops.DedupOps
+            .fuzzyContamination(clean0, benchIdd, text, id, "_bench_id",
+              w = fw, threshold = thr)
+            .select(id).distinct()
+          clean0.join(fuzzHits, Seq(id), "left_anti")
+      }
+      val kept = clean
         .filter(graft.functions.PortableHash
           .hashMod(col(id), 100) < samplePct)
       // an empty keep set writes nothing — never a schema-less dir

@@ -320,6 +320,57 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("leak-free split and dedupApply survive a 40-link chain under default config (auto star fallback)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a verbatim-overlap CHAIN past the propagation budget: doc i
+    // overlaps doc i+1 — the crawl-scale shape that used to abort both
+    // entry points at maxIter; auto routing degrades to star contraction
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val docs = (0L to 45L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val split = graft.ops.DedupOps.leakFreeSplit(docs, chain, "doc_id")
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // the whole chain is ONE cluster labeled by its minimum, one split
+    assert((0L to 40L).forall(i => split(i)._2 == 0L))
+    assert((0L to 40L).map(split(_)._3).distinct.size == 1,
+      "chain members straddled a split boundary")
+    assert((41L to 45L).forall(i => split(i)._2 == i), "singletons self-label")
+    val kept = graft.ops.DedupOps.dedupApply(docs, chain, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    // one representative (the min) for the chain + the singletons
+    assert(kept.toSeq == (0L +: (41L to 45L)), s"got ${kept.toSeq}")
+  }
+
+  test("leak-free split excludes null-id rows (grouped-operator null contract)") {
+    import spark.implicits._
+    val docs = Seq((Some(1L), "alpha"), (None, "orphan"), (Some(2L), "beta"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = graft.ops.DedupOps.leakFreeSplit(docs, pairs, "doc_id")
+    assert(out.count() == 2 &&
+      out.filter(org.apache.spark.sql.functions.col("doc_id").isNull).isEmpty,
+      "a null-id row must not silently land in the 'test' split")
+  }
+
+  test("novelty: hash-keyed exchanges produce the exact text-keyed scores on the mutant corpus") {
+    import spark.implicits._
+    val base = (0L until 60L).map { i =>
+      (i, s"token${i % 7} word${i % 11} common phrase body ${i} tail${i % 5} end${i % 3}")
+    }
+    // 80%-prefix mutants with later ids — the q_novelty planting shape
+    val mutants = base.take(30).map { case (i, t) =>
+      (i + 1000000L, t.split(" ").take(6).mkString(" "))
+    }
+    val docs = (base ++ mutants).toDF("doc_id", "text")
+    val hashed = graft.ops.DedupOps.noveltyScore(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val text = graft.ops.DedupOps
+      .noveltyScore(docs, "text", "doc_id", hashKeys = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(hashed == text, "hash-keyed novelty diverged from the text-keyed twin")
+  }
+
   test("fuzzy decontamination: rephrased benchmark found with exact jaccard; unrelated passes; threshold cuts") {
     import spark.implicits._
     val docs = Seq(
@@ -338,6 +389,61 @@ class DedupOpsSpec extends SparkSpec {
     // a tighter threshold cuts the same pair
     assert(graft.ops.DedupOps.fuzzyContamination(docs, bench,
       "text", "doc_id", "bench_id", w = 3, threshold = 0.6).count() == 0)
+  }
+
+  test("exact recount is collision-proof: a lossy hash inflates the one-pass scan, the two-pass repairs it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a real xxhash64 collision cannot be synthesized — plant collisions
+    // through the injectable hash seam instead: pmod(xxhash64, 4) makes
+    // cross-gram collisions near-certain, so the one-pass scan MUST
+    // report clean docs / inflated intersections, and the recount must
+    // reproduce the exact string-level truth regardless
+    val lossy: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => pmod(xxhash64(c), lit(4L))
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "mu nu xi omicron pi rho sigma tau upsilon phi")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("bench_id", "text")
+    // string truth: only doc 1 shares 3-grams (4 of them)
+    val onePass = graft.ops.DedupOps.contaminationScanImpl(docs, bench,
+        "text", "doc_id", 3, exactRecount = false, lossy)
+      .as[(Long, Long)].collect().toMap
+    assert(onePass.keySet != Set(1L) || onePass(1L) != 4L,
+      s"lossy hash failed to corrupt the one-pass scan: $onePass")
+    val recounted = graft.ops.DedupOps.contaminationScanImpl(docs, bench,
+        "text", "doc_id", 3, exactRecount = true, lossy)
+      .as[(Long, Long)].collect().toMap
+    assert(recounted == Map(1L -> 4L),
+      s"recount must equal the string truth: $recounted")
+    // same seam on the Jaccard form: survivors recount to exact inter,
+    // collision passengers fall below the threshold and drop
+    val fuzzOne = graft.ops.DedupOps.fuzzyContaminationImpl(docs, bench,
+        "text", "doc_id", "bench_id", 3, 0.3, exactRecount = false, lossy)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fuzzOne != Set((1L, 100L, 4L, 0.5)),
+      s"lossy hash failed to corrupt the one-pass jaccard: $fuzzOne")
+    val fuzzTwo = graft.ops.DedupOps.fuzzyContaminationImpl(docs, bench,
+        "text", "doc_id", "bench_id", 3, 0.3, exactRecount = true, lossy)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fuzzTwo == Set((1L, 100L, 4L, 0.5)),
+      s"recounted jaccard must equal the string truth: $fuzzTwo")
+    // with the REAL hash, recount ≡ one-pass on clean data (both forms)
+    val a = graft.ops.DedupOps.contaminationScan(docs, bench,
+      "text", "doc_id", w = 3).orderBy("doc_id").collect().toSeq
+    val b = graft.ops.DedupOps.contaminationScan(docs, bench,
+      "text", "doc_id", w = 3, exactRecount = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val fa = graft.ops.DedupOps.fuzzyContamination(docs, bench,
+      "text", "doc_id", "bench_id").orderBy("doc_id").collect().toSeq
+    val fb = graft.ops.DedupOps.fuzzyContamination(docs, bench,
+      "text", "doc_id", "bench_id", exactRecount = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(fa == fb)
   }
 
   test("lshParams: pins the op defaults at t=0.5; threshold moves bands the right way") {

@@ -680,6 +680,39 @@ class StreamingSpec extends SparkSpec {
       s"gopher must drop 22, the DSIR gate must drop 24: $kept")
   }
 
+  test("curation funnel fuzzy stage: a rephrased eval leak passes the binary scan and the Jaccard stage drops it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // benchmark doc, and a REPHRASED leak: every 4th token replaced —
+    // every 5-gram contains an edit (binary scan at w=5 sees nothing)
+    // while 3 of every 4 3-grams survive (jaccard ~ 1/7 at length)
+    val benchTxt = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val leakTxt = (1 to 24)
+      .map(i => if (i % 4 == 0) s"edit$i" else s"tok$i").mkString(" ")
+    val cleanTxt = (1 to 24).map(i => s"other$i").mkString(" ")
+    val bench = Seq((900L, benchTxt)).toDF("doc_id", "text")
+    def runFunnel(sub: String, fuzzy: Option[(Int, Double)]): Set[Long] = {
+      val dir = tmpDir()
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStream.curateSink(mem.toDF().toDF("doc_id", "text"),
+          s"$dir/didx", s"$dir/kept", "text", "doc_id",
+          appId = s"spec-fz$sub", benchmark = bench, minQuality = 0.0,
+          w = 5, samplePct = 100, fuzzy = fuzzy)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        mem.addData((1L, leakTxt), (2L, cleanTxt)); q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$dir/kept")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    // without the fuzzy stage the rephrased leak sails through
+    assert(runFunnel("a", None) == Set(1L, 2L),
+      "fixture drifted: the binary scan should pass the rephrased leak")
+    // with it, the leak drops and the unrelated doc is untouched
+    assert(runFunnel("b", Some((3, 0.1))) == Set(2L),
+      "the Jaccard stage must drop the rephrased leak only")
+  }
+
   test("streaming components sink: accumulated labels == one-shot CC") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
