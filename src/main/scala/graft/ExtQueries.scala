@@ -20,6 +20,39 @@ object ExtQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
+
+  /** The q_c4_filters line synthesis, shared with the composed funnel
+    * (q_curate_full): the corpus docs are single-line, so C4's line
+    * rules need deterministic structure — tokens chunked 10 per line,
+    * terminal '.' on (doc_id + line) % 3 == 0 lines, then the four
+    * marker/boilerplate injections (javascript % 9, cookie % 15,
+    * '{' code % 13, lorem-ipsum % 17). Both oracles replay it
+    * verbatim; change them together. */
+  private def c4SynthText(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks) / lit(10.0)).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1),
+      i => concat(
+        concat_ws(" ", slice(toks, i * 10 + 1, lit(10))),
+        when((col("doc_id") + i) % 3 === 0, lit(".")).otherwise(lit(""))))
+    d.withColumn("text", concat_ws("\n", lines))
+      .withColumn("text",
+        when(col("doc_id") % 9 === 0, concat(col("text"),
+          lit("\nplease enable javascript to view this page.")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 15 === 0, concat(col("text"),
+          lit("\nwe use cookies to improve your experience.")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"),
+          lit("\nfunction f() { return 1; }")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"),
+          lit("\nlorem ipsum dolor sit amet.")))
+          .otherwise(col("text")))
+  }
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
@@ -626,6 +659,70 @@ object ExtQueries {
       6)} AS novelty
        |FROM g JOIN f USING (gram)
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** One unrolled [[graft.ops.Mixing.waterFill]] cap pass for the
+    * q_token_budget_waterfill oracle: fix every still-unfixed group
+    * whose supply is at or under the current even share. A pass that
+    * caps nothing leaves the state unchanged, so extra passes are
+    * no-ops — running a fixed unroll then one final distribution is
+    * exactly the driver loop. */
+  private def waterfillPassSql(i: Int): String =
+    s"""wf$i AS (SELECT lang, sup,
+       |  CASE WHEN fixed IS NOT NULL THEN fixed
+       |       WHEN cnt > 0 AND sup <= lft // cnt THEN sup END AS fixed
+       |  FROM (SELECT lang, sup, fixed,
+       |      least(18000, sum(sup) OVER ()) -
+       |        sum(coalesce(fixed, 0)) OVER () AS lft,
+       |      sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END) OVER ()
+       |        AS cnt
+       |    FROM wf${i - 1}))""".stripMargin
+
+  /** The leak-free split oracle, shared VERBATIM by `q_split_leakfree`
+    * and `q_split_leakfree_incremental`: the q_dedup_components pair
+    * derivation, the recursive-CTE components fold to min-id labels,
+    * then the q_split_assign hash draw on the LABEL. The incremental
+    * key resolves the same labels from the persisted ComponentsIndex
+    * store (the union identity), so both keys must hash-match this. */
+  private lazy val splitLeakfreeSql: String =
+    """WITH RECURSIVE
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE doc_id < 20)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_transform(range(1, len(toks) - 1),
+      |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |         ELSE CAST([] AS VARCHAR[]) END AS s
+      |  FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
+      |        >= len(list_distinct(a.s || b.s)) * 3),
+      |e AS (SELECT id_a AS s, id_b AS t FROM p
+      |      UNION SELECT id_b, id_a FROM p),
+      |v AS (SELECT DISTINCT s AS id FROM e),
+      |reach(a, b) AS (
+      |  SELECT id, id FROM v
+      |  UNION
+      |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
+      |comp AS (SELECT a AS id, min(b) AS component
+      |         FROM reach GROUP BY a),
+      |g AS (SELECT d.doc_id,
+      |        coalesce(comp.component, d.doc_id) AS group_id
+      |      FROM d LEFT JOIN comp ON d.doc_id = comp.id)
+      |SELECT doc_id, group_id,
+      |  (group_id * 2654435761) % 100 AS bucket,
+      |  CASE WHEN (group_id * 2654435761) % 100 < 80 THEN 'train'
+      |       WHEN (group_id * 2654435761) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** ExactSubstr-span hyperparameters ([[graft.ops.DedupOps
     * .exactSubstrSpans]]), defined once for the key and its oracle. */
@@ -1565,6 +1662,24 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The leak-free split MAINTAINED incrementally: cluster labels
+    // resolve from the persisted ComponentsIndex min-lattice store
+    // (base-base pairs build it once, the mutant batch accretes it —
+    // the q_dedup_components_incremental state) instead of re-running
+    // components over the accumulated pair history; the hash draw on
+    // the label is unchanged. Store-resolved labels equal the one-shot
+    // fold over ALL pairs (the ComponentsIndex union identity), so the
+    // oracle is q_split_leakfree's SQL VERBATIM. Stability: a doc's
+    // split moves only when its own cluster merges downward, and then
+    // the whole cluster moves together (leakFreeSplitLabeled scaladoc;
+    // DedupOpsSpec pins both properties).
+    "q_split_leakfree_incremental" -> ((s, dir) =>
+      DedupOps.leakFreeSplitLabeled(clusterDocs(s, dir),
+          incrementalLabels(s, dir), "doc_id")
+        .select(col("doc_id"), col("group_id"), col("bucket"),
+          col("split"))
+        .orderBy("doc_id")),
+
     // Fuzzy decontamination: (doc, benchmark) pairs at w-gram Jaccard
     // >= 0.3 — catches REPHRASED eval leakage the binary any-shingle
     // scan over-/under-fires on. Benchmark synthesized as the 60%
@@ -1599,6 +1714,24 @@ object ExtQueries {
           "doc_id",
           budgets = Map("en" -> 2500L, "de" -> 1200L, "fr" -> 800L),
           naiveBelow = 0L)
+        .orderBy("doc_id")
+    }),
+
+    // The waterFill composition GRADED: per-group budgets derived from
+    // ONE global token target (18,000) by exact-integer water-filling
+    // over the measured per-lang supply, then the same per-group
+    // selection. At sf0.01 the target exercises BOTH interesting
+    // paths: 'de' caps below the even share in pass 1, and the final
+    // distribution leaves a 3-token remainder that goes to the
+    // lexicographically first remaining langs — the oracle replays the
+    // pass-by-pass arithmetic with window functions (integer division,
+    // so the replay is exact on any engine).
+    "q_token_budget_waterfill" -> ((s, dir) => {
+      val q = TextOps.qualityScore(docs(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      graft.ops.Mixing.selectToBudgetWaterFill(q, "lang", "quality",
+          "n_tokens", "doc_id", total = 18000L, naiveBelow = 0L)
         .orderBy("doc_id")
     }),
 
@@ -1769,6 +1902,62 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The FULL curation funnel — every quality stage composed in the
+    // order a 100 TB pipeline runs them: C4 line cleanup FIRST (it
+    // produces clean_text; the doc-level stages must score what
+    // survives, not raw boilerplate), then the Gopher A1.1 document
+    // rules, the heuristic quality gate, the DSIR target-likeness
+    // gate, canonical exact dedup, benchmark decontamination, and the
+    // deterministic 50% hash draw. Gopher runs with relaxed thresholds
+    // (minWords=10, minStopHits=1 — C4's terminal-punct rule keeps
+    // ~1/3 of the synthesized lines, and the tiny synthetic vocabulary
+    // carries one Gopher stopword); the thresholds are parameters, the
+    // COMPOSITION is what this key locks. Scale shape: c4 + gopher +
+    // quality are one map-side projection chain; DSIR is two bucket-
+    // bounded exchanges + a broadcast model join; dedup shuffles a
+    // 32-byte digest; decontamination shuffles shingle hashes with the
+    // benchmark side broadcast; the draw is map-side — document text
+    // never shuffles end to end.
+    "q_curate_full" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+        .filter(col("text").isNotNull)
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val c4 = TextOps.c4Filters(c4SynthText(corpus), "text", "doc_id")
+      val gq = TextOps.gopherQuality(c4, "clean_text",
+          minWords = 10, minStopHits = 1)
+        .filter(col("gopher_keep"))
+        .select("doc_id", "clean_text")
+      val q = TextOps.qualityScore(gq, "clean_text")
+        .filter(col("quality") >= 0.2)
+        .select("doc_id", "clean_text", "quality")
+      // DSIR gate against the doc_id % 10 == 0 slice of the survivors
+      // (the q_dsir regime applied mid-funnel); at 100 TB the survivor
+      // frame would be persisted ahead of the model's fitting scans
+      val gated = q.join(
+        graft.ops.Mixing.importanceResample(q,
+            q.filter(col("doc_id") % 10 === 0), "clean_text", "doc_id",
+            frac = 0.5, buckets = 256, portable = true)
+          .select("doc_id", "n_feats", "logweight"),
+        Seq("doc_id"))
+      // canonical exact dedup AFTER the per-doc gates: duplicates have
+      // identical clean_text, hence identical scores — same keep set
+      // as dedup-first, one window exchange on the digest
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("clean_text"), 256)).orderBy(col("doc_id"))
+      val deduped = gated.withColumn("_rk", row_number().over(wd))
+        .filter(col("_rk") === 1).drop("_rk")
+      val contaminated = DedupOps.contaminationScan(
+          deduped.withColumnRenamed("clean_text", "text"), bench,
+          "text", "doc_id", w = 3)
+        .select("doc_id")
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(hashMod(col("doc_id"), 100) < 50)
+        .select(col("doc_id"), col("quality"), col("n_feats"),
+          col("logweight"))
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate 5-grams: shingles shared by >= 3 distinct docs across
     // docs+mutants (mutants guarantee shared prefixes). Per-doc distinct
     // arrays make count(*) the distinct-doc count — one exchange.
@@ -1898,35 +2087,11 @@ object ExtQueries {
     // == 0 lines, a javascript marker line on % 9, a cookie line on
     // % 15, a '{' code line on % 13, a lorem-ipsum line on % 17 — the
     // oracle replays the identical synthesis.
-    "q_c4_filters" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("text").isNotNull)
-      val toks = split(col("text"), " ")
-      val nLines = ceil(size(toks) / lit(10.0)).cast("int")
-      val lines = transform(sequence(lit(0), nLines - 1),
-        i => concat(
-          concat_ws(" ", slice(toks, i * 10 + 1, lit(10))),
-          when((col("doc_id") + i) % 3 === 0, lit(".")).otherwise(lit(""))))
-      val synth = d
-        .withColumn("text", concat_ws("\n", lines))
-        .withColumn("text",
-          when(col("doc_id") % 9 === 0, concat(col("text"),
-            lit("\nplease enable javascript to view this page.")))
-            .otherwise(col("text")))
-        .withColumn("text",
-          when(col("doc_id") % 15 === 0, concat(col("text"),
-            lit("\nwe use cookies to improve your experience.")))
-            .otherwise(col("text")))
-        .withColumn("text",
-          when(col("doc_id") % 13 === 0, concat(col("text"),
-            lit("\nfunction f() { return 1; }")))
-            .otherwise(col("text")))
-        .withColumn("text",
-          when(col("doc_id") % 17 === 0, concat(col("text"),
-            lit("\nlorem ipsum dolor sit amet.")))
-            .otherwise(col("text")))
-      TextOps.c4Filters(synth, "text", "doc_id")
-        .orderBy("doc_id")
-    }),
+    "q_c4_filters" -> ((s, dir) =>
+      TextOps.c4Filters(
+          c4SynthText(docs(s, dir).filter(col("text").isNotNull)),
+          "text", "doc_id")
+        .orderBy("doc_id")),
 
     // Token-distribution Shannon entropy per document (low-entropy =
     // template/spam filter signal).
@@ -3128,6 +3293,156 @@ object ExtQueries {
          |ORDER BY dq.doc_id""".stripMargin
     },
 
+    // The FULL funnel replayed stage for stage: the q_c4_filters line
+    // synthesis + C4 rules, the q_gopher_quality signal replay on
+    // clean_text (relaxed thresholds 10/1), the quality CTE at 0.2,
+    // the q_dsir poly-bucket log-ratio + quantile_cont gate on
+    // clean_text, min-per-clean_text dedup, the q_curate shingle
+    // decontamination, and the hash draw.
+    "q_curate_full" -> {
+      val qexpr = sqlRound(
+        "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
+        "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)
+      val gstops = TextOps.gopherStopwords.map(w => s"'$w'")
+        .mkString("[", ",", "]")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 50 <> 0 AND text IS NOT NULL),
+         |dtok AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |         FROM corpus),
+         |l0 AS (SELECT doc_id,
+         |  list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+         |    i -> array_to_string(toks[(i*10+1):(i*10+10)], ' ') ||
+         |         CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
+         |    AS lines0
+         |  FROM dtok),
+         |t1 AS (SELECT doc_id, array_to_string(lines0, chr(10)) AS text
+         |       FROM l0),
+         |t2 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text ||
+         |  chr(10) || 'please enable javascript to view this page.'
+         |  ELSE text END AS text FROM t1),
+         |t3 AS (SELECT doc_id, CASE WHEN doc_id % 15 = 0 THEN text ||
+         |  chr(10) || 'we use cookies to improve your experience.'
+         |  ELSE text END AS text FROM t2),
+         |t4 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text ||
+         |  chr(10) || 'function f() { return 1; }'
+         |  ELSE text END AS text FROM t3),
+         |t5 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text ||
+         |  chr(10) || 'lorem ipsum dolor sit amet.'
+         |  ELSE text END AS text FROM t4),
+         |cf AS (SELECT doc_id, string_split(text, chr(10)) AS lines
+         |  FROM t5
+         |  WHERE NOT contains(lower(text), '{')
+         |    AND NOT contains(lower(text), 'lorem ipsum')),
+         |ck AS (SELECT doc_id,
+         |  list_filter(lines, l ->
+         |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+         |    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+         |    AND NOT contains(lower(l), 'javascript')
+         |    AND NOT contains(lower(l), 'cookie')) AS kept
+         |  FROM cf),
+         |c4 AS (SELECT doc_id, array_to_string(kept, chr(10))
+         |    AS clean_text
+         |  FROM ck WHERE len(kept) >= 1),
+         |gw AS (SELECT doc_id, clean_text,
+         |  list_filter(regexp_split_to_array(clean_text, '\\s+'),
+         |    x -> x <> '') AS words,
+         |  string_split(clean_text, chr(10)) AS lines FROM c4),
+         |gs AS (SELECT doc_id, clean_text,
+         |  len(words) AS nw,
+         |  length(regexp_replace(clean_text, '\\s+', '', 'g')) AS wchars,
+         |  length(clean_text) - length(replace(clean_text, '#', ''))
+         |    AS hashes,
+         |  len(regexp_extract_all(clean_text, '\\.\\.\\.')) AS ell,
+         |  len(lines) AS nl,
+         |  len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %')) AS bl,
+         |  len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+         |    AS el,
+         |  len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+         |    AS aw,
+         |  len(list_intersect(
+         |    list_distinct(list_transform(words, x -> lower(x))),
+         |    $gstops)) AS gstop_hits
+         |  FROM gw),
+         |gm AS (SELECT doc_id, clean_text, CAST(nw AS BIGINT) AS n_words,
+         |  ${sqlRound("wchars / nullif(nw, 0)", 6)} AS mean_word_len,
+         |  ${sqlRound("(hashes + ell) / nullif(nw, 0)", 6)} AS symbol_ratio,
+         |  ${sqlRound("bl / nullif(nl, 0)", 6)} AS bullet_frac,
+         |  ${sqlRound("el / nullif(nl, 0)", 6)} AS ellipsis_frac,
+         |  ${sqlRound("aw / nullif(nw, 0)", 6)} AS alpha_frac,
+         |  CAST(gstop_hits AS BIGINT) AS gstop_hits
+         |  FROM gs),
+         |gp AS (SELECT doc_id, clean_text FROM gm
+         |  WHERE coalesce(n_words >= 10 AND n_words <= 100000 AND
+         |    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |    symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
+         |    ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND
+         |    gstop_hits >= 1, FALSE)),
+         |qt AS (SELECT doc_id, clean_text,
+         |  string_split(clean_text, ' ') AS toks,
+         |  length(clean_text) AS nch,
+         |  length(clean_text) -
+         |    length(regexp_replace(clean_text, '[.,!?;]', '', 'g'))
+         |    AS punct
+         |  FROM gp),
+         |qh AS (SELECT doc_id, clean_text, len(toks) AS n_tokens,
+         |  len(list_filter(toks, x -> list_contains($stopList, x)))
+         |    AS stop_hits,
+         |  punct, nch FROM qt),
+         |q AS (SELECT doc_id, clean_text, $qexpr AS quality FROM qh
+         |  WHERE $qexpr >= 0.2),
+         |dw AS (SELECT doc_id, unnest(string_split(clean_text, ' '))
+         |    AS _w FROM q),
+         |dwf AS (SELECT doc_id, _w FROM dw WHERE _w <> ''),
+         |db AS (SELECT doc_id, _w,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(_w) + 1),
+         |        i -> CAST(unicode(_w[i]) AS BIGINT))),
+         |    (a, c) -> (a * 31 + c) % 1048576) % 256 AS _b
+         |  FROM dwf),
+         |rc AS (SELECT _b, count(*) AS c FROM db GROUP BY 1),
+         |tc AS (SELECT _b, count(*) AS c FROM db
+         |       WHERE doc_id % 10 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c) FROM rc) AS rtot,
+         |               (SELECT coalesce(sum(c), 0) FROM tc) AS ttot),
+         |lw AS (SELECT rc._b,
+         |    ln((coalesce(tc.c, 0) + 0.5) / (ttot + 0.5 * 256)) -
+         |    ln((rc.c + 0.5) / (rtot + 0.5 * 256)) AS _lw
+         |  FROM rc LEFT JOIN tc ON rc._b = tc._b, tot),
+         |dcnt AS (SELECT doc_id, _b, count(*) AS c FROM db GROUP BY 1, 2),
+         |wts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |    ${sqlRound("sum(c * _lw)", 6)} AS logweight
+         |  FROM dcnt JOIN lw USING (_b) GROUP BY doc_id),
+         |thr AS (SELECT ${sqlRound("quantile_cont(logweight, 0.5)", 6)}
+         |          AS t FROM wts),
+         |gated AS (SELECT q.doc_id, q.clean_text, q.quality,
+         |    wts.n_feats, wts.logweight
+         |  FROM q JOIN wts USING (doc_id), thr
+         |  WHERE wts.logweight >= thr.t),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM gated
+         |         GROUP BY clean_text),
+         |dq AS (SELECT g.* FROM gated g JOIN reps USING (doc_id)),
+         |dsh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+         |  FROM (SELECT doc_id, string_split(clean_text, ' ') AS toks
+         |        FROM dq)),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |        WHERE doc_id % 50 = 0)),
+         |contaminated AS (SELECT DISTINCT doc_id
+         |                 FROM dsh JOIN bsh USING (sh))
+         |SELECT dq.doc_id, dq.quality, dq.n_feats, dq.logweight FROM dq
+         |WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND (dq.doc_id * 2654435761) % 100 < 50
+         |ORDER BY dq.doc_id""".stripMargin
+    },
+
     "q_boilerplate" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents
@@ -3738,46 +4053,14 @@ object ExtQueries {
     // the q_dedup_components pair derivation + label fold, then the
     // q_split_assign hash draw on the LABEL — mutants and originals
     // provably share a split
-    "q_split_leakfree" ->
-      """WITH RECURSIVE
-        |d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE doc_id < 40
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    toks[1:greatest(CAST((len(toks)*4)//5 AS INT), 3)]
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents WHERE doc_id < 20)),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-        |         ELSE CAST([] AS VARCHAR[]) END AS s
-        |  FROM d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |    AND len(list_distinct(list_intersect(a.s, b.s))) * 10
-        |        >= len(list_distinct(a.s || b.s)) * 3),
-        |e AS (SELECT id_a AS s, id_b AS t FROM p
-        |      UNION SELECT id_b, id_a FROM p),
-        |v AS (SELECT DISTINCT s AS id FROM e),
-        |reach(a, b) AS (
-        |  SELECT id, id FROM v
-        |  UNION
-        |  SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
-        |comp AS (SELECT a AS id, min(b) AS component
-        |         FROM reach GROUP BY a),
-        |g AS (SELECT d.doc_id,
-        |        coalesce(comp.component, d.doc_id) AS group_id
-        |      FROM d LEFT JOIN comp ON d.doc_id = comp.id)
-        |SELECT doc_id, group_id,
-        |  (group_id * 2654435761) % 100 AS bucket,
-        |  CASE WHEN (group_id * 2654435761) % 100 < 80 THEN 'train'
-        |       WHEN (group_id * 2654435761) % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_split_leakfree" -> splitLeakfreeSql,
+
+    // the incremental key's oracle is the one-shot SQL VERBATIM:
+    // store-resolved labels over accreted pair batches equal the
+    // one-shot components fold over the union of all pairs (the
+    // ComponentsIndex union identity), and the hash draw on the label
+    // is the same arithmetic
+    "q_split_leakfree_incremental" -> splitLeakfreeSql,
 
     // the per-group-budget twin: the naive window against a CASE of
     // the static budgets; unbudgeted languages (es, zh) drop wholesale
@@ -3807,6 +4090,60 @@ object ExtQueries {
          |WHERE cum <= CASE lang WHEN 'en' THEN 2500
          |                       WHEN 'de' THEN 1200 ELSE 800 END
          |ORDER BY doc_id""".stripMargin,
+
+    // replays Mixing.waterFill pass by pass: six unrolled cap passes
+    // (each fixes every group whose supply is at or under the current
+    // even share — window functions carry the running left/cnt, and
+    // `//` matches the driver's Long division; six passes bound any
+    // <= 6-group input, and the 5-lang corpus needs at most 5), then
+    // the final distribution with the integer remainder going to the
+    // lexicographically first remaining groups — exactly the driver
+    // arithmetic. The derived budgets then drive the same naive
+    // per-group window as q_token_budget_grouped.
+    "q_token_budget_waterfill" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |         length(text) AS nch,
+         |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |h AS (
+         |  SELECT doc_id, lang, len(toks) AS n_tokens,
+         |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+         |         punct, nch
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    ${sqlRound("greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + (stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)} AS quality
+         |  FROM h),
+         |qq AS (SELECT doc_id, lang, quality, n_tokens FROM q
+         |       WHERE quality IS NOT NULL),
+         |supply AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS sup
+         |           FROM qq GROUP BY lang),
+         |wf0 AS (SELECT lang, sup, CAST(NULL AS BIGINT) AS fixed
+         |        FROM supply),
+         |${(1 to 6).map(waterfillPassSql).mkString(",\n")},
+         |fin AS (SELECT lang, sup, fixed,
+         |    least(18000, sum(sup) OVER ()) -
+         |      sum(coalesce(fixed, 0)) OVER () AS lft,
+         |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END) OVER () AS cnt,
+         |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS rk
+         |  FROM wf6),
+         |bud AS (SELECT lang,
+         |    CASE WHEN fixed IS NOT NULL THEN fixed
+         |         ELSE lft // cnt +
+         |           (CASE WHEN rk <= lft % cnt THEN 1 ELSE 0 END) END
+         |      AS budget
+         |  FROM fin),
+         |c AS (
+         |  SELECT doc_id, lang, quality, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM qq)
+         |SELECT c.doc_id, c.lang, c.quality, c.n_tokens
+         |FROM c JOIN bud USING (lang)
+         |WHERE c.cum <= bud.budget ORDER BY doc_id""".stripMargin,
 
     // replays the NAIVE per-group window — the engine's two-pass
     // histogram-threshold selection must be bit-identical to it

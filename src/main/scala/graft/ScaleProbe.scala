@@ -82,7 +82,7 @@ object ScaleProbe {
       "embed_incremental_folded", "components_incremental",
       "components_star", "dedup_exact_incremental", "ann_recall",
       "embed_recall", "token_budget", "token_budget_naive", "dsir",
-      "decontam_fuzzy")
+      "decontam_fuzzy", "novelty", "split_leakfree")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -544,6 +544,31 @@ object ScaleProbe {
         }
       }
       scrub()
+      // novelty scoring: per-doc fraction of corpus-first w-grams —
+      // one gram-hash min(id) aggregate + one join back, both
+      // exchanges carrying 8-byte xxhash64 keys (never gram text).
+      // Expected growth ~N: the gram volume is linear in the corpus
+      // and both sides partial-aggregate before the exchange.
+      val tNovelty = if (!want("novelty")) -1.0 else best2 {
+        graft.ops.DedupOps.noveltyScore(d, "text", "doc_id").count()
+      }
+      scrub()
+      // leak-free split ASSIGNMENT cost: the components fold is billed
+      // by its own rows (components_star / components_incremental) —
+      // this row times the split's own shape, one left join of the
+      // (id, component) labels against the corpus plus the map-side
+      // label hash draw. Pairs are bounded 2-chains over 2% of docs,
+      // so the fold is floor-cost at both scales and the growth term
+      // is the corpus-side join scan (~N).
+      val tSplit = if (!want("split_leakfree")) -1.0 else {
+        val pairs = d.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + lit(1L)).as("id_b"))
+        best2 {
+          graft.ops.DedupOps.leakFreeSplit(d, pairs, "doc_id").count()
+        }
+      }
+      scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
         budgetRows.withColumn("_cum",
             sum(col("toks")).over(org.apache.spark.sql.expressions.Window
@@ -652,7 +677,8 @@ object ScaleProbe {
         "ann_ivfpq_search" -> tIvfpqSearch,
         "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl,
         "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive,
-        "dsir" -> tDsir, "decontam_fuzzy" -> tFuzzy)
+        "dsir" -> tDsir, "decontam_fuzzy" -> tFuzzy,
+        "novelty" -> tNovelty, "split_leakfree" -> tSplit)
         .filter(_._2 >= 0)
     }
 

@@ -198,10 +198,6 @@ object DedupOps {
     * (group_id, bucket, split). */
   def leakFreeSplit(df: DataFrame, pairs: DataFrame, id: String,
                     trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
-      s"leakFreeSplit: bad split percentages ($trainPct, $valPct)")
-    Reserved.requireAbsent(df, "leakFreeSplit",
-      Seq("_cid", "_comp", "group_id", "bucket", "split"))
     val labels = connectedComponentsAuto(pairs)
     // pair-bounded: pin the label table, then release the component
     // fold's checkpoint storage before returning the (lazy) result
@@ -209,6 +205,44 @@ object DedupOps {
       .select(col("id").as("_cid"), col("component").as("_comp"))
       .localCheckpoint(true)
     releaseComponents(labels)
+    splitByLabel(df, comp, id, trainPct, valPct)
+  }
+
+  /** [[leakFreeSplit]] with the cluster labels supplied by the CALLER
+    * — the INCREMENTAL form. Resolve `labels` from a maintained
+    * [[ComponentsIndex]] store ([[ComponentsIndex.currentLabels]] for
+    * a full-corpus assignment, [[ComponentsIndex.lookupLabels]] for an
+    * O(batch) pruned probe when only a batch is being placed) instead
+    * of re-running components over the accumulated pair history.
+    * `labels` is (id, component); docs absent from it (never seen in
+    * any duplicate pair) label themselves, exactly as one-shot
+    * singletons do — so store-resolved splits over accreted pair
+    * batches equal the one-shot split over the union of all pairs
+    * (the ComponentsIndex union identity; DedupOpsSpec pins it).
+    *
+    * STABILITY under accretion: the store is a min-lattice — a
+    * document's label moves only when a NEW pair merges ITS component
+    * with a lower-labeled one, and then every member of the merged
+    * component moves to the same new label, i.e. the whole cluster
+    * changes split TOGETHER. Batches touching other components cannot
+    * move it. Leak-freeness therefore holds at every point of the
+    * corpus's accretion, and split churn is confined to genuinely
+    * merged clusters (inherent: two clusters that turn out to be
+    * duplicates of each other MUST end up in one split). */
+  def leakFreeSplitLabeled(df: DataFrame, labels: DataFrame, id: String,
+                           trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    splitByLabel(df,
+      labels.select(col("id").as("_cid"), col("component").as("_comp")),
+      id, trainPct, valPct)
+
+  /** Shared tail of [[leakFreeSplit]]/[[leakFreeSplitLabeled]]: inherit
+    * the component label (self for singletons), hash-draw on it. */
+  private def splitByLabel(df: DataFrame, comp: DataFrame, id: String,
+                           trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"leakFreeSplit: bad split percentages ($trainPct, $valPct)")
+    Reserved.requireAbsent(df, "leakFreeSplit",
+      Seq("_cid", "_comp", "group_id", "bucket", "split"))
     val b = graft.functions.PortableHash.hashMod(col("group_id"), 100)
     df.filter(col(id).isNotNull)
       .join(comp, col(id) === col("_cid"), "left")

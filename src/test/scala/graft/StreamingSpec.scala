@@ -680,6 +680,44 @@ class StreamingSpec extends SparkSpec {
       s"gopher must drop 22, the DSIR gate must drop 24: $kept")
   }
 
+  test("curation funnel c4 stage: line cleanup runs first, landed text is the cleaned text, streamed == batch keep set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    // doc 1: two proper lines + a cookie-notice line -> kept, cleaned
+    val d1 = "the quick brown fox jumps over the lazy dog today.\n" +
+      "a second proper sentence with enough words here.\n" +
+      "we use cookies to improve your experience."
+    // doc 2: '{' code marker -> the document drops wholesale
+    val d2 = "function f() { return 1; }\na normal sentence here today."
+    // doc 3: no line survives (no terminal punctuation anywhere)
+    val d3 = "no punctuation on this line\nnor on this one"
+    val bench = Seq((900L, "benchmark unrelated phrase tokens"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.curateSink(mem.toDF().toDF("doc_id", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id",
+        appId = "spec-c4", benchmark = bench, minQuality = 0.0,
+        samplePct = 100, c4 = true)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((1L, d1), (2L, d2), (3L, d3)); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // batch twin: with minQuality=0, no dups, no benchmark overlap and
+    // a 100% draw, the funnel keep set IS the c4 keep set
+    val batchKeep = graft.ops.TextOps.c4Filters(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(kept.keySet == batchKeep.keySet && kept.keySet == Set(1L),
+      s"streamed keep set diverged from the batch twin: " +
+        s"${kept.keySet} vs ${batchKeep.keySet}")
+    assert(kept(1L) == batchKeep(1L) && !kept(1L).contains("cookie"),
+      "landed text must be the CLEANED text, boilerplate stripped")
+  }
+
   test("curation funnel fuzzy stage: a rephrased eval leak passes the binary scan and the Jaccard stage drops it") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
