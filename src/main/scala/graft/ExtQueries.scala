@@ -1928,18 +1928,26 @@ object ExtQueries {
           minWords = 10, minStopHits = 1)
         .filter(col("gopher_keep"))
         .select("doc_id", "clean_text")
+      // the survivor frame is PINNED before the DSIR stage: the model
+      // fit, the weight scan, the quantile-threshold jobs and the
+      // gate join each re-scan it, and the upstream c4 + gopher +
+      // quality chain is regex-heavy — unpinned, the chain re-executes
+      // per scan (~10 recomputes measured: 79 s vs ~4 s pinned). This
+      // IS the 100 TB shape: persist the funnel's survivor set once,
+      // then fit/score against the materialization.
       val q = TextOps.qualityScore(gq, "clean_text")
         .filter(col("quality") >= 0.2)
         .select("doc_id", "clean_text", "quality")
+        .localCheckpoint(true)
       // DSIR gate against the doc_id % 10 == 0 slice of the survivors
-      // (the q_dsir regime applied mid-funnel); at 100 TB the survivor
-      // frame would be persisted ahead of the model's fitting scans
+      // (the q_dsir regime applied mid-funnel)
       val gated = q.join(
         graft.ops.Mixing.importanceResample(q,
             q.filter(col("doc_id") % 10 === 0), "clean_text", "doc_id",
             frac = 0.5, buckets = 256, portable = true)
           .select("doc_id", "n_feats", "logweight"),
         Seq("doc_id"))
+        .localCheckpoint(true) // re-scanned by dedup + decontam + join
       // canonical exact dedup AFTER the per-doc gates: duplicates have
       // identical clean_text, hence identical scores — same keep set
       // as dedup-first, one window exchange on the digest

@@ -292,8 +292,14 @@ object Mixing {
                          addK: Double = 0.5,
                          portable: Boolean = false): DataFrame = {
     require(frac > 0 && frac <= 1, s"mixing: frac must be in (0,1]: $frac")
+    // pinned: the quantile machinery's histogram + refine jobs and the
+    // final keep filter each re-scan the weights — unpinned, every
+    // scan re-pays the model join AND the raw corpus's feature
+    // explode+aggregate (two corpus passes per scan at 100 TB). The
+    // weights frame is (id, n_feats, logweight) — per-doc rows, tiny
+    // next to the corpus — so the lineage cut is the right trade.
     val w = importanceWeights(raw, target, text, id, buckets, addK,
-      portable)
+      portable).localCheckpoint(true)
     val thrRow = Quantiles.exactQuantiles(w, "logweight",
       Seq(1.0 - frac), scale = 6).select("q").head()
     if (thrRow.isNullAt(0)) return w.filter(lit(false)) // empty corpus

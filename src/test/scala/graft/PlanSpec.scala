@@ -245,7 +245,23 @@ class PlanSpec extends SparkSpec {
       // reps semi + contamination hash join + presentation sort; the
       // quality stage itself is map-side, one exchange fewer than
       // q_curate's in-plan window dedup
-      "q_curate_incremental" -> 5)
+      "q_curate_incremental" -> 5,
+      // r15: the FULL composed funnel. Its two localCheckpoint cuts
+      // (survivors before DSIR, gated before dedup) hide the upstream
+      // stages from this single-plan view, so the budget pins the
+      // TAIL only: the dedup window computed on both sides of the
+      // decontamination anti join (2×2), the contamination shingle
+      // aggregate + broadcast (3), the anti-join exchanges (2), the
+      // presentation sort (1) — the upstream c4/gopher/quality chain
+      // is map-side by construction (spec'd via the streaming twin)
+      // and DSIR's budget is q_dsir's
+      "q_curate_full" -> 14,
+      // r15: per-group selection against water-filled budgets. The
+      // supply aggregate and the two-pass histogram walk run EAGERLY
+      // at key construction (driver-bounded collects), so the lazy
+      // plan this test sees is the boundary-bin window + the
+      // presentation sort — one exchange each, plus slack for AQE
+      "q_token_budget_waterfill" -> 3)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
@@ -383,13 +399,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("DSIR: weights plan has no corpus sort-merge and no window; the model joins broadcast") {
-    // the returned plan is the scoring side (the quantile threshold is
-    // resolved eagerly through the bounded two-pass machinery): a
-    // (id, bucket) partial-aggregated exchange + a BROADCAST join of
-    // the ≤ buckets model rows + the per-doc fold. A SortMergeJoin
-    // means the model stopped broadcasting; a Window means someone
-    // re-introduced a rank; both are the 100 TB regressions.
-    val p = planOf("q_dsir")
+    // r15: importanceResample PINS its weights frame (localCheckpoint
+    // ahead of the quantile jobs), so the graded key's lazy plan is a
+    // filter over the cut — assert on the WEIGHTS plan itself, the
+    // shape this pin protects: a (id, bucket) partial-aggregated
+    // exchange + a BROADCAST join of the ≤ buckets model rows + the
+    // per-doc fold. A SortMergeJoin means the model stopped
+    // broadcasting; a Window means someone re-introduced a rank; both
+    // are the 100 TB regressions.
+    val d = graft.io.Tables.read(spark, sf, "documents")
+    val p = graft.ops.Mixing.importanceWeights(d,
+        d.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        "text", "doc_id", portable = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("SortMergeJoin"),
       s"DSIR model join stopped broadcasting:\n$p")
     assert(count(p, "Window") == 0, s"DSIR grew a window:\n$p")
