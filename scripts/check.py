@@ -13,6 +13,12 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 tables = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 con = duckdb.connect()
+# CHECK_THREADS=4 for large-sf (ScaleLand) sweeps: DuckDB's per-thread
+# operator state on the string-heavy oracles scales with threads, and
+# the 32-thread default OOMs on the composed-funnel oracle at 10x
+# while 4 threads complete it comfortably
+if os.environ.get("CHECK_THREADS"):
+    con.sql(f"SET threads={int(os.environ['CHECK_THREADS'])}")
 for tbl in tables:
     # driver testdata is one file per table; ScaleLand-landed dirs are
     # spark parquet DIRECTORIES — glob those
