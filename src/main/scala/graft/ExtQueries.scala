@@ -1735,6 +1735,40 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-classifier training AT SCALE (the fastText/GPT-3-style
+    // learned filter): 3 rounds of full-batch logistic-regression
+    // gradient descent — each round ONE partial-aggregated exchange of
+    // d+1 doubles, corpus never collected — then a map-side scoring
+    // pass. Target: lang == 'en' from the qualityScore feature triple
+    // (length saturation, EN-stopword density, punctuation density) —
+    // the stopword feature separates the target, so the fit must find
+    // it. The oracle replays the entire weight trajectory (rounded
+    // mean gradients, dyadic lr) with chained one-row CTEs.
+    "q_quality_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      val toks = split(col("text"), " ")
+      val stopArr = array(TextOps.stopwords.map(lit): _*)
+      val feats = d.select(
+        col("doc_id"),
+        (col("lang") === "en").cast("double").as("y"),
+        least(lit(1.0), size(toks) / lit(100.0)).as("f_len"),
+        (size(filter(toks, t => array_contains(stopArr, t))) /
+          nullif(size(toks), lit(0)).cast("double")).as("f_stop"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;]", ""))) /
+          nullif(length(col("text")), lit(0)).cast("double"))
+          .as("f_punct"))
+        .filter(col("f_stop").isNotNull && col("f_punct").isNotNull)
+      val fs = Seq("f_len", "f_stop", "f_punct")
+      val w = graft.ops.Classifier.fitLogistic(feats, fs, "y",
+        iters = 3, lr = 0.5)
+      graft.ops.Classifier.scoreLogistic(feats, fs, w.toSeq)
+        .select(col("doc_id"), col("y"), col("p"),
+          (col("p") >= 0.5).as("pred"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): score every doc by
     // the log-ratio of its hashed-unigram bag under a TARGET corpus
     // (docs with doc_id % 10 == 0 — a deterministic "domain sample")
@@ -4178,6 +4212,59 @@ object ExtQueries {
          |  FROM q WHERE quality IS NOT NULL)
          |SELECT doc_id, lang, quality, n_tokens FROM c
          |WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
+
+    // replays the TRAINING LOOP exactly: the feature projection, then
+    // per iteration a one-row gradient CTE (mean error and mean
+    // error-times-feature, HALF_UP-8 — absorbing distributed-sum ulp
+    // noise) and a one-row weight CTE (w - 0.5·g, re-rounded; 0.5 is
+    // dyadic so the update arithmetic is IEEE-identical), then the
+    // 6dp sigmoid scoring — both engines walk the identical rounded
+    // weight trajectory
+    "q_quality_classifier" -> {
+      def grad(i: Int) =
+        s"""g$i AS (SELECT ${sqlRound("avg(e)", 8)} AS g0,
+           |  ${sqlRound("avg(e * f_len)", 8)} AS ga,
+           |  ${sqlRound("avg(e * f_stop)", 8)} AS gb,
+           |  ${sqlRound("avg(e * f_punct)", 8)} AS gc
+           |  FROM (SELECT f_len, f_stop, f_punct,
+           |    1.0/(1.0 + exp(-(((b + wa*f_len) + wb*f_stop)
+           |      + wc*f_punct))) - y AS e
+           |    FROM feats, w${i - 1}))""".stripMargin
+      def upd(i: Int) =
+        s"""w$i AS (SELECT ${sqlRound("b - 0.5*g0", 8)} AS b,
+           |  ${sqlRound("wa - 0.5*ga", 8)} AS wa,
+           |  ${sqlRound("wb - 0.5*gb", 8)} AS wb,
+           |  ${sqlRound("wc - 0.5*gc", 8)} AS wc
+           |  FROM w${i - 1}, g$i)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |f0 AS (SELECT doc_id,
+         |  CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+         |    AS y,
+         |  least(1.0, len(toks)/100.0) AS f_len,
+         |  len(list_filter(toks, x -> list_contains($stopList, x)))
+         |    / CAST(nullif(len(toks), 0) AS DOUBLE) AS f_stop,
+         |  (length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')))
+         |    / CAST(nullif(length(text), 0) AS DOUBLE) AS f_punct
+         |  FROM t),
+         |feats AS (SELECT * FROM f0
+         |  WHERE f_stop IS NOT NULL AND f_punct IS NOT NULL),
+         |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS wa,
+         |       CAST(0.0 AS DOUBLE) AS wb, CAST(0.0 AS DOUBLE) AS wc),
+         |${grad(1)},
+         |${upd(1)},
+         |${grad(2)},
+         |${upd(2)},
+         |${grad(3)},
+         |${upd(3)}
+         |SELECT doc_id, y, p, p >= 0.5 AS pred FROM
+         |  (SELECT doc_id, y,
+         |    ${sqlRound("1.0/(1.0 + exp(-(((b + wa*f_len) + wb*f_stop) + wc*f_punct)))", 6)}
+         |      AS p
+         |   FROM feats, w3)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // replays the engine term for term: the polynomial bucket fold,
     // the add-k smoothed log-ratio (same left-to-right arithmetic

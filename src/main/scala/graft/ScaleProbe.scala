@@ -82,7 +82,7 @@ object ScaleProbe {
       "embed_incremental_folded", "components_incremental",
       "components_star", "dedup_exact_incremental", "ann_recall",
       "embed_recall", "token_budget", "token_budget_naive", "dsir",
-      "decontam_fuzzy", "novelty", "split_leakfree")
+      "decontam_fuzzy", "novelty", "split_leakfree", "logreg")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -569,6 +569,25 @@ object ScaleProbe {
         }
       }
       scrub()
+      // quality-classifier fit: 3 bounded gradient exchanges (d+1
+      // doubles each) against a never-collected corpus — expected
+      // growth ~N per iteration scan, the pagerank fixed-point budget
+      // family applied to model fitting.
+      val tLogreg = if (!want("logreg")) -1.0 else {
+        val lToks = split(col("text"), " ")
+        val stopArr = array(graft.ops.TextOps.stopwords.map(lit): _*)
+        val feats = d.select(
+          (pmod(col("doc_id"), lit(2)) === 0).cast("double").as("y"),
+          least(lit(1.0), size(lToks) / lit(100.0)).as("f_len"),
+          (size(filter(lToks, t => array_contains(stopArr, t))) /
+            nullif(size(lToks), lit(0)).cast("double")).as("f_stop"))
+        best2 {
+          graft.ops.Classifier.fitLogistic(feats,
+            Seq("f_len", "f_stop"), "y", iters = 3)
+          ()
+        }
+      }
+      scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
         budgetRows.withColumn("_cum",
             sum(col("toks")).over(org.apache.spark.sql.expressions.Window
@@ -678,7 +697,8 @@ object ScaleProbe {
         "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl,
         "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive,
         "dsir" -> tDsir, "decontam_fuzzy" -> tFuzzy,
-        "novelty" -> tNovelty, "split_leakfree" -> tSplit)
+        "novelty" -> tNovelty, "split_leakfree" -> tSplit,
+        "logreg" -> tLogreg)
         .filter(_._2 >= 0)
     }
 

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Classifier
+
+/** The distributed quality-classifier trainer: learns separable data,
+  * walks a deterministic weight trajectory, honors the null contract,
+  * and fails loud on an untrainable input. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // linearly separable by x1 (positive class sits at x1 ~ 1, negative
+  // at x1 ~ 0); x2 is an uninformative constant-ish nuisance feature
+  private def separable = (
+    (0 until 50).map(i => (i.toLong, 1.0, 0.9 + (i % 5) * 0.02, 0.5)) ++
+    (50 until 100).map(i => (i.toLong, 0.0, 0.1 + (i % 5) * 0.02, 0.5))
+  ).toDF("id", "y", "x1", "x2")
+
+  test("fit separates planted classes; scoring ranks every positive above every negative") {
+    val w = Classifier.fitLogistic(separable, Seq("x1", "x2"), "y",
+      iters = 25, lr = 0.5)
+    assert(w(1) > 0, s"separating weight must be positive: ${w.toSeq}")
+    val scored = Classifier.scoreLogistic(separable, Seq("x1", "x2"),
+        w.toSeq)
+      .select("y", "p").as[(Double, Double)].collect()
+    val pos = scored.filter(_._1 == 1.0).map(_._2)
+    val neg = scored.filter(_._1 == 0.0).map(_._2)
+    assert(pos.min > neg.max,
+      s"classes not separated: pos.min=${pos.min} neg.max=${neg.max}")
+    // decision accuracy at the 0.5 threshold is perfect on this set
+    assert(pos.forall(_ >= 0.5) && neg.forall(_ < 0.5),
+      "threshold decisions missed the planted separation")
+  }
+
+  test("weight trajectory is deterministic across fits and partitionings") {
+    val a = Classifier.fitLogistic(separable, Seq("x1", "x2"), "y")
+    val b = Classifier.fitLogistic(separable.repartition(7), Seq("x1", "x2"), "y")
+    assert(a.toSeq == b.toSeq,
+      s"fit must be partitioning-invariant: ${a.toSeq} vs ${b.toSeq}")
+  }
+
+  test("null features/labels are excluded from the fit; null feature scores null") {
+    val withNulls = separable.unionByName(Seq(
+      (900L, Some(1.0), None: Option[Double], Some(0.5)),
+      (901L, None: Option[Double], Some(0.9), Some(0.5)))
+      .toDF("id", "y", "x1", "x2"))
+    val a = Classifier.fitLogistic(separable, Seq("x1", "x2"), "y")
+    val b = Classifier.fitLogistic(withNulls, Seq("x1", "x2"), "y")
+    assert(a.toSeq == b.toSeq, "null rows perturbed the gradient")
+    val p = Classifier.scoreLogistic(withNulls, Seq("x1", "x2"), a.toSeq)
+      .filter(col("id") === 900L).select("p").head()
+    assert(p.isNullAt(0), "a null feature must score null, not 0.5")
+  }
+
+  test("untrainable input fails loud; bad arguments are rejected") {
+    val empty = separable.filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      Classifier.fitLogistic(empty, Seq("x1"), "y")
+    }
+    assert(e.getMessage.contains("no trainable rows"))
+    intercept[IllegalArgumentException] {
+      Classifier.fitLogistic(separable, Seq.empty, "y")
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.scoreLogistic(separable, Seq("x1"), Seq(0.0)) // needs 2
+    }
+  }
+}

@@ -261,7 +261,12 @@ class PlanSpec extends SparkSpec {
       // at key construction (driver-bounded collects), so the lazy
       // plan this test sees is the boundary-bin window + the
       // presentation sort — one exchange each, plus slack for AQE
-      "q_token_budget_waterfill" -> 3)
+      "q_token_budget_waterfill" -> 3,
+      // r15: logistic-regression quality classifier — the fit's
+      // per-iteration gradient aggregates run eagerly (d+1 doubles
+      // each); the lazy plan is the map-side scoring projection +
+      // the presentation sort
+      "q_quality_classifier" -> 1)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
