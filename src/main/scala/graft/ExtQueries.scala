@@ -3382,7 +3382,7 @@ object ExtQueries {
          |    AND NOT contains(lower(l), 'javascript')
          |    AND NOT contains(lower(l), 'cookie')) AS kept
          |  FROM cf),
-         |c4 AS (SELECT doc_id, array_to_string(kept, chr(10))
+         |c4 AS MATERIALIZED (SELECT doc_id, array_to_string(kept, chr(10))
          |    AS clean_text
          |  FROM ck WHERE len(kept) >= 1),
          |gw AS (SELECT doc_id, clean_text,
@@ -3430,7 +3430,7 @@ object ExtQueries {
          |  len(list_filter(toks, x -> list_contains($stopList, x)))
          |    AS stop_hits,
          |  punct, nch FROM qt),
-         |q AS (SELECT doc_id, clean_text, $qexpr AS quality FROM qh
+         |q AS MATERIALIZED (SELECT doc_id, clean_text, $qexpr AS quality FROM qh
          |  WHERE $qexpr >= 0.2),
          |dw AS (SELECT doc_id, unnest(string_split(clean_text, ' '))
          |    AS _w FROM q),
@@ -3456,13 +3456,13 @@ object ExtQueries {
          |  FROM dcnt JOIN lw USING (_b) GROUP BY doc_id),
          |thr AS (SELECT ${sqlRound("quantile_cont(logweight, 0.5)", 6)}
          |          AS t FROM wts),
-         |gated AS (SELECT q.doc_id, q.clean_text, q.quality,
+         |gated AS MATERIALIZED (SELECT q.doc_id, q.clean_text, q.quality,
          |    wts.n_feats, wts.logweight
          |  FROM q JOIN wts USING (doc_id), thr
          |  WHERE wts.logweight >= thr.t),
          |reps AS (SELECT min(doc_id) AS doc_id FROM gated
          |         GROUP BY clean_text),
-         |dq AS (SELECT g.* FROM gated g JOIN reps USING (doc_id)),
+         |dq AS MATERIALIZED (SELECT g.* FROM gated g JOIN reps USING (doc_id)),
          |dsh AS (SELECT doc_id, unnest(list_distinct(
          |    CASE WHEN len(toks) >= 3
          |         THEN list_transform(range(1, len(toks) - 1),
@@ -4248,7 +4248,7 @@ object ExtQueries {
          |  (length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')))
          |    / CAST(nullif(length(text), 0) AS DOUBLE) AS f_punct
          |  FROM t),
-         |feats AS (SELECT * FROM f0
+         |feats AS MATERIALIZED (SELECT * FROM f0
          |  WHERE f_stop IS NOT NULL AND f_punct IS NOT NULL),
          |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS wa,
          |       CAST(0.0 AS DOUBLE) AS wb, CAST(0.0 AS DOUBLE) AS wc),

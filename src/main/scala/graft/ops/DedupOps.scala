@@ -231,8 +231,15 @@ object DedupOps {
     * duplicates of each other MUST end up in one split). */
   def leakFreeSplitLabeled(df: DataFrame, labels: DataFrame, id: String,
                            trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    // defensive min fold (the store's own resolve semantic): a caller
+    // handing RAW byid label rows — multiple per id under the
+    // min-lattice's append-only discipline — must resolve to the
+    // current (minimum) label, not DUPLICATE every clustered corpus
+    // row through the join. Identity on already-resolved inputs; the
+    // labels side is pair-bounded, so the fold exchange is small.
     splitByLabel(df,
-      labels.select(col("id").as("_cid"), col("component").as("_comp")),
+      labels.groupBy(col("id")).agg(min(col("component")).as("_comp"))
+        .select(col("id").as("_cid"), col("_comp")),
       id, trainPct, valPct)
 
   /** Shared tail of [[leakFreeSplit]]/[[leakFreeSplitLabeled]]: inherit

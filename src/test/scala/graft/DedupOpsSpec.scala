@@ -398,6 +398,15 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
     assert(probe.forall { case (k, v) => oneShot(k) == v },
       "lookupLabels-resolved batch split diverged from the one-shot")
+    // RAW (unresolved) label rows — multiple per id under the
+    // min-lattice's append-only discipline — must min-fold to the
+    // current label, never duplicate the joined corpus row
+    val raw = Seq((10L, 10L), (10L, 3L), (10L, 1L)).toDF("id", "component")
+    val viaRaw = graft.ops.DedupOps.leakFreeSplitLabeled(
+      docs.filter(col("doc_id") === 10L), raw, "doc_id")
+    assert(viaRaw.count() == 1 &&
+      viaRaw.select("group_id").as[Long].head() == 1L,
+      "raw label rows must min-fold, not duplicate the joined row")
   }
 
   test("novelty: hash-keyed exchanges produce the exact text-keyed scores on the mutant corpus") {
