@@ -660,6 +660,68 @@ object ExtQueries {
        |FROM g JOIN f USING (gram)
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** The q_quality_classifier / q_pr_curve shared feature frame:
+    * [[graft.ops.Classifier.textFeatures]] over the corpus with the
+    * lang == 'en' target. ONE construction on purpose — its DuckDB
+    * twin is [[classifierLoopCtes]]'s `feats` CTE. */
+  private def classifierFeats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.textFeatures(
+        docs(s, dir).filter(col("text").isNotNull && col("lang").isNotNull),
+        "text")
+      .select(col("doc_id"), (col("lang") === "en").cast("double").as("y"),
+        col("f_len"), col("f_stop"), col("f_punct"))
+      .filter(col("f_stop").isNotNull && col("f_punct").isNotNull)
+
+  /** The classifier training-loop CTE chain (feature projection +
+    * three unrolled mean-gradient/update rounds), shared VERBATIM by
+    * `q_quality_classifier` and `q_pr_curve` — both must replay the
+    * identical rounded weight trajectory
+    * ([[graft.ops.Classifier.fitLogistic]]). */
+  private lazy val classifierLoopCtes: String = {
+    def grad(i: Int) =
+      s"""g$i AS (SELECT ${sqlRound("avg(e)", 8)} AS g0,
+         |  ${sqlRound("avg(e * f_len)", 8)} AS ga,
+         |  ${sqlRound("avg(e * f_stop)", 8)} AS gb,
+         |  ${sqlRound("avg(e * f_punct)", 8)} AS gc
+         |  FROM (SELECT f_len, f_stop, f_punct,
+         |    1.0/(1.0 + exp(-(((b + wa*f_len) + wb*f_stop)
+         |      + wc*f_punct))) - y AS e
+         |    FROM feats, w${i - 1}))""".stripMargin
+    def upd(i: Int) =
+      s"""w$i AS (SELECT ${sqlRound("b - 0.5*g0", 8)} AS b,
+         |  ${sqlRound("wa - 0.5*ga", 8)} AS wa,
+         |  ${sqlRound("wb - 0.5*gb", 8)} AS wb,
+         |  ${sqlRound("wc - 0.5*gc", 8)} AS wc
+         |  FROM w${i - 1}, g$i)""".stripMargin
+    s"""t AS (SELECT doc_id, lang, text,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+       |f0 AS (SELECT doc_id,
+       |  CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+       |    AS y,
+       |  least(1.0, len(toks)/100.0) AS f_len,
+       |  len(list_filter(toks, x -> list_contains($stopList, x)))
+       |    / CAST(nullif(len(toks), 0) AS DOUBLE) AS f_stop,
+       |  (length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')))
+       |    / CAST(nullif(length(text), 0) AS DOUBLE) AS f_punct
+       |  FROM t),
+       |feats AS MATERIALIZED (SELECT * FROM f0
+       |  WHERE f_stop IS NOT NULL AND f_punct IS NOT NULL),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS wa,
+       |       CAST(0.0 AS DOUBLE) AS wb, CAST(0.0 AS DOUBLE) AS wc),
+       |${grad(1)},
+       |${upd(1)},
+       |${grad(2)},
+       |${upd(2)},
+       |${grad(3)},
+       |${upd(3)}""".stripMargin
+  }
+
+  /** The rounded sigmoid scoring expression over `feats, w3` — the
+    * [[classifierLoopCtes]] tail both classifier oracles share. */
+  private lazy val classifierScoreSql: String = sqlRound(
+    "1.0/(1.0 + exp(-(((b + wa*f_len) + wb*f_stop) + wc*f_punct)))", 6)
+
   /** One unrolled [[graft.ops.Mixing.waterFill]] cap pass for the
     * q_token_budget_waterfill oracle: fix every still-unfixed group
     * whose supply is at or under the current even share. A pass that
@@ -1745,28 +1807,29 @@ object ExtQueries {
     // it. The oracle replays the entire weight trajectory (rounded
     // mean gradients, dyadic lr) with chained one-row CTEs.
     "q_quality_classifier" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .filter(col("text").isNotNull && col("lang").isNotNull)
-      val toks = split(col("text"), " ")
-      val stopArr = array(TextOps.stopwords.map(lit): _*)
-      val feats = d.select(
-        col("doc_id"),
-        (col("lang") === "en").cast("double").as("y"),
-        least(lit(1.0), size(toks) / lit(100.0)).as("f_len"),
-        (size(filter(toks, t => array_contains(stopArr, t))) /
-          nullif(size(toks), lit(0)).cast("double")).as("f_stop"),
-        ((length(col("text")) -
-          length(regexp_replace(col("text"), "[.,!?;]", ""))) /
-          nullif(length(col("text")), lit(0)).cast("double"))
-          .as("f_punct"))
-        .filter(col("f_stop").isNotNull && col("f_punct").isNotNull)
-      val fs = Seq("f_len", "f_stop", "f_punct")
-      val w = graft.ops.Classifier.fitLogistic(feats, fs, "y",
-        iters = 3, lr = 0.5)
-      graft.ops.Classifier.scoreLogistic(feats, fs, w.toSeq)
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq)
         .select(col("doc_id"), col("y"), col("p"),
           (col("p") >= 0.5).as("pred"))
         .orderBy("doc_id")
+    }),
+
+    // Threshold CALIBRATION for the trained classifier — the exact
+    // precision/recall curve of "keep iff score >= thr" at every
+    // distinct score. Scale shape: 6dp scores bound the groupBy
+    // exchange at 10^6+1 rows at ANY corpus size, and the cumulative
+    // window runs over that bounded aggregate — never a corpus sort.
+    "q_pr_curve" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.prCurve(
+        graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y")
+        .orderBy("thr")
     }),
 
     // DSIR importance resampling (Xie et al. 2023): score every doc by
@@ -4220,51 +4283,34 @@ object ExtQueries {
     // dyadic so the update arithmetic is IEEE-identical), then the
     // 6dp sigmoid scoring — both engines walk the identical rounded
     // weight trajectory
-    "q_quality_classifier" -> {
-      def grad(i: Int) =
-        s"""g$i AS (SELECT ${sqlRound("avg(e)", 8)} AS g0,
-           |  ${sqlRound("avg(e * f_len)", 8)} AS ga,
-           |  ${sqlRound("avg(e * f_stop)", 8)} AS gb,
-           |  ${sqlRound("avg(e * f_punct)", 8)} AS gc
-           |  FROM (SELECT f_len, f_stop, f_punct,
-           |    1.0/(1.0 + exp(-(((b + wa*f_len) + wb*f_stop)
-           |      + wc*f_punct))) - y AS e
-           |    FROM feats, w${i - 1}))""".stripMargin
-      def upd(i: Int) =
-        s"""w$i AS (SELECT ${sqlRound("b - 0.5*g0", 8)} AS b,
-           |  ${sqlRound("wa - 0.5*ga", 8)} AS wa,
-           |  ${sqlRound("wb - 0.5*gb", 8)} AS wb,
-           |  ${sqlRound("wc - 0.5*gc", 8)} AS wc
-           |  FROM w${i - 1}, g$i)""".stripMargin
-      s"""WITH t AS (SELECT doc_id, lang, text,
-         |    string_split(text, ' ') AS toks
-         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
-         |f0 AS (SELECT doc_id,
-         |  CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE)
-         |    AS y,
-         |  least(1.0, len(toks)/100.0) AS f_len,
-         |  len(list_filter(toks, x -> list_contains($stopList, x)))
-         |    / CAST(nullif(len(toks), 0) AS DOUBLE) AS f_stop,
-         |  (length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')))
-         |    / CAST(nullif(length(text), 0) AS DOUBLE) AS f_punct
-         |  FROM t),
-         |feats AS MATERIALIZED (SELECT * FROM f0
-         |  WHERE f_stop IS NOT NULL AND f_punct IS NOT NULL),
-         |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS wa,
-         |       CAST(0.0 AS DOUBLE) AS wb, CAST(0.0 AS DOUBLE) AS wc),
-         |${grad(1)},
-         |${upd(1)},
-         |${grad(2)},
-         |${upd(2)},
-         |${grad(3)},
-         |${upd(3)}
+    "q_quality_classifier" ->
+      s"""WITH $classifierLoopCtes
          |SELECT doc_id, y, p, p >= 0.5 AS pred FROM
-         |  (SELECT doc_id, y,
-         |    ${sqlRound("1.0/(1.0 + exp(-(((b + wa*f_len) + wb*f_stop) + wc*f_punct)))", 6)}
-         |      AS p
-         |   FROM feats, w3)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |  (SELECT doc_id, y, $classifierScoreSql AS p FROM feats, w3)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the calibration twin: identical training-loop CTEs (same weight
+    // trajectory), then the curve — group by the 6dp score, cumulative
+    // confusion counts over the score-DESC window, exact 0/1 sums
+    "q_pr_curve" ->
+      s"""WITH $classifierLoopCtes,
+         |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
+         |g AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
+         |      FROM scored GROUP BY 1),
+         |c AS (SELECT thr,
+         |    sum(pos) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+         |      AS tp,
+         |    sum(n) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+         |      AS nge,
+         |    sum(pos) OVER () AS p_all
+         |  FROM g)
+         |SELECT thr, CAST(tp AS BIGINT) AS tp,
+         |  CAST(nge - tp AS BIGINT) AS fp,
+         |  CAST(p_all - tp AS BIGINT) AS fn,
+         |  ${sqlRound("tp / CAST(nge AS DOUBLE)", 6)} AS "precision",
+         |  ${sqlRound("tp / CAST(nullif(p_all, 0) AS DOUBLE)", 6)}
+         |    AS recall
+         |FROM c ORDER BY thr""".stripMargin,
 
     // replays the engine term for term: the polynomial bucket fold,
     // the add-k smoothed log-ratio (same left-to-right arithmetic

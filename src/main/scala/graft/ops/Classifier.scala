@@ -81,6 +81,71 @@ object Classifier {
     w
   }
 
+  /** The canonical TEXT feature triple (one map-side projection):
+    * `f_len` = min(1, tokens/100) length saturation, `f_stop` =
+    * stop-token density, `f_punct` = punctuation-character density —
+    * the [[graft.ops.TextOps.qualityScore]] signals exposed as
+    * classifier features, shared by the graded keys and the streaming
+    * funnel stage so a model fit offline scores streams bit-equally.
+    * Appends the three columns; docs with null text get null features
+    * (excluded from fits, scored null). */
+  def textFeatures(df: DataFrame, text: String): DataFrame = {
+    Reserved.requireAbsent(df, "textFeatures",
+      Seq("f_len", "f_stop", "f_punct"))
+    val toks = split(col(text), " ")
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    df.withColumn("f_len", least(lit(1.0), size(toks) / lit(100.0)))
+      .withColumn("f_stop",
+        size(filter(toks, t => array_contains(stopArr, t))) /
+          nullif(size(toks), lit(0)).cast("double"))
+      .withColumn("f_punct",
+        (length(col(text)) -
+          length(regexp_replace(col(text), "[.,!?;]", ""))) /
+          nullif(length(col(text)), lit(0)).cast("double"))
+  }
+
+  /** The text-feature column names [[textFeatures]] appends, in the
+    * weight order every fit/score over them uses. */
+  val textFeatureCols: Seq[String] = Seq("f_len", "f_stop", "f_punct")
+
+  /** Exact precision/recall curve over a SCORED corpus — the
+    * threshold-calibration step between training a quality classifier
+    * and deploying it as a filter: one row per distinct (rounded)
+    * score `thr`, with the confusion counts and precision/recall of
+    * the rule `keep iff score ≥ thr`.
+    *
+    * Scale shape: scores quantize to `scale` dp, so the groupBy
+    * exchange carries AT MOST 10^scale + 1 rows regardless of corpus
+    * size, and the cumulative window runs over that bounded aggregate
+    * — never a global sort of the corpus (the
+    * [[Quantiles.exactQuantiles]] bounded-domain stance applied to
+    * curve construction). Counts are exact: 0/1 labels sum without
+    * float error. Rows with a null score or label are excluded. */
+  def prCurve(df: DataFrame, score: String, label: String,
+              scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"classifier: prCurve scale must be in [0,6]: $scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("thr").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    df.filter(col(score).isNotNull && col(label).isNotNull)
+      .groupBy(roundHalfUp(col(score), scale).as("thr"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(label).cast("double")).as("_pos"))
+      .withColumn("tp", sum("_pos").over(w).cast("long"))
+      .withColumn("_nge", sum("_n").over(w))
+      .withColumn("_p", sum("_pos").over(all).cast("long"))
+      .select(col("thr"), col("tp"),
+        (col("_nge") - col("tp")).cast("long").as("fp"),
+        (col("_p") - col("tp")).cast("long").as("fn"),
+        roundHalfUp(col("tp") / col("_nge").cast("double"), 6)
+          .as("precision"),
+        roundHalfUp(col("tp") /
+          nullif(col("_p"), lit(0L)).cast("double"), 6).as("recall"))
+  }
+
   /** Score rows against fit weights: appends `out` = σ(w·x) rounded
     * HALF_UP to `scale` dp — one map-side projection, usable verbatim
     * inside a streaming foreachBatch. Rows with a null feature score

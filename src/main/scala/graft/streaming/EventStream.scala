@@ -309,6 +309,13 @@ object EventStream {
     *     ([[graft.ops.TextOps.gopherQuality]]) — the document-shape
     *     filters production pipelines run first; map-side, signal
     *     columns dropped after the keep decision;
+    *  0a. (optional, `logit = Some((weights, minP))`) the frozen
+    *     LEARNED quality filter: the canonical
+    *     [[graft.ops.Classifier.textFeatures]] triple + one map-side
+    *     sigmoid against offline-fit [[graft.ops.Classifier
+    *     .fitLogistic]] weights, keep `p ≥ minP`. The weights must
+    *     come from a fit over the SAME textFeatures projection
+    *     (weight order = bias :: textFeatureCols);
     *  0b. (optional, `dsir = Some((model, minLogweight))`) DSIR
     *     domain-relevance gate: score each doc against a FROZEN
     *     [[graft.ops.Mixing.importanceModel]] (fit once on samples,
@@ -356,7 +363,8 @@ object EventStream {
                  dsir: Option[(DataFrame, Double)] = None,
                  dsirBuckets: Int = 256, dsirPortable: Boolean = false,
                  fuzzy: Option[(Int, Double)] = None,
-                 c4: Boolean = false)
+                 c4: Boolean = false,
+                 logit: Option[(Seq[Double], Double)] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val tag = s"$appId-$batchId"
@@ -377,17 +385,31 @@ object EventStream {
         else graft.ops.TextOps.gopherQuality(cleaned, text)
           .filter(col("gopher_keep"))
           .drop(graft.ops.TextOps.gopherCols: _*)
-      val scored = dsir match {
+      // frozen LEARNED quality filter (the classifier counterpart of
+      // the frozen-DSIR stage): the canonical text-feature triple +
+      // one map-side sigmoid against offline-fit weights — weights
+      // MUST come from a fit over the same textFeatures projection
+      val gated = logit match {
         case None => pre
+        case Some((wts, minP)) =>
+          graft.ops.Classifier.scoreLogistic(
+              graft.ops.Classifier.textFeatures(pre, text),
+              graft.ops.Classifier.textFeatureCols, wts)
+            .filter(col("p") >= minP)
+            .drop("p")
+            .drop(graft.ops.Classifier.textFeatureCols: _*)
+      }
+      val scored = dsir match {
+        case None => gated
         case Some((model, minLw)) =>
           // dsirBuckets/dsirPortable MUST match the model's fit
           // configuration — the bucket hash is part of the model
           val keep = graft.ops.Mixing
-            .applyImportanceWeights(pre, model, text, id,
+            .applyImportanceWeights(gated, model, text, id,
               buckets = dsirBuckets, portable = dsirPortable)
             .filter(col("logweight") >= minLw)
             .select(id)
-          pre.join(keep, Seq(id), "left_semi")
+          gated.join(keep, Seq(id), "left_semi")
       }
       val q = graft.ops.TextOps.qualityScore(scored, text)
         .filter(col("quality") >= minQuality)

@@ -52,6 +52,28 @@ class ClassifierSpec extends SparkSpec {
     assert(p.isNullAt(0), "a null feature must score null, not 0.5")
   }
 
+  test("prCurve matches brute force at every threshold; confusion identities hold") {
+    val scored = Classifier.scoreLogistic(separable, Seq("x1", "x2"),
+      Classifier.fitLogistic(separable, Seq("x1", "x2"), "y",
+        iters = 10).toSeq)
+    val rows = Classifier.prCurve(scored, "p", "y")
+      .select("thr", "tp", "fp", "fn", "precision", "recall")
+      .as[(Double, Long, Long, Long, Double, Double)].collect()
+    val pts = scored.select("p", "y").as[(Double, Double)].collect()
+    val pTot = pts.count(_._2 == 1.0)
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length,
+      "one row per distinct threshold")
+    for ((thr, tp, fp, fn, prec, rec) <- rows) {
+      val ge = pts.filter(_._1 >= thr)
+      assert(tp == ge.count(_._2 == 1.0) && fp == ge.count(_._2 == 0.0),
+        s"confusion counts at thr=$thr diverge from brute force")
+      assert(tp + fn == pTot, s"tp+fn must equal total positives at $thr")
+      assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-6 &&
+        math.abs(rec - tp.toDouble / pTot) < 1e-6,
+        s"precision/recall arithmetic at $thr")
+    }
+  }
+
   test("untrainable input fails loud; bad arguments are rejected") {
     val empty = separable.filter(lit(false))
     val e = intercept[IllegalArgumentException] {

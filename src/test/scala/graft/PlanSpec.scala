@@ -266,7 +266,12 @@ class PlanSpec extends SparkSpec {
       // per-iteration gradient aggregates run eagerly (d+1 doubles
       // each); the lazy plan is the map-side scoring projection +
       // the presentation sort
-      "q_quality_classifier" -> 1)
+      "q_quality_classifier" -> 1,
+      // r15: the PR curve — scores quantize to 6dp so the groupBy
+      // exchange is bounded at 10^6+1 rows at ANY corpus size, then
+      // one single-partition exchange feeds the cumulative windows
+      // (the final sort rides the same partition, exchange-free)
+      "q_pr_curve" -> 3)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,

@@ -680,6 +680,47 @@ class StreamingSpec extends SparkSpec {
       s"gopher must drop 22, the DSIR gate must drop 24: $kept")
   }
 
+  test("curation funnel logit stage: a frozen classifier gates the stream; streamed == batch keep set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    // stop-dense docs (classifier positives) vs a stopword-free doc;
+    // the fit runs OFFLINE on labeled examples of the same shape
+    val good1 = ("the cat sat on the mat and looked at the dog " * 4).trim
+    val good2 = ("a bird is in the tree and sings to the sun " * 4).trim
+    val bad = ("zorp blick grum flarn plim vex quux corge grault " * 4).trim
+    val train = graft.ops.Classifier.textFeatures(
+      Seq((1L, good1, 1.0), (2L, good2, 1.0), (3L, bad, 0.0),
+        (4L, bad + " extra", 0.0)).toDF("doc_id", "text", "y"), "text")
+    val w = graft.ops.Classifier.fitLogistic(train,
+      graft.ops.Classifier.textFeatureCols, "y", iters = 30, lr = 0.5)
+    // the frozen model separates the stream batch at p = 0.5
+    val batchKeep = graft.ops.Classifier.scoreLogistic(
+        graft.ops.Classifier.textFeatures(
+          Seq((21L, good1), (22L, bad), (23L, good2))
+            .toDF("doc_id", "text"), "text"),
+        graft.ops.Classifier.textFeatureCols, w.toSeq)
+      .filter(org.apache.spark.sql.functions.col("p") >= 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKeep == Set(21L, 23L), s"fixture drifted: $batchKeep")
+    val bench = Seq((900L, "benchmark phrase sharing nothing else"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.curateSink(mem.toDF().toDF("doc_id", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id",
+        appId = "spec-lg", benchmark = bench, minQuality = 0.0,
+        samplePct = 100, logit = Some((w.toSeq, 0.5)))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((21L, good1), (22L, bad), (23L, good2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batchKeep,
+      s"streamed keep set diverged from the frozen batch score: $kept")
+  }
+
   test("curation funnel c4 stage: line cleanup runs first, landed text is the cleaned text, streamed == batch keep set") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
