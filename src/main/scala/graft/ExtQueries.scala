@@ -1832,6 +1832,19 @@ object ExtQueries {
         .orderBy("thr")
     }),
 
+    // Exact ROC AUC of the trained classifier (Mann-Whitney with
+    // tie-averaged ranks) — computed from the same bounded per-score
+    // aggregate as the PR curve; rank sums are exact halves so the
+    // only rounding is the final 6dp division.
+    "q_roc_auc" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.rocAuc(
+        graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): score every doc by
     // the log-ratio of its hashed-unigram bag under a TARGET corpus
     // (docs with doc_id % 10 == 0 — a deterministic "domain sample")
@@ -4311,6 +4324,26 @@ object ExtQueries {
          |  ${sqlRound("tp / CAST(nullif(p_all, 0) AS DOUBLE)", 6)}
          |    AS recall
          |FROM c ORDER BY thr""".stripMargin,
+
+    // the AUC twin: same training-loop CTEs, then the Mann-Whitney
+    // fold over the per-score aggregate — ranks-before via the
+    // score-ASC window, average tie ranks as exact halves
+    "q_roc_auc" ->
+      s"""WITH $classifierLoopCtes,
+         |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
+         |g AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
+         |      FROM scored GROUP BY 1),
+         |c AS (SELECT thr, n, pos,
+         |    sum(n) OVER (ORDER BY thr ASC ROWS UNBOUNDED PRECEDING) - n
+         |      AS bef
+         |  FROM g),
+         |a AS (SELECT sum(pos * (bef + (n + 1) / 2.0)) AS s,
+         |       sum(pos) AS p_all, sum(n) AS nn FROM c)
+         |SELECT CAST(p_all AS BIGINT) AS pos,
+         |  CAST(nn - p_all AS BIGINT) AS neg,
+         |  ${sqlRound("(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)", 6)}
+         |    AS auc
+         |FROM a""".stripMargin,
 
     // replays the engine term for term: the polynomial bucket fold,
     // the add-k smoothed log-ratio (same left-to-right arithmetic

@@ -146,6 +146,40 @@ object Classifier {
           nullif(col("_p"), lit(0L)).cast("double"), 6).as("recall"))
   }
 
+  /** Exact ROC AUC over a scored corpus — the Mann–Whitney U with
+    * AVERAGE ranks for tied scores, computed from the SAME bounded
+    * per-score aggregate as [[prCurve]]: one groups exchange of at
+    * most 10^scale + 1 rows + one ordered pass over it, never a
+    * corpus sort. All rank sums are integer-valued (average ranks are
+    * exact halves), so the only rounding is the final 6dp division.
+    * Returns one row (pos, neg, auc·6dp); `auc` is null when either
+    * class is absent (AUC is undefined, surfaced instead of 0.5). */
+  def rocAuc(df: DataFrame, score: String, label: String,
+             scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"classifier: rocAuc scale must be in [0,6]: $scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("thr").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.filter(col(score).isNotNull && col(label).isNotNull)
+      .groupBy(roundHalfUp(col(score), scale).as("thr"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(label).cast("double")).as("_pos"))
+      // average rank of a tie group = ranks-before + (n+1)/2; the
+      // positive-rank sum S feeds U = S - P(P+1)/2, AUC = U / (P·N)
+      .withColumn("_before", sum("_n").over(w) - col("_n"))
+      .agg(
+        sum(col("_pos") * (col("_before") +
+          (col("_n") + lit(1L)) / lit(2.0))).as("_s"),
+        sum("_pos").as("_p"), sum("_n").as("_nn"))
+      .select(col("_p").cast("long").as("pos"),
+        (col("_nn") - col("_p")).cast("long").as("neg"),
+        roundHalfUp(
+          (col("_s") - col("_p") * (col("_p") + lit(1.0)) / lit(2.0)) /
+            nullif(col("_p") * (col("_nn") - col("_p")), lit(0.0)), 6)
+          .as("auc"))
+  }
+
   /** Score rows against fit weights: appends `out` = σ(w·x) rounded
     * HALF_UP to `scale` dp — one map-side projection, usable verbatim
     * inside a streaming foreachBatch. Rows with a null feature score

@@ -74,6 +74,36 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("rocAuc: 1.0 on separated classes, brute-force concordance with ties, null when a class is absent") {
+    val w = Classifier.fitLogistic(separable, Seq("x1", "x2"), "y",
+      iters = 25, lr = 0.5)
+    val scored = Classifier.scoreLogistic(separable, Seq("x1", "x2"),
+      w.toSeq)
+    val perfect = Classifier.rocAuc(scored, "p", "y")
+      .select("pos", "neg", "auc")
+      .as[(Long, Long, Double)].head()
+    assert(perfect == ((50L, 50L, 1.0)), s"separated AUC: $perfect")
+    // ties and interleaving: brute-force pairwise concordance
+    val mixed = Seq((1L, 1.0, 0.9), (2L, 1.0, 0.7), (3L, 1.0, 0.5),
+      (4L, 0.0, 0.7), (5L, 0.0, 0.5), (6L, 0.0, 0.1))
+      .toDF("id", "y", "s")
+    val got = Classifier.rocAuc(mixed, "s", "y")
+      .select("auc").as[Double].head()
+    val pts = Seq((1.0, 0.9), (1.0, 0.7), (1.0, 0.5), (0.0, 0.7),
+      (0.0, 0.5), (0.0, 0.1))
+    val pairs = for {
+      (yp, sp) <- pts if yp == 1.0
+      (yn, sn) <- pts if yn == 0.0
+    } yield if (sp > sn) 1.0 else if (sp == sn) 0.5 else 0.0
+    val brute = pairs.sum / pairs.size
+    assert(math.abs(got - brute) < 1e-6, s"auc=$got brute=$brute")
+    // one-class input: AUC undefined, surfaced as null
+    val oneClass = Classifier.rocAuc(
+      mixed.filter(col("y") === 1.0), "s", "y")
+    assert(oneClass.select("auc").head().isNullAt(0),
+      "single-class AUC must be null, not 0.5")
+  }
+
   test("untrainable input fails loud; bad arguments are rejected") {
     val empty = separable.filter(lit(false))
     val e = intercept[IllegalArgumentException] {

@@ -271,7 +271,10 @@ class PlanSpec extends SparkSpec {
       // exchange is bounded at 10^6+1 rows at ANY corpus size, then
       // one single-partition exchange feeds the cumulative windows
       // (the final sort rides the same partition, exchange-free)
-      "q_pr_curve" -> 3)
+      "q_pr_curve" -> 3,
+      // r15: AUC — the same bounded per-score aggregate + the ranked
+      // window + the final one-row fold
+      "q_roc_auc" -> 4)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
