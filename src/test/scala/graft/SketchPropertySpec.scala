@@ -90,6 +90,56 @@ class SketchPropertySpec extends SparkSpec {
     out.toSeq
   }
 
+  test("property: waterFill invariants over random supplies and totals") {
+    import graft.ops.Mixing
+    val supplyGen: Gen[Map[String, Long]] =
+      Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
+        Gen.chooseNum(0L, 100000L)).map(ns =>
+          ns.zipWithIndex.map { case (n, i) => s"g$i" -> n }.toMap))
+    for (s <- 1L to 20L) {
+      val supply = sample(supplyGen, s + 400)
+      val total = sample(Gen.chooseNum(0L, 250000L), s + 500)
+      val alloc = Mixing.waterFill(supply, total)
+      assert(alloc.keySet == supply.keySet, s"seed=$s: lost a group")
+      assert(alloc.values.sum == math.min(total, supply.values.sum),
+        s"seed=$s: allocation must spend exactly min(total, supply)")
+      assert(supply.forall { case (g, n) => alloc(g) <= n },
+        s"seed=$s: a group exceeded its supply")
+      // every non-capped group receives within 1 token of the others
+      val open = supply.collect {
+        case (g, n) if alloc(g) < n => alloc(g) }.toSeq
+      assert(open.isEmpty || open.max - open.min <= 1,
+        s"seed=$s: open groups unbalanced: $alloc vs supply $supply")
+    }
+  }
+
+  test("property: rocAuc == brute-force pairwise concordance on random tied scores") {
+    import graft.ops.Classifier
+    val ptsGen: Gen[List[(Double, Double)]] =
+      Gen.nonEmptyListOf(for {
+        y <- Gen.oneOf(0.0, 1.0)
+        sc <- Gen.choose(0, 9).map(_ / 10.0) // coarse grid forces ties
+      } yield (y, sc))
+    for (s <- 1L to 12L) {
+      val pts = sample(ptsGen, s + 600)
+      val pos = pts.filter(_._1 == 1.0)
+      val neg = pts.filter(_._1 == 0.0)
+      val auc = Classifier.rocAuc(
+        pts.zipWithIndex.map { case ((y, sc), i) => (i.toLong, y, sc) }
+          .toDF("id", "y", "s"), "s", "y")
+        .select("auc").head()
+      if (pos.isEmpty || neg.isEmpty)
+        assert(auc.isNullAt(0), s"seed=$s: one-class AUC must be null")
+      else {
+        val pairs = for ((_, sp) <- pos; (_, sn) <- neg)
+          yield if (sp > sn) 1.0 else if (sp == sn) 0.5 else 0.0
+        val brute = pairs.sum / pairs.size
+        assert(math.abs(auc.getDouble(0) - brute) < 1e-6,
+          s"seed=$s: auc=${auc.getDouble(0)} brute=$brute n=${pts.size}")
+      }
+    }
+  }
+
   test("property: distributed BPE == reference Sennrich on random corpora") {
     // a,b,c,d words of length <= 6: dense pair collisions, frequent
     // left==right runs, frequent early fusion — the adversarial zone
