@@ -1832,6 +1832,16 @@ object ExtQueries {
         .orderBy("thr")
     }),
 
+    // Epoch-replication mixing (the GPT-3 mixture-table shape: each
+    // source makes `epochs` passes, fractional part = deterministic
+    // per-doc draw): en 2.3 epochs, de 1.0, fr 0.5; es/zh absent ->
+    // dropped. One map-side explode — no exchange, no driver data.
+    "q_mix_epochs" -> ((s, dir) =>
+      graft.ops.Mixing.replicateEpochs(
+          docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+          Map("en" -> 230, "de" -> 100, "fr" -> 50))
+        .orderBy("doc_id", "epoch")),
+
     // Exact ROC AUC of the trained classifier (Mann-Whitney with
     // tie-averaged ranks) — computed from the same bounded per-score
     // aggregate as the PR curve; rank sums are exact halves so the
@@ -4324,6 +4334,22 @@ object ExtQueries {
          |  ${sqlRound("tp / CAST(nullif(p_all, 0) AS DOUBLE)", 6)}
          |    AS recall
          |FROM c ORDER BY thr""".stripMargin,
+
+    // integer-percent epochs replay exactly: full copies by floor
+    // division, the fractional copy by the portable per-doc draw,
+    // epochs unrolled with range()
+    "q_mix_epochs" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 230 WHEN 'de' THEN 100
+        |              WHEN 'fr' THEN 50 ELSE -1 END AS pct
+        |  FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |c AS (SELECT doc_id, lang,
+        |    (pct // 100) +
+        |    CASE WHEN (doc_id * 2654435761) % 100 < pct % 100
+        |         THEN 1 ELSE 0 END AS cp
+        |  FROM d WHERE pct >= 0)
+        |SELECT doc_id, lang, CAST(unnest(range(0, cp)) AS INT) AS epoch
+        |FROM c WHERE cp >= 1 ORDER BY doc_id, epoch""".stripMargin,
 
     // the AUC twin: same training-loop CTEs, then the Mann-Whitney
     // fold over the per-score aggregate — ranks-before via the

@@ -420,6 +420,48 @@ object Mixing {
       waterFill(supply, total), bins, naiveBelow)
   }
 
+  /** EPOCH-replication mixing — assemble a training mix by
+    * REPLICATING each source's documents: `epochsPct(source)` is the
+    * epoch count in integer PERCENT (230 = 2.3 epochs → two full
+    * copies of every doc + a deterministic 30% draw of a third), the
+    * way LLM mixtures are actually specified (the GPT-3 §2.2 mixture
+    * table's "epochs elapsed when training"; up-weighted sources make
+    * multiple passes). The up-sampling complement of
+    * [[downsampleToWeights]]; sources absent from the map drop
+    * wholesale (the same absent-source contract). Returns the input
+    * columns plus `epoch` (0-based copy index).
+    *
+    * Shape: ONE map-side explode of a per-row epoch sequence — no
+    * exchange, no driver data, output rows ∝ Σ n_source·epochs. The
+    * fractional draw is the portable hash of the DOC id (every
+    * source's partial copy selects by the same per-doc draw —
+    * deterministic and replay-stable; integer percent keeps the
+    * contract exact on any engine). Rows with a null source or id are
+    * excluded (the grouped-operator null contract). */
+  def replicateEpochs(df: DataFrame, sourceCol: String, idCol: String,
+                      epochsPct: Map[String, Int]): DataFrame = {
+    requireStringSource(df, sourceCol)
+    require(epochsPct.nonEmpty, "mixing: epochsPct must be non-empty")
+    require(epochsPct.values.forall(p => p >= 0 && p <= 10000),
+      "mixing: epochsPct values must be in [0, 10000] (0..100 epochs)")
+    require(epochsPct.size <= maxSources,
+      s"mixing: > $maxSources epoch sources")
+    Reserved.requireAbsent(df, "replicateEpochs", Seq("epoch"))
+    val pct = epochsPct.toSeq.sortBy(_._1).foldLeft(lit(-1)) {
+      case (acc, (s, p)) => when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    val full = (pct / lit(100)).cast("int")
+    val extra = when(graft.functions.PortableHash
+      .hashMod(col(idCol), 100) < pct % lit(100), lit(1)).otherwise(lit(0))
+    df.filter(col(sourceCol).isNotNull && col(idCol).isNotNull)
+      .filter(pct >= lit(0)) // absent sources drop wholesale
+      .withColumn("_cp", full + extra)
+      .filter(col("_cp") >= 1)
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("_cp") - lit(1))))
+      .drop("_cp")
+  }
+
   /** Water-filling allocation of a global token target across groups
     * (the balanced-mixing budget rule): start from equal shares;
     * groups whose SUPPLY is below their share keep their whole supply

@@ -223,6 +223,41 @@ class MixingSpec extends SparkSpec {
     assert(keptTokens.values.sum > 0)
   }
 
+  test("replicateEpochs: full copies + deterministic fractional draw; dense epoch indices; absent sources drop") {
+    import org.apache.spark.sql.functions._
+    val df = ((0L until 100L).map((_, "a")) ++
+      (100L until 200L).map((_, "b")) ++
+      (200L until 250L).map((_, "x"))).toDF("id", "src")
+    val out = Mixing.replicateEpochs(df, "src", "id",
+      Map("a" -> 230, "b" -> 50))
+    assert(out.filter(col("src") === "x").isEmpty,
+      "a source absent from the epoch map must drop wholesale")
+    val byId = out.groupBy("id", "src").count()
+      .as[(Long, String, Long)].collect()
+    // copy counts match the integer-percent rule EXACTLY per doc
+    for ((id, s, n) <- byId) {
+      val pct = if (s == "a") 230 else 50
+      val want = pct / 100 +
+        (if ((id * 2654435761L) % 100 < pct % 100) 1 else 0)
+      assert(n == want, s"doc $id ($s): got $n copies, want $want")
+    }
+    // 'b' at 0.5 epochs keeps roughly half, never more than one copy
+    val bIds = byId.filter(_._2 == "b")
+    assert(bIds.forall(_._3 == 1L) &&
+      bIds.length > 25 && bIds.length < 75, s"b kept ${bIds.length}")
+    // epoch indices are dense 0..cp-1
+    val sample = byId.filter(_._2 == "a").head
+    val eps = out.filter(col("id") === sample._1)
+      .select("epoch").as[Int].collect().sorted.toSeq
+    assert(eps == (0 until sample._3.toInt), s"epochs not dense: $eps")
+    // deterministic across invocations and partitionings
+    val again = Mixing.replicateEpochs(df.repartition(7), "src", "id",
+        Map("a" -> 230, "b" -> 50))
+      .groupBy("id", "src").count().as[(Long, String, Long)]
+      .collect().toSet
+    assert(again == byId.toSet, "replication must be deterministic")
+  }
+
   test("selectToBudgetWaterFill == waterFill-then-selectToBudgets; caps and remainder both exercised") {
     import org.apache.spark.sql.functions._
     // three groups: 'a' tiny (caps below the even share), 'b'/'c' big
