@@ -115,6 +115,36 @@ class NoveltyIndexSpec extends SparkSpec {
       "maintain changed the accumulated attributions")
   }
 
+  test("crash mid-compact heals: the grams table renamed aside is restored") {
+    val idx = tmpDir() + "/nidx_crash"
+    val b1 = corpus.filter(_._1 < 10).toDF("doc_id", "text")
+    val b2 = corpus.filter(_._1 >= 10).toDF("doc_id", "text")
+    NoveltyIndex.appendAndScore(spark, b1, idx, "text", "doc_id",
+      batchTag = Some("b1")).count()
+    NoveltyIndex.appendAndScore(spark, b2, idx, "text", "doc_id",
+      batchTag = Some("b2")).count()
+    val before = NoveltyIndex.currentFirsts(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    // simulate swapInPlace dying right after moving the live grams
+    // dir aside (no commit of the staged replacement)
+    val grams = new java.io.File(s"$idx/grams")
+    val aside = new java.io.File(s"$idx/.grams.swap_old")
+    assert(grams.renameTo(aside), "test setup: could not stage the crash")
+    assert(!grams.exists())
+    NoveltyIndex.compact(spark, idx)
+    assert(grams.exists() && !aside.exists(),
+      "recoverSwap must restore grams before compacting")
+    assert(NoveltyIndex.currentFirsts(spark, idx)
+      .as[(Long, Long)].collect().toSet == before,
+      "attribution must survive the crash + heal + compact")
+    // the healed store still probes and appends
+    val s3 = scoresOf(NoveltyIndex.appendAndScore(spark,
+      Seq((20L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"), idx, "text", "doc_id",
+      batchTag = Some("b3")))
+    assert(s3(20L)._3 == 0.0, "post-heal probe must still see history")
+  }
+
   test("empty batch returns empty and creates nothing; short docs drop") {
     val idx = tmpDir() + "/nidx"
     val out = NoveltyIndex.appendAndScore(spark,

@@ -274,7 +274,10 @@ class PlanSpec extends SparkSpec {
       "q_pr_curve" -> 3,
       // r15: AUC — the same bounded per-score aggregate + the ranked
       // window + the final one-row fold
-      "q_roc_auc" -> 4)
+      "q_roc_auc" -> 4,
+      // r15: epoch replication is scan -> filter -> explode -> the
+      // presentation sort; the ONE exchange is the sort
+      "q_mix_epochs" -> 1)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
