@@ -82,7 +82,8 @@ object ScaleProbe {
       "embed_incremental_folded", "components_incremental",
       "components_star", "dedup_exact_incremental", "ann_recall",
       "embed_recall", "token_budget", "token_budget_naive", "dsir",
-      "decontam_fuzzy", "novelty", "split_leakfree", "logreg")
+      "decontam_fuzzy", "novelty", "split_leakfree", "logreg",
+      "pr_curve")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -588,6 +589,22 @@ object ScaleProbe {
         }
       }
       scrub()
+      // PR-curve construction (rocAuc shares the same shape): the 6dp
+      // score quantization bounds the groupBy exchange at 10^6+1 rows
+      // at ANY corpus size and the cumulative window runs over that
+      // aggregate — expected growth ~N scan, flat exchange. Scores
+      // are a deterministic hash derivation (the classifier fit is
+      // billed by the logreg row).
+      val tPrCurve = if (!want("pr_curve")) -1.0 else {
+        val scored = d.select(
+          (pmod(col("doc_id"), lit(2)) === 0).cast("double").as("y"),
+          (pmod(xxhash64(col("text")), lit(1000000)) / 1000000.0)
+            .as("p"))
+        best2 {
+          graft.ops.Classifier.prCurve(scored, "p", "y").count()
+        }
+      }
+      scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
         budgetRows.withColumn("_cum",
             sum(col("toks")).over(org.apache.spark.sql.expressions.Window
@@ -698,7 +715,7 @@ object ScaleProbe {
         "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive,
         "dsir" -> tDsir, "decontam_fuzzy" -> tFuzzy,
         "novelty" -> tNovelty, "split_leakfree" -> tSplit,
-        "logreg" -> tLogreg)
+        "logreg" -> tLogreg, "pr_curve" -> tPrCurve)
         .filter(_._2 >= 0)
     }
 
