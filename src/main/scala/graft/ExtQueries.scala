@@ -722,6 +722,13 @@ object ExtQueries {
   private lazy val classifierScoreSql: String = sqlRound(
     "1.0/(1.0 + exp(-(((b + wa*f_len) + wb*f_stop) + wc*f_punct)))", 6)
 
+  /** The q_token_budget_waterfill global token target — ONE definition
+    * shared by the Spark key's `selectToBudgetWaterFill` call, the
+    * oracle's unrolled cap passes ([[waterfillPassSql]]) and its final
+    * distribution CTE, so engine/oracle parity cannot silently drift
+    * from editing one site. */
+  private val waterfillTotal = 18000L
+
   /** One unrolled [[graft.ops.Mixing.waterFill]] cap pass for the
     * q_token_budget_waterfill oracle: fix every still-unfixed group
     * whose supply is at or under the current even share. A pass that
@@ -733,7 +740,7 @@ object ExtQueries {
        |  CASE WHEN fixed IS NOT NULL THEN fixed
        |       WHEN cnt > 0 AND sup <= lft // cnt THEN sup END AS fixed
        |  FROM (SELECT lang, sup, fixed,
-       |      least(18000, sum(sup) OVER ()) -
+       |      least($waterfillTotal, sum(sup) OVER ()) -
        |        sum(coalesce(fixed, 0)) OVER () AS lft,
        |      sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END) OVER ()
        |        AS cnt
@@ -1793,7 +1800,7 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_tokens").cast("long").as("n_tokens"))
       graft.ops.Mixing.selectToBudgetWaterFill(q, "lang", "quality",
-          "n_tokens", "doc_id", total = 18000L, naiveBelow = 0L)
+          "n_tokens", "doc_id", total = waterfillTotal, naiveBelow = 0L)
         .orderBy("doc_id")
     }),
 
@@ -1978,7 +1985,8 @@ object ExtQueries {
       val deduped = q.withColumn("_rk", row_number().over(wd))
         .filter(col("_rk") === 1).drop("_rk")
       val contaminated = DedupOps
-        .contaminationScan(deduped, bench, "text", "doc_id", w = 3)
+        .contaminationScan(deduped, bench, "text", "doc_id", w = 3,
+          exactRecount = true)
         .select("doc_id")
       deduped.join(contaminated, Seq("doc_id"), "left_anti")
         .filter(hashMod(col("doc_id"), 100) < 50)
@@ -2014,7 +2022,8 @@ object ExtQueries {
         .select(col("id").as("doc_id"))
       val deduped = q.join(reps, Seq("doc_id"), "left_semi")
       val contaminated = DedupOps
-        .contaminationScan(deduped, bench, "text", "doc_id", w = 3)
+        .contaminationScan(deduped, bench, "text", "doc_id", w = 3,
+          exactRecount = true)
         .select("doc_id")
       deduped.join(contaminated, Seq("doc_id"), "left_anti")
         .filter(hashMod(col("doc_id"), 100) < 50)
@@ -2075,9 +2084,13 @@ object ExtQueries {
         .partitionBy(sha2(col("clean_text"), 256)).orderBy(col("doc_id"))
       val deduped = gated.withColumn("_rk", row_number().over(wd))
         .filter(col("_rk") === 1).drop("_rk")
+      // exactRecount: the survivor set here is funnel-thinned (tiny
+      // next to the corpus), so the collision-proof exact-string
+      // second pass is near-free — the flagship pipeline must not let
+      // a 64-bit shingle collision drop a clean document
       val contaminated = DedupOps.contaminationScan(
           deduped.withColumnRenamed("clean_text", "text"), bench,
-          "text", "doc_id", w = 3)
+          "text", "doc_id", w = 3, exactRecount = true)
         .select("doc_id")
       deduped.join(contaminated, Seq("doc_id"), "left_anti")
         .filter(hashMod(col("doc_id"), 100) < 50)
@@ -4251,7 +4264,7 @@ object ExtQueries {
          |        FROM supply),
          |${(1 to 6).map(waterfillPassSql).mkString(",\n")},
          |fin AS (SELECT lang, sup, fixed,
-         |    least(18000, sum(sup) OVER ()) -
+         |    least($waterfillTotal, sum(sup) OVER ()) -
          |      sum(coalesce(fixed, 0)) OVER () AS lft,
          |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END) OVER () AS cnt,
          |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END)

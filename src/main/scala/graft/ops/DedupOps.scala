@@ -198,6 +198,13 @@ object DedupOps {
     * (group_id, bucket, split). */
   def leakFreeSplit(df: DataFrame, pairs: DataFrame, id: String,
                     trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    // fail fast on bad arguments BEFORE the expensive components fold
+    // (splitByLabel re-checks for the labeled entry point): an invalid
+    // split spec must not cost a fully-materialized components pass
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"leakFreeSplit: bad split percentages ($trainPct, $valPct)")
+    Reserved.requireAbsent(df, "leakFreeSplit",
+      Seq("_cid", "_comp", "group_id", "bucket", "split"))
     val labels = connectedComponentsAuto(pairs)
     // pair-bounded: pin the label table, then release the component
     // fold's checkpoint storage before returning the (lazy) result

@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   * matched history is proportional to the BATCH's gram footprint, the
   * store is never shuffled, and scoring is two batch-keyed exchanges.
   * The broadcast is the batch's distinct gram-hash set (8 bytes each);
-  * for mega-batches past broadcast budgets, split the batch — the
-  * returned scores are unchanged under id-monotone splitting (the
+  * a mega-batch past the `broadcastMaxGrams` budget AUTO-ROUTES both
+  * probe joins to shuffled hash joins (bit-identical results — the
+  * routing count rides the summary materialization, so the switch is
+  * free). Callers may still split a batch manually — the returned
+  * scores are unchanged under id-monotone splitting (the
   * union-identity below).
   *
   * RETURN semantics — novelty AT ARRIVAL: each batch doc is scored
@@ -65,10 +68,24 @@ object NoveltyIndex {
     * materialized before the store mutates; then append the batch's
     * per-gram (gh, min id) summary rows. Returns
     * (id, n_grams, n_novel, novelty·6dp) — the
-    * [[DedupOps.noveltyScore]] schema. */
+    * [[DedupOps.noveltyScore]] schema.
+    *
+    * MEGA-BATCH routing: the history probe and the attribution
+    * join-back normally BROADCAST the batch's gram-hash side (8 bytes
+    * per distinct gram — the fast path for daily-batch footprints).
+    * A batch whose distinct-gram count exceeds `broadcastMaxGrams`
+    * auto-switches BOTH joins to shuffled hash joins instead of
+    * forcing an over-budget broadcast — the routing count is the
+    * summary materialization the method already pays, so the switch
+    * is free, and the two paths are bit-identical (same joins, same
+    * min folds; NoveltyIndexSpec pins it). The directory-level `gb`
+    * prune still bounds how much history is read either way. */
   def appendAndScore(spark: SparkSession, batch: DataFrame,
                      indexPath: String, text: String, id: String,
-                     w: Int = 3, batchTag: Option[String] = None): DataFrame = {
+                     w: Int = 3, batchTag: Option[String] = None,
+                     broadcastMaxGrams: Long = 10000000L): DataFrame = {
+    require(broadcastMaxGrams >= 0,
+      s"noveltyIndex: broadcastMaxGrams must be >= 0: $broadcastMaxGrams")
     val grams = batch
       .select(col(id), explode(array_distinct(
         DedupOps.shingles(col(text), w))).as("_gram"))
@@ -82,7 +99,12 @@ object NoveltyIndex {
       val summary = grams.groupBy(col("gh"))
         .agg(min(col(id)).as("first"))
         .persist()
-      summary.count()
+      val nGrams = summary.count()
+      // past the broadcast budget, hint nothing and let the joins
+      // shuffle (AQE may still pick a broadcast if the runtime side
+      // turns out small — that is the correct call, not ours)
+      val bcast: DataFrame => DataFrame =
+        if (nGrams > broadcastMaxGrams) identity else broadcast(_)
       val fs = new Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       Layout.healTable(fs, new Path(gramsPath(indexPath)))
@@ -100,7 +122,7 @@ object NoveltyIndex {
           spark.read.parquet(gramsPath(indexPath))
             .filter(col("gb").isin(gbs: _*))
             .filter(col("batch_tag") =!= tag) // replay self-exclusion
-            .join(broadcast(summary.select("gh")), Seq("gh"), "left_semi")
+            .join(bcast(summary.select("gh")), Seq("gh"), "left_semi")
             .groupBy(col("gh")).agg(min(col("first")).as("_hfirst"))
         }
       // global first per gram = min(history, batch); both sides are
@@ -110,7 +132,7 @@ object NoveltyIndex {
         .select(col("gh"),
           least(col("first"), coalesce(col("_hfirst"), col("first")))
             .as("_first"))
-      val out = grams.join(broadcast(firsts), Seq("gh"))
+      val out = grams.join(bcast(firsts), Seq("gh"))
         .groupBy(col(id))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("_first") === col(id), lit(1L)).otherwise(lit(0L)))

@@ -711,7 +711,16 @@ object TextOps {
     * boilerplate set needs a line-keyed aggregate), every C4 rule is
     * per-row: the line filter runs as an array HOF inside the row, so
     * the whole operator is ONE map-side projection — no explode, no
-    * exchange, scan-bound at any scale. */
+    * exchange, scan-bound at any scale.
+    *
+    * RESERVED-COLUMN CONTRACT (loud-fail by design): inputs already
+    * carrying `n_lines`, `n_kept`, or `clean_text` are REJECTED
+    * (`Reserved.requireAbsent`) rather than silently overwritten —
+    * stream authors feeding a payload-carrying micro-batch to
+    * [[graft.streaming.EventStream.curateSink]]`(c4 = true)` must not
+    * name payload columns after these outputs (the sink forwards the
+    * payload through `extraCols`, so a clash would otherwise corrupt
+    * the stage's own counters). */
   def c4Filters(df: DataFrame, text: String, id: String,
                 minWordsPerLine: Int = 3,
                 lineDropMarkers: Seq[String] = Seq("javascript", "cookie"),

@@ -415,8 +415,11 @@ object EventStream {
         .filter(col("quality") >= minQuality)
       val firsts = graft.ops.DigestIndex.appendAndDedup(
         batch.sparkSession, q, indexPath, text, id, batchTag = Some(tag))
+      // exactRecount: survivor-bounded second pass — a 64-bit shingle
+      // collision may inflate a candidate but never a dropped doc
       val contaminated = graft.ops.DedupOps
-        .contaminationScan(firsts, benchmark, text, id, w = w)
+        .contaminationScan(firsts, benchmark, text, id, w = w,
+          exactRecount = true)
         .select(id)
       val clean0 = firsts.join(contaminated, Seq(id), "left_anti")
       val clean = fuzzy match {

@@ -117,4 +117,76 @@ class ClassifierSpec extends SparkSpec {
       Classifier.scoreLogistic(separable, Seq("x1"), Seq(0.0)) // needs 2
     }
   }
+
+  test("early stop: converged fixture yields bit-identical weights with fewer rounds; a coarse tol stops at zero updates") {
+    // saturating fixture: |x1| large enough that once the separating
+    // weight grows, sigma(z) saturates and every rounded gradient
+    // component hits EXACTLY zero at 8dp — from there on, updates are
+    // provably no-ops, so stop-at-convergence == full-iters weights
+    val sat = (
+      (0 until 40).map(i => (i.toLong, 1.0, 40.0 + (i % 3), 0.5)) ++
+      (40 until 80).map(i => (i.toLong, 0.0, -40.0 - (i % 3), 0.5))
+    ).toDF("id", "y", "x1", "x2")
+    val full = Classifier.fitLogistic(sat, Seq("x1", "x2"), "y",
+      iters = 60, lr = 0.5)
+    val stopped = Classifier.fitLogistic(sat, Seq("x1", "x2"), "y",
+      iters = 60, lr = 0.5, tol = 1e-9)
+    assert(full.toSeq == stopped.toSeq,
+      s"early stop drifted off the full trajectory: ${full.toSeq} vs ${stopped.toSeq}")
+    // the default tol = 0 walks the identical trajectory too (its
+    // skipped post-zero updates are no-ops by construction)
+    val dflt = Classifier.fitLogistic(sat, Seq("x1", "x2"), "y",
+      iters = 60, lr = 0.5)
+    assert(dflt.toSeq == full.toSeq)
+    // a tol above the first round's gradient magnitude stops before
+    // ANY update — proof the mechanism actually fires
+    val zeros = Classifier.fitLogistic(separable, Seq("x1", "x2"), "y",
+      iters = 10, tol = 1.0)
+    assert(zeros.forall(_ == 0.0),
+      s"tol=1.0 must stop at the zero vector: ${zeros.toSeq}")
+  }
+
+  test("L2 regularization shrinks the separating weight, stays deterministic and partitioning-invariant") {
+    val plain = Classifier.fitLogistic(separable, Seq("x1", "x2"), "y",
+      iters = 25)
+    val reg = Classifier.fitLogistic(separable, Seq("x1", "x2"), "y",
+      iters = 25, l2 = 0.5)
+    assert(math.abs(reg(1)) < math.abs(plain(1)),
+      s"L2 must shrink the separating weight: ${reg(1)} vs ${plain(1)}")
+    assert(reg(1) > 0, "regularized fit must still separate")
+    val regB = Classifier.fitLogistic(separable.repartition(7),
+      Seq("x1", "x2"), "y", iters = 25, l2 = 0.5)
+    assert(reg.toSeq == regB.toSeq,
+      "regularized fit must be partitioning-invariant")
+    intercept[IllegalArgumentException] {
+      Classifier.fitLogistic(separable, Seq("x1"), "y", l2 = -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.fitLogistic(separable, Seq("x1"), "y", tol = -1.0)
+    }
+  }
+
+  test("prCurve/rocAuc score-domain contract: out-of-[0,1] scores fail LOUD, never a silent corpus sort") {
+    // the bounded-aggregate claim (<= 10^scale + 1 groupBy rows, hence
+    // the single-task cumulative window) holds only for probability
+    // scores; a raw logit / perplexity column must be rejected at
+    // execution, not silently degrade into a one-executor corpus sort
+    val logits = Seq((1L, 1.0, 3.7), (2L, 0.0, -2.1), (3L, 1.0, 0.4))
+      .toDF("id", "y", "s")
+    for (run <- Seq(
+        () => Classifier.prCurve(logits, "s", "y").collect(),
+        () => Classifier.rocAuc(logits, "s", "y").collect())) {
+      val e = intercept[Exception] { run() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("score out of [0,1]")),
+        s"expected the loud domain guard, got: $e")
+    }
+    // boundary values are IN domain — the guard is identity on [0,1]
+    val edge = Seq((1L, 1.0, 1.0), (2L, 0.0, 0.0), (3L, 1.0, 0.5))
+      .toDF("id", "y", "s")
+    assert(Classifier.prCurve(edge, "s", "y").count() == 3)
+    assert(Classifier.rocAuc(edge, "s", "y").count() == 1)
+  }
 }

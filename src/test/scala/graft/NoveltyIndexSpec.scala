@@ -41,6 +41,27 @@ class NoveltyIndexSpec extends SparkSpec {
     assert(s2(11L)._3 == 1.0, "fresh content must score 1")
   }
 
+  test("mega-batch routing: the forced shuffled-probe path scores bit-identically to the broadcast path") {
+    // broadcastMaxGrams = 0 forces EVERY probe join onto the shuffled
+    // route (what a past-broadcast-budget mega-batch takes); the two
+    // paths must be bit-identical — same joins, same min folds
+    val b1 = corpus.filter(_._1 < 10).toDF("doc_id", "text")
+    val b2 = corpus.filter(_._1 >= 10).toDF("doc_id", "text")
+    def run(idx: String, maxGrams: Long) = {
+      val s1 = scoresOf(NoveltyIndex.appendAndScore(spark, b1, idx,
+        "text", "doc_id", batchTag = Some("b1"),
+        broadcastMaxGrams = maxGrams))
+      val s2 = scoresOf(NoveltyIndex.appendAndScore(spark, b2, idx,
+        "text", "doc_id", batchTag = Some("b2"),
+        broadcastMaxGrams = maxGrams))
+      s1 ++ s2
+    }
+    val viaBroadcast = run(tmpDir() + "/nidx_bc", Long.MaxValue)
+    val viaShuffle = run(tmpDir() + "/nidx_sh", 0L)
+    assert(viaShuffle == viaBroadcast,
+      s"shuffled probe diverged:\n$viaShuffle\nvs\n$viaBroadcast")
+  }
+
   test("store fold is order-free; currentFirsts equals the one-shot attribution") {
     // REVERSED arrival: the smaller-id batch lands second. Returned
     // scores diverge by design (novelty at arrival); the STORE must

@@ -231,7 +231,11 @@ class PlanSpec extends SparkSpec {
     val budgets = Map(
       "q_token_count" -> 1, "q_dedup_exact" -> 2, "q_boilerplate" -> 2,
       "q_repeated_ngrams" -> 3, "q_line_dedup" -> 4, "q_tfidf" -> 4,
-      "q_decontaminate" -> 4, "q_curate" -> 5,
+      // r16: +3 for the collision-proof exactRecount second pass in
+      // the funnels' decontamination stage (benchmark-string distinct
+      // + survivor semi + survivor recount groupBy) — every one of
+      // them SURVIVOR-bounded, never corpus-scale
+      "q_decontaminate" -> 4, "q_curate" -> 8,
       // r11 additions: perplexity = bigram groups + 2 LM windows +
       // doc fold + tercile window (a groupBy+join tercile branch
       // re-derived the whole bigram pipeline: 8); sketch = bucket agg
@@ -245,7 +249,7 @@ class PlanSpec extends SparkSpec {
       // reps semi + contamination hash join + presentation sort; the
       // quality stage itself is map-side, one exchange fewer than
       // q_curate's in-plan window dedup
-      "q_curate_incremental" -> 5,
+      "q_curate_incremental" -> 8, // r16: +3, the exactRecount pass
       // r15: the FULL composed funnel. Its two localCheckpoint cuts
       // (survivors before DSIR, gated before dedup) hide the upstream
       // stages from this single-plan view, so the budget pins the
@@ -255,7 +259,7 @@ class PlanSpec extends SparkSpec {
       // presentation sort (1) — the upstream c4/gopher/quality chain
       // is map-side by construction (spec'd via the streaming twin)
       // and DSIR's budget is q_dsir's
-      "q_curate_full" -> 14,
+      "q_curate_full" -> 17, // r16: +3, the exactRecount pass
       // r15: per-group selection against water-filled budgets. The
       // supply aggregate and the two-pass histogram walk run EAGERLY
       // at key construction (driver-bounded collects), so the lazy
@@ -434,6 +438,17 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Window") == 0, s"DSIR grew a window:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"expected the broadcast model join:\n$p")
+    // the GRADED key's lazy plan — the post-checkpoint tail (threshold
+    // filter + presentation orderBy over the cut) — must stay
+    // Exchange-bounded: a SortMergeJoin or Window re-introduced between
+    // the cut and the key's output would be invisible to the weights
+    // assertions above, so budget it here too
+    val kp = planOf("q_dsir")
+    assert(count(kp, "Exchange") <= 1,
+      s"q_dsir's post-cut tail grew an exchange beyond the orderBy:\n$kp")
+    assert(count(kp, "Window") == 0, s"q_dsir tail grew a window:\n$kp")
+    assert(!kp.contains("SortMergeJoin"),
+      s"q_dsir tail grew a sort-merge join:\n$kp")
   }
 
   test("token budget: the Window sits under the boundary-bin filter") {
