@@ -2035,9 +2035,11 @@ object ExtQueries {
     // order a 100 TB pipeline runs them: C4 line cleanup FIRST (it
     // produces clean_text; the doc-level stages must score what
     // survives, not raw boilerplate), then the Gopher A1.1 document
-    // rules, the heuristic quality gate, the DSIR target-likeness
-    // gate, canonical exact dedup, benchmark decontamination, and the
-    // deterministic 50% hash draw. Gopher runs with relaxed thresholds
+    // rules, the frozen LEARNED classifier gate (fitLogistic weights,
+    // median-calibrated — the production stack's learned filter, the
+    // same stage the streaming twin runs), the heuristic quality
+    // gate, the DSIR target-likeness gate, canonical exact dedup,
+    // benchmark decontamination, and the deterministic 50% hash draw. Gopher runs with relaxed thresholds
     // (minWords=10, minStopHits=1 — C4's terminal-punct rule keeps
     // ~1/3 of the synthesized lines, and the tiny synthetic vocabulary
     // carries one Gopher stopword); the thresholds are parameters, the
@@ -2057,6 +2059,30 @@ object ExtQueries {
           minWords = 10, minStopHits = 1)
         .filter(col("gopher_keep"))
         .select("doc_id", "clean_text")
+      // frozen LEARNED quality gate (the streaming funnel's logit
+      // stage, EventStream.curateSink): weights fit OFFLINE on the
+      // labeled raw corpus (the q_quality_classifier regime —
+      // lang == 'en' target over the canonical text-feature triple),
+      // then ONE map-side sigmoid over the gopher survivors'
+      // clean_text. The keep threshold is the in-batch MEDIAN score
+      // (the q_dsir quantile stance): the 3-round fit's scores sit in
+      // a scale-dependent band, so a fixed minP does not travel
+      // across corpus scales while a calibrated quantile does — and
+      // at 100 TB "keep the most-target-like half" is the production
+      // calibration anyway. Scored frame pinned before the quantile +
+      // gate jobs re-scan it (the regex-heavy c4+gopher chain must
+      // not re-execute per job).
+      val lgW = graft.ops.Classifier.fitLogistic(classifierFeats(s, dir),
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      val lgScored = graft.ops.Classifier.scoreLogistic(
+          graft.ops.Classifier.textFeatures(gq, "clean_text"),
+          graft.ops.Classifier.textFeatureCols, lgW.toSeq)
+        .select("doc_id", "clean_text", "p")
+        .localCheckpoint(true)
+      val lgThr = graft.ops.Quantiles.exactQuantiles(lgScored, "p",
+        Seq(0.5), scale = 6).select("q").head().getDouble(0)
+      val lg = lgScored.filter(col("p") >= lit(lgThr))
+        .select("doc_id", "clean_text")
       // the survivor frame is PINNED before the DSIR stage: the model
       // fit, the weight scan, the quantile-threshold jobs and the
       // gate join each re-scan it, and the upstream c4 + gopher +
@@ -2064,7 +2090,7 @@ object ExtQueries {
       // per scan (~10 recomputes measured: 79 s vs ~4 s pinned). This
       // IS the 100 TB shape: persist the funnel's survivor set once,
       // then fit/score against the materialization.
-      val q = TextOps.qualityScore(gq, "clean_text")
+      val q = TextOps.qualityScore(lg, "clean_text")
         .filter(col("quality") >= 0.2)
         .select("doc_id", "clean_text", "quality")
         .localCheckpoint(true)
@@ -3436,17 +3462,21 @@ object ExtQueries {
 
     // The FULL funnel replayed stage for stage: the q_c4_filters line
     // synthesis + C4 rules, the q_gopher_quality signal replay on
-    // clean_text (relaxed thresholds 10/1), the quality CTE at 0.2,
-    // the q_dsir poly-bucket log-ratio + quantile_cont gate on
-    // clean_text, min-per-clean_text dedup, the q_curate shingle
-    // decontamination, and the hash draw.
+    // clean_text (relaxed thresholds 10/1), the frozen classifier
+    // gate (the q_quality_classifier training-loop CTEs fit the
+    // identical rounded weight trajectory, then the 6dp sigmoid over
+    // clean_text features gated at the quantile_cont median), the
+    // quality CTE at 0.2, the q_dsir poly-bucket log-ratio +
+    // quantile_cont gate on clean_text, min-per-clean_text dedup, the
+    // q_curate shingle decontamination, and the hash draw.
     "q_curate_full" -> {
       val qexpr = sqlRound(
         "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
         "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)
       val gstops = TextOps.gopherStopwords.map(w => s"'$w'")
         .mkString("[", ",", "]")
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+      s"""WITH $classifierLoopCtes,
+         |corpus AS (SELECT doc_id, text FROM documents
          |  WHERE doc_id % 50 <> 0 AND text IS NOT NULL),
          |dtok AS (SELECT doc_id, string_split(text, ' ') AS toks
          |         FROM corpus),
@@ -3518,13 +3548,31 @@ object ExtQueries {
          |    symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
          |    ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND
          |    gstop_hits >= 1, FALSE)),
+         |lf AS (SELECT doc_id, clean_text,
+         |  string_split(clean_text, ' ') AS ltoks,
+         |  length(clean_text) AS lnch,
+         |  length(clean_text) -
+         |    length(regexp_replace(clean_text, '[.,!?;]', '', 'g'))
+         |    AS lpunct
+         |  FROM gp),
+         |lx AS (SELECT doc_id, clean_text,
+         |  least(1.0, len(ltoks)/100.0) AS f_len,
+         |  len(list_filter(ltoks, x -> list_contains($stopList, x)))
+         |    / CAST(nullif(len(ltoks), 0) AS DOUBLE) AS f_stop,
+         |  lpunct / CAST(nullif(lnch, 0) AS DOUBLE) AS f_punct
+         |  FROM lf),
+         |ls AS MATERIALIZED (SELECT doc_id, clean_text,
+         |  $classifierScoreSql AS p FROM lx, w3),
+         |lthr AS (SELECT ${sqlRound("quantile_cont(p, 0.5)", 6)} AS t
+         |         FROM ls),
+         |lg AS (SELECT doc_id, clean_text FROM ls, lthr WHERE p >= t),
          |qt AS (SELECT doc_id, clean_text,
          |  string_split(clean_text, ' ') AS toks,
          |  length(clean_text) AS nch,
          |  length(clean_text) -
          |    length(regexp_replace(clean_text, '[.,!?;]', '', 'g'))
          |    AS punct
-         |  FROM gp),
+         |  FROM lg),
          |qh AS (SELECT doc_id, clean_text, len(toks) AS n_tokens,
          |  len(list_filter(toks, x -> list_contains($stopList, x)))
          |    AS stop_hits,

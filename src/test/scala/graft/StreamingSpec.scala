@@ -636,7 +636,7 @@ class StreamingSpec extends SparkSpec {
       s"store fold must resolve the global-min id: $folded")
   }
 
-  test("curation funnel optional stages: gopher rules + a frozen DSIR model gate the stream") {
+  test("curation funnel optional stages: gopher rules + a frozen classifier + a frozen DSIR model gate the stream (the q_curate_full stack)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val dir = tmpDir()
@@ -654,30 +654,69 @@ class StreamingSpec extends SparkSpec {
     val b = Seq.fill(6)(Seq("the", "zorp", "and", "blick", "that",
       "grum", "with", "flarn", "have", "plim")).flatten.mkString(" ")
     val short = "too few words" // fails the Gopher word-count floor
+    // stop-SPARSE doc: passes gopher (60 words, carries the stopword
+    // minimum) and is built from the TARGET's own content vocabulary
+    // (DSIR scores it positive) — only the learned classifier, fit to
+    // separate stop-dense from stop-sparse prose, can drop it
+    val c = ("the and " + Seq("quick", "brown", "fox", "jumps", "lazy",
+      "dogs", "river", "banks", "gentle", "stream", "carried", "small",
+      "stones", "beyond", "reach", "evening", "light", "fades",
+      "softly", "night", "quiet", "fields", "birds", "settle", "tall",
+      "grass", "waiting", "morning", "rise", "again", "distant",
+      "eastern", "hills", "peaks", "banks", "stream", "fox", "dogs",
+      "light", "grass", "fields", "night", "small", "reach", "rise",
+      "morning", "birds", "tall", "quick", "brown", "jumps", "lazy",
+      "gentle", "stones", "evening", "softly", "quiet", "settle")
+      .mkString(" ")).trim
     val raw = Seq((1L, a1), (2L, a2), (3L, b)).toDF("doc_id", "text")
     val target = Seq((10L, a1), (11L, a2)).toDF("doc_id", "text")
     val model = graft.ops.Mixing.importanceModel(raw, target, "text")
-    // the frozen model separates the domains at logweight 0
+    // the frozen model separates the domains at logweight 0; the
+    // stop-sparse doc c IS on-domain (target vocabulary), so DSIR
+    // passes it — the classifier stage must be what drops it
     val wts = graft.ops.Mixing
-      .applyImportanceWeights(raw, model, "text", "doc_id")
+      .applyImportanceWeights(Seq((1L, a1), (2L, a2), (3L, b), (4L, c))
+          .toDF("doc_id", "text"), model, "text", "doc_id")
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
-    assert(wts(1L) > 0 && wts(2L) > 0 && wts(3L) < 0, s"model: $wts")
+    assert(wts(1L) > 0 && wts(2L) > 0 && wts(3L) < 0 && wts(4L) > 0,
+      s"model: $wts")
+    // classifier fit OFFLINE: stop-dense prose = positive class
+    val train = graft.ops.Classifier.textFeatures(
+      Seq((1L, a1, 1.0), (2L, a2, 1.0), (3L, c, 0.0),
+        (4L, c.replace("peaks", "banks"), 0.0))
+        .toDF("doc_id", "text", "y"), "text")
+    val lw = graft.ops.Classifier.fitLogistic(train,
+      graft.ops.Classifier.textFeatureCols, "y", iters = 30, lr = 0.5)
+    // frozen threshold CALIBRATED offline between the classes (the
+    // q_curate_full median stance — a frozen fit's scores sit in a
+    // narrow band, so the deployment picks the cut, not 0.5)
+    val lp = graft.ops.Classifier.scoreLogistic(
+        graft.ops.Classifier.textFeatures(
+          Seq((21L, a1), (23L, a2), (25L, c)).toDF("doc_id", "text"),
+          "text"),
+        graft.ops.Classifier.textFeatureCols, lw.toSeq)
+      .select("doc_id", "p").as[(Long, Double)].collect().toMap
+    assert(lp(21L) > lp(25L) && lp(23L) > lp(25L),
+      s"classifier fixture drifted: $lp")
+    val minP = (math.min(lp(21L), lp(23L)) + lp(25L)) / 2
     val bench = Seq((900L, "benchmark phrase sharing nothing else"))
       .toDF("doc_id", "text")
     val mem = MemoryStream[(Long, String)]
     val q = EventStream.curateSink(mem.toDF().toDF("doc_id", "text"),
         s"$dir/didx", s"$dir/kept", "text", "doc_id",
-        appId = "spec-st", benchmark = bench, samplePct = 100,
-        gopher = true, dsir = Some((model, 0.0)))
+        appId = "spec-st", benchmark = bench, minQuality = 0.0,
+        samplePct = 100, gopher = true, dsir = Some((model, 0.0)),
+        logit = Some((lw.toSeq, minP)))
       .option("checkpointLocation", s"$dir/ckpt").start()
     try {
       mem.addData((21L, a1), (22L, short)); q.processAllAvailable()
-      mem.addData((23L, a2), (24L, b)); q.processAllAvailable()
+      mem.addData((23L, a2), (24L, b), (25L, c)); q.processAllAvailable()
     } finally q.stop()
     val kept = spark.read.parquet(s"$dir/kept")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(21L, 23L),
-      s"gopher must drop 22, the DSIR gate must drop 24: $kept")
+      s"gopher must drop 22, DSIR must drop 24, the classifier must " +
+        s"drop 25: $kept")
   }
 
   test("curation funnel logit stage: a frozen classifier gates the stream; streamed == batch keep set") {
