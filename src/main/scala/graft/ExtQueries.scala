@@ -746,6 +746,69 @@ object ExtQueries {
        |        AS cnt
        |    FROM wf${i - 1}))""".stripMargin
 
+  /** The water-fill selection CTE body, shared VERBATIM by
+    * `q_token_budget_waterfill` and the composed
+    * `q_mix_budget_epochs`: the quality/token projection, per-lang
+    * supply, six unrolled cap passes ([[waterfillPassSql]]) + the
+    * final even distribution, and the per-lang greedy-prefix running
+    * sum `c` the selection filters against `bud`. */
+  private lazy val waterfillCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+       |         length(text) AS nch,
+       |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
+       |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+       |h AS (
+       |  SELECT doc_id, lang, len(toks) AS n_tokens,
+       |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+       |         punct, nch
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    ${sqlRound("greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + (stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)} AS quality
+       |  FROM h),
+       |qq AS (SELECT doc_id, lang, quality, n_tokens FROM q
+       |       WHERE quality IS NOT NULL),
+       |supply AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS sup
+       |           FROM qq GROUP BY lang),
+       |wf0 AS (SELECT lang, sup, CAST(NULL AS BIGINT) AS fixed
+       |        FROM supply),
+       |${(1 to 6).map(waterfillPassSql).mkString(",\n")},
+       |fin AS (SELECT lang, sup, fixed,
+       |    least($waterfillTotal, sum(sup) OVER ()) -
+       |      sum(coalesce(fixed, 0)) OVER () AS lft,
+       |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END) OVER () AS cnt,
+       |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS rk
+       |  FROM wf6),
+       |bud AS (SELECT lang,
+       |    CASE WHEN fixed IS NOT NULL THEN fixed
+       |         ELSE lft // cnt +
+       |           (CASE WHEN rk <= lft % cnt THEN 1 ELSE 0 END) END
+       |      AS budget
+       |  FROM fin),
+       |c AS (
+       |  SELECT doc_id, lang, quality, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM qq)""".stripMargin
+
+  /** The q_mix_budget_epochs per-source epoch table (integer percent —
+    * 230 = 2.3 epochs), covering every corpus language so the
+    * composed key exercises floor copies AND fractional draws; ONE
+    * definition shared by the Spark key's `replicateEpochs` call and
+    * the oracle's CASE replay ([[mixEpochsCaseSql]]). */
+  private val mixBudgetEpochsPct: Map[String, Int] = Map(
+    "en" -> 230, "de" -> 150, "fr" -> 100, "es" -> 50, "zh" -> 300)
+
+  /** [[mixBudgetEpochsPct]] as a SQL CASE over `langCol` (sorted for
+    * determinism; absent sources → -1, the dropped-source marker). */
+  private def mixEpochsCaseSql(langCol: String): String =
+    mixBudgetEpochsPct.toSeq.sortBy(_._1)
+      .map { case (l, p) => s"WHEN '$l' THEN $p" }
+      .mkString(s"CASE $langCol ", " ", " ELSE -1 END")
+
   /** The leak-free split oracle, shared VERBATIM by `q_split_leakfree`
     * and `q_split_leakfree_incremental`: the q_dedup_components pair
     * derivation, the recursive-CTE components fold to min-id labels,
@@ -1848,6 +1911,29 @@ object ExtQueries {
           docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
           Map("en" -> 230, "de" -> 100, "fr" -> 50))
         .orderBy("doc_id", "epoch")),
+
+    // The epoch-aware mixture END-TO-END (the GPT-3 §2.2 mixture
+    // table composed from its two graded halves): water-fill the
+    // global token target across languages, select each language's
+    // best documents to its derived budget
+    // (selectToBudgetWaterFill), then REPLICATE the selected set by
+    // per-source epoch counts (replicateEpochs) to assemble the
+    // training mix. Scale shape: the selection's exchanges are the
+    // two-pass histogram + boundary-bin window (groups×bins-bounded);
+    // the replication explode stays MAP-SIDE on the selected rows —
+    // zero exchanges added before the presentation sort (PlanSpec
+    // pins the budget).
+    "q_mix_budget_epochs" -> ((s, dir) => {
+      val q = TextOps.qualityScore(docs(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      val sel = graft.ops.Mixing.selectToBudgetWaterFill(q, "lang",
+        "quality", "n_tokens", "doc_id", total = waterfillTotal,
+        naiveBelow = 0L)
+      graft.ops.Mixing.replicateEpochs(sel, "lang", "doc_id",
+          mixBudgetEpochsPct)
+        .orderBy("doc_id", "epoch")
+    }),
 
     // Exact ROC AUC of the trained classifier (Mann-Whitney with
     // tie-averaged ranks) — computed from the same bounded per-score
@@ -4290,49 +4376,30 @@ object ExtQueries {
     // arithmetic. The derived budgets then drive the same naive
     // per-group window as q_token_budget_grouped.
     "q_token_budget_waterfill" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
-         |         length(text) AS nch,
-         |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
-         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
-         |h AS (
-         |  SELECT doc_id, lang, len(toks) AS n_tokens,
-         |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
-         |         punct, nch
-         |  FROM t),
-         |q AS (
-         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |    ${sqlRound("greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + (stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)} AS quality
-         |  FROM h),
-         |qq AS (SELECT doc_id, lang, quality, n_tokens FROM q
-         |       WHERE quality IS NOT NULL),
-         |supply AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS sup
-         |           FROM qq GROUP BY lang),
-         |wf0 AS (SELECT lang, sup, CAST(NULL AS BIGINT) AS fixed
-         |        FROM supply),
-         |${(1 to 6).map(waterfillPassSql).mkString(",\n")},
-         |fin AS (SELECT lang, sup, fixed,
-         |    least($waterfillTotal, sum(sup) OVER ()) -
-         |      sum(coalesce(fixed, 0)) OVER () AS lft,
-         |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END) OVER () AS cnt,
-         |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END)
-         |      OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS rk
-         |  FROM wf6),
-         |bud AS (SELECT lang,
-         |    CASE WHEN fixed IS NOT NULL THEN fixed
-         |         ELSE lft // cnt +
-         |           (CASE WHEN rk <= lft % cnt THEN 1 ELSE 0 END) END
-         |      AS budget
-         |  FROM fin),
-         |c AS (
-         |  SELECT doc_id, lang, quality, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY lang
-         |      ORDER BY quality DESC, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM qq)
+      s"""WITH $waterfillCtes
          |SELECT c.doc_id, c.lang, c.quality, c.n_tokens
          |FROM c JOIN bud USING (lang)
          |WHERE c.cum <= bud.budget ORDER BY doc_id""".stripMargin,
+
+    // the COMPOSED mixture: the identical water-fill selection CTEs,
+    // then the q_mix_epochs replication replay (floor copies +
+    // portable fractional draw) over the SELECTED set
+    "q_mix_budget_epochs" ->
+      s"""WITH $waterfillCtes,
+         |sel AS (SELECT c.doc_id, c.lang, c.quality, c.n_tokens
+         |  FROM c JOIN bud USING (lang)
+         |  WHERE c.cum <= bud.budget),
+         |e AS (SELECT doc_id, lang, quality, n_tokens,
+         |    ${mixEpochsCaseSql("lang")} AS pct
+         |  FROM sel),
+         |cp AS (SELECT doc_id, lang, quality, n_tokens,
+         |    (pct // 100) +
+         |    CASE WHEN (doc_id * 2654435761) % 100 < pct % 100
+         |         THEN 1 ELSE 0 END AS cp
+         |  FROM e WHERE pct >= 0)
+         |SELECT doc_id, lang, quality, n_tokens,
+         |  CAST(unnest(range(0, cp)) AS INT) AS epoch
+         |FROM cp WHERE cp >= 1 ORDER BY doc_id, epoch""".stripMargin,
 
     // replays the NAIVE per-group window — the engine's two-pass
     // histogram-threshold selection must be bit-identical to it

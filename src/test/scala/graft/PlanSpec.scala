@@ -281,7 +281,12 @@ class PlanSpec extends SparkSpec {
       "q_roc_auc" -> 4,
       // r15: epoch replication is scan -> filter -> explode -> the
       // presentation sort; the ONE exchange is the sort
-      "q_mix_epochs" -> 1)
+      "q_mix_epochs" -> 1,
+      // r16: the composed mixture — the water-fill selection's lazy
+      // tail (boundary-bin window + slack, as q_token_budget_waterfill)
+      // plus the presentation sort; the replication explode must stay
+      // MAP-SIDE (no exchange of its own)
+      "q_mix_budget_epochs" -> 3)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
