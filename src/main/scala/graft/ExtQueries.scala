@@ -746,6 +746,79 @@ object ExtQueries {
        |        AS cnt
        |    FROM wf${i - 1}))""".stripMargin
 
+  /** The PR-curve oracle, shared VERBATIM by `q_pr_curve` and
+    * `q_pr_curve_incremental` (the accreted store's additive-monoid
+    * fold must reproduce the one-shot curve exactly): the training-
+    * loop CTEs, the 6dp per-score aggregate, cumulative confusion
+    * counts over the score-DESC window. */
+  private lazy val prCurveOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
+       |g AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
+       |      FROM scored GROUP BY 1),
+       |c AS (SELECT thr,
+       |    sum(pos) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+       |      AS tp,
+       |    sum(n) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+       |      AS nge,
+       |    sum(pos) OVER () AS p_all
+       |  FROM g)
+       |SELECT thr, CAST(tp AS BIGINT) AS tp,
+       |  CAST(nge - tp AS BIGINT) AS fp,
+       |  CAST(p_all - tp AS BIGINT) AS fn,
+       |  ${sqlRound("tp / CAST(nge AS DOUBLE)", 6)} AS "precision",
+       |  ${sqlRound("tp / CAST(nullif(p_all, 0) AS DOUBLE)", 6)}
+       |    AS recall
+       |FROM c ORDER BY thr""".stripMargin
+
+  /** The ROC-AUC oracle, shared VERBATIM by `q_roc_auc` and
+    * `q_roc_auc_incremental`: same training-loop CTEs, Mann-Whitney
+    * fold over the per-score aggregate. */
+  private lazy val rocAucOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
+       |g AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
+       |      FROM scored GROUP BY 1),
+       |c AS (SELECT thr, n, pos,
+       |    sum(n) OVER (ORDER BY thr ASC ROWS UNBOUNDED PRECEDING) - n
+       |      AS bef
+       |  FROM g),
+       |a AS (SELECT sum(pos * (bef + (n + 1) / 2.0)) AS s,
+       |       sum(pos) AS p_all, sum(n) AS nn FROM c)
+       |SELECT CAST(p_all AS BIGINT) AS pos,
+       |  CAST(nn - p_all AS BIGINT) AS neg,
+       |  ${sqlRound("(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)", 6)}
+       |    AS auc
+       |FROM a""".stripMargin
+
+  /** The q_pr_curve_incremental / q_roc_auc_incremental shared store:
+    * the frozen classifier scores the corpus ONCE, the even-doc_id
+    * half lands as the content-keyed "hist" batch, the odd half as
+    * the tag-idempotent "daily" batch — both through
+    * [[graft.ops.CalibrationIndex.append]], whose additive-monoid
+    * fold makes the accreted store's metrics equal the one-shot
+    * metrics over the full scored corpus (the shared oracles replay
+    * exactly that one-shot). Returns the fixture root. */
+  private def calibFixture(s: SparkSession, dir: String): String = {
+    val feats = classifierFeats(s, dir)
+    val w = graft.ops.Classifier.fitLogistic(feats,
+      graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+    val scored = graft.ops.Classifier.scoreLogistic(feats,
+      graft.ops.Classifier.textFeatureCols, w.toSeq)
+    val fx = graft.Fixtures.ensure("calib_idx",
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.Fixtures.contentKey(s"calib_idx|$dir", scored,
+          "doc_id", "p", "y")) { p =>
+      graft.ops.CalibrationIndex.append(s,
+        scored.filter(col("doc_id") % 2 === 0), p + "/idx",
+        "p", "y", batchTag = Some("hist"))
+    }
+    graft.ops.CalibrationIndex.append(s,
+      scored.filter(col("doc_id") % 2 =!= 0), fx + "/idx",
+      "p", "y", batchTag = Some("daily"))
+    fx
+  }
+
   /** The water-fill selection CTE body, shared VERBATIM by
     * `q_token_budget_waterfill` and the composed
     * `q_mix_budget_epochs`: the quality/token projection, per-lang
@@ -1947,6 +2020,22 @@ object ExtQueries {
         graft.ops.Classifier.scoreLogistic(feats,
           graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y")
     }),
+
+    // INCREMENTAL calibration monitoring: the per-score aggregate is
+    // an additive monoid, so per-batch aggregates accreted in a
+    // persisted CalibrationIndex store fold on read to exactly the
+    // one-shot curve — the oracle is q_pr_curve's SQL VERBATIM. Two
+    // "daily" batches (doc_id parity) land via the tag-idempotent
+    // append; the curve derives from the accumulated store without
+    // re-scanning a scored row.
+    "q_pr_curve_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.prCurve(s, calibFixture(s, dir) + "/idx")
+        .orderBy("thr")),
+
+    // The AUC read over the same accreted store — q_roc_auc's SQL
+    // verbatim (the monoid-fold + Mann-Whitney tail on read).
+    "q_roc_auc_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.rocAuc(s, calibFixture(s, dir) + "/idx")),
 
     // DSIR importance resampling (Xie et al. 2023): score every doc by
     // the log-ratio of its hashed-unigram bag under a TARGET corpus
@@ -4443,25 +4532,11 @@ object ExtQueries {
     // the calibration twin: identical training-loop CTEs (same weight
     // trajectory), then the curve — group by the 6dp score, cumulative
     // confusion counts over the score-DESC window, exact 0/1 sums
-    "q_pr_curve" ->
-      s"""WITH $classifierLoopCtes,
-         |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
-         |g AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
-         |      FROM scored GROUP BY 1),
-         |c AS (SELECT thr,
-         |    sum(pos) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
-         |      AS tp,
-         |    sum(n) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
-         |      AS nge,
-         |    sum(pos) OVER () AS p_all
-         |  FROM g)
-         |SELECT thr, CAST(tp AS BIGINT) AS tp,
-         |  CAST(nge - tp AS BIGINT) AS fp,
-         |  CAST(p_all - tp AS BIGINT) AS fn,
-         |  ${sqlRound("tp / CAST(nge AS DOUBLE)", 6)} AS "precision",
-         |  ${sqlRound("tp / CAST(nullif(p_all, 0) AS DOUBLE)", 6)}
-         |    AS recall
-         |FROM c ORDER BY thr""".stripMargin,
+    "q_pr_curve" -> prCurveOracle,
+
+    // the accreted-store twin derives the identical curve (additive
+    // monoid fold on read) — the ORACLE IS q_pr_curve's verbatim
+    "q_pr_curve_incremental" -> prCurveOracle,
 
     // integer-percent epochs replay exactly: full copies by floor
     // division, the fractional copy by the portable per-doc draw,
@@ -4482,22 +4557,10 @@ object ExtQueries {
     // the AUC twin: same training-loop CTEs, then the Mann-Whitney
     // fold over the per-score aggregate — ranks-before via the
     // score-ASC window, average tie ranks as exact halves
-    "q_roc_auc" ->
-      s"""WITH $classifierLoopCtes,
-         |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
-         |g AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
-         |      FROM scored GROUP BY 1),
-         |c AS (SELECT thr, n, pos,
-         |    sum(n) OVER (ORDER BY thr ASC ROWS UNBOUNDED PRECEDING) - n
-         |      AS bef
-         |  FROM g),
-         |a AS (SELECT sum(pos * (bef + (n + 1) / 2.0)) AS s,
-         |       sum(pos) AS p_all, sum(n) AS nn FROM c)
-         |SELECT CAST(p_all AS BIGINT) AS pos,
-         |  CAST(nn - p_all AS BIGINT) AS neg,
-         |  ${sqlRound("(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)", 6)}
-         |    AS auc
-         |FROM a""".stripMargin,
+    "q_roc_auc" -> rocAucOracle,
+
+    // accreted-store AUC — q_roc_auc's oracle verbatim
+    "q_roc_auc_incremental" -> rocAucOracle,
 
     // replays the engine term for term: the polynomial bucket fold,
     // the add-k smoothed log-ratio (same left-to-right arithmetic

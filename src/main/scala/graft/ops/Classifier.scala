@@ -177,18 +177,55 @@ object Classifier {
     * curve construction). Counts are exact: 0/1 labels sum without
     * float error. Rows with a null score or label are excluded. */
   def prCurve(df: DataFrame, score: String, label: String,
-              scale: Int = 6): DataFrame = {
+              scale: Int = 6): DataFrame =
+    prCurveTail(scoreAggregate(df, score, label, scale))
+
+  /** The mergeable per-score CALIBRATION AGGREGATE both [[prCurve]]
+    * and [[rocAuc]] reduce to: one row per rounded score —
+    * `(thr, n, pos)` with exact integer counts — an additive MONOID
+    * (component-wise sum merges two aggregates losslessly). That
+    * mergeability is what makes classifier calibration maintainable
+    * INCREMENTALLY: a monitoring stream accretes per-batch aggregates
+    * ([[CalibrationIndex]], `EventStream.calibrationSink`) and the
+    * curve/AUC derive on read from the folded store — the corpus is
+    * never re-scanned. Bounded at 10^scale + 1 rows (score ∈ [0,1],
+    * the [[inUnitInterval]] guard rides the projection). */
+  def scoreAggregate(df: DataFrame, score: String, label: String,
+                     scale: Int = 6): DataFrame = {
     require(scale >= 0 && scale <= 6,
-      s"classifier: prCurve scale must be in [0,6]: $scale")
+      s"classifier: scoreAggregate scale must be in [0,6]: $scale")
+    df.filter(col(score).isNotNull && col(label).isNotNull)
+      .groupBy(roundHalfUp(inUnitInterval(col(score)), scale).as("thr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(label).cast("double")).cast("long").as("pos"))
+  }
+
+  /** [[prCurve]] from a (possibly multi-batch) `(thr, n, pos)`
+    * aggregate: folds duplicate `thr` rows by the monoid sum first, so
+    * it accepts a raw accreted store as-is — identity on an
+    * already-folded aggregate. The cumulative window runs over the
+    * bounded aggregate (the [[inUnitInterval]] guard re-checks `thr`
+    * on this public entry point). */
+  def prCurveFromAggregate(agg: DataFrame): DataFrame =
+    prCurveTail(foldAggregate(agg))
+
+  /** The monoid fold shared by the from-aggregate entry points: sum
+    * duplicate `thr` rows (identity on a folded aggregate), with the
+    * [[inUnitInterval]] guard re-checked on this public boundary.
+    * The direct [[prCurve]]/[[rocAuc]] paths skip it — their
+    * [[scoreAggregate]] is folded by construction, and the skip keeps
+    * their plans at ONE groupBy exchange (PlanSpec-pinned). */
+  private def foldAggregate(agg: DataFrame): DataFrame =
+    agg.groupBy(inUnitInterval(col("thr")).as("thr"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+
+  private def prCurveTail(agg: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("thr").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-    df.filter(col(score).isNotNull && col(label).isNotNull)
-      .groupBy(roundHalfUp(inUnitInterval(col(score)), scale).as("thr"))
-      .agg(count(lit(1)).as("_n"),
-        sum(col(label).cast("double")).as("_pos"))
+    agg.select(col("thr"), col("n").as("_n"), col("pos").as("_pos"))
       .withColumn("tp", sum("_pos").over(w).cast("long"))
       .withColumn("_nge", sum("_n").over(w))
       .withColumn("_p", sum("_pos").over(all).cast("long"))
@@ -211,16 +248,20 @@ object Classifier {
     * Returns one row (pos, neg, auc·6dp); `auc` is null when either
     * class is absent (AUC is undefined, surfaced instead of 0.5). */
   def rocAuc(df: DataFrame, score: String, label: String,
-             scale: Int = 6): DataFrame = {
-    require(scale >= 0 && scale <= 6,
-      s"classifier: rocAuc scale must be in [0,6]: $scale")
+             scale: Int = 6): DataFrame =
+    rocAucTail(scoreAggregate(df, score, label, scale))
+
+  /** [[rocAuc]] from a (possibly multi-batch) `(thr, n, pos)`
+    * aggregate — the monoid-fold + Mann–Whitney tail, for deriving
+    * AUC from an accreted [[CalibrationIndex]] store on read. */
+  def rocAucFromAggregate(agg: DataFrame): DataFrame =
+    rocAucTail(foldAggregate(agg))
+
+  private def rocAucTail(agg: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("thr").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.filter(col(score).isNotNull && col(label).isNotNull)
-      .groupBy(roundHalfUp(inUnitInterval(col(score)), scale).as("thr"))
-      .agg(count(lit(1)).as("_n"),
-        sum(col(label).cast("double")).as("_pos"))
+    agg.select(col("thr"), col("n").as("_n"), col("pos").as("_pos"))
       // average rank of a tie group = ranks-before + (n+1)/2; the
       // positive-rank sum S feeds U = S - P(P+1)/2, AUC = U / (P·N)
       .withColumn("_before", sum("_n").over(w) - col("_n"))

@@ -447,6 +447,31 @@ object EventStream {
       ()
     }
 
+  /** Streaming CALIBRATION monitoring for a deployed classifier
+    * filter — the missing third of the deploy loop (train offline →
+    * gate the stream with frozen weights → WATCH the deployed
+    * filter): each micro-batch of scored-and-labeled rows lands its
+    * bounded per-score aggregate in a persisted
+    * [[graft.ops.CalibrationIndex]], and the accumulated PR curve /
+    * ROC AUC derive on read ([[graft.ops.CalibrationIndex.prCurve]] /
+    * `rocAuc`) — identical to the batch metrics over the concatenated
+    * input (the aggregate is an additive monoid; StreamingSpec pins
+    * the equality and the replay drill). Each batch's exchange
+    * carries at most 10^scale + 1 rows regardless of batch size.
+    * Replay-idempotent via the `(appId-batchId)` tag scheme; same
+    * `appId` caveat as [[nearDupSink]]. */
+  def calibrationSink(scoredStream: DataFrame, indexPath: String,
+                      score: String, label: String, appId: String,
+                      scale: Int = 6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scoredStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.CalibrationIndex.append(batch.sparkSession, batch,
+          indexPath, score, label, scale,
+          batchTag = Some(s"$appId-$batchId"))
+        ()
+    }
+
   /** Streaming cluster-label maintenance over a persisted
     * [[graft.ops.ComponentsIndex]]: each micro-batch of duplicate
     * pairs updates the stable per-document labels in O(batch +

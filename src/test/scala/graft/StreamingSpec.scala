@@ -831,6 +831,70 @@ class StreamingSpec extends SparkSpec {
       "the Jaccard stage must drop the rephrased leak only")
   }
 
+  test("streaming calibration sink: accumulated aggregate derives the one-shot prCurve and rocAuc; replay changes nothing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    // scored-and-labeled rows as a deployed filter would emit them;
+    // duplicate scores across batches so the monoid fold is exercised
+    val b1 = Seq((1L, 0.91, 1.0), (2L, 0.34, 0.0), (3L, 0.91, 1.0))
+    val b2 = Seq((4L, 0.34, 1.0), (5L, 0.77, 0.0), (6L, 0.91, 0.0))
+    val mem = MemoryStream[(Long, Double, Double)]
+    val q = EventStream.calibrationSink(
+        mem.toDF().toDF("doc_id", "p", "y"),
+        s"$dir/cal", "p", "y", appId = "spec-cal")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("thr").collect().map(_.toSeq).toSeq
+    val oneShot = (b1 ++ b2).toDF("doc_id", "p", "y")
+    assert(rows(graft.ops.CalibrationIndex.prCurve(spark, s"$dir/cal"))
+        == rows(graft.ops.Classifier.prCurve(oneShot, "p", "y")),
+      "accumulated PR curve diverged from the one-shot")
+    val aucGot = graft.ops.CalibrationIndex.rocAuc(spark, s"$dir/cal")
+      .collect().map(_.toSeq).toSeq
+    val aucExp = graft.ops.Classifier.rocAuc(oneShot, "p", "y")
+      .collect().map(_.toSeq).toSeq
+    assert(aucGot == aucExp, s"AUC diverged: $aucGot vs $aucExp")
+    // at-least-once replay under the same appId: tag partitions
+    // overwrite themselves — metrics unchanged
+    val mem2 = MemoryStream[(Long, Double, Double)]
+    val q2 = EventStream.calibrationSink(
+        mem2.toDF().toDF("doc_id", "p", "y"),
+        s"$dir/cal", "p", "y", appId = "spec-cal")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      mem2.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(rows(graft.ops.CalibrationIndex.prCurve(spark, s"$dir/cal"))
+        == rows(graft.ops.Classifier.prCurve(oneShot, "p", "y")),
+      "replay changed the accumulated curve")
+    // compact folds to one row per score; every answer unchanged
+    graft.ops.CalibrationIndex.compact(spark, s"$dir/cal")
+    assert(rows(graft.ops.CalibrationIndex.prCurve(spark, s"$dir/cal"))
+        == rows(graft.ops.Classifier.prCurve(oneShot, "p", "y")),
+      "compact changed the curve")
+    assert(graft.ops.CalibrationIndex
+        .currentAggregate(spark, s"$dir/cal").count() == 3,
+      "compact must fold to one row per distinct score")
+    // the domain guard holds on the streaming path too: an
+    // out-of-[0,1] score kills the batch loudly, not silently
+    val mem3 = MemoryStream[(Long, Double, Double)]
+    val q3 = EventStream.calibrationSink(
+        mem3.toDF().toDF("doc_id", "p", "y"),
+        s"$dir/cal2", "p", "y", appId = "spec-cal3")
+      .option("checkpointLocation", s"$dir/ckpt3").start()
+    try {
+      mem3.addData((9L, 3.7, 1.0))
+      intercept[Exception] { q3.processAllAvailable() }
+      assert(q3.exception.isDefined, "out-of-domain score must fail loud")
+    } finally q3.stop()
+  }
+
   test("streaming components sink: accumulated labels == one-shot CC") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
