@@ -3774,7 +3774,7 @@ object ExtQueries {
          |  FROM rc LEFT JOIN tc ON rc._b = tc._b, tot),
          |dcnt AS (SELECT doc_id, _b, count(*) AS c FROM db GROUP BY 1, 2),
          |wts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-         |    ${sqlRound("sum(c * _lw)", 6)} AS logweight
+         |    ${sqlRound("sum(c * CAST(" + sqlRound("_lw * 1000000000.0", 0) + " AS BIGINT)) / 1000000000.0", 6)} AS logweight
          |  FROM dcnt JOIN lw USING (_b) GROUP BY doc_id),
          |thr AS (SELECT ${sqlRound("quantile_cont(logweight, 0.5)", 6)}
          |          AS t FROM wts),
@@ -4564,7 +4564,10 @@ object ExtQueries {
 
     // replays the engine term for term: the polynomial bucket fold,
     // the add-k smoothed log-ratio (same left-to-right arithmetic
-    // shape), the rounded per-doc weight, and the quantile_cont
+    // shape), the CANONICAL per-doc weight (sum of 1e-9-quantized
+    // scaled-long contributions — order-independent exact integer
+    // addition, so neither engine's partial-aggregation order can
+    // move a boundary-landing value), and the quantile_cont
     // threshold over the rounded weights
     "q_dsir" ->
       s"""WITH w AS (
@@ -4591,7 +4594,7 @@ object ExtQueries {
          |dc AS (SELECT doc_id, _b, count(*) AS c FROM b GROUP BY 1, 2),
          |wts AS (
          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-         |    ${sqlRound("sum(c * _lw)", 6)} AS logweight
+         |    ${sqlRound("sum(c * CAST(" + sqlRound("_lw * 1000000000.0", 0) + " AS BIGINT)) / 1000000000.0", 6)} AS logweight
          |  FROM dc JOIN lw USING (_b) GROUP BY doc_id),
          |thr AS (SELECT ${sqlRound("quantile_cont(logweight, 0.5)", 6)}
          |          AS t FROM wts)

@@ -243,17 +243,33 @@ object Mixing {
     * partial-aggregated exchange, a broadcast join of the ≤ buckets
     * model rows, one id-keyed fold — no scan of the fitting corpora.
     * Returns (id, n_feats, logweight·6dp); null-text / wordless docs
-    * are excluded. */
+    * are excluded.
+    *
+    * CANONICAL SUMMATION: the per-doc fold sums `c · lwq` over SCALED
+    * LONGS (`lwq` = the bucket's log-ratio HALF_UP-quantized to 1e-9),
+    * then divides back and rounds to 6dp. Exact integer addition is
+    * order-independent, so the logweight is bit-identical under ANY
+    * partitioning/merge order — a plain double `sum(c·lw)` varies by
+    * ~1e-13 with partial-aggregation order, and a value landing within
+    * an ulp of a .5e-6 rounding boundary could flip a keep decision
+    * between engines (the carried q_dsir residual risk, now closed;
+    * MixingSpec plants an exact-boundary case). The 1e-9 quantum sits
+    * three orders below the 6dp output lattice, and per-doc sums stay
+    * far under 2^63 (|lw| < 40 ⇒ lwq < 4·10^10; even 10^6 grams per
+    * doc keeps the fold < 4·10^16). */
   def applyImportanceWeights(df: DataFrame, model: DataFrame,
                              text: String, id: String,
                              buckets: Int = 256,
-                             portable: Boolean = false): DataFrame =
+                             portable: Boolean = false): DataFrame = {
+    val lwq = roundHalfUp(col("_lw") * lit(1.0e9), 0).cast("long")
     featureBuckets(df, text, Seq(col(id)), buckets, portable)
       .groupBy(col(id), col("_b")).agg(count(lit(1)).as("_c"))
       .join(broadcast(model), "_b")
       .groupBy(col(id))
       .agg(sum(col("_c")).as("n_feats"),
-        roundHalfUp(sum(col("_c") * col("_lw")), 6).as("logweight"))
+        roundHalfUp(sum(col("_c") * lwq) / lit(1.0e9), 6)
+          .as("logweight"))
+  }
 
   private def featureBuckets(df: DataFrame, text: String,
                              keep: Seq[Column], buckets: Int,

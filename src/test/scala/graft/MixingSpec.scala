@@ -332,6 +332,32 @@ class MixingSpec extends SparkSpec {
       "unseen-vocab doc must carry no features, not a fake score")
   }
 
+  test("DSIR logweight fold is canonical: an exact .5e-6 boundary sum is partition-invariant and rounds HALF_UP") {
+    import org.apache.spark.sql.functions._
+    // hand-built model whose quantized contributions sum to EXACTLY
+    // 500 scaled-long units = 5e-7 — the .5e-6 HALF_UP boundary. A
+    // double fold could land an ulp below depending on merge order
+    // (the carried q_dsir residual risk); the scaled-long fold sums
+    // integers, so the boundary value — and its HALF_UP round to
+    // 1e-6 — is bit-identical under any partitioning.
+    val words = Seq("wa", "wb", "wc", "wd")
+    val doc = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val bks = words.toDF("w")
+      .select(Mixing.portableWordBucket(col("w"), 256).as("b"))
+      .as[Long].collect().distinct.toSeq
+    // every bucket our words land in carries lw = 1.25e-7 -> lwq = 125;
+    // 4 word occurrences x 125 = 500 exactly, however they collide
+    val model = bks.map(b => (b, 1.25e-7)).toDF("_b", "_lw")
+    def lwOf(df: org.apache.spark.sql.DataFrame): Double =
+      Mixing.applyImportanceWeights(df, model, "text", "doc_id",
+          portable = true)
+        .select("logweight").as[Double].head()
+    val a = lwOf(doc)
+    val b = lwOf(doc.repartition(13))
+    assert(a == 1.0e-6, s"boundary sum must round HALF_UP to 1e-6: $a")
+    assert(a == b, s"partitioning moved a boundary logweight: $a vs $b")
+  }
+
   test("driver-collect guards fail loud on high-cardinality misuse") {
     import org.apache.spark.sql.functions._
     // a URL-like source column: > maxSources distinct values must fail
