@@ -791,6 +791,45 @@ object ExtQueries {
        |    AS auc
        |FROM a""".stripMargin
 
+  /** The ECE oracle, shared by `q_ece` and `q_ece_incremental`:
+    * training-loop CTEs, the integer-exact per-score aggregate, the
+    * 10-bin equal-width fold with all-integer numerators. */
+  private lazy val eceOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
+       |g AS (SELECT p AS thr, count(*) AS n,
+       |      CAST(sum(y) AS BIGINT) AS pos FROM scored GROUP BY 1),
+       |gk AS (SELECT CAST(${sqlRound("thr * 1000000.0", 0)} AS BIGINT)
+       |    AS k, n, pos FROM g),
+       |b AS (SELECT least((k * 10) // 1000000, 9) AS bin,
+       |    sum(n) AS nb, sum(pos) AS pb, sum(n * k) AS sk
+       |  FROM gk GROUP BY 1)
+       |SELECT CAST(sum(nb) AS BIGINT) AS n,
+       |  ${sqlRound(
+      "sum(abs(pb * 1000000 - sk)) / (1000000.0 * nullif(sum(nb), 0))",
+      6)} AS ece
+       |FROM b""".stripMargin
+
+  /** The Brier oracle, shared by `q_brier` and `q_brier_incremental`:
+    * exact integer expansion of Σ(p−y)² on the score lattice. */
+  private lazy val brierOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
+       |g AS (SELECT p AS thr, count(*) AS n,
+       |      CAST(sum(y) AS BIGINT) AS pos FROM scored GROUP BY 1),
+       |gk AS (SELECT CAST(${sqlRound("thr * 1000000.0", 0)} AS BIGINT)
+       |    AS k, n, pos FROM g),
+       |a AS (SELECT sum(n) AS nn,
+       |    sum(CAST(n AS HUGEINT) * k * k) AS skk,
+       |    sum(CAST(pos AS HUGEINT) * k) AS skp,
+       |    sum(pos) AS p_all FROM gk)
+       |SELECT CAST(nn AS BIGINT) AS n,
+       |  ${sqlRound(
+      "CAST(skk - 2000000 * skp + 1000000000000 * CAST(p_all AS HUGEINT)" +
+        " AS DOUBLE) / (1000000000000.0 * nullif(nn, 0))",
+      6)} AS brier
+       |FROM a""".stripMargin
+
   /** The q_pr_curve_incremental / q_roc_auc_incremental shared store:
     * the frozen classifier scores the corpus ONCE, the even-doc_id
     * half lands as the content-keyed "hist" batch, the odd half as
@@ -2036,6 +2075,43 @@ object ExtQueries {
     // verbatim (the monoid-fold + Mann-Whitney tail on read).
     "q_roc_auc_incremental" -> ((s, dir) =>
       graft.ops.CalibrationIndex.rocAuc(s, calibFixture(s, dir) + "/idx")),
+
+    // Expected calibration error (Guo et al. 2017) of the trained
+    // classifier: 10 equal-width confidence bins over the bounded
+    // per-score aggregate, ECE = sum_b (n_b/N)|acc_b - conf_b| — the
+    // per-bin numerators are EXACT integers on the 1e-6 score lattice
+    // (|pos_b*10^6 - sum(n*k)_b|), so the only float ops are one
+    // division and the 6dp rounding.
+    "q_ece" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.calibrationError(
+        graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y")
+    }),
+
+    // Brier score (mean squared probability error) — the proper
+    // scoring rule complementing AUC (ranking) and ECE (honesty);
+    // derived from the same aggregate with all-integer sums over the
+    // score lattice (decimal-exact to ~10^26 rows).
+    "q_brier" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.brierScore(
+        graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y")
+    }),
+
+    // ECE / Brier read from the accreted calibration store — the
+    // monitoring metrics derive from the same monoid fold, oracles
+    // shared verbatim with the one-shot keys.
+    "q_ece_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.ece(s, calibFixture(s, dir) + "/idx")),
+
+    "q_brier_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.brier(s, calibFixture(s, dir) + "/idx")),
 
     // DSIR importance resampling (Xie et al. 2023): score every doc by
     // the log-ratio of its hashed-unigram bag under a TARGET corpus
@@ -4561,6 +4637,19 @@ object ExtQueries {
 
     // accreted-store AUC — q_roc_auc's oracle verbatim
     "q_roc_auc_incremental" -> rocAucOracle,
+
+    // ECE: identical training-loop CTEs, then the all-integer binned
+    // fold on the 1e-6 score lattice — per-bin numerator
+    // |pos_b*10^6 - sum(n*k)_b| is exact integer arithmetic on both
+    // engines; one division, one 6dp rounding
+    "q_ece" -> eceOracle,
+    "q_ece_incremental" -> eceOracle,
+
+    // Brier: same lattice, the exact expansion
+    // sum(n*k^2) - 2e6*sum(pos*k) + 1e12*sum(pos) over HUGEINT,
+    // converted to double ONCE for the final division
+    "q_brier" -> brierOracle,
+    "q_brier_incremental" -> brierOracle,
 
     // replays the engine term for term: the polynomial bucket fold,
     // the add-k smoothed log-ratio (same left-to-right arithmetic

@@ -76,6 +76,22 @@ object CalibrationIndex {
       spark.read.parquet(aggPath(indexPath))
         .select("thr", "n", "pos"))
 
+  /** Expected calibration error of everything scored so far —
+    * identical to [[Classifier.calibrationError]] over the
+    * concatenated batches (the all-integer fold). */
+  def ece(spark: SparkSession, indexPath: String,
+          bins: Int = 10): DataFrame =
+    Classifier.eceFromAggregate(
+      spark.read.parquet(aggPath(indexPath))
+        .select("thr", "n", "pos"), bins)
+
+  /** Brier score of everything scored so far — identical to
+    * [[Classifier.brierScore]] over the concatenated batches. */
+  def brier(spark: SparkSession, indexPath: String): DataFrame =
+    Classifier.brierFromAggregate(
+      spark.read.parquet(aggPath(indexPath))
+        .select("thr", "n", "pos"))
+
   /** Steady-state maintenance once every tag is behind the retry
     * horizon: fold history to ONE row per score (the additive monoid)
     * under a single `batch_tag=folded` partition, through the

@@ -277,6 +277,94 @@ object Classifier {
           .as("auc"))
   }
 
+  /** The 1e-6 lattice index of a rounded score: `thr` is always a
+    * multiple of 1e-6 (scale ≤ 6 by [[scoreAggregate]]'s contract),
+    * so `round(thr·10^6)` recovers the EXACT integer k with thr =
+    * k/10^6 — the currency of the exact-integer calibration folds
+    * below (the [[graft.ops.Mixing]] scaled-long stance). */
+  private def latticeOf(thr: Column): Column =
+    roundHalfUp(thr * lit(1.0e6), 0).cast("long")
+
+  /** EXPECTED CALIBRATION ERROR (Guo et al. 2017) — the standard
+    * "is the deployed filter's confidence honest" monitor: scores
+    * bucket into `bins` equal-width confidence bins over [0,1], and
+    * ECE = Σ_b (n_b/N) · |accuracy_b − confidence_b|. Returns one row
+    * (n, ece·6dp); `ece` is null on an empty input.
+    *
+    * Derived ENTIRELY from the bounded [[scoreAggregate]] monoid, so
+    * it composes with the incremental [[CalibrationIndex]] store
+    * ([[eceFromAggregate]]) — monitoring never re-scans a corpus.
+    * Exactness: with k the score's 1e-6 lattice index, the per-bin
+    * term n_b/N·|acc − conf| equals |pos_b·10^6 − Σ(n·k)_b| /
+    * (10^6·N) — ALL-INTEGER numerators (order-independent exact
+    * sums; bounds hold to N < 9·10^12 rows), one division, one 6dp
+    * rounding. The oracle replays the identical integer arithmetic. */
+  def calibrationError(df: DataFrame, score: String, label: String,
+                       bins: Int = 10, scale: Int = 6): DataFrame =
+    eceTail(scoreAggregate(df, score, label, scale), bins)
+
+  /** [[calibrationError]] from an accreted `(thr, n, pos)` aggregate
+    * (fold-first; identity on a folded store). */
+  def eceFromAggregate(agg: DataFrame, bins: Int = 10): DataFrame =
+    eceTail(foldAggregate(agg), bins)
+
+  private def eceTail(agg: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000000,
+      s"classifier: bins must be in [1, 10^6]: $bins")
+    val k = latticeOf(col("thr"))
+    // equal-width bins over the lattice: bin = min(k·B div 10^6, B−1)
+    // — floor division (Column./ is DOUBLE division; k·B ≤ 10^12 is
+    // exactly representable, so floor(÷) IS the integer quotient),
+    // thr = 1.0 clamps into the last bin
+    val bin = least(
+      floor((k * lit(bins.toLong)) / lit(1000000L)).cast("long"),
+      lit(bins.toLong - 1))
+    agg.groupBy(bin.as("_bin"))
+      .agg(sum(col("n")).as("_nb"), sum(col("pos")).as("_pb"),
+        sum(col("n") * k).as("_sk"))
+      .agg(sum(col("_nb")).as("_n"),
+        sum(abs(col("_pb") * lit(1000000L) - col("_sk"))).as("_num"))
+      // empty input: zero bins -> null sums; surface n = 0, ece null
+      .select(coalesce(col("_n"), lit(0L)).cast("long").as("n"),
+        roundHalfUp(col("_num") /
+          (lit(1.0e6) * nullif(col("_n"), lit(0L))), 6).as("ece"))
+  }
+
+  /** BRIER SCORE — mean squared error of the probability forecast,
+    * `Σ (p − y)² / N`: the proper scoring rule complementing
+    * [[rocAuc]] (ranking) and [[calibrationError]] (binned honesty).
+    * Returns one row (n, brier·6dp); null on empty input. Derived
+    * from the same [[scoreAggregate]] monoid: with y ∈ {0,1},
+    * Σ(p−y)² = Σ_thr [n·thr² − 2·thr·pos + pos] =
+    * (Σ n·k² − 2·10^6·Σ k·pos + 10^12·Σ pos) / 10^12 — the sums run
+    * over DECIMAL(38,0) (exact, order-independent, no overflow to
+    * ~10^26 rows), one division, one 6dp rounding; the oracle replays
+    * the identical integer arithmetic over HUGEINT. */
+  def brierScore(df: DataFrame, score: String, label: String,
+                 scale: Int = 6): DataFrame =
+    brierTail(scoreAggregate(df, score, label, scale))
+
+  /** [[brierScore]] from an accreted `(thr, n, pos)` aggregate. */
+  def brierFromAggregate(agg: DataFrame): DataFrame =
+    brierTail(foldAggregate(agg))
+
+  private def brierTail(agg: DataFrame): DataFrame = {
+    val k = latticeOf(col("thr"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    agg.agg(
+        sum(col("n")).as("_n"),
+        sum(col("n").cast(dec) * (k * k)).as("_skk"),
+        sum(col("pos").cast(dec) * k).as("_skp"),
+        sum(col("pos")).as("_p"))
+      .select(coalesce(col("_n"), lit(0L)).cast("long").as("n"),
+        // the numerator Σ(p−y)²·10^12 is an exact non-negative
+        // integer — combine in DECIMAL, convert to double ONCE
+        roundHalfUp(
+          (col("_skk") - lit(2000000L) * col("_skp") +
+            lit(1000000000000L) * col("_p").cast(dec)).cast("double") /
+            (lit(1.0e12) * nullif(col("_n"), lit(0L))), 6).as("brier"))
+  }
+
   /** Score rows against fit weights: appends `out` = σ(w·x) rounded
     * HALF_UP to `scale` dp — one map-side projection, usable verbatim
     * inside a streaming foreachBatch. Rows with a null feature score

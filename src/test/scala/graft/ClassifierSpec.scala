@@ -166,6 +166,61 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("calibrationError matches the brute-force binned definition; boundary scores clamp into the last bin") {
+    // hand-scored rows across several bins, with thr = 1.0 planted to
+    // exercise the last-bin clamp and duplicated scores to exercise
+    // the per-score aggregate
+    val rows = Seq(
+      (1L, 0.05, 0.0), (2L, 0.05, 0.0), (3L, 0.12, 1.0),
+      (4L, 0.48, 0.0), (5L, 0.52, 1.0), (6L, 0.52, 1.0),
+      (7L, 0.87, 1.0), (8L, 0.87, 0.0), (9L, 1.0, 1.0), (10L, 1.0, 1.0))
+    val df = rows.toDF("id", "p", "y")
+    val got = Classifier.calibrationError(df, "p", "y")
+      .select("n", "ece").as[(Long, Double)].head()
+    // brute force: bin by floor(p*10) clamped to 9; per-bin
+    // |mean(y) - mean(p)| weighted by n/N
+    val byBin = rows.groupBy(r => math.min((r._2 * 10).toInt, 9))
+    val eceBf = byBin.values.map { g =>
+      val n = g.size.toDouble
+      n / rows.size * math.abs(
+        g.map(_._3).sum / n - g.map(_._2).sum / n)
+    }.sum
+    assert(got._1 == 10L)
+    assert(math.abs(got._2 - eceBf) < 1e-9,
+      s"ECE diverged from brute force: ${got._2} vs $eceBf")
+    // from-aggregate over a SPLIT store folds to the same answer
+    val agg1 = Classifier.scoreAggregate(df.filter(col("id") <= 5), "p", "y")
+    val agg2 = Classifier.scoreAggregate(df.filter(col("id") > 5), "p", "y")
+    val inc = Classifier.eceFromAggregate(agg1.unionByName(agg2))
+      .select("ece").as[Double].head()
+    assert(inc == got._2, s"accreted ECE diverged: $inc vs ${got._2}")
+    // empty input: n = 0, ece null — never a division blow-up
+    val empty = Classifier.calibrationError(df.filter(lit(false)), "p", "y")
+      .head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
+  test("brierScore matches the brute-force mean squared error; accreted store folds to the same value") {
+    val rows = Seq(
+      (1L, 0.1, 0.0), (2L, 0.9, 1.0), (3L, 0.4, 1.0),
+      (4L, 0.4, 0.0), (5L, 0.75, 1.0), (6L, 1.0, 0.0))
+    val df = rows.toDF("id", "p", "y")
+    val got = Classifier.brierScore(df, "p", "y")
+      .select("n", "brier").as[(Long, Double)].head()
+    val bf = rows.map(r => math.pow(r._2 - r._3, 2)).sum / rows.size
+    assert(got._1 == 6L)
+    assert(math.abs(got._2 - bf) < 1e-9,
+      s"Brier diverged from brute force: ${got._2} vs $bf")
+    val inc = Classifier.brierFromAggregate(
+        Classifier.scoreAggregate(df.filter(col("id") <= 3), "p", "y")
+          .unionByName(
+            Classifier.scoreAggregate(df.filter(col("id") > 3), "p", "y")))
+      .select("brier").as[Double].head()
+    assert(inc == got._2, s"accreted Brier diverged: $inc vs ${got._2}")
+    val empty = Classifier.brierScore(df.filter(lit(false)), "p", "y").head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
   test("prCurve/rocAuc score-domain contract: out-of-[0,1] scores fail LOUD, never a silent corpus sort") {
     // the bounded-aggregate claim (<= 10^scale + 1 groupBy rows, hence
     // the single-task cumulative window) holds only for probability

@@ -873,6 +873,17 @@ class StreamingSpec extends SparkSpec {
     assert(rows(graft.ops.CalibrationIndex.prCurve(spark, s"$dir/cal"))
         == rows(graft.ops.Classifier.prCurve(oneShot, "p", "y")),
       "replay changed the accumulated curve")
+    // the other store-derived monitors agree with their one-shot twins
+    assert(graft.ops.CalibrationIndex.ece(spark, s"$dir/cal")
+        .collect().map(_.toSeq).toSeq ==
+      graft.ops.Classifier.calibrationError(oneShot, "p", "y")
+        .collect().map(_.toSeq).toSeq,
+      "accumulated ECE diverged from the one-shot")
+    assert(graft.ops.CalibrationIndex.brier(spark, s"$dir/cal")
+        .collect().map(_.toSeq).toSeq ==
+      graft.ops.Classifier.brierScore(oneShot, "p", "y")
+        .collect().map(_.toSeq).toSeq,
+      "accumulated Brier diverged from the one-shot")
     // compact folds to one row per score; every answer unchanged
     graft.ops.CalibrationIndex.compact(spark, s"$dir/cal")
     assert(rows(graft.ops.CalibrationIndex.prCurve(spark, s"$dir/cal"))
