@@ -180,13 +180,14 @@ class ClassifierSpec extends SparkSpec {
     // brute force: bin by floor(p*10) clamped to 9; per-bin
     // |mean(y) - mean(p)| weighted by n/N
     val byBin = rows.groupBy(r => math.min((r._2 * 10).toInt, 9))
-    val eceBf = byBin.values.map { g =>
-      val n = g.size.toDouble
-      n / rows.size * math.abs(
-        g.map(_._3).sum / n - g.map(_._2).sum / n)
-    }.sum
+    val eceBf = graft.functions.Rounding.roundHalfUpDouble(
+      byBin.values.map { g =>
+        val n = g.size.toDouble
+        n / rows.size * math.abs(
+          g.map(_._3).sum / n - g.map(_._2).sum / n)
+      }.sum, 6)
     assert(got._1 == 10L)
-    assert(math.abs(got._2 - eceBf) < 1e-9,
+    assert(math.abs(got._2 - eceBf) <= 1e-6,
       s"ECE diverged from brute force: ${got._2} vs $eceBf")
     // from-aggregate over a SPLIT store folds to the same answer
     val agg1 = Classifier.scoreAggregate(df.filter(col("id") <= 5), "p", "y")
@@ -207,9 +208,10 @@ class ClassifierSpec extends SparkSpec {
     val df = rows.toDF("id", "p", "y")
     val got = Classifier.brierScore(df, "p", "y")
       .select("n", "brier").as[(Long, Double)].head()
-    val bf = rows.map(r => math.pow(r._2 - r._3, 2)).sum / rows.size
+    val bf = graft.functions.Rounding.roundHalfUpDouble(
+      rows.map(r => math.pow(r._2 - r._3, 2)).sum / rows.size, 6)
     assert(got._1 == 6L)
-    assert(math.abs(got._2 - bf) < 1e-9,
+    assert(got._2 == bf,
       s"Brier diverged from brute force: ${got._2} vs $bf")
     val inc = Classifier.brierFromAggregate(
         Classifier.scoreAggregate(df.filter(col("id") <= 3), "p", "y")
