@@ -87,7 +87,17 @@ object Classifier {
       s"classifier: scale must be in [0,12]: $scale")
     require(tol >= 0, s"classifier: tol must be >= 0: $tol")
     require(l2 >= 0, s"classifier: l2 must be >= 0: $l2")
-    val clean = trainable(df, features, label)
+    // multi-round fits CACHE the narrow (label, features) frame —
+    // d+1 doubles per row, the MLlib training-loop stance: iteration
+    // 2..k re-read the cached columns instead of re-paying the
+    // upstream scan + feature projection per round (at 100 TB that is
+    // iters-1 corpus scans saved for a cache of rows × (d+1) doubles,
+    // which spreads across executors and spills gracefully). Values
+    // are unchanged — caching never alters the trajectory.
+    val narrow = trainable(df, features, label)
+      .select((label +: features).map(col): _*)
+    val clean = if (iters > 1) narrow.persist() else narrow
+    try {
     var w = Array.fill(features.size + 1)(0.0)
     var round = 0
     var converged = false
@@ -113,6 +123,7 @@ object Classifier {
       round += 1
     }
     w
+    } finally { if (iters > 1) { clean.unpersist(false); () } }
   }
 
   /** The canonical TEXT feature triple (one map-side projection):
