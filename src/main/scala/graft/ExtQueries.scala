@@ -673,11 +673,14 @@ object ExtQueries {
       .filter(col("f_stop").isNotNull && col("f_punct").isNotNull)
 
   /** The classifier training-loop CTE chain (feature projection +
-    * three unrolled mean-gradient/update rounds), shared VERBATIM by
-    * `q_quality_classifier` and `q_pr_curve` — both must replay the
-    * identical rounded weight trajectory
-    * ([[graft.ops.Classifier.fitLogistic]]). */
-  private lazy val classifierLoopCtes: String = {
+    * three unrolled mean-gradient/update rounds), parameterized on an
+    * optional L2 coefficient. With `l2 = None` the update is the
+    * plain `w − lr·g`; with `Some(λ)` each non-bias weight's gradient
+    * gains the re-rounded `λ·w` term BEFORE the update — exactly
+    * [[graft.ops.Classifier.fitLogistic]]'s driver arithmetic
+    * (`round8(g + λ·w)`, bias exempt), so both engines walk the
+    * identical regularized trajectory. */
+  private def classifierLoopCtesWith(l2: Option[String]): String = {
     def grad(i: Int) =
       s"""g$i AS (SELECT ${sqlRound("avg(e)", 8)} AS g0,
          |  ${sqlRound("avg(e * f_len)", 8)} AS ga,
@@ -687,11 +690,15 @@ object ExtQueries {
          |    1.0/(1.0 + exp(-(((b + wa*f_len) + wb*f_stop)
          |      + wc*f_punct))) - y AS e
          |    FROM feats, w${i - 1}))""".stripMargin
+    def gterm(g: String, w: String) = l2 match {
+      case None      => g
+      case Some(lam) => sqlRound(s"$g + $lam*$w", 8)
+    }
     def upd(i: Int) =
       s"""w$i AS (SELECT ${sqlRound("b - 0.5*g0", 8)} AS b,
-         |  ${sqlRound("wa - 0.5*ga", 8)} AS wa,
-         |  ${sqlRound("wb - 0.5*gb", 8)} AS wb,
-         |  ${sqlRound("wc - 0.5*gc", 8)} AS wc
+         |  ${sqlRound(s"wa - 0.5*${gterm("ga", "wa")}", 8)} AS wa,
+         |  ${sqlRound(s"wb - 0.5*${gterm("gb", "wb")}", 8)} AS wb,
+         |  ${sqlRound(s"wc - 0.5*${gterm("gc", "wc")}", 8)} AS wc
          |  FROM w${i - 1}, g$i)""".stripMargin
     s"""t AS (SELECT doc_id, lang, text,
        |    string_split(text, ' ') AS toks
@@ -716,6 +723,11 @@ object ExtQueries {
        |${grad(3)},
        |${upd(3)}""".stripMargin
   }
+
+  /** The unregularized loop, shared VERBATIM by every classifier-
+    * family oracle (the identical rounded weight trajectory). */
+  private lazy val classifierLoopCtes: String =
+    classifierLoopCtesWith(None)
 
   /** The rounded sigmoid scoring expression over `feats, w3` — the
     * [[classifierLoopCtes]] tail both classifier oracles share. */
@@ -1992,6 +2004,23 @@ object ExtQueries {
       val feats = classifierFeats(s, dir)
       val w = graft.ops.Classifier.fitLogistic(feats,
         graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq)
+        .select(col("doc_id"), col("y"), col("p"),
+          (col("p") >= 0.5).as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // The L2-REGULARIZED fit (ridge logistic regression) under the
+    // hash gate: each non-bias gradient gains the re-rounded lambda*w
+    // term (lambda = 0.25, dyadic, so the product is bit-portable),
+    // walking a visibly shrunken but still-separating trajectory —
+    // the oracle's update CTEs replay the regularizer term for term.
+    "q_quality_classifier_l2" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5,
+        l2 = 0.25)
       graft.ops.Classifier.scoreLogistic(feats,
           graft.ops.Classifier.textFeatureCols, w.toSeq)
         .select(col("doc_id"), col("y"), col("p"),
@@ -4601,6 +4630,14 @@ object ExtQueries {
     // weight trajectory
     "q_quality_classifier" ->
       s"""WITH $classifierLoopCtes
+         |SELECT doc_id, y, p, p >= 0.5 AS pred FROM
+         |  (SELECT doc_id, y, $classifierScoreSql AS p FROM feats, w3)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the ridge twin: identical loop with the round8(g + 0.25*w)
+    // regularizer in every non-bias update
+    "q_quality_classifier_l2" ->
+      s"""WITH ${classifierLoopCtesWith(Some("0.25"))}
          |SELECT doc_id, y, p, p >= 0.5 AS pred FROM
          |  (SELECT doc_id, y, $classifierScoreSql AS p FROM feats, w3)
          |ORDER BY doc_id""".stripMargin,
