@@ -83,7 +83,7 @@ object ScaleProbe {
       "components_star", "dedup_exact_incremental", "ann_recall",
       "embed_recall", "token_budget", "token_budget_naive", "dsir",
       "decontam_fuzzy", "novelty", "split_leakfree", "logreg",
-      "pr_curve")
+      "pr_curve", "calibration")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -605,6 +605,27 @@ object ScaleProbe {
         }
       }
       scrub()
+      // Incremental calibration store: one batch append = the bounded
+      // per-score aggregate (a ~N scan) + a tiny tag-partition write;
+      // the on-read metrics (curve + ECE) fold batches × ≤10^6+1 rows
+      // — flat in corpus size. Fixed batch tag keeps the second best2
+      // pass replay-idempotent (dynamic overwrite of its own
+      // partition), matching the deployment's at-least-once shape.
+      val tCalib = if (!want("calibration")) -1.0 else {
+        val scored = d.select(
+          (pmod(col("doc_id"), lit(2)) === 0).cast("double").as("y"),
+          (pmod(xxhash64(col("text")), lit(1000000)) / 1000000.0)
+            .as("p"))
+        val idx = s"$root/calib_${tag}_$scale"
+        best2 {
+          graft.ops.CalibrationIndex.append(spark, scored, idx,
+            "p", "y", batchTag = Some("b1"))
+          graft.ops.CalibrationIndex.prCurve(spark, idx).count()
+          graft.ops.CalibrationIndex.ece(spark, idx).count()
+          ()
+        }
+      }
+      scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
         budgetRows.withColumn("_cum",
             sum(col("toks")).over(org.apache.spark.sql.expressions.Window
@@ -715,7 +736,8 @@ object ScaleProbe {
         "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive,
         "dsir" -> tDsir, "decontam_fuzzy" -> tFuzzy,
         "novelty" -> tNovelty, "split_leakfree" -> tSplit,
-        "logreg" -> tLogreg, "pr_curve" -> tPrCurve)
+        "logreg" -> tLogreg, "pr_curve" -> tPrCurve,
+        "calibration" -> tCalib)
         .filter(_._2 >= 0)
     }
 
