@@ -831,6 +831,67 @@ class StreamingSpec extends SparkSpec {
       "the Jaccard stage must drop the rephrased leak only")
   }
 
+  test("deploy loop end-to-end: ONE stream gated by the frozen classifier AND monitored by the calibration sink") {
+    // the full production loop in one drill: fit offline, freeze the
+    // weights, gate the ingest stream with them (curateSink logit
+    // stage) while a SECOND query on the same stream lands every
+    // scored doc's calibration aggregate — the deployed filter's PR
+    // curve derives from the store and matches the batch metric over
+    // everything that flowed
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val good1 = ("the cat sat on the mat and looked at the dog " * 4).trim
+    val good2 = ("a bird is in the tree and sings to the sun " * 4).trim
+    val bad = ("zorp blick grum flarn plim vex quux corge grault " * 4).trim
+    val train = graft.ops.Classifier.textFeatures(
+      Seq((1L, good1, 1.0), (2L, good2, 1.0), (3L, bad, 0.0),
+        (4L, bad + " extra", 0.0)).toDF("doc_id", "text", "y"), "text")
+    val w = graft.ops.Classifier.fitLogistic(train,
+      graft.ops.Classifier.textFeatureCols, "y", iters = 30, lr = 0.5)
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("doc_id", "text", "y")
+    // gate leg: the funnel keeps classifier-positives
+    val qGate = EventStream.curateSink(stream.select("doc_id", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id",
+        appId = "spec-dl", minQuality = 0.0, samplePct = 100,
+        benchmark = Seq((900L, "benchmark phrase sharing nothing else"))
+          .toDF("doc_id", "text"),
+        logit = Some((w.toSeq, 0.5)))
+      .option("checkpointLocation", s"$dir/ckptA").start()
+    // monitor leg: SAME frozen weights score every incoming doc
+    // map-side (textFeatures + scoreLogistic are streaming-safe
+    // projections); the sink lands the bounded aggregate per batch
+    val scored = graft.ops.Classifier.scoreLogistic(
+      graft.ops.Classifier.textFeatures(stream, "text"),
+      graft.ops.Classifier.textFeatureCols, w.toSeq)
+    val qMon = EventStream.calibrationSink(scored.select("doc_id", "p", "y"),
+        s"$dir/cal", "p", "y", appId = "spec-dlm")
+      .option("checkpointLocation", s"$dir/ckptB").start()
+    try {
+      mem.addData((21L, good1, 1.0), (22L, bad, 0.0))
+      qGate.processAllAvailable(); qMon.processAllAvailable()
+      mem.addData((23L, good2, 1.0))
+      qGate.processAllAvailable(); qMon.processAllAvailable()
+    } finally { qGate.stop(); qMon.stop() }
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(21L, 23L),
+      s"the frozen gate must keep the classifier positives: $kept")
+    val streamedCurve = graft.ops.CalibrationIndex
+      .prCurve(spark, s"$dir/cal")
+      .orderBy("thr").collect().map(_.toSeq).toSeq
+    val batchCurve = graft.ops.Classifier.prCurve(
+        graft.ops.Classifier.scoreLogistic(
+          graft.ops.Classifier.textFeatures(
+            Seq((21L, good1, 1.0), (22L, bad, 0.0), (23L, good2, 1.0))
+              .toDF("doc_id", "text", "y"), "text"),
+          graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y")
+      .orderBy("thr").collect().map(_.toSeq).toSeq
+    assert(streamedCurve == batchCurve,
+      "the monitored curve must equal the batch metric over the flow")
+  }
+
   test("streaming calibration sink: accumulated aggregate derives the one-shot prCurve and rocAuc; replay changes nothing") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
