@@ -803,6 +803,14 @@ object ExtQueries {
        |    AS auc
        |FROM a""".stripMargin
 
+  /** The per-shard scored/aggregated CTE pair shared by the three
+    * grouped-calibration oracles (doc_id % 4 shards, integer pos). */
+  private lazy val groupedScoredCtes: String =
+    s"""scored AS (SELECT doc_id % 4 AS shard, y,
+       |    $classifierScoreSql AS p FROM feats, w3),
+       |g AS (SELECT shard, p AS thr, count(*) AS n,
+       |      CAST(sum(y) AS BIGINT) AS pos FROM scored GROUP BY 1, 2)""".stripMargin
+
   /** The ECE oracle, shared by `q_ece` and `q_ece_incremental`:
     * training-loop CTEs, the integer-exact per-score aggregate, the
     * 10-bin equal-width fold with all-integer numerators. */
@@ -2087,6 +2095,48 @@ object ExtQueries {
       graft.ops.Classifier.rocAuc(
         graft.ops.Classifier.scoreLogistic(feats,
           graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y")
+    }),
+
+    // GROUPED calibration — the multi-source monitoring shape: the
+    // same frozen classifier's curve/AUC/ECE PER ingestion shard
+    // (doc_id % 4), because aggregate honesty can hide per-source
+    // drift. Windows partition on the shard, so each group's
+    // cumulative pass is its own task — groups x bounded-aggregate
+    // rows, never a global sort.
+    "q_pr_curve_grouped" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.prCurveBy(
+          graft.ops.Classifier.scoreLogistic(feats,
+            graft.ops.Classifier.textFeatureCols, w.toSeq)
+            .withColumn("shard", col("doc_id") % 4),
+          "shard", "p", "y")
+        .orderBy("shard", "thr")
+    }),
+
+    "q_roc_auc_grouped" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.rocAucBy(
+          graft.ops.Classifier.scoreLogistic(feats,
+            graft.ops.Classifier.textFeatureCols, w.toSeq)
+            .withColumn("shard", col("doc_id") % 4),
+          "shard", "p", "y")
+        .orderBy("shard")
+    }),
+
+    "q_ece_grouped" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.calibrationErrorBy(
+          graft.ops.Classifier.scoreLogistic(feats,
+            graft.ops.Classifier.textFeatureCols, w.toSeq)
+            .withColumn("shard", col("doc_id") % 4),
+          "shard", "p", "y")
+        .orderBy("shard")
     }),
 
     // INCREMENTAL calibration monitoring: the per-score aggregate is
@@ -4687,6 +4737,55 @@ object ExtQueries {
     // converted to double ONCE for the final division
     "q_brier" -> brierOracle,
     "q_brier_incremental" -> brierOracle,
+
+    // grouped calibration: identical machinery with every window /
+    // fold partitioned on the ingestion shard
+    "q_pr_curve_grouped" ->
+      s"""WITH $classifierLoopCtes,
+         |$groupedScoredCtes,
+         |c AS (SELECT shard, thr,
+         |    sum(pos) OVER (PARTITION BY shard ORDER BY thr DESC
+         |      ROWS UNBOUNDED PRECEDING) AS tp,
+         |    sum(n) OVER (PARTITION BY shard ORDER BY thr DESC
+         |      ROWS UNBOUNDED PRECEDING) AS nge,
+         |    sum(pos) OVER (PARTITION BY shard) AS p_all
+         |  FROM g)
+         |SELECT shard, thr, CAST(tp AS BIGINT) AS tp,
+         |  CAST(nge - tp AS BIGINT) AS fp,
+         |  CAST(p_all - tp AS BIGINT) AS fn,
+         |  ${sqlRound("tp / CAST(nge AS DOUBLE)", 6)} AS "precision",
+         |  ${sqlRound("tp / CAST(nullif(p_all, 0) AS DOUBLE)", 6)}
+         |    AS recall
+         |FROM c ORDER BY shard, thr""".stripMargin,
+
+    "q_roc_auc_grouped" ->
+      s"""WITH $classifierLoopCtes,
+         |$groupedScoredCtes,
+         |c AS (SELECT shard, thr, n, pos,
+         |    sum(n) OVER (PARTITION BY shard ORDER BY thr ASC
+         |      ROWS UNBOUNDED PRECEDING) - n AS bef
+         |  FROM g),
+         |a AS (SELECT shard, sum(pos * (bef + (n + 1) / 2.0)) AS s,
+         |       sum(pos) AS p_all, sum(n) AS nn FROM c GROUP BY shard)
+         |SELECT shard, CAST(p_all AS BIGINT) AS pos,
+         |  CAST(nn - p_all AS BIGINT) AS neg,
+         |  ${sqlRound("(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)", 6)}
+         |    AS auc
+         |FROM a ORDER BY shard""".stripMargin,
+
+    "q_ece_grouped" ->
+      s"""WITH $classifierLoopCtes,
+         |$groupedScoredCtes,
+         |gk AS (SELECT shard, CAST(${sqlRound("thr * 1000000.0", 0)}
+         |    AS BIGINT) AS k, n, pos FROM g),
+         |b AS (SELECT shard, least((k * 10) // 1000000, 9) AS bin,
+         |    sum(n) AS nb, sum(pos) AS pb, sum(n * k) AS sk
+         |  FROM gk GROUP BY 1, 2)
+         |SELECT shard, CAST(sum(nb) AS BIGINT) AS n,
+         |  ${sqlRound(
+      "sum(abs(pb * 1000000 - sk)) / (1000000.0 * nullif(sum(nb), 0))",
+      6)} AS ece
+         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
 
     // replays the engine term for term: the polynomial bucket fold,
     // the add-k smoothed log-ratio (same left-to-right arithmetic

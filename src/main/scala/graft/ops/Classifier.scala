@@ -288,6 +288,98 @@ object Classifier {
           .as("auc"))
   }
 
+  /** GROUPED calibration — the multi-source production shape: one
+    * filter deployed over a sharded/multi-domain corpus is monitored
+    * PER SOURCE, because aggregate honesty can hide per-source drift
+    * (a filter can be calibrated overall while badly over-confident
+    * on one domain). [[scoreAggregateBy]] is the grouped monoid
+    * (group, thr, n, pos) — still an additive fold, bounded at
+    * groups × (10^scale + 1) rows; [[prCurveBy]], [[rocAucBy]] and
+    * [[calibrationErrorBy]] derive per-group metrics from it with
+    * windows PARTITIONED on the group (each group's cumulative pass
+    * is its own task — never one global sort). Rows with a null
+    * group are excluded (the grouped-operator null contract). */
+  def scoreAggregateBy(df: DataFrame, group: String, score: String,
+                       label: String, scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"classifier: scoreAggregateBy scale must be in [0,6]: $scale")
+    df.filter(col(group).isNotNull && col(score).isNotNull &&
+        col(label).isNotNull)
+      .groupBy(col(group),
+        roundHalfUp(inUnitInterval(col(score)), scale).as("thr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(label).cast("double")).cast("long").as("pos"))
+  }
+
+  /** Per-group [[prCurve]]: (group, thr, tp, fp, fn, precision,
+    * recall), the rule `keep iff score ≥ thr` evaluated within each
+    * group. */
+  def prCurveBy(df: DataFrame, group: String, score: String,
+                label: String, scale: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("thr").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+    scoreAggregateBy(df, group, score, label, scale)
+      .withColumn("tp", sum("pos").over(w).cast("long"))
+      .withColumn("_nge", sum("n").over(w))
+      .withColumn("_p", sum("pos").over(all).cast("long"))
+      .select(col(group), col("thr"), col("tp"),
+        (col("_nge") - col("tp")).cast("long").as("fp"),
+        (col("_p") - col("tp")).cast("long").as("fn"),
+        roundHalfUp(col("tp") / col("_nge").cast("double"), 6)
+          .as("precision"),
+        roundHalfUp(col("tp") /
+          nullif(col("_p"), lit(0L)).cast("double"), 6).as("recall"))
+  }
+
+  /** Per-group [[rocAuc]]: (group, pos, neg, auc) — the tie-averaged
+    * Mann–Whitney fold within each group; `auc` null where a group
+    * has one class only. */
+  def rocAucBy(df: DataFrame, group: String, score: String,
+               label: String, scale: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("thr").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scoreAggregateBy(df, group, score, label, scale)
+      .withColumn("_before", sum("n").over(w) - col("n"))
+      .groupBy(col(group))
+      .agg(
+        sum(col("pos") * (col("_before") +
+          (col("n") + lit(1L)) / lit(2.0))).as("_s"),
+        sum("pos").as("_p"), sum("n").as("_nn"))
+      .select(col(group), col("_p").cast("long").as("pos"),
+        (col("_nn") - col("_p")).cast("long").as("neg"),
+        roundHalfUp(
+          (col("_s") - col("_p") * (col("_p") + lit(1.0)) / lit(2.0)) /
+            nullif(col("_p") * (col("_nn") - col("_p")), lit(0.0)), 6)
+          .as("auc"))
+  }
+
+  /** Per-group [[calibrationError]]: (group, n, ece) — the same
+    * all-integer binned fold, run within each group. */
+  def calibrationErrorBy(df: DataFrame, group: String, score: String,
+                         label: String, bins: Int = 10,
+                         scale: Int = 6): DataFrame = {
+    require(bins >= 1 && bins <= 1000000,
+      s"classifier: bins must be in [1, 10^6]: $bins")
+    val k = latticeOf(col("thr"))
+    val bin = least(
+      floor((k * lit(bins.toLong)) / lit(1000000L)).cast("long"),
+      lit(bins.toLong - 1))
+    scoreAggregateBy(df, group, score, label, scale)
+      .groupBy(col(group), bin.as("_bin"))
+      .agg(sum(col("n")).as("_nb"), sum(col("pos")).as("_pb"),
+        sum(col("n") * k).as("_sk"))
+      .groupBy(col(group))
+      .agg(sum(col("_nb")).as("_n"),
+        sum(abs(col("_pb") * lit(1000000L) - col("_sk"))).as("_num"))
+      .select(col(group), col("_n").cast("long").as("n"),
+        roundHalfUp(col("_num") /
+          (lit(1.0e6) * nullif(col("_n"), lit(0L))), 6).as("ece"))
+  }
+
   /** The 1e-6 lattice index of a rounded score: `thr` is always a
     * multiple of 1e-6 (scale ≤ 6 by [[scoreAggregate]]'s contract),
     * so `round(thr·10^6)` recovers the EXACT integer k with thr =

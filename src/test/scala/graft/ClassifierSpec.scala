@@ -223,6 +223,38 @@ class ClassifierSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1))
   }
 
+  test("grouped calibration == each group's one-shot metric; null groups are excluded") {
+    val rows = Seq(
+      (1L, "a", 0.91, 1.0), (2L, "a", 0.34, 0.0), (3L, "a", 0.91, 0.0),
+      (4L, "b", 0.34, 1.0), (5L, "b", 0.77, 0.0), (6L, "b", 0.77, 1.0),
+      (7L, "b", 0.05, 0.0))
+    val df = rows.toDF("id", "g", "p", "y")
+    val withNull = df.unionByName(
+      Seq((9L, Option.empty[String], 0.5, Some(1.0)))
+        .toDF("id", "g", "p", "y"))
+    def dump(d: org.apache.spark.sql.DataFrame, drop: String) =
+      d.drop(drop).orderBy(d.columns.filterNot(_ == drop).map(col): _*)
+        .collect().map(_.toSeq).toSeq
+    for (g <- Seq("a", "b")) {
+      val slice = df.filter(col("g") === g)
+      assert(dump(Classifier.prCurveBy(withNull, "g", "p", "y")
+          .filter(col("g") === g), "g")
+        == dump(Classifier.prCurve(slice, "p", "y"), ""),
+        s"grouped PR curve diverged for group $g")
+      assert(dump(Classifier.rocAucBy(withNull, "g", "p", "y")
+          .filter(col("g") === g), "g")
+        == dump(Classifier.rocAuc(slice, "p", "y"), ""),
+        s"grouped AUC diverged for group $g")
+      assert(dump(Classifier.calibrationErrorBy(withNull, "g", "p", "y")
+          .filter(col("g") === g), "g")
+        == dump(Classifier.calibrationError(slice, "p", "y"), ""),
+        s"grouped ECE diverged for group $g")
+    }
+    // the null-group row contributed to NO group
+    assert(Classifier.prCurveBy(withNull, "g", "p", "y")
+      .select("g").distinct().count() == 2)
+  }
+
   test("prCurve/rocAuc score-domain contract: out-of-[0,1] scores fail LOUD, never a silent corpus sort") {
     // the bounded-aggregate claim (<= 10^scale + 1 groupBy rows, hence
     // the single-task cumulative window) holds only for probability

@@ -286,7 +286,13 @@ class PlanSpec extends SparkSpec {
       // tail (boundary-bin window + slack, as q_token_budget_waterfill)
       // plus the presentation sort; the replication explode must stay
       // MAP-SIDE (no exchange of its own)
-      "q_mix_budget_epochs" -> 3)
+      "q_mix_budget_epochs" -> 3,
+      // r16: grouped calibration — the (shard, thr) aggregate, the
+      // shard-partitioned window pass, the per-shard fold (AUC/ECE),
+      // the presentation sort; every exchange carries
+      // groups x bounded-aggregate rows, never the corpus
+      "q_pr_curve_grouped" -> 3, "q_roc_auc_grouped" -> 4,
+      "q_ece_grouped" -> 4)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,
