@@ -811,6 +811,59 @@ object ExtQueries {
        |g AS (SELECT shard, p AS thr, count(*) AS n,
        |      CAST(sum(y) AS BIGINT) AS pos FROM scored GROUP BY 1, 2)""".stripMargin
 
+  /** The grouped PR-curve oracle, shared by `q_pr_curve_grouped` and
+    * its grouped-store read: every window partitioned on the shard. */
+  private lazy val prCurveGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |$groupedScoredCtes,
+       |c AS (SELECT shard, thr,
+       |    sum(pos) OVER (PARTITION BY shard ORDER BY thr DESC
+       |      ROWS UNBOUNDED PRECEDING) AS tp,
+       |    sum(n) OVER (PARTITION BY shard ORDER BY thr DESC
+       |      ROWS UNBOUNDED PRECEDING) AS nge,
+       |    sum(pos) OVER (PARTITION BY shard) AS p_all
+       |  FROM g)
+       |SELECT shard, thr, CAST(tp AS BIGINT) AS tp,
+       |  CAST(nge - tp AS BIGINT) AS fp,
+       |  CAST(p_all - tp AS BIGINT) AS fn,
+       |  ${sqlRound("tp / CAST(nge AS DOUBLE)", 6)} AS "precision",
+       |  ${sqlRound("tp / CAST(nullif(p_all, 0) AS DOUBLE)", 6)}
+       |    AS recall
+       |FROM c ORDER BY shard, thr""".stripMargin
+
+  /** The grouped AUC oracle, shared by `q_roc_auc_grouped` and its
+    * grouped-store read. */
+  private lazy val rocAucGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |$groupedScoredCtes,
+       |c AS (SELECT shard, thr, n, pos,
+       |    sum(n) OVER (PARTITION BY shard ORDER BY thr ASC
+       |      ROWS UNBOUNDED PRECEDING) - n AS bef
+       |  FROM g),
+       |a AS (SELECT shard, sum(pos * (bef + (n + 1) / 2.0)) AS s,
+       |       sum(pos) AS p_all, sum(n) AS nn FROM c GROUP BY shard)
+       |SELECT shard, CAST(p_all AS BIGINT) AS pos,
+       |  CAST(nn - p_all AS BIGINT) AS neg,
+       |  ${sqlRound("(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)", 6)}
+       |    AS auc
+       |FROM a ORDER BY shard""".stripMargin
+
+  /** The grouped ECE oracle, shared by `q_ece_grouped` and its
+    * grouped-store read. */
+  private lazy val eceGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |$groupedScoredCtes,
+       |gk AS (SELECT shard, CAST(${sqlRound("thr * 1000000.0", 0)}
+       |    AS BIGINT) AS k, n, pos FROM g),
+       |b AS (SELECT shard, least((k * 10) // 1000000, 9) AS bin,
+       |    sum(n) AS nb, sum(pos) AS pb, sum(n * k) AS sk
+       |  FROM gk GROUP BY 1, 2)
+       |SELECT shard, CAST(sum(nb) AS BIGINT) AS n,
+       |  ${sqlRound(
+      "sum(abs(pb * 1000000 - sk)) / (1000000.0 * nullif(sum(nb), 0))",
+      6)} AS ece
+       |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+
   /** The ECE oracle, shared by `q_ece` and `q_ece_incremental`:
     * training-loop CTEs, the integer-exact per-score aggregate, the
     * 10-bin equal-width fold with all-integer numerators. */
@@ -850,6 +903,152 @@ object ExtQueries {
       6)} AS brier
        |FROM a""".stripMargin
 
+  /** The reliability-diagram oracle, shared by `q_reliability` and
+    * `q_reliability_incremental`: the ECE bin fold kept per-bin, with
+    * the signed gap's exact integer numerator. */
+  private lazy val reliabilityOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
+       |g AS (SELECT p AS thr, count(*) AS n,
+       |      CAST(sum(y) AS BIGINT) AS pos FROM scored GROUP BY 1),
+       |gk AS (SELECT CAST(${sqlRound("thr * 1000000.0", 0)} AS BIGINT)
+       |    AS k, n, pos FROM g),
+       |b AS (SELECT least((k * 100) // 1000000, 99) AS bin,
+       |    sum(n) AS nb, sum(pos) AS pb, sum(n * k) AS sk
+       |  FROM gk GROUP BY 1)
+       |SELECT bin, CAST(nb AS BIGINT) AS n,
+       |  ${sqlRound("sk / (1000000.0 * nb)", 6)} AS confidence,
+       |  ${sqlRound("pb / CAST(nb AS DOUBLE)", 6)} AS accuracy,
+       |  ${sqlRound("(pb * 1000000 - sk) / (1000000.0 * nb)", 6)}
+       |    AS gap
+       |FROM b ORDER BY bin""".stripMargin
+
+  /** The F1 operating-point oracle, shared by `q_threshold_f1` and
+    * `q_threshold_f1_incremental`: the PR confusion counts, rounded
+    * F1 over exact integers, the larger-thr tie rule as ORDER BY. */
+  private lazy val thresholdOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT y, $classifierScoreSql AS p FROM feats, w3),
+       |g AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
+       |      FROM scored GROUP BY 1),
+       |c AS (SELECT thr,
+       |    sum(pos) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+       |      AS tp,
+       |    sum(n) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+       |      AS nge,
+       |    sum(pos) OVER () AS p_all
+       |  FROM g),
+       |f AS (SELECT thr, CAST(tp AS BIGINT) AS tp,
+       |    CAST(nge - tp AS BIGINT) AS fp,
+       |    CAST(p_all - tp AS BIGINT) AS fn FROM c),
+       |s AS (SELECT thr, tp, fp, fn,
+       |    ${sqlRound("(2.0 * tp) / (2.0 * tp + 1.0 * fn + fp)", 6)}
+       |      AS fbeta FROM f)
+       |SELECT thr, tp, fp, fn, fbeta FROM s
+       |ORDER BY fbeta DESC, thr DESC LIMIT 1""".stripMargin
+
+  /** The PSI drift oracle, shared by `q_drift_psi` and
+    * `q_drift_psi_incremental` (the store's two tag windows ARE the
+    * doc-parity halves): per-side bounded histograms, the full
+    * 10-bin spine, Laplace-smoothed shares, per-bin terms quantized
+    * to 1e-9 longs and summed exactly. */
+  private lazy val driftOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT doc_id, $classifierScoreSql AS p
+       |           FROM feats, w3),
+       |hr AS (SELECT p AS thr, count(*) AS n FROM scored
+       |       WHERE doc_id % 2 = 0 GROUP BY 1),
+       |hc AS (SELECT p AS thr, count(*) AS n FROM scored
+       |       WHERE doc_id % 2 <> 0 GROUP BY 1),
+       |br AS (SELECT least((CAST(${sqlRound("thr * 1000000.0", 0)}
+       |      AS BIGINT) * 10) // 1000000, 9) AS bin, sum(n) AS nb
+       |  FROM hr GROUP BY 1),
+       |bc AS (SELECT least((CAST(${sqlRound("thr * 1000000.0", 0)}
+       |      AS BIGINT) * 10) // 1000000, 9) AS bin, sum(n) AS nb
+       |  FROM hc GROUP BY 1),
+       |sp AS (SELECT range AS bin FROM range(10)),
+       |j AS (SELECT sp.bin AS bin, coalesce(br.nb, 0) AS nr,
+       |      coalesce(bc.nb, 0) AS nc
+       |  FROM sp LEFT JOIN br ON br.bin = sp.bin
+       |          LEFT JOIN bc ON bc.bin = sp.bin),
+       |tt AS (SELECT nr, nc, sum(nr) OVER () AS tr,
+       |       sum(nc) OVER () AS tc FROM j),
+       |tm AS (SELECT nr, nc, CAST(${sqlRound(
+      "((nc + 1) / CAST(tc + 10 AS DOUBLE) - " +
+        "(nr + 1) / CAST(tr + 10 AS DOUBLE)) * " +
+        "ln(((nc + 1) / CAST(tc + 10 AS DOUBLE)) / " +
+        "((nr + 1) / CAST(tr + 10 AS DOUBLE))) * 1000000000.0", 0)}
+       |    AS BIGINT) AS tq FROM tt)
+       |SELECT CAST(sum(nr) AS BIGINT) AS n_ref,
+       |  CAST(sum(nc) AS BIGINT) AS n_cur,
+       |  ${sqlRound("CAST(sum(tq) AS DOUBLE) / 1000000000.0", 6)}
+       |    AS psi
+       |FROM tm""".stripMargin
+
+  /** The grouped-PSI oracle for `q_drift_psi_grouped`: the drift
+    * replay run per shard, with the spine covering every shard seen
+    * in either window and every fold partitioned on the shard. */
+  private lazy val driftGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT doc_id, doc_id % 4 AS shard,
+       |    $classifierScoreSql AS p FROM feats, w3),
+       |hr AS (SELECT shard, p AS thr, count(*) AS n FROM scored
+       |       WHERE doc_id % 8 < 4 GROUP BY 1, 2),
+       |hc AS (SELECT shard, p AS thr, count(*) AS n FROM scored
+       |       WHERE doc_id % 8 >= 4 GROUP BY 1, 2),
+       |br AS (SELECT shard, least((CAST(${sqlRound("thr * 1000000.0", 0)}
+       |      AS BIGINT) * 10) // 1000000, 9) AS bin, sum(n) AS nb
+       |  FROM hr GROUP BY 1, 2),
+       |bc AS (SELECT shard, least((CAST(${sqlRound("thr * 1000000.0", 0)}
+       |      AS BIGINT) * 10) // 1000000, 9) AS bin, sum(n) AS nb
+       |  FROM hc GROUP BY 1, 2),
+       |gs AS (SELECT shard FROM hr UNION SELECT shard FROM hc),
+       |sp AS (SELECT gs.shard AS shard, r.range AS bin
+       |       FROM gs, range(10) r),
+       |j AS (SELECT sp.shard AS shard, sp.bin AS bin,
+       |      coalesce(br.nb, 0) AS nr, coalesce(bc.nb, 0) AS nc
+       |  FROM sp LEFT JOIN br ON br.shard = sp.shard AND br.bin = sp.bin
+       |          LEFT JOIN bc ON bc.shard = sp.shard AND bc.bin = sp.bin),
+       |tt AS (SELECT shard, nr, nc,
+       |       sum(nr) OVER (PARTITION BY shard) AS tr,
+       |       sum(nc) OVER (PARTITION BY shard) AS tc FROM j),
+       |tm AS (SELECT shard, nr, nc, CAST(${sqlRound(
+      "((nc + 1) / CAST(tc + 10 AS DOUBLE) - " +
+        "(nr + 1) / CAST(tr + 10 AS DOUBLE)) * " +
+        "ln(((nc + 1) / CAST(tc + 10 AS DOUBLE)) / " +
+        "((nr + 1) / CAST(tr + 10 AS DOUBLE))) * 1000000000.0", 0)}
+       |    AS BIGINT) AS tq FROM tt)
+       |SELECT shard, CAST(sum(nr) AS BIGINT) AS n_ref,
+       |  CAST(sum(nc) AS BIGINT) AS n_cur,
+       |  ${sqlRound("CAST(sum(tq) AS DOUBLE) / 1000000000.0", 6)}
+       |    AS psi
+       |FROM tm GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** The champion/challenger oracle for `q_filter_ab`: both weight
+    * rows from the SAME training chain (w2 is w3's prefix), per-model
+    * Mann–Whitney folds partitioned on the model tag. */
+  private lazy val filterAbOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |u AS (
+       |  SELECT 'champion_2r' AS model, y, $classifierScoreSql AS p
+       |  FROM feats, w2
+       |  UNION ALL
+       |  SELECT 'challenger_3r' AS model, y, $classifierScoreSql AS p
+       |  FROM feats, w3),
+       |g AS (SELECT model, p AS thr, count(*) AS n, sum(y) AS pos
+       |      FROM u GROUP BY 1, 2),
+       |c AS (SELECT model, thr, n, pos,
+       |    sum(n) OVER (PARTITION BY model ORDER BY thr ASC
+       |      ROWS UNBOUNDED PRECEDING) - n AS bef
+       |  FROM g),
+       |a AS (SELECT model, sum(pos * (bef + (n + 1) / 2.0)) AS s,
+       |       sum(pos) AS p_all, sum(n) AS nn FROM c GROUP BY model)
+       |SELECT model, CAST(p_all AS BIGINT) AS pos,
+       |  CAST(nn - p_all AS BIGINT) AS neg,
+       |  ${sqlRound("(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)", 6)}
+       |    AS auc
+       |FROM a ORDER BY model""".stripMargin
+
   /** The q_pr_curve_incremental / q_roc_auc_incremental shared store:
     * the frozen classifier scores the corpus ONCE, the even-doc_id
     * half lands as the content-keyed "hist" batch, the odd half as
@@ -875,6 +1074,35 @@ object ExtQueries {
     graft.ops.CalibrationIndex.append(s,
       scored.filter(col("doc_id") % 2 =!= 0), fx + "/idx",
       "p", "y", batchTag = Some("daily"))
+    fx
+  }
+
+  /** The grouped-store sibling of [[calibFixture]]: the same frozen
+    * classifier's scores land PER SHARD (doc_id % 4) in two window
+    * batches — doc_id % 8 < 4 as the content-keyed "hist" window,
+    * the rest as the tag-idempotent "daily" window — through
+    * [[graft.ops.CalibrationIndex.appendBy]]. The windows union to
+    * the whole corpus, so whole-store grouped reads equal the
+    * one-shot grouped metrics (shared oracles), and the hist/daily
+    * tags ARE `q_drift_psi_grouped`'s window split. */
+  private def calibFixtureBy(s: SparkSession, dir: String): String = {
+    val feats = classifierFeats(s, dir)
+    val w = graft.ops.Classifier.fitLogistic(feats,
+      graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+    val scored = graft.ops.Classifier.scoreLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, w.toSeq)
+      .withColumn("shard", col("doc_id") % 4)
+    val fx = graft.Fixtures.ensure("calib_idx_by",
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.Fixtures.contentKey(s"calib_idx_by|$dir", scored,
+          "doc_id", "p", "y")) { p =>
+      graft.ops.CalibrationIndex.appendBy(s,
+        scored.filter(col("doc_id") % 8 < 4), p + "/idx",
+        "shard", "p", "y", batchTag = Some("hist"))
+    }
+    graft.ops.CalibrationIndex.appendBy(s,
+      scored.filter(col("doc_id") % 8 >= 4), fx + "/idx",
+      "shard", "p", "y", batchTag = Some("daily"))
     fx
   }
 
@@ -2139,6 +2367,139 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    // Reliability diagram — the per-bin drill-down ECE summarizes:
+    // which confidence region went dishonest, with the signed gap
+    // (accuracy - confidence). All-integer numerators on the score
+    // lattice; runs on the bounded per-score aggregate. 100 bins
+    // (dashboard resolution — the 3-iter fit's scores sit in a tight
+    // band, so 10 ECE-width bins would collapse the key to one row).
+    "q_reliability" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.reliability(
+          graft.ops.Classifier.scoreLogistic(feats,
+            graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y",
+          bins = 100)
+        .orderBy("bin")
+    }),
+
+    // Operating-point selection: the F1-maximizing threshold over the
+    // exact confusion counts — the number a deploy loop freezes into
+    // the funnel gate. Ties in rounded F1 break toward the LARGER
+    // threshold (the conservative gate), a rule both engines replay.
+    "q_threshold_f1" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      graft.ops.Classifier.bestThreshold(
+        graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq), "p", "y")
+    }),
+
+    // Score-distribution drift (PSI) between two ingestion windows of
+    // the same deployed filter — the LABEL-FREE population monitor:
+    // even doc_ids as the reference window, odd as the current. Each
+    // side reduces to its bounded score histogram; the 10-bin fold
+    // sums 1e-9-quantized longs (order-independent).
+    "q_drift_psi" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      val scored = graft.ops.Classifier.scoreLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, w.toSeq)
+      graft.ops.Classifier.scoreDrift(
+        scored.filter(col("doc_id") % 2 === 0),
+        scored.filter(col("doc_id") % 2 =!= 0), "p")
+    }),
+
+    // PER-SOURCE drift: PSI within each ingestion shard (doc_id % 4),
+    // windows split by (doc_id % 8 < 4) so every shard holds both
+    // windows — an aggregate PSI can read stable while one source
+    // quietly moved. The bin spine is shards x 10 rows; windows
+    // partition on the shard.
+    "q_drift_psi_grouped" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = graft.ops.Classifier.fitLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5)
+      val scored = graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq)
+        .withColumn("shard", col("doc_id") % 4)
+      graft.ops.Classifier.scoreDriftBy(
+          scored.filter(col("doc_id") % 8 < 4),
+          scored.filter(col("doc_id") % 8 >= 4), "shard", "p")
+        .orderBy("shard")
+    }),
+
+    // Champion/challenger (shadow-mode) evaluation — the deploy-loop
+    // step BEFORE swapping filters: two frozen model versions (the
+    // 2-round fit and its 3-round successor — GD trajectories are
+    // deterministic, so the shorter fit IS the prefix) score the same
+    // corpus, and per-model exact AUC ranks them side by side on one
+    // bounded grouped aggregate.
+    "q_filter_ab" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val cols = graft.ops.Classifier.textFeatureCols
+      val w2 = graft.ops.Classifier.fitLogistic(feats, cols, "y",
+        iters = 2, lr = 0.5)
+      val w3 = graft.ops.Classifier.fitLogistic(feats, cols, "y",
+        iters = 3, lr = 0.5)
+      graft.ops.Classifier.rocAucBy(
+          graft.ops.Classifier.scoreLogistic(feats, cols, w2.toSeq)
+            .withColumn("model", lit("champion_2r"))
+            .unionByName(
+              graft.ops.Classifier.scoreLogistic(feats, cols, w3.toSeq)
+                .withColumn("model", lit("challenger_3r"))),
+          "model", "p", "y")
+        .orderBy("model")
+    }),
+
+    // The same three reads over the ACCRETED CalibrationIndex store
+    // (hist = even doc_ids, daily = odd): reliability and threshold
+    // fold the whole store (oracles shared verbatim — the monoid
+    // identity); drift compares the two TAG WINDOWS, pruned by the
+    // store's batch_tag partitioning — so the one-shot PSI between
+    // the corpus halves reproduces exactly from the store without
+    // re-scanning a scored row.
+    "q_reliability_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.reliability(s,
+          calibFixture(s, dir) + "/idx", bins = 100)
+        .orderBy("bin")),
+
+    "q_threshold_f1_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.bestThreshold(s,
+        calibFixture(s, dir) + "/idx")),
+
+    "q_drift_psi_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.drift(s, calibFixture(s, dir) + "/idx",
+        Seq("hist"), Seq("daily"))),
+
+    // INCREMENTAL PER-SOURCE monitoring: the grouped monoid accreted
+    // per batch in the grouped CalibrationIndex store (batches x
+    // shards x bounded rows); every grouped metric — curve, AUC, ECE,
+    // and the hist-vs-daily window drift — derives on read, equal to
+    // its one-shot grouped twin (oracles shared VERBATIM).
+    "q_pr_curve_grouped_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.prCurveBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard")
+        .orderBy("shard", "thr")),
+
+    "q_roc_auc_grouped_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.rocAucBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard")
+        .orderBy("shard")),
+
+    "q_ece_grouped_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.eceBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard")
+        .orderBy("shard")),
+
+    "q_drift_psi_grouped_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.driftBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard",
+          Seq("hist"), Seq("daily"))
+        .orderBy("shard")),
+
     // INCREMENTAL calibration monitoring: the per-score aggregate is
     // an additive monoid, so per-batch aggregates accreted in a
     // persisted CalibrationIndex store fold on read to exactly the
@@ -2289,6 +2650,21 @@ object ExtQueries {
           d.filter(col("doc_id") % 50 =!= 0),
           d.filter(col("doc_id") % 50 === 0), "text", "doc_id", w = 3)
         .orderBy("doc_id")
+    }),
+
+    // Multi-benchmark contamination matrix: which of the eval suite's
+    // THREE benchmarks (the held-out slice sharded by doc_id % 3)
+    // does each corpus doc leak into, in ONE corpus pass — with the
+    // collision-proof exact recount on. The benchmark side is
+    // (bench, hash) rows over the whole suite, still broadcast-sized.
+    "q_decontam_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.contaminationMatrix(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0)
+            .withColumn("bench", col("doc_id") % 3),
+          "text", "doc_id", "bench", w = 3, exactRecount = true)
+        .orderBy("doc_id", "bench")
     }),
 
     // End-to-end curation funnel — the training-data pipeline's stages
@@ -3698,6 +4074,24 @@ object ExtQueries {
         |SELECT c.doc_id, count(DISTINCT c.sh) AS n_contaminated
         |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_decontam_matrix" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM d),
+        |c AS (SELECT doc_id, unnest(list_distinct(s)) AS sh FROM sh
+        |      WHERE doc_id % 50 <> 0),
+        |b AS (SELECT DISTINCT doc_id % 3 AS bench,
+        |             unnest(list_distinct(s)) AS sh
+        |      FROM sh WHERE doc_id % 50 = 0)
+        |SELECT c.doc_id, b.bench,
+        |  count(DISTINCT c.sh) AS n_contaminated
+        |FROM c JOIN b USING (sh) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_curate" -> {
       val qexpr = sqlRound(
         "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
@@ -4738,54 +5132,33 @@ object ExtQueries {
     "q_brier" -> brierOracle,
     "q_brier_incremental" -> brierOracle,
 
+    // monitoring completion: the per-bin reliability drill-down, the
+    // F1 operating point, and the label-free PSI drift — incremental
+    // twins share each oracle verbatim (monoid / window identities)
+    "q_reliability" -> reliabilityOracle,
+    "q_reliability_incremental" -> reliabilityOracle,
+    "q_threshold_f1" -> thresholdOracle,
+    "q_threshold_f1_incremental" -> thresholdOracle,
+    "q_drift_psi" -> driftOracle,
+    "q_drift_psi_incremental" -> driftOracle,
+    "q_drift_psi_grouped" -> driftGroupedOracle,
+    "q_filter_ab" -> filterAbOracle,
+
+    // grouped-store reads fold to the one-shot grouped metrics — the
+    // same four oracles verbatim (the grouped monoid identity; the
+    // store's hist/daily windows union to the whole corpus, and ARE
+    // the grouped drift key's window split)
+    "q_pr_curve_grouped_incremental" -> prCurveGroupedOracle,
+    "q_roc_auc_grouped_incremental" -> rocAucGroupedOracle,
+    "q_ece_grouped_incremental" -> eceGroupedOracle,
+    "q_drift_psi_grouped_incremental" -> driftGroupedOracle,
+
     // grouped calibration: identical machinery with every window /
-    // fold partitioned on the ingestion shard
-    "q_pr_curve_grouped" ->
-      s"""WITH $classifierLoopCtes,
-         |$groupedScoredCtes,
-         |c AS (SELECT shard, thr,
-         |    sum(pos) OVER (PARTITION BY shard ORDER BY thr DESC
-         |      ROWS UNBOUNDED PRECEDING) AS tp,
-         |    sum(n) OVER (PARTITION BY shard ORDER BY thr DESC
-         |      ROWS UNBOUNDED PRECEDING) AS nge,
-         |    sum(pos) OVER (PARTITION BY shard) AS p_all
-         |  FROM g)
-         |SELECT shard, thr, CAST(tp AS BIGINT) AS tp,
-         |  CAST(nge - tp AS BIGINT) AS fp,
-         |  CAST(p_all - tp AS BIGINT) AS fn,
-         |  ${sqlRound("tp / CAST(nge AS DOUBLE)", 6)} AS "precision",
-         |  ${sqlRound("tp / CAST(nullif(p_all, 0) AS DOUBLE)", 6)}
-         |    AS recall
-         |FROM c ORDER BY shard, thr""".stripMargin,
-
-    "q_roc_auc_grouped" ->
-      s"""WITH $classifierLoopCtes,
-         |$groupedScoredCtes,
-         |c AS (SELECT shard, thr, n, pos,
-         |    sum(n) OVER (PARTITION BY shard ORDER BY thr ASC
-         |      ROWS UNBOUNDED PRECEDING) - n AS bef
-         |  FROM g),
-         |a AS (SELECT shard, sum(pos * (bef + (n + 1) / 2.0)) AS s,
-         |       sum(pos) AS p_all, sum(n) AS nn FROM c GROUP BY shard)
-         |SELECT shard, CAST(p_all AS BIGINT) AS pos,
-         |  CAST(nn - p_all AS BIGINT) AS neg,
-         |  ${sqlRound("(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)", 6)}
-         |    AS auc
-         |FROM a ORDER BY shard""".stripMargin,
-
-    "q_ece_grouped" ->
-      s"""WITH $classifierLoopCtes,
-         |$groupedScoredCtes,
-         |gk AS (SELECT shard, CAST(${sqlRound("thr * 1000000.0", 0)}
-         |    AS BIGINT) AS k, n, pos FROM g),
-         |b AS (SELECT shard, least((k * 10) // 1000000, 9) AS bin,
-         |    sum(n) AS nb, sum(pos) AS pb, sum(n * k) AS sk
-         |  FROM gk GROUP BY 1, 2)
-         |SELECT shard, CAST(sum(nb) AS BIGINT) AS n,
-         |  ${sqlRound(
-      "sum(abs(pb * 1000000 - sk)) / (1000000.0 * nullif(sum(nb), 0))",
-      6)} AS ece
-         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+    // fold partitioned on the ingestion shard; the incremental
+    // store-reads share each oracle verbatim (grouped monoid identity)
+    "q_pr_curve_grouped" -> prCurveGroupedOracle,
+    "q_roc_auc_grouped" -> rocAucGroupedOracle,
+    "q_ece_grouped" -> eceGroupedOracle,
 
     // replays the engine term for term: the polynomial bucket fold,
     // the add-k smoothed log-ratio (same left-to-right arithmetic

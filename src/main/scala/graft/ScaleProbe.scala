@@ -618,10 +618,20 @@ object ScaleProbe {
             .as("p"))
         val idx = s"$root/calib_${tag}_$scale"
         best2 {
-          graft.ops.CalibrationIndex.append(spark, scored, idx,
+          // two tagged window appends (the deployment shape), then
+          // the full read surface: curve, ECE, operating point, and
+          // window drift — all folds over batches × ≤10^6+1 rows
+          graft.ops.CalibrationIndex.append(spark,
+            scored.filter(col("p") < 0.5), idx,
             "p", "y", batchTag = Some("b1"))
+          graft.ops.CalibrationIndex.append(spark,
+            scored.filter(col("p") >= 0.5), idx,
+            "p", "y", batchTag = Some("b2"))
           graft.ops.CalibrationIndex.prCurve(spark, idx).count()
           graft.ops.CalibrationIndex.ece(spark, idx).count()
+          graft.ops.CalibrationIndex.bestThreshold(spark, idx).count()
+          graft.ops.CalibrationIndex.drift(spark, idx,
+            Seq("b1"), Seq("b2")).count()
           ()
         }
       }

@@ -92,6 +92,177 @@ object CalibrationIndex {
       spark.read.parquet(aggPath(indexPath))
         .select("thr", "n", "pos"))
 
+  /** Reliability diagram of everything scored so far — identical to
+    * [[Classifier.reliability]] over the concatenated batches. */
+  def reliability(spark: SparkSession, indexPath: String,
+                  bins: Int = 10): DataFrame =
+    Classifier.reliabilityFromAggregate(
+      spark.read.parquet(aggPath(indexPath))
+        .select("thr", "n", "pos"), bins)
+
+  /** The F_β-optimal operating threshold over everything scored so
+    * far — the re-calibration read of the deploy loop: refresh the
+    * frozen gate's `minP` from accumulated production evidence. */
+  def bestThreshold(spark: SparkSession, indexPath: String,
+                    beta: Double = 1.0): DataFrame =
+    Classifier.bestThresholdFromAggregate(
+      spark.read.parquet(aggPath(indexPath))
+        .select("thr", "n", "pos"), beta)
+
+  /** The folded `(thr, n, pos)` aggregate of ONE WINDOW of batches —
+    * the store is partitioned by `batch_tag`, so a window read prunes
+    * to exactly its tags' partitions. Loud on a tag with no landed
+    * batch (a misspelled or never-landed tag would otherwise read as
+    * an empty-but-valid window and silently skew any derived
+    * metric). NOTE: [[compact]] folds ALL history under the single
+    * tag `folded` — run it only when no window read still needs the
+    * folded tags (the whole-store metrics are unaffected). */
+  def windowAggregate(spark: SparkSession, indexPath: String,
+                      tags: Seq[String]): DataFrame = {
+    require(tags.nonEmpty, "calibration: window tags must be non-empty")
+    val store = spark.read.parquet(aggPath(indexPath))
+      .filter(col("batch_tag").isin(tags: _*))
+    val present = store.select("batch_tag").distinct()
+      .collect().map(_.getString(0)).toSet // ≤ |tags| rows
+    val missing = tags.filterNot(present)
+    require(missing.isEmpty,
+      s"calibration: no landed batch for tag(s) ${missing.mkString(", ")}")
+    store.groupBy(col("thr"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+  }
+
+  /** Score-distribution drift (PSI, [[Classifier.scoreDrift]])
+    * between two TAG WINDOWS of the store — e.g. last week's batches
+    * as the reference and today's as the current: the label-free
+    * "did the scored population move" monitor, derived entirely from
+    * the accreted aggregates without re-scanning a scored row. */
+  def drift(spark: SparkSession, indexPath: String,
+            refTags: Seq[String], curTags: Seq[String],
+            bins: Int = 10): DataFrame =
+    Classifier.driftFromAggregates(
+      windowAggregate(spark, indexPath, refTags),
+      windowAggregate(spark, indexPath, curTags), bins)
+
+  // ---- PER-SOURCE (grouped) store: the multi-domain deploy loop ----
+  // One filter over many ingestion sources is monitored per source;
+  // the store keeps the GROUPED monoid (batch_tag, <group>, thr, n,
+  // pos) — batches × groups × (10^scale + 1) rows — under the same
+  // tag-partition replay discipline, and every grouped metric
+  // derives on read. One group column per store (the column name is
+  // stored as written; reads must pass the same name — loudly
+  // checked).
+
+  private def aggByPath(p: String) = p + "/scoreaggby"
+
+  private def readBy(spark: SparkSession, indexPath: String,
+                     group: String): DataFrame = {
+    val df = spark.read.parquet(aggByPath(indexPath))
+    require(df.columns.contains(group),
+      s"calibration: grouped store has columns " +
+        s"${df.columns.mkString(", ")} — no group column '$group'")
+    df.select(col(group), col("thr"), col("n"), col("pos"))
+  }
+
+  /** Append one batch's PER-SOURCE aggregate
+    * ([[Classifier.scoreAggregateBy]]). Same empty-batch and
+    * tag-partition semantics as [[append]]. */
+  def appendBy(spark: SparkSession, batch: DataFrame, indexPath: String,
+               group: String, score: String, label: String,
+               scale: Int = 6, batchTag: Option[String] = None): Unit = {
+    val summary = Classifier
+      .scoreAggregateBy(batch, group, score, label, scale)
+      .localCheckpoint(true)
+    if (summary.isEmpty) return
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.healTable(fs, new Path(aggByPath(indexPath)))
+    val tag = batchTag.getOrElse(
+      Layout.contentTag(summary, Seq(group, "thr", "n", "pos")))
+    summary
+      .select(lit(tag).as("batch_tag"), col(group), col("thr"),
+        col("n"), col("pos"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_tag").parquet(aggByPath(indexPath))
+  }
+
+  /** The accumulated grouped aggregate with the monoid fold applied. */
+  def currentAggregateBy(spark: SparkSession, indexPath: String,
+                         group: String): DataFrame =
+    readBy(spark, indexPath, group)
+      .groupBy(col(group), col("thr"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+
+  /** Per-source PR curve of everything scored so far — identical to
+    * [[Classifier.prCurveBy]] over the concatenated batches. */
+  def prCurveBy(spark: SparkSession, indexPath: String,
+                group: String): DataFrame =
+    Classifier.prCurveByFromAggregate(
+      readBy(spark, indexPath, group), group)
+
+  /** Per-source ROC AUC of everything scored so far. */
+  def rocAucBy(spark: SparkSession, indexPath: String,
+               group: String): DataFrame =
+    Classifier.rocAucByFromAggregate(
+      readBy(spark, indexPath, group), group)
+
+  /** Per-source expected calibration error of everything scored so
+    * far. */
+  def eceBy(spark: SparkSession, indexPath: String, group: String,
+            bins: Int = 10): DataFrame =
+    Classifier.eceByFromAggregate(
+      readBy(spark, indexPath, group), group, bins)
+
+  /** The folded grouped aggregate of one tag window (the
+    * [[windowAggregate]] discipline: loud on a never-landed tag). */
+  def windowAggregateBy(spark: SparkSession, indexPath: String,
+                        group: String, tags: Seq[String]): DataFrame = {
+    require(tags.nonEmpty, "calibration: window tags must be non-empty")
+    val store = spark.read.parquet(aggByPath(indexPath))
+      .filter(col("batch_tag").isin(tags: _*))
+    val present = store.select("batch_tag").distinct()
+      .collect().map(_.getString(0)).toSet // ≤ |tags| rows
+    val missing = tags.filterNot(present)
+    require(missing.isEmpty,
+      s"calibration: no landed batch for tag(s) ${missing.mkString(", ")}")
+    require(store.columns.contains(group),
+      s"calibration: grouped store has columns " +
+        s"${store.columns.mkString(", ")} — no group column '$group'")
+    store.groupBy(col(group), col("thr"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+  }
+
+  /** Per-source drift (PSI) between two tag windows of the grouped
+    * store — [[Classifier.scoreDriftBy]] on read. */
+  def driftBy(spark: SparkSession, indexPath: String, group: String,
+              refTags: Seq[String], curTags: Seq[String],
+              bins: Int = 10): DataFrame =
+    Classifier.driftFromAggregatesBy(
+      windowAggregateBy(spark, indexPath, group, refTags),
+      windowAggregateBy(spark, indexPath, group, curTags), group, bins)
+
+  /** [[compact]] for the grouped store: fold to one row per
+    * (group, thr) under `batch_tag=folded`; same stage-and-swap
+    * discipline, same window caveat. */
+  def compactBy(spark: SparkSession, indexPath: String,
+                group: String): Unit = {
+    val live = new Path(aggByPath(indexPath))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.recoverSwap(fs, live)
+    val folded = spark.read.parquet(live.toString)
+      .groupBy(col(group), col("thr"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+      .select(lit("folded").as("batch_tag"), col(group), col("thr"),
+        col("n"), col("pos"))
+      .localCheckpoint(true)
+    val tmp = Layout.stagingPath(live, "compact_tmp")
+    fs.delete(tmp, true) // stale staging from a crashed run
+    folded.repartition(1)
+      .write.partitionBy("batch_tag").parquet(tmp.toString)
+    Layout.swapInPlace(fs, tmp, live)
+  }
+
   /** Steady-state maintenance once every tag is behind the retry
     * horizon: fold history to ONE row per score (the additive monoid)
     * under a single `batch_tag=folded` partition, through the

@@ -311,17 +311,34 @@ object Classifier {
         sum(col(label).cast("double")).cast("long").as("pos"))
   }
 
+  /** The grouped monoid fold — sums duplicate `(group, thr)` rows
+    * (identity on a folded aggregate), the entry point for reads
+    * over an accreted PER-SOURCE store; the domain guard re-checks
+    * `thr` on this public boundary. */
+  private def foldAggregateBy(agg: DataFrame, group: String): DataFrame =
+    agg.groupBy(col(group), inUnitInterval(col("thr")).as("thr"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+
   /** Per-group [[prCurve]]: (group, thr, tp, fp, fn, precision,
     * recall), the rule `keep iff score ≥ thr` evaluated within each
     * group. */
   def prCurveBy(df: DataFrame, group: String, score: String,
-                label: String, scale: Int = 6): DataFrame = {
+                label: String, scale: Int = 6): DataFrame =
+    prCurveByTail(scoreAggregateBy(df, group, score, label, scale),
+      group)
+
+  /** [[prCurveBy]] from an accreted `(group, thr, n, pos)` aggregate
+    * (fold-first; identity on a folded store). */
+  def prCurveByFromAggregate(agg: DataFrame, group: String): DataFrame =
+    prCurveByTail(foldAggregateBy(agg, group), group)
+
+  private def prCurveByTail(agg: DataFrame, group: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(group)).orderBy(col("thr").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy(col(group))
-    scoreAggregateBy(df, group, score, label, scale)
+    agg
       .withColumn("tp", sum("pos").over(w).cast("long"))
       .withColumn("_nge", sum("n").over(w))
       .withColumn("_p", sum("pos").over(all).cast("long"))
@@ -338,11 +355,20 @@ object Classifier {
     * Mann–Whitney fold within each group; `auc` null where a group
     * has one class only. */
   def rocAucBy(df: DataFrame, group: String, score: String,
-               label: String, scale: Int = 6): DataFrame = {
+               label: String, scale: Int = 6): DataFrame =
+    rocAucByTail(scoreAggregateBy(df, group, score, label, scale),
+      group)
+
+  /** [[rocAucBy]] from an accreted `(group, thr, n, pos)`
+    * aggregate. */
+  def rocAucByFromAggregate(agg: DataFrame, group: String): DataFrame =
+    rocAucByTail(foldAggregateBy(agg, group), group)
+
+  private def rocAucByTail(agg: DataFrame, group: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(group)).orderBy(col("thr").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    scoreAggregateBy(df, group, score, label, scale)
+    agg
       .withColumn("_before", sum("n").over(w) - col("n"))
       .groupBy(col(group))
       .agg(
@@ -361,14 +387,25 @@ object Classifier {
     * all-integer binned fold, run within each group. */
   def calibrationErrorBy(df: DataFrame, group: String, score: String,
                          label: String, bins: Int = 10,
-                         scale: Int = 6): DataFrame = {
+                         scale: Int = 6): DataFrame =
+    eceByTail(scoreAggregateBy(df, group, score, label, scale),
+      group, bins)
+
+  /** [[calibrationErrorBy]] from an accreted `(group, thr, n, pos)`
+    * aggregate. */
+  def eceByFromAggregate(agg: DataFrame, group: String,
+                         bins: Int = 10): DataFrame =
+    eceByTail(foldAggregateBy(agg, group), group, bins)
+
+  private def eceByTail(agg: DataFrame, group: String,
+                        bins: Int): DataFrame = {
     require(bins >= 1 && bins <= 1000000,
       s"classifier: bins must be in [1, 10^6]: $bins")
     val k = latticeOf(col("thr"))
     val bin = least(
       floor((k * lit(bins.toLong)) / lit(1000000L)).cast("long"),
       lit(bins.toLong - 1))
-    scoreAggregateBy(df, group, score, label, scale)
+    agg
       .groupBy(col(group), bin.as("_bin"))
       .agg(sum(col("n")).as("_nb"), sum(col("pos")).as("_pb"),
         sum(col("n") * k).as("_sk"))
@@ -378,6 +415,17 @@ object Classifier {
       .select(col(group), col("_n").cast("long").as("n"),
         roundHalfUp(col("_num") /
           (lit(1.0e6) * nullif(col("_n"), lit(0L))), 6).as("ece"))
+  }
+
+  /** [[scoreDriftBy]] from two accreted `(group, thr, n, ...)`
+    * aggregates — per-source drift between two store windows on
+    * read; labels are ignored if present. */
+  def driftFromAggregatesBy(refAgg: DataFrame, curAgg: DataFrame,
+                            group: String, bins: Int = 10): DataFrame = {
+    def fold(a: DataFrame) = a
+      .groupBy(col(group), inUnitInterval(col("thr")).as("thr"))
+      .agg(sum(col("n")).as("n"))
+    driftTailBy(fold(refAgg), fold(curAgg), group, bins)
   }
 
   /** The 1e-6 lattice index of a rounded score: `thr` is always a
@@ -466,6 +514,239 @@ object Classifier {
           (col("_skk") - lit(2000000L) * col("_skp") +
             lit(1000000000000L) * col("_p").cast(dec)).cast("double") /
             (lit(1.0e12) * nullif(col("_n"), lit(0L))), 6).as("brier"))
+  }
+
+  /** RELIABILITY DIAGRAM — the per-bin detail [[calibrationError]]
+    * summarizes: one row per non-empty equal-width confidence bin,
+    * `(bin, n, confidence, accuracy, gap)` with `confidence` the mean
+    * predicted score in the bin, `accuracy` the empirical positive
+    * rate, and `gap = accuracy − confidence` (signed: a negative gap
+    * is over-confidence). The drill-down a monitoring dashboard plots
+    * when ECE moves — WHICH confidence region went dishonest.
+    *
+    * Same exactness as ECE: on the 1e-6 lattice, confidence =
+    * Σ(n·k)_b / (10^6·n_b), accuracy = pos_b / n_b and gap =
+    * (pos_b·10^6 − Σ(n·k)_b) / (10^6·n_b) all have exact integer
+    * numerators (order-independent sums), one division + one 6dp
+    * rounding each. Derived from the bounded [[scoreAggregate]]
+    * monoid, so it composes with the [[CalibrationIndex]] store. */
+  def reliability(df: DataFrame, score: String, label: String,
+                  bins: Int = 10, scale: Int = 6): DataFrame =
+    reliabilityTail(scoreAggregate(df, score, label, scale), bins)
+
+  /** [[reliability]] from an accreted `(thr, n, pos)` aggregate
+    * (fold-first; identity on a folded store). */
+  def reliabilityFromAggregate(agg: DataFrame,
+                               bins: Int = 10): DataFrame =
+    reliabilityTail(foldAggregate(agg), bins)
+
+  private def reliabilityTail(agg: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000000,
+      s"classifier: bins must be in [1, 10^6]: $bins")
+    val k = latticeOf(col("thr"))
+    val bin = least(
+      floor((k * lit(bins.toLong)) / lit(1000000L)).cast("long"),
+      lit(bins.toLong - 1))
+    agg.groupBy(bin.as("bin"))
+      .agg(sum(col("n")).as("_nb"), sum(col("pos")).as("_pb"),
+        sum(col("n") * k).as("_sk"))
+      .select(col("bin"), col("_nb").cast("long").as("n"),
+        roundHalfUp(col("_sk") /
+          (lit(1.0e6) * col("_nb")), 6).as("confidence"),
+        roundHalfUp(col("_pb") / col("_nb").cast("double"), 6)
+          .as("accuracy"),
+        roundHalfUp((col("_pb") * lit(1000000L) - col("_sk")) /
+          (lit(1.0e6) * col("_nb")), 6).as("gap"))
+  }
+
+  /** OPERATING-POINT SELECTION — the step between calibrating a
+    * classifier and freezing it into a funnel gate: the threshold
+    * maximizing F_β over the exact [[prCurve]] confusion counts.
+    * Returns one row `(thr, tp, fp, fn, fbeta)`; empty on an empty
+    * input. Ties in the 6dp-rounded F_β break toward the LARGER
+    * threshold (the conservative gate: the stricter filter at equal
+    * quality) — a deterministic rule both engines replay.
+    *
+    * Runs entirely on the bounded per-score aggregate (≤ 10^scale + 1
+    * rows): the confusion counts are exact integers < 2^53, so every
+    * F_β arithmetic step is an exactly-rounded IEEE op — bit-equal
+    * across engines — before the single 6dp rounding. β is pinned to
+    * rational-friendly values by callers that need replay (β = 1 uses
+    * exactly 2.0 and 1.0 as the coefficients). */
+  def bestThreshold(df: DataFrame, score: String, label: String,
+                    beta: Double = 1.0, scale: Int = 6): DataFrame =
+    bestThresholdTail(scoreAggregate(df, score, label, scale), beta)
+
+  /** [[bestThreshold]] from an accreted `(thr, n, pos)` aggregate. */
+  def bestThresholdFromAggregate(agg: DataFrame,
+                                 beta: Double = 1.0): DataFrame =
+    bestThresholdTail(foldAggregate(agg), beta)
+
+  private def bestThresholdTail(agg: DataFrame,
+                                beta: Double): DataFrame = {
+    require(beta > 0, s"classifier: beta must be > 0: $beta")
+    val c1 = 1.0 + beta * beta // F_β numerator coefficient
+    val c2 = beta * beta
+    prCurveTail(agg)
+      .withColumn("fbeta", roundHalfUp(
+        (lit(c1) * col("tp")) /
+          (lit(c1) * col("tp") + lit(c2) * col("fn") + col("fp")), 6))
+      // max over the bounded curve; struct order = (fbeta, thr, ...)
+      // gives the larger-thr tie rule for free
+      .agg(max(struct(col("fbeta"), col("thr"), col("tp"), col("fp"),
+        col("fn"))).as("_m"))
+      .select(col("_m.thr").as("thr"), col("_m.tp").as("tp"),
+        col("_m.fp").as("fp"), col("_m.fn").as("fn"),
+        col("_m.fbeta").as("fbeta"))
+      .filter(col("thr").isNotNull) // empty aggregate -> empty result
+  }
+
+  /** The UNLABELED per-score histogram `(thr, n)` — the score-only
+    * sibling of [[scoreAggregate]] for monitoring PRODUCTION traffic,
+    * where labels don't exist but the score distribution still tells
+    * you the input population moved. Same additive monoid, same
+    * [0,1]-domain guard, same ≤ 10^scale + 1 bound. */
+  def scoreHistogram(df: DataFrame, score: String,
+                     scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"classifier: scoreHistogram scale must be in [0,6]: $scale")
+    df.filter(col(score).isNotNull)
+      .groupBy(roundHalfUp(inUnitInterval(col(score)), scale).as("thr"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** SCORE-DISTRIBUTION DRIFT between a reference window and a
+    * current window — the Population Stability Index, the standard
+    * "did the input population move under my deployed filter" monitor
+    * (and the one that needs NO labels): bin both score distributions
+    * into `bins` equal-width bins over [0,1] and fold
+    * `PSI = Σ_b (q_b − p_b) · ln(q_b / p_b)` with p the reference
+    * share and q the current share. Returns one row
+    * `(n_ref, n_cur, psi)`; PSI ≥ 0, 0 iff the binned shares match,
+    * symmetric under window swap. Rule of thumb: < 0.1 stable,
+    * > 0.25 population shift.
+    *
+    * Empty bins: shares are Laplace-smoothed — `p_b = (n_b + 1) /
+    * (N + bins)` — so every term is finite and deterministic with no
+    * epsilon clamp; the full bin spine (including bins empty on BOTH
+    * sides) participates, which keeps the smoothed shares a true
+    * distribution.
+    *
+    * Scale shape: each side reduces to its bounded [[scoreHistogram]]
+    * (one exchange of ≤ 10^scale + 1 rows); everything after runs on
+    * ≤ `bins` rows. Exactness: shares are exact-integer divisions
+    * (deterministic doubles), each bin's term is HALF_UP-quantized to
+    * the 1e-9 lattice and the fold sums LONGS — order-independent,
+    * the [[Mixing]] canonical-fold stance — with `ln`'s potential ulp
+    * wobble absorbed per-term (the q_perplexity precedent). */
+  def scoreDrift(ref: DataFrame, cur: DataFrame, score: String,
+                 bins: Int = 10, scale: Int = 6): DataFrame =
+    driftTail(scoreHistogram(ref, score, scale),
+      scoreHistogram(cur, score, scale), bins)
+
+  /** [[scoreDrift]] from two accreted `(thr, n, ...)` aggregates —
+    * drift between two [[CalibrationIndex]] tag windows on read;
+    * labels (a `pos` column) are ignored if present. */
+  def driftFromAggregates(refAgg: DataFrame, curAgg: DataFrame,
+                          bins: Int = 10): DataFrame = {
+    def fold(a: DataFrame) = a
+      .groupBy(inUnitInterval(col("thr")).as("thr"))
+      .agg(sum(col("n")).as("n"))
+    driftTail(fold(refAgg), fold(curAgg), bins)
+  }
+
+  /** The GROUPED per-score histogram `(group, thr, n)` — unlabeled,
+    * per source. Null groups excluded. */
+  def scoreHistogramBy(df: DataFrame, group: String, score: String,
+                       scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"classifier: scoreHistogramBy scale must be in [0,6]: $scale")
+    df.filter(col(group).isNotNull && col(score).isNotNull)
+      .groupBy(col(group),
+        roundHalfUp(inUnitInterval(col(score)), scale).as("thr"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** PER-SOURCE drift: [[scoreDrift]] evaluated within each group —
+    * `(group, n_ref, n_cur, psi)` — because an aggregate PSI can
+    * read stable while one ingestion source quietly moved (the
+    * [[scoreAggregateBy]] rationale applied to the label-free
+    * monitor). The bin spine covers every group present in EITHER
+    * window (a source absent from one side still gets an honest,
+    * fully-smoothed PSI); group cardinality is source-count-bounded
+    * by contract, so the spine is groups × bins rows. */
+  def scoreDriftBy(ref: DataFrame, cur: DataFrame, group: String,
+                   score: String, bins: Int = 10,
+                   scale: Int = 6): DataFrame =
+    driftTailBy(scoreHistogramBy(ref, group, score, scale),
+      scoreHistogramBy(cur, group, score, scale), group, bins)
+
+  private def driftTailBy(refH: DataFrame, curH: DataFrame,
+                          group: String, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000000,
+      s"classifier: bins must be in [1, 10^6]: $bins")
+    def binned(h: DataFrame, out: String) = {
+      val k = latticeOf(col("thr"))
+      h.groupBy(col(group), least(
+          floor((k * lit(bins.toLong)) / lit(1000000L)).cast("long"),
+          lit(bins.toLong - 1)).as("bin"))
+        .agg(sum(col("n")).as(out))
+    }
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+    // groups × bins spine as a MAP-SIDE explode over the distinct
+    // groups (never a cross join — no nested-loop node, and the
+    // spine stays group-count-bounded by contract)
+    val spine = refH.select(col(group)).distinct()
+      .unionByName(curH.select(col(group)).distinct()).distinct()
+      .withColumn("bin",
+        explode(sequence(lit(0L), lit(bins.toLong - 1L))))
+    val j = spine
+      .join(binned(refH, "_nr"), Seq(group, "bin"), "left")
+      .join(binned(curH, "_nc"), Seq(group, "bin"), "left")
+      .select(col(group), col("bin"),
+        coalesce(col("_nr"), lit(0L)).as("nr"),
+        coalesce(col("_nc"), lit(0L)).as("nc"))
+      .withColumn("tr", sum("nr").over(grp))
+      .withColumn("tc", sum("nc").over(grp))
+    val p = (col("nr") + lit(1L)) / (col("tr") + lit(bins.toLong))
+    val q = (col("nc") + lit(1L)) / (col("tc") + lit(bins.toLong))
+    j.withColumn("_tq",
+        roundHalfUp((q - p) * log(q / p) * lit(1.0e9), 0).cast("long"))
+      .groupBy(col(group))
+      .agg(sum("nr").cast("long").as("n_ref"),
+        sum("nc").cast("long").as("n_cur"),
+        roundHalfUp(sum("_tq") / lit(1.0e9), 6).as("psi"))
+  }
+
+  private def driftTail(refH: DataFrame, curH: DataFrame,
+                        bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000000,
+      s"classifier: bins must be in [1, 10^6]: $bins")
+    def binned(h: DataFrame, out: String) = {
+      val k = latticeOf(col("thr"))
+      h.groupBy(least(
+          floor((k * lit(bins.toLong)) / lit(1000000L)).cast("long"),
+          lit(bins.toLong - 1)).as("bin"))
+        .agg(sum(col("n")).as(out))
+    }
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val spine = refH.sparkSession.range(bins.toLong)
+      .select(col("id").as("bin"))
+    val j = spine
+      .join(binned(refH, "_nr"), Seq("bin"), "left")
+      .join(binned(curH, "_nc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("_nr"), lit(0L)).as("nr"),
+        coalesce(col("_nc"), lit(0L)).as("nc"))
+      .withColumn("tr", sum("nr").over(all))
+      .withColumn("tc", sum("nc").over(all))
+    val p = (col("nr") + lit(1L)) / (col("tr") + lit(bins.toLong))
+    val q = (col("nc") + lit(1L)) / (col("tc") + lit(bins.toLong))
+    j.withColumn("_tq",
+        roundHalfUp((q - p) * log(q / p) * lit(1.0e9), 0).cast("long"))
+      .agg(sum("nr").cast("long").as("n_ref"),
+        sum("nc").cast("long").as("n_cur"),
+        roundHalfUp(sum("_tq") / lit(1.0e9), 6).as("psi"))
   }
 
   /** Score rows against fit weights: appends `out` = σ(w·x) rounded

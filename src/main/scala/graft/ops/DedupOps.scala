@@ -141,6 +141,57 @@ object DedupOps {
     }
   }
 
+  /** Multi-benchmark contamination MATRIX — eval-suite integrity in
+    * one pass: for every (corpus document, benchmark) pair with at
+    * least one shared distinct w-gram, the shared-gram count. One
+    * scan answers "which of my N eval sets does this corpus leak
+    * into, and how badly" — N separate [[contaminationScan]]s would
+    * re-shingle the corpus N times. Same scale shape: both sides
+    * reduce to distinct 8-byte shingle hashes, the benchmark side
+    * ((bench, hash) rows over the whole SUITE — still test-set-sized)
+    * broadcasts, the corpus is matched in one map pass.
+    * `exactRecount = true` adds the survivor-bounded exact-string
+    * second pass ([[contaminationScanImpl]]'s collision-proofing),
+    * re-keyed per benchmark. Benchmarks with a null `benchId` are
+    * excluded; `id` and `benchId` must differ (the output carries
+    * both). Returns (id, benchId, n_contaminated). */
+  def contaminationMatrix(corpus: DataFrame, benchmarks: DataFrame,
+                          text: String, id: String, benchId: String,
+                          w: Int = 5,
+                          exactRecount: Boolean = false): DataFrame = {
+    require(id != benchId,
+      s"contaminationMatrix: id and benchId must differ: $id")
+    val corpusSh = corpus
+      .select(col(id), explode(array_distinct(shingles(col(text), w))).as("sh"))
+      .select(col(id), xxhash64(col("sh")).as("shh"))
+    val benchSh = benchmarks.filter(col(benchId).isNotNull)
+      .select(col(benchId),
+        explode(array_distinct(shingles(col(text), w))).as("sh"))
+      .select(col(benchId), xxhash64(col("sh")).as("shh")).distinct()
+    val hashed = corpusSh.join(broadcast(benchSh), Seq("shh"))
+      .groupBy(col(id), col(benchId))
+      .agg(countDistinct(col("shh")).as("n_contaminated"))
+    if (!exactRecount) hashed
+    else {
+      // survivor-bounded exact-string recount, per benchmark: the
+      // hash pass can only ADD (id, bench) membership, so survivors
+      // are a contamination-bounded superset; collision passengers
+      // recount to zero rows and drop
+      val benchTxt = benchmarks.filter(col(benchId).isNotNull)
+        .select(col(benchId),
+          explode(array_distinct(shingles(col(text), w))).as("sh"))
+        .distinct()
+      corpus
+        .join(broadcast(hashed.select(col(id)).distinct()), Seq(id),
+          "left_semi")
+        .select(col(id),
+          explode(array_distinct(shingles(col(text), w))).as("sh"))
+        .join(broadcast(benchTxt), Seq("sh"))
+        .groupBy(col(id), col(benchId))
+        .agg(count(lit(1)).as("n_contaminated"))
+    }
+  }
+
   /** NOVELTY scoring: per document, the fraction of its distinct
     * w-grams that appear FIRST in this document under ascending-id
     * corpus order — the "contribution" signal of the dedup

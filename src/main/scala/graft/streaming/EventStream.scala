@@ -472,6 +472,23 @@ object EventStream {
         ()
     }
 
+  /** [[calibrationSink]] PER SOURCE: each micro-batch lands its
+    * GROUPED aggregate (`[[graft.ops.CalibrationIndex.appendBy]]`,
+    * batches × groups × bounded rows), so the deployed filter's
+    * per-source curve / AUC / ECE / window drift derive on read —
+    * the multi-domain deploy loop's monitoring half. */
+  def calibrationSinkBy(scoredStream: DataFrame, indexPath: String,
+                        group: String, score: String, label: String,
+                        appId: String, scale: Int = 6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scoredStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ops.CalibrationIndex.appendBy(batch.sparkSession, batch,
+          indexPath, group, score, label, scale,
+          batchTag = Some(s"$appId-$batchId"))
+        ()
+    }
+
   /** Streaming cluster-label maintenance over a persisted
     * [[graft.ops.ComponentsIndex]]: each micro-batch of duplicate
     * pairs updates the stable per-document labels in O(batch +

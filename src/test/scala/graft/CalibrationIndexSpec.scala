@@ -62,6 +62,83 @@ class CalibrationIndexSpec extends SparkSpec {
     assert(curveOf(idx) == oneShot)
   }
 
+  test("tag-window reads: drift between windows == one-shot PSI over the batches; a missing tag fails loud") {
+    val idx = tmpDir() + "/calw"
+    CalibrationIndex.append(spark, b1.toDF("id", "p", "y"), idx,
+      "p", "y", batchTag = Some("w1"))
+    CalibrationIndex.append(spark, b2.toDF("id", "p", "y"), idx,
+      "p", "y", batchTag = Some("w2"))
+    val fromStore = CalibrationIndex.drift(spark, idx,
+      Seq("w1"), Seq("w2")).collect().head.toSeq
+    val oneShot = Classifier.scoreDrift(b1.toDF("id", "p", "y"),
+      b2.toDF("id", "p", "y"), "p").collect().head.toSeq
+    assert(fromStore == oneShot,
+      s"store-window drift diverged: $fromStore vs $oneShot")
+    // a misspelled / never-landed tag must not read as an empty-but-
+    // valid window
+    val e = intercept[IllegalArgumentException] {
+      CalibrationIndex.drift(spark, idx, Seq("w1"), Seq("nope"))
+    }
+    assert(e.getMessage.contains("no landed batch"), e.getMessage)
+    // whole-store reliability / operating-point reads fold to the
+    // one-shot metric over the concatenated batches
+    val both = (b1 ++ b2).toDF("id", "p", "y")
+    assert(CalibrationIndex.reliability(spark, idx).orderBy("bin")
+      .collect().map(_.toSeq).toSeq ==
+      Classifier.reliability(both, "p", "y").orderBy("bin")
+        .collect().map(_.toSeq).toSeq)
+    assert(CalibrationIndex.bestThreshold(spark, idx)
+      .collect().map(_.toSeq).toSeq ==
+      Classifier.bestThreshold(both, "p", "y")
+        .collect().map(_.toSeq).toSeq)
+  }
+
+  test("grouped store: per-source reads fold to the one-shot grouped metrics; window drift per source; compactBy changes nothing") {
+    val idx = tmpDir() + "/calg"
+    val g1 = Seq((1L, "a", 0.91, 1.0), (2L, "b", 0.34, 0.0),
+      (3L, "a", 0.91, 1.0))
+    val g2 = Seq((4L, "b", 0.34, 1.0), (5L, "a", 0.77, 0.0),
+      (6L, "b", 0.91, 0.0))
+    CalibrationIndex.appendBy(spark, g1.toDF("id", "g", "p", "y"), idx,
+      "g", "p", "y", batchTag = Some("w1"))
+    CalibrationIndex.appendBy(spark, g2.toDF("id", "g", "p", "y"), idx,
+      "g", "p", "y", batchTag = Some("w2"))
+    val both = (g1 ++ g2).toDF("id", "g", "p", "y")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSeq
+    def checkAll(): Unit = {
+      assert(rows(CalibrationIndex.prCurveBy(spark, idx, "g")) ==
+        rows(Classifier.prCurveBy(both, "g", "p", "y")),
+        "grouped store curve diverged from the one-shot")
+      assert(rows(CalibrationIndex.rocAucBy(spark, idx, "g")) ==
+        rows(Classifier.rocAucBy(both, "g", "p", "y")),
+        "grouped store AUC diverged")
+      assert(rows(CalibrationIndex.eceBy(spark, idx, "g")) ==
+        rows(Classifier.calibrationErrorBy(both, "g", "p", "y")),
+        "grouped store ECE diverged")
+    }
+    checkAll()
+    // the two window tags drift per source, equal to the one-shot
+    assert(rows(CalibrationIndex.driftBy(spark, idx, "g",
+        Seq("w1"), Seq("w2"))) ==
+      rows(Classifier.scoreDriftBy(g1.toDF("id", "g", "p", "y"),
+        g2.toDF("id", "g", "p", "y"), "g", "p")),
+      "grouped window drift diverged from the one-shot")
+    // a wrong group column name is loud, not a schema surprise
+    val e = intercept[IllegalArgumentException] {
+      CalibrationIndex.prCurveBy(spark, idx, "source")
+    }
+    assert(e.getMessage.contains("no group column"), e.getMessage)
+    // compact folds to one row per (group, thr); every answer holds
+    CalibrationIndex.compactBy(spark, idx, "g")
+    checkAll()
+    assert(CalibrationIndex.currentAggregateBy(spark, idx, "g")
+      .count() ==
+      Classifier.scoreAggregateBy(both, "g", "p", "y").count(),
+      "compactBy must fold to one row per (group, thr)")
+  }
+
   test("an all-null batch writes nothing; the store stays readable") {
     val idx = tmpDir() + "/caln"
     CalibrationIndex.append(spark, b1.toDF("id", "p", "y"), idx, "p", "y",

@@ -255,6 +255,109 @@ class ClassifierSpec extends SparkSpec {
       .select("g").distinct().count() == 2)
   }
 
+  test("reliability diagram: exact per-bin confidence/accuracy/gap; fromAggregate is the identity on a raw store") {
+    // bin 2 holds 0.20, 0.25; bin 9 holds 0.95, 1.00 (the clamp), 0.95
+    val df = Seq((1L, 0.20, 0.0), (2L, 0.25, 1.0), (3L, 0.95, 1.0),
+      (4L, 1.00, 1.0), (5L, 0.95, 0.0)).toDF("id", "p", "y")
+    val got = Classifier.reliability(df, "p", "y").orderBy("bin")
+      .collect().map(_.toSeq).toSeq
+    // bin 2: conf = 450000/2e6, acc = 1/2, gap = (1e6-450000)/2e6
+    // bin 9: conf = 2.9e6/3e6, acc = 2/3, gap = (2e6-2.9e6)/3e6 < 0
+    assert(got == Seq(
+      Seq(2L, 2L, 0.225, 0.5, 0.275),
+      Seq(9L, 3L, 0.966667, 0.666667, -0.3)), got.toString)
+    // an UNFOLDED two-batch aggregate folds first — same diagram
+    val raw = Classifier.scoreAggregate(
+        df.filter(col("id") <= 2), "p", "y")
+      .unionByName(Classifier.scoreAggregate(
+        df.filter(col("id") > 2), "p", "y"))
+    assert(Classifier.reliabilityFromAggregate(raw).orderBy("bin")
+      .collect().map(_.toSeq).toSeq == got,
+      "fromAggregate must fold a raw store to the one-shot diagram")
+  }
+
+  test("bestThreshold: F-beta argmax over exact counts; rounded ties break to the LARGER threshold; beta moves the pick") {
+    // F1 by threshold: .9 -> 2/3, .7 -> 1/2, .5 -> 2/5, .3 -> 2/3 —
+    // a planted tie; the conservative rule must pick thr = 0.9
+    val df = Seq((1L, 0.9, 1.0), (2L, 0.7, 0.0), (3L, 0.5, 0.0),
+      (4L, 0.3, 1.0)).toDF("id", "p", "y")
+    val f1 = Classifier.bestThreshold(df, "p", "y").collect()
+    assert(f1.map(_.toSeq).toSeq ==
+      Seq(Seq(0.9, 1L, 0L, 1L, 0.666667)), f1.mkString)
+    // recall-weighted beta = 2: F2(.9) = 5/9 < F2(.3) = 10/12 — the
+    // operating point slides down to capture both positives
+    val f2 = Classifier.bestThreshold(df, "p", "y", beta = 2.0).collect()
+    assert(f2.head.getDouble(0) == 0.3 && f2.head.getLong(1) == 2L,
+      f2.mkString)
+    // fromAggregate identity + empty input -> empty result
+    assert(Classifier.bestThresholdFromAggregate(
+      Classifier.scoreAggregate(df, "p", "y")).collect().map(_.toSeq)
+      .toSeq == f1.map(_.toSeq).toSeq)
+    assert(Classifier.bestThreshold(df.filter(col("id") < 0), "p", "y")
+      .collect().isEmpty, "empty input must yield an empty pick")
+  }
+
+  test("scoreDrift: zero on identical windows, large under a real shift, symmetric; aggregate-fed drift matches") {
+    val lo = Seq((1L, 0.11, 1.0), (2L, 0.12, 0.0), (3L, 0.23, 1.0),
+      (4L, 0.08, 0.0)).toDF("id", "p", "y")
+    val hi = Seq((5L, 0.91, 1.0), (6L, 0.88, 0.0), (7L, 0.77, 1.0),
+      (8L, 0.95, 0.0)).toDF("id", "p", "y")
+    def psi(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame) =
+      Classifier.scoreDrift(a, b, "p").collect().head
+    val same = psi(lo, lo)
+    assert(same.getDouble(2) == 0.0 && same.getLong(0) == 4L,
+      s"identical windows must read PSI 0: $same")
+    val moved = psi(lo, hi)
+    assert(moved.getDouble(2) > 0.25,
+      s"a wholesale shift must cross the 0.25 alarm: $moved")
+    // symmetric up to the 1e-9 term quantization: each bin's term is
+    // algebraically invariant under swap, but ln(p/q) is not bit-
+    // exactly -ln(q/p), so a boundary-landing term may quantize 1 off
+    assert(math.abs(moved.getDouble(2) - psi(hi, lo).getDouble(2))
+      <= 1e-6, "PSI must be symmetric under window swap")
+    // label-bearing aggregates feed driftFromAggregates unchanged
+    val viaAgg = Classifier.driftFromAggregates(
+      Classifier.scoreAggregate(lo, "p", "y"),
+      Classifier.scoreAggregate(hi, "p", "y")).collect().head
+    assert(viaAgg.toSeq == moved.toSeq,
+      s"aggregate-fed drift diverged: $viaAgg vs $moved")
+    // the histogram path carries the same loud [0,1] domain guard
+    val bad = Seq((9L, 1.5)).toDF("id", "p")
+    val e = intercept[Exception] {
+      Classifier.scoreDrift(bad, bad, "p").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("score out of [0,1]")),
+      s"expected the loud domain guard, got: $e")
+  }
+
+  test("grouped drift == each group's one-shot PSI; a group seen in only one window still reads; null groups excluded") {
+    val ref = Seq((1L, Some("a"), 0.10), (2L, Some("a"), 0.20),
+      (3L, Some("b"), 0.90), (4L, Some("b"), 0.80),
+      (5L, Option.empty[String], 0.50)).toDF("id", "g", "p")
+    val cur = Seq((6L, Some("a"), 0.90), (7L, Some("a"), 0.85))
+      .toDF("id", "g", "p")
+    val got = Classifier.scoreDriftBy(ref, cur, "g", "p").orderBy("g")
+      .collect().map(_.toSeq).toSeq
+    assert(got.map(_.head) == Seq("a", "b"),
+      s"expected groups a and b only (null excluded): $got")
+    for (g <- Seq("a", "b")) {
+      val one = Classifier.scoreDrift(
+        ref.filter(col("g") === g), cur.filter(col("g") === g), "p")
+        .collect().head.toSeq
+      assert(got.find(_.head == g).get.tail == one,
+        s"grouped PSI diverged for group $g: $got vs $one")
+    }
+    // group b is ref-only: its PSI reads against the smoothed-empty
+    // current window (all-Laplace shares) — finite and positive
+    val b = got.find(_.head == "b").get
+    assert(b(2) == 0L && b(3).asInstanceOf[Double] > 0.0,
+      s"one-sided group must read a finite positive PSI: $b")
+  }
+
   test("prCurve/rocAuc score-domain contract: out-of-[0,1] scores fail LOUD, never a silent corpus sort") {
     // the bounded-aggregate claim (<= 10^scale + 1 groupBy rows, hence
     // the single-task cumulative window) holds only for probability

@@ -246,6 +246,41 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Map(2L -> 2L))
   }
 
+  test("contamination matrix: one pass == a per-benchmark scan; recount form agrees; null bench ids excluded") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon entirely clean text"),
+      (2L, "xx the secret benchmark phrase yy zz"),
+      (3L, "aa unrelated eval question stem bb cc"),
+      (4L, "xx the secret benchmark phrase and unrelated eval question stem"))
+      .toDF("doc_id", "text")
+    val suite = Seq(
+      (Some(0L), "contains the secret benchmark phrase verbatim"),
+      (Some(1L), "an unrelated eval question stem appears here"),
+      (Option.empty[Long], "null bench never counts the secret benchmark phrase"))
+      .toDF("bench", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bench").collect().map(_.toSeq).toSeq
+    val got = rows(DedupOps.contaminationMatrix(corpus, suite, "text",
+      "doc_id", "bench", w = 3))
+    // doc 2 -> bench 0 (2 shared 3-grams); doc 3 -> bench 1 (2);
+    // doc 4 leaks into BOTH; the null-bench row never contributes
+    assert(got == Seq(
+      Seq(2L, 0L, 2L), Seq(3L, 1L, 2L),
+      Seq(4L, 0L, 2L), Seq(4L, 1L, 2L)), got.toString)
+    // matrix slice b == contaminationScan against benchmark b alone
+    for (b <- Seq(0L, 1L)) {
+      val slice = got.filter(_(1) == b).map(r => Seq(r(0), r(2)))
+      val one = DedupOps.contaminationScan(corpus,
+          suite.filter(col("bench") === b), "text", "doc_id", w = 3)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(slice == one, s"matrix slice diverged for bench $b")
+    }
+    // the collision-proof recount is the identity absent collisions
+    assert(rows(DedupOps.contaminationMatrix(corpus, suite, "text",
+      "doc_id", "bench", w = 3, exactRecount = true)) == got,
+      "exactRecount must be the identity on clean data")
+  }
+
   test("giant buckets are capped (quadratic-blowup guard)") {
     // 300 identical docs -> one bucket of 300 > maxBucket=200 -> dropped
     val many = (0L until 300L).map(i => (i, base)).toDF("doc_id", "text")

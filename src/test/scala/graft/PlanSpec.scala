@@ -292,7 +292,30 @@ class PlanSpec extends SparkSpec {
       // the presentation sort; every exchange carries
       // groups x bounded-aggregate rows, never the corpus
       "q_pr_curve_grouped" -> 3, "q_roc_auc_grouped" -> 4,
-      "q_ece_grouped" -> 4)
+      "q_ece_grouped" -> 4,
+      // r16: monitoring completion. reliability = bounded score
+      // aggregate + bin fold + presentation sort; threshold = score
+      // aggregate + the single-partition curve window (the argmax agg
+      // rides the same partition); drift = two bounded histograms +
+      // two bin folds + the single-partition spine window/fold (the
+      // spine joins broadcast — no shuffle of their own)
+      "q_reliability" -> 3, "q_threshold_f1" -> 2,
+      "q_drift_psi" -> 5,
+      // r16: per-source drift (two grouped histograms + two bin
+      // folds + the shard-partitioned spine window/fold + the
+      // presentation sort) and champion/challenger AUC (the grouped
+      // aggregate + per-model window + fold) — all bounded rows
+      "q_drift_psi_grouped" -> 7, "q_filter_ab" -> 3,
+      // r16: grouped-store reads (every exchange carries batches x
+      // groups x bounded-aggregate rows — the store, never a corpus)
+      // and the per-source drift read's fold+bin+spine chain; the
+      // contamination matrix = corpus shingle aggregate + broadcast
+      // suite join + the survivor-bounded recount pass + sort
+      "q_pr_curve_grouped_incremental" -> 3,
+      "q_roc_auc_grouped_incremental" -> 3,
+      "q_ece_grouped_incremental" -> 4,
+      "q_drift_psi_grouped_incremental" -> 9,
+      "q_decontam_matrix" -> 5)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,

@@ -920,6 +920,15 @@ class StreamingSpec extends SparkSpec {
     val aucExp = graft.ops.Classifier.rocAuc(oneShot, "p", "y")
       .collect().map(_.toSeq).toSeq
     assert(aucGot == aucExp, s"AUC diverged: $aucGot vs $aucExp")
+    // the two landed micro-batches ARE drift windows: PSI between
+    // their tag partitions == the one-shot PSI between the batches
+    assert(graft.ops.CalibrationIndex.drift(spark, s"$dir/cal",
+        Seq("spec-cal-0"), Seq("spec-cal-1"))
+        .collect().map(_.toSeq).toSeq ==
+      graft.ops.Classifier.scoreDrift(b1.toDF("doc_id", "p", "y"),
+          b2.toDF("doc_id", "p", "y"), "p")
+        .collect().map(_.toSeq).toSeq,
+      "streamed window drift diverged from the one-shot PSI")
     // at-least-once replay under the same appId: tag partitions
     // overwrite themselves — metrics unchanged
     val mem2 = MemoryStream[(Long, Double, Double)]
@@ -965,6 +974,40 @@ class StreamingSpec extends SparkSpec {
       intercept[Exception] { q3.processAllAvailable() }
       assert(q3.exception.isDefined, "out-of-domain score must fail loud")
     } finally q3.stop()
+  }
+
+  test("grouped calibration sink: per-source store reads equal the one-shot grouped metrics over the flow") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val b1 = Seq((1L, "a", 0.91, 1.0), (2L, "b", 0.34, 0.0),
+      (3L, "a", 0.91, 1.0))
+    val b2 = Seq((4L, "b", 0.34, 1.0), (5L, "a", 0.77, 0.0),
+      (6L, "b", 0.91, 0.0))
+    val mem = MemoryStream[(Long, String, Double, Double)]
+    val q = EventStream.calibrationSinkBy(
+        mem.toDF().toDF("doc_id", "g", "p", "y"),
+        s"$dir/calg", "g", "p", "y", appId = "spec-calg")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val both = (b1 ++ b2).toDF("doc_id", "g", "p", "y")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSeq
+    assert(rows(graft.ops.CalibrationIndex.prCurveBy(spark,
+        s"$dir/calg", "g")) ==
+      rows(graft.ops.Classifier.prCurveBy(both, "g", "p", "y")),
+      "streamed grouped curve diverged from the batch metric")
+    // per-source drift between the two landed micro-batch windows
+    assert(rows(graft.ops.CalibrationIndex.driftBy(spark,
+        s"$dir/calg", "g", Seq("spec-calg-0"), Seq("spec-calg-1"))) ==
+      rows(graft.ops.Classifier.scoreDriftBy(
+        b1.toDF("doc_id", "g", "p", "y"),
+        b2.toDF("doc_id", "g", "p", "y"), "g", "p")),
+      "streamed per-source window drift diverged from the one-shot")
   }
 
   test("streaming components sink: accumulated labels == one-shot CC") {
