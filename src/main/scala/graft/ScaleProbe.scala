@@ -82,8 +82,8 @@ object ScaleProbe {
       "embed_incremental_folded", "components_incremental",
       "components_star", "dedup_exact_incremental", "ann_recall",
       "embed_recall", "token_budget", "token_budget_naive", "dsir",
-      "decontam_fuzzy", "novelty", "split_leakfree", "logreg",
-      "pr_curve", "calibration")
+      "decontam_fuzzy", "decontam_matrix", "novelty", "split_leakfree",
+      "logreg", "pr_curve", "calibration")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -545,6 +545,22 @@ object ScaleProbe {
         }
       }
       scrub()
+      // contamination MATRIX: the whole eval suite (3 benchmarks) in
+      // ONE corpus shingle pass with the collision-proof recount on —
+      // the corpus side reduces to 8-byte hashes map-side, the
+      // (bench, hash) suite broadcasts, and the recount is survivor-
+      // bounded. Expected growth ~N (one shingle scan + one
+      // survivor-sized string pass); N separate scans would be ~3N.
+      val tMatrix = if (!want("decontam_matrix")) -1.0 else {
+        val suite = spark.read.parquet(dPaths(1))
+          .filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") % 3).as("bench"), col("text"))
+        best2 {
+          graft.ops.DedupOps.contaminationMatrix(d, suite, "text",
+            "doc_id", "bench", w = 3, exactRecount = true).count()
+        }
+      }
+      scrub()
       // novelty scoring: per-doc fraction of corpus-first w-grams —
       // one gram-hash min(id) aggregate + one join back, both
       // exchanges carrying 8-byte xxhash64 keys (never gram text).
@@ -745,6 +761,7 @@ object ScaleProbe {
         "bpe_train" -> tBpe, "quantiles" -> tQ, "perplexity" -> tPpl,
         "token_budget" -> tBudget, "token_budget_naive" -> tBudgetNaive,
         "dsir" -> tDsir, "decontam_fuzzy" -> tFuzzy,
+        "decontam_matrix" -> tMatrix,
         "novelty" -> tNovelty, "split_leakfree" -> tSplit,
         "logreg" -> tLogreg, "pr_curve" -> tPrCurve,
         "calibration" -> tCalib)
