@@ -140,6 +140,75 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PSI >= 0 on random windows, 0 iff the binned shares match, symmetric") {
+    import graft.ops.Classifier
+    val winGen: Gen[List[Double]] =
+      Gen.nonEmptyListOf(Gen.choose(0, 100).map(_ / 100.0))
+    for (s <- 1L to 10L) {
+      val a = sample(winGen, s + 700)
+      val b = sample(winGen, s + 800)
+      def df(xs: List[Double]) = xs.zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+      val ab = Classifier.scoreDrift(df(a), df(b), "p").head()
+      val ba = Classifier.scoreDrift(df(b), df(a), "p").head()
+      // each term (q-p)ln(q/p) is >= 0 (signs agree), so PSI >= 0
+      assert(ab.getDouble(2) >= 0.0, s"seed=$s: PSI must be >= 0: $ab")
+      assert(math.abs(ab.getDouble(2) - ba.getDouble(2)) <= 1e-6,
+        s"seed=$s: PSI must be symmetric: $ab vs $ba")
+      // equal binned histograms (same counts, same totals) make
+      // every term vanish EXACTLY — zero, not epsilon (the converse
+      // is not asserted: a sub-quantum difference may round to 0)
+      def binned(xs: List[Double]) = xs
+        .groupBy(p => math.min((p * 1e6).round * 10 / 1000000, 9L))
+        .view.mapValues(_.size).toMap
+      if (a.length == b.length && binned(a) == binned(b))
+        assert(ab.getDouble(2) == 0.0,
+          s"seed=$s: equal shares must read PSI 0, got $ab")
+      // the self-window always reads exactly zero
+      assert(Classifier.scoreDrift(df(a), df(a), "p")
+        .head().getDouble(2) == 0.0, s"seed=$s: self-PSI must be 0")
+    }
+  }
+
+  test("property: reliability's per-bin gaps fold back to ECE; bestThreshold == brute-force F1 argmax") {
+    import graft.ops.Classifier
+    val ptsGen: Gen[List[(Double, Double)]] =
+      Gen.nonEmptyListOf(for {
+        y <- Gen.oneOf(0.0, 1.0)
+        sc <- Gen.choose(0, 20).map(_ / 20.0)
+      } yield (y, sc))
+    for (s <- 1L to 10L) {
+      val pts = sample(ptsGen, s + 900)
+      val df = pts.zipWithIndex
+        .map { case ((y, sc), i) => (i.toLong, y, sc) }
+        .toDF("id", "y", "s")
+      // ECE == sum_b (n_b/N)|gap_b| over the reliability rows (each
+      // side rounds once, so agreement is to bins x 1e-6)
+      val rel = Classifier.reliability(df, "s", "y")
+        .select("n", "gap").collect()
+      val n = rel.map(_.getLong(0)).sum
+      val folded = rel.map(r => r.getLong(0) *
+        math.abs(r.getDouble(1))).sum / n
+      val ece = Classifier.calibrationError(df, "s", "y")
+        .head().getDouble(1)
+      assert(math.abs(folded - ece) <= rel.length * 1e-6 + 1e-12,
+        s"seed=$s: reliability gaps ($folded) must fold to ECE ($ece)")
+      // bestThreshold == the F1 argmax recomputed from prCurve rows,
+      // with the larger-thr tie rule
+      val curve = Classifier.prCurve(df, "s", "y")
+        .select("thr", "tp", "fp", "fn").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val f1 = curve.map { case (thr, tp, fp, fn) =>
+        (thr, graft.functions.Rounding.roundHalfUpDouble(
+          2.0 * tp / (2.0 * tp + 1.0 * fn + fp), 6)) }
+      val bestBrute = f1.maxBy { case (thr, f) => (f, thr) }
+      val got = Classifier.bestThreshold(df, "s", "y").head()
+      assert((got.getDouble(0), got.getDouble(4)) == bestBrute,
+        s"seed=$s: bestThreshold ${got.toSeq} != brute $bestBrute")
+    }
+  }
+
   test("property: distributed BPE == reference Sennrich on random corpora") {
     // a,b,c,d words of length <= 6: dense pair collisions, frequent
     // left==right runs, frequent early fusion — the adversarial zone
