@@ -1000,6 +1000,33 @@ object ExtQueries {
        |    AS psi
        |FROM tm""".stripMargin
 
+  /** The KS-drift oracle, shared by `q_drift_ks` and
+    * `q_drift_ks_incremental`: per-side bounded histograms, the
+    * merged full-outer threshold spine, exact cross-multiplied
+    * integer numerators over HUGEINT, one division + 6dp rounding. */
+  private lazy val driftKsOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT doc_id, $classifierScoreSql AS p
+       |           FROM feats, w3),
+       |hr AS (SELECT p AS thr, count(*) AS n FROM scored
+       |       WHERE doc_id % 2 = 0 GROUP BY 1),
+       |hc AS (SELECT p AS thr, count(*) AS n FROM scored
+       |       WHERE doc_id % 2 <> 0 GROUP BY 1),
+       |u AS (SELECT coalesce(hr.thr, hc.thr) AS thr,
+       |      coalesce(hr.n, 0) AS nr, coalesce(hc.n, 0) AS nc
+       |  FROM hr FULL OUTER JOIN hc ON hr.thr = hc.thr),
+       |c AS (SELECT
+       |    sum(nr) OVER (ORDER BY thr ROWS UNBOUNDED PRECEDING) AS ca,
+       |    sum(nc) OVER (ORDER BY thr ROWS UNBOUNDED PRECEDING) AS cb,
+       |    sum(nr) OVER () AS ta, sum(nc) OVER () AS tb FROM u)
+       |SELECT CAST(max(ta) AS BIGINT) AS n_ref,
+       |  CAST(max(tb) AS BIGINT) AS n_cur,
+       |  ${sqlRound(
+      "CAST(max(abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))" +
+        " AS DOUBLE) / (CAST(nullif(max(ta), 0) AS DOUBLE) *" +
+        " CAST(nullif(max(tb), 0) AS DOUBLE))", 6)} AS ks
+       |FROM c""".stripMargin
+
   /** The grouped-PSI oracle for `q_drift_psi_grouped`: the drift
     * replay run per shard, with the spine covering every shard seen
     * in either window and every fold partitioned on the shard. */
@@ -2416,6 +2443,27 @@ object ExtQueries {
         scored.filter(col("doc_id") % 2 === 0),
         scored.filter(col("doc_id") % 2 =!= 0), "p")
     }),
+
+    // Kolmogorov-Smirnov drift between the same two windows — the
+    // binning-free two-sample test PSI approximates: the exact
+    // sup-CDF-gap over the merged bounded aggregate, all-integer
+    // numerators, no smoothing. The production pairing: KS for the
+    // alarm (distribution-free), PSI for the magnitude convention.
+    "q_drift_ks" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = classifierWeights(s, dir)
+      val scored = graft.ops.Classifier.scoreLogistic(feats,
+        graft.ops.Classifier.textFeatureCols, w.toSeq)
+      graft.ops.Classifier.scoreDriftKs(
+        scored.filter(col("doc_id") % 2 === 0),
+        scored.filter(col("doc_id") % 2 =!= 0), "p")
+    }),
+
+    // ... and the same statistic from the accreted store's hist/daily
+    // tag windows (the doc-parity halves) — oracle shared verbatim.
+    "q_drift_ks_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.driftKs(s, calibFixture(s, dir) + "/idx",
+        Seq("hist"), Seq("daily"))),
 
     // PER-SOURCE drift: PSI within each ingestion shard (doc_id % 4),
     // windows split by (doc_id % 8 < 4) so every shard holds both
@@ -5140,6 +5188,8 @@ object ExtQueries {
     "q_threshold_f1_incremental" -> thresholdOracle,
     "q_drift_psi" -> driftOracle,
     "q_drift_psi_incremental" -> driftOracle,
+    "q_drift_ks" -> driftKsOracle,
+    "q_drift_ks_incremental" -> driftKsOracle,
     "q_drift_psi_grouped" -> driftGroupedOracle,
     "q_filter_ab" -> filterAbOracle,
 

@@ -143,6 +143,15 @@ object CalibrationIndex {
       windowAggregate(spark, indexPath, refTags),
       windowAggregate(spark, indexPath, curTags), bins)
 
+  /** Kolmogorov–Smirnov drift ([[Classifier.scoreDriftKs]]) between
+    * two tag windows — the binning-free two-sample test, derived from
+    * the same accreted aggregates. */
+  def driftKs(spark: SparkSession, indexPath: String,
+              refTags: Seq[String], curTags: Seq[String]): DataFrame =
+    Classifier.ksFromAggregates(
+      windowAggregate(spark, indexPath, refTags),
+      windowAggregate(spark, indexPath, curTags))
+
   // ---- PER-SOURCE (grouped) store: the multi-domain deploy loop ----
   // One filter over many ingestion sources is monitored per source;
   // the store keeps the GROUPED monoid (batch_tag, <group>, thr, n,

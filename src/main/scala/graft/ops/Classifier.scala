@@ -719,6 +719,65 @@ object Classifier {
         roundHalfUp(sum("_tq") / lit(1.0e9), 6).as("psi"))
   }
 
+  /** KOLMOGOROV–SMIRNOV two-sample drift — [[scoreDrift]]'s
+    * binning-free companion: `KS = sup_t |CDF_ref(t) − CDF_cur(t)|`
+    * over the two score distributions, evaluated EXACTLY on the
+    * merged per-score aggregate (for step CDFs the supremum sits at
+    * a jump point, so the max over merged thresholds IS the
+    * statistic). Where PSI needs bins and smoothing, KS needs
+    * neither — no ln, no Laplace: the per-threshold numerator
+    * |cum_ref·N_cur − cum_cur·N_ref| is an exact DECIMAL(38,0)
+    * integer (order-independent sums; no overflow to ~10^18 rows a
+    * side), and the single division + 6dp rounding happen once.
+    * Returns one row `(n_ref, n_cur, ks)`; `ks` ∈ [0,1], 0 iff the
+    * rounded-score distributions coincide, null when either window
+    * is empty (undefined, surfaced instead of 0).
+    *
+    * Scale shape: each side reduces to its bounded [[scoreHistogram]]
+    * (≤ 10^scale + 1 rows); the merged full-outer join and the
+    * cumulative pass run on that bounded union — never a corpus
+    * sort. */
+  def scoreDriftKs(ref: DataFrame, cur: DataFrame, score: String,
+                   scale: Int = 6): DataFrame =
+    ksTail(scoreHistogram(ref, score, scale),
+      scoreHistogram(cur, score, scale))
+
+  /** [[scoreDriftKs]] from two accreted `(thr, n, ...)` aggregates —
+    * KS between two [[CalibrationIndex]] tag windows on read. */
+  def ksFromAggregates(refAgg: DataFrame,
+                       curAgg: DataFrame): DataFrame = {
+    def fold(a: DataFrame) = a
+      .groupBy(inUnitInterval(col("thr")).as("thr"))
+      .agg(sum(col("n")).as("n"))
+    ksTail(fold(refAgg), fold(curAgg))
+  }
+
+  private def ksTail(refH: DataFrame, curH: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("thr"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    refH.select(col("thr"), col("n").as("_r"))
+      .join(curH.select(col("thr"), col("n").as("_c")),
+        Seq("thr"), "full_outer")
+      .select(col("thr"), coalesce(col("_r"), lit(0L)).as("nr"),
+        coalesce(col("_c"), lit(0L)).as("nc"))
+      .withColumn("ca", sum("nr").over(w))
+      .withColumn("cb", sum("nc").over(w))
+      .withColumn("ta", sum("nr").over(all))
+      .withColumn("tb", sum("nc").over(all))
+      .agg(
+        max(abs(col("ca").cast(dec) * col("tb") -
+          col("cb").cast(dec) * col("ta"))).as("_num"),
+        max("ta").as("_ta"), max("tb").as("_tb"))
+      .select(coalesce(col("_ta"), lit(0L)).cast("long").as("n_ref"),
+        coalesce(col("_tb"), lit(0L)).cast("long").as("n_cur"),
+        roundHalfUp(col("_num").cast("double") /
+          (nullif(col("_ta"), lit(0L)).cast("double") *
+            nullif(col("_tb"), lit(0L)).cast("double")), 6).as("ks"))
+  }
+
   private def driftTail(refH: DataFrame, curH: DataFrame,
                         bins: Int): DataFrame = {
     require(bins >= 1 && bins <= 1000000,

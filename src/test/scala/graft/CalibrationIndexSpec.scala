@@ -74,6 +74,12 @@ class CalibrationIndexSpec extends SparkSpec {
       b2.toDF("id", "p", "y"), "p").collect().head.toSeq
     assert(fromStore == oneShot,
       s"store-window drift diverged: $fromStore vs $oneShot")
+    // the KS statistic derives from the same windows
+    assert(CalibrationIndex.driftKs(spark, idx, Seq("w1"), Seq("w2"))
+        .collect().head.toSeq ==
+      Classifier.scoreDriftKs(b1.toDF("id", "p", "y"),
+        b2.toDF("id", "p", "y"), "p").collect().head.toSeq,
+      "store-window KS diverged from the one-shot")
     // a misspelled / never-landed tag must not read as an empty-but-
     // valid window
     val e = intercept[IllegalArgumentException] {

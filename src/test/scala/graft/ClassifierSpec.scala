@@ -334,6 +334,27 @@ class ClassifierSpec extends SparkSpec {
       s"expected the loud domain guard, got: $e")
   }
 
+  test("KS drift: exact sup-CDF gap — 0 on identical windows, 1 on disjoint supports, hand-checked in between; empty window reads null") {
+    def df(xs: Seq[Double]) = xs.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+    def ks(a: Seq[Double], b: Seq[Double]) =
+      Classifier.scoreDriftKs(df(a), df(b), "p").collect().head
+    val same = ks(Seq(0.1, 0.2, 0.2), Seq(0.1, 0.2, 0.2))
+    assert(same.getDouble(2) == 0.0, s"identical windows: $same")
+    val disjoint = ks(Seq(0.1, 0.2, 0.2), Seq(0.8, 0.9))
+    assert(disjoint.getDouble(2) == 1.0 && disjoint.getLong(0) == 3L &&
+      disjoint.getLong(1) == 2L, s"disjoint supports: $disjoint")
+    // CDFs: ref jumps to 1/2 at .1, 1 at .5; cur 1/2 at .5, 1 at .9 —
+    // the sup gap is exactly 0.5 (at any t in [.1, .5))
+    assert(ks(Seq(0.1, 0.5), Seq(0.5, 0.9)).getDouble(2) == 0.5)
+    // an empty window leaves KS undefined — null, never a silent 0
+    val empty = Classifier.scoreDriftKs(
+      df(Seq(0.1)).filter(col("id") < 0), df(Seq(0.5)), "p")
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(2),
+      s"empty ref window must read null: $empty")
+  }
+
   test("grouped drift == each group's one-shot PSI; a group seen in only one window still reads; null groups excluded") {
     val ref = Seq((1L, Some("a"), 0.10), (2L, Some("a"), 0.20),
       (3L, Some("b"), 0.90), (4L, Some("b"), 0.80),

@@ -311,6 +311,10 @@ class PlanSpec extends SparkSpec {
       // and the per-source drift read's fold+bin+spine chain; the
       // contamination matrix = corpus shingle aggregate + broadcast
       // suite join + the survivor-bounded recount pass + sort
+      // r16: KS drift — two bounded histograms, the merged full-outer
+      // spine (sort-merge on thr over bounded rows), the single-
+      // partition cumulative pass + final fold
+      "q_drift_ks" -> 5,
       "q_pr_curve_grouped_incremental" -> 3,
       "q_roc_auc_grouped_incremental" -> 3,
       "q_ece_grouped_incremental" -> 4,

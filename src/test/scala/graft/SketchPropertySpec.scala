@@ -167,6 +167,23 @@ class SketchPropertySpec extends SparkSpec {
       // the self-window always reads exactly zero
       assert(Classifier.scoreDrift(df(a), df(a), "p")
         .head().getDouble(2) == 0.0, s"seed=$s: self-PSI must be 0")
+      // KS on the same windows: in [0,1], EXACTLY symmetric (integer
+      // numerators), zero on the self-window, and equal to the
+      // brute-force sup-CDF gap over the merged support
+      val ksAb = Classifier.scoreDriftKs(df(a), df(b), "p")
+        .head().getDouble(2)
+      assert(ksAb >= 0.0 && ksAb <= 1.0, s"seed=$s: KS out of [0,1]")
+      assert(ksAb == Classifier.scoreDriftKs(df(b), df(a), "p")
+        .head().getDouble(2), s"seed=$s: KS must be symmetric")
+      assert(Classifier.scoreDriftKs(df(a), df(a), "p")
+        .head().getDouble(2) == 0.0, s"seed=$s: self-KS must be 0")
+      val thrs = (a ++ b).map(p => (p * 1e6).round / 1e6).distinct
+      val brute = thrs.map { t =>
+        math.abs(a.count(p => (p * 1e6).round / 1e6 <= t).toDouble / a.length -
+          b.count(p => (p * 1e6).round / 1e6 <= t).toDouble / b.length)
+      }.max
+      assert(math.abs(ksAb - brute) <= 1e-6,
+        s"seed=$s: KS $ksAb != brute sup-CDF gap $brute")
     }
   }
 
