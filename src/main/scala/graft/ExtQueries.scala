@@ -1027,6 +1027,62 @@ object ExtQueries {
         " CAST(nullif(max(tb), 0) AS DOUBLE))", 6)} AS ks
        |FROM c""".stripMargin
 
+  /** The grouped operating-point oracle for `q_threshold_f1_grouped`:
+    * the grouped PR fold + per-shard F1 argmax with the larger-thr
+    * tie rule (arg_max over the (fbeta, thr) pair). */
+  private lazy val thresholdGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |$groupedScoredCtes,
+       |c AS (SELECT shard, thr,
+       |    sum(pos) OVER (PARTITION BY shard ORDER BY thr DESC
+       |      ROWS UNBOUNDED PRECEDING) AS tp,
+       |    sum(n) OVER (PARTITION BY shard ORDER BY thr DESC
+       |      ROWS UNBOUNDED PRECEDING) AS nge,
+       |    sum(pos) OVER (PARTITION BY shard) AS p_all
+       |  FROM g),
+       |f AS (SELECT shard, thr, CAST(tp AS BIGINT) AS tp,
+       |    CAST(nge - tp AS BIGINT) AS fp,
+       |    CAST(p_all - tp AS BIGINT) AS fn FROM c),
+       |s AS (SELECT shard, thr, tp, fp, fn,
+       |    ${sqlRound("(2.0 * tp) / (2.0 * tp + 1.0 * fn + fp)", 6)}
+       |      AS fbeta FROM f),
+       |r AS (SELECT shard, thr, tp, fp, fn, fbeta,
+       |    row_number() OVER (PARTITION BY shard
+       |      ORDER BY fbeta DESC, thr DESC) AS rk FROM s)
+       |SELECT shard, thr, tp, fp, fn, fbeta FROM r WHERE rk = 1
+       |ORDER BY shard""".stripMargin
+
+  /** The grouped-KS oracle for `q_drift_ks_grouped`: the merged
+    * per-shard threshold spine, exact cross-multiplied numerators,
+    * every window partitioned on the shard. */
+  private lazy val driftKsGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT doc_id, doc_id % 4 AS shard,
+       |    $classifierScoreSql AS p FROM feats, w3),
+       |hr AS (SELECT shard, p AS thr, count(*) AS n FROM scored
+       |       WHERE doc_id % 8 < 4 GROUP BY 1, 2),
+       |hc AS (SELECT shard, p AS thr, count(*) AS n FROM scored
+       |       WHERE doc_id % 8 >= 4 GROUP BY 1, 2),
+       |u AS (SELECT coalesce(hr.shard, hc.shard) AS shard,
+       |      coalesce(hr.thr, hc.thr) AS thr,
+       |      coalesce(hr.n, 0) AS nr, coalesce(hc.n, 0) AS nc
+       |  FROM hr FULL OUTER JOIN hc
+       |    ON hr.shard = hc.shard AND hr.thr = hc.thr),
+       |c AS (SELECT shard,
+       |    sum(nr) OVER (PARTITION BY shard ORDER BY thr
+       |      ROWS UNBOUNDED PRECEDING) AS ca,
+       |    sum(nc) OVER (PARTITION BY shard ORDER BY thr
+       |      ROWS UNBOUNDED PRECEDING) AS cb,
+       |    sum(nr) OVER (PARTITION BY shard) AS ta,
+       |    sum(nc) OVER (PARTITION BY shard) AS tb FROM u)
+       |SELECT shard, CAST(max(ta) AS BIGINT) AS n_ref,
+       |  CAST(max(tb) AS BIGINT) AS n_cur,
+       |  ${sqlRound(
+      "CAST(max(abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))" +
+        " AS DOUBLE) / (CAST(nullif(max(ta), 0) AS DOUBLE) *" +
+        " CAST(nullif(max(tb), 0) AS DOUBLE))", 6)} AS ks
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+
   /** The grouped-PSI oracle for `q_drift_psi_grouped`: the drift
     * replay run per shard, with the spine covering every shard seen
     * in either window and every fold partitioned on the shard. */
@@ -2477,6 +2533,34 @@ object ExtQueries {
           graft.ops.Classifier.textFeatureCols, w.toSeq)
         .withColumn("shard", col("doc_id") % 4)
       graft.ops.Classifier.scoreDriftBy(
+          scored.filter(col("doc_id") % 8 < 4),
+          scored.filter(col("doc_id") % 8 >= 4), "shard", "p")
+        .orderBy("shard")
+    }),
+
+    // Per-source operating points: each ingestion shard gets its own
+    // F1-optimal gate threshold — one global minP over-filters the
+    // shard whose score distribution sits low.
+    "q_threshold_f1_grouped" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = classifierWeights(s, dir)
+      graft.ops.Classifier.bestThresholdBy(
+          graft.ops.Classifier.scoreLogistic(feats,
+            graft.ops.Classifier.textFeatureCols, w.toSeq)
+            .withColumn("shard", col("doc_id") % 4),
+          "shard", "p", "y")
+        .orderBy("shard")
+    }),
+
+    // Per-source KS between the same two windows as the grouped PSI —
+    // the distribution-free alarm, per shard.
+    "q_drift_ks_grouped" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = classifierWeights(s, dir)
+      val scored = graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq)
+        .withColumn("shard", col("doc_id") % 4)
+      graft.ops.Classifier.scoreDriftKsBy(
           scored.filter(col("doc_id") % 8 < 4),
           scored.filter(col("doc_id") % 8 >= 4), "shard", "p")
         .orderBy("shard")
@@ -5190,6 +5274,8 @@ object ExtQueries {
     "q_drift_psi_incremental" -> driftOracle,
     "q_drift_ks" -> driftKsOracle,
     "q_drift_ks_incremental" -> driftKsOracle,
+    "q_threshold_f1_grouped" -> thresholdGroupedOracle,
+    "q_drift_ks_grouped" -> driftKsGroupedOracle,
     "q_drift_psi_grouped" -> driftGroupedOracle,
     "q_filter_ab" -> filterAbOracle,
 

@@ -601,6 +601,68 @@ object Classifier {
       .filter(col("thr").isNotNull) // empty aggregate -> empty result
   }
 
+  /** Per-source [[bestThreshold]]: the F_β-optimal operating point
+    * WITHIN each group — the per-domain `minP` reality of a deployed
+    * multi-source funnel (one global threshold over-filters the
+    * domain whose score distribution sits low). Same larger-thr tie
+    * rule, replayed per group. Returns
+    * (group, thr, tp, fp, fn, fbeta). */
+  def bestThresholdBy(df: DataFrame, group: String, score: String,
+                      label: String, beta: Double = 1.0,
+                      scale: Int = 6): DataFrame = {
+    require(beta > 0, s"classifier: beta must be > 0: $beta")
+    val c1 = 1.0 + beta * beta
+    val c2 = beta * beta
+    prCurveByTail(scoreAggregateBy(df, group, score, label, scale),
+        group)
+      .withColumn("fbeta", roundHalfUp(
+        (lit(c1) * col("tp")) /
+          (lit(c1) * col("tp") + lit(c2) * col("fn") + col("fp")), 6))
+      .groupBy(col(group))
+      .agg(max(struct(col("fbeta"), col("thr"), col("tp"), col("fp"),
+        col("fn"))).as("_m"))
+      .select(col(group), col("_m.thr").as("thr"),
+        col("_m.tp").as("tp"), col("_m.fp").as("fp"),
+        col("_m.fn").as("fn"), col("_m.fbeta").as("fbeta"))
+  }
+
+  /** Per-source [[scoreDriftKs]]: the exact sup-CDF gap within each
+    * group, on the merged per-(group, thr) aggregate — groups seen in
+    * only one window read `ks` null (a one-sided KS is undefined,
+    * surfaced instead of 0 or 1). */
+  def scoreDriftKsBy(ref: DataFrame, cur: DataFrame, group: String,
+                     score: String, scale: Int = 6): DataFrame = {
+    val refH = scoreHistogramBy(ref, group, score, scale)
+    val curH = scoreHistogramBy(cur, group, score, scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("thr"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    refH.select(col(group), col("thr"), col("n").as("_r"))
+      .join(curH.select(col(group), col("thr"), col("n").as("_c")),
+        Seq(group, "thr"), "full_outer")
+      .select(col(group), col("thr"),
+        coalesce(col("_r"), lit(0L)).as("nr"),
+        coalesce(col("_c"), lit(0L)).as("nc"))
+      .withColumn("ca", sum("nr").over(w))
+      .withColumn("cb", sum("nc").over(w))
+      .withColumn("ta", sum("nr").over(all))
+      .withColumn("tb", sum("nc").over(all))
+      .groupBy(col(group))
+      .agg(
+        max(abs(col("ca").cast(dec) * col("tb") -
+          col("cb").cast(dec) * col("ta"))).as("_num"),
+        max("ta").as("_ta"), max("tb").as("_tb"))
+      .select(col(group),
+        col("_ta").cast("long").as("n_ref"),
+        col("_tb").cast("long").as("n_cur"),
+        roundHalfUp(col("_num").cast("double") /
+          (nullif(col("_ta"), lit(0L)).cast("double") *
+            nullif(col("_tb"), lit(0L)).cast("double")), 6).as("ks"))
+  }
+
   /** The UNLABELED per-score histogram `(thr, n)` — the score-only
     * sibling of [[scoreAggregate]] for monitoring PRODUCTION traffic,
     * where labels don't exist but the score distribution still tells

@@ -377,6 +377,37 @@ class ClassifierSpec extends SparkSpec {
     val b = got.find(_.head == "b").get
     assert(b(2) == 0L && b(3).asInstanceOf[Double] > 0.0,
       s"one-sided group must read a finite positive PSI: $b")
+    // grouped KS over the same windows: group a == its one-shot KS;
+    // the one-sided group b reads ks NULL (undefined, never 0 or 1)
+    val ksg = Classifier.scoreDriftKsBy(ref, cur, "g", "p")
+      .orderBy("g").collect()
+    assert(ksg.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(ksg(0).toSeq.tail == Classifier.scoreDriftKs(
+        ref.filter(col("g") === "a"), cur.filter(col("g") === "a"), "p")
+      .collect().head.toSeq,
+      s"grouped KS diverged for group a: ${ksg(0)}")
+    assert(ksg(1).getLong(2) == 0L && ksg(1).isNullAt(3),
+      s"one-sided group must read KS null: ${ksg(1)}")
+  }
+
+  test("grouped operating points == each group's one-shot bestThreshold") {
+    val df = Seq(
+      (1L, "a", 0.9, 1.0), (2L, "a", 0.7, 0.0), (3L, "a", 0.5, 0.0),
+      (4L, "a", 0.3, 1.0),
+      (5L, "b", 0.8, 1.0), (6L, "b", 0.6, 1.0), (7L, "b", 0.2, 0.0))
+      .toDF("id", "g", "p", "y")
+    val got = Classifier.bestThresholdBy(df, "g", "p", "y")
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    for (g <- Seq("a", "b")) {
+      val one = Classifier.bestThreshold(
+        df.filter(col("g") === g), "p", "y").collect().head.toSeq
+      assert(got.find(_.head == g).get.tail == one,
+        s"grouped operating point diverged for group $g")
+    }
+    // group a carries the planted (2/3, 2/3) tie -> larger thr 0.9;
+    // group b's best keeps both positives at thr 0.6 (F1 = 1.0)
+    assert(got(0)(1) == 0.9 && got(1)(1) == 0.6 &&
+      got(1)(5) == 1.0, got.toString)
   }
 
   test("prCurve/rocAuc score-domain contract: out-of-[0,1] scores fail LOUD, never a silent corpus sort") {

@@ -315,6 +315,10 @@ class PlanSpec extends SparkSpec {
       // spine (sort-merge on thr over bounded rows), the single-
       // partition cumulative pass + final fold
       "q_drift_ks" -> 5,
+      // ... and the grouped twins: per-shard argmax rides the grouped
+      // curve windows; per-shard KS adds the merged (shard, thr)
+      // sort-merge spine
+      "q_threshold_f1_grouped" -> 3, "q_drift_ks_grouped" -> 6,
       "q_pr_curve_grouped_incremental" -> 3,
       "q_roc_auc_grouped_incremental" -> 3,
       "q_ece_grouped_incremental" -> 4,
