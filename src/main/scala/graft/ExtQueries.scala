@@ -1027,6 +1027,93 @@ object ExtQueries {
         " CAST(nullif(max(tb), 0) AS DOUBLE))", 6)} AS ks
        |FROM c""".stripMargin
 
+  /** The monitoring-report oracle for `q_monitor_report`: every
+    * metric's established fold replayed over the two window
+    * aggregates (ref = even doc_ids = the store's "hist" window,
+    * cur = odd = "daily"), emitted long-format via UNION ALL —
+    * mirroring the engine's join-free union of one-row reads. */
+  private lazy val monitorReportOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT doc_id, y, $classifierScoreSql AS p
+       |           FROM feats, w3),
+       |gr AS (SELECT p AS thr, count(*) AS n,
+       |       CAST(sum(y) AS BIGINT) AS pos FROM scored
+       |       WHERE doc_id % 2 = 0 GROUP BY 1),
+       |gc AS (SELECT p AS thr, count(*) AS n,
+       |       CAST(sum(y) AS BIGINT) AS pos FROM scored
+       |       WHERE doc_id % 2 <> 0 GROUP BY 1),
+       |awr AS (SELECT thr, n, pos,
+       |    sum(n) OVER (ORDER BY thr ASC ROWS UNBOUNDED PRECEDING) - n
+       |      AS bef FROM gr),
+       |aar AS (SELECT sum(pos * (bef + (n + 1) / 2.0)) AS s,
+       |        sum(pos) AS p_all, sum(n) AS nn FROM awr),
+       |awc AS (SELECT thr, n, pos,
+       |    sum(n) OVER (ORDER BY thr ASC ROWS UNBOUNDED PRECEDING) - n
+       |      AS bef FROM gc),
+       |aac AS (SELECT sum(pos * (bef + (n + 1) / 2.0)) AS s,
+       |        sum(pos) AS p_all, sum(n) AS nn FROM awc),
+       |egk AS (SELECT CAST(${sqlRound("thr * 1000000.0", 0)} AS BIGINT)
+       |    AS k, n, pos FROM gc),
+       |eb AS (SELECT least((k * 10) // 1000000, 9) AS bin,
+       |    sum(n) AS nb, sum(pos) AS pb, sum(n * k) AS sk
+       |  FROM egk GROUP BY 1),
+       |bag AS (SELECT sum(n) AS nn,
+       |    sum(CAST(n AS HUGEINT) * k * k) AS skk,
+       |    sum(CAST(pos AS HUGEINT) * k) AS skp,
+       |    sum(pos) AS p_all FROM egk),
+       |pbr AS (SELECT least((CAST(${sqlRound("thr * 1000000.0", 0)}
+       |      AS BIGINT) * 10) // 1000000, 9) AS bin, sum(n) AS nb
+       |  FROM gr GROUP BY 1),
+       |pbc AS (SELECT least((CAST(${sqlRound("thr * 1000000.0", 0)}
+       |      AS BIGINT) * 10) // 1000000, 9) AS bin, sum(n) AS nb
+       |  FROM gc GROUP BY 1),
+       |psp AS (SELECT range AS bin FROM range(10)),
+       |pj AS (SELECT psp.bin AS bin, coalesce(pbr.nb, 0) AS nr,
+       |      coalesce(pbc.nb, 0) AS nc
+       |  FROM psp LEFT JOIN pbr ON pbr.bin = psp.bin
+       |           LEFT JOIN pbc ON pbc.bin = psp.bin),
+       |ptt AS (SELECT nr, nc, sum(nr) OVER () AS tr,
+       |        sum(nc) OVER () AS tc FROM pj),
+       |ptm AS (SELECT CAST(${sqlRound(
+      "((nc + 1) / CAST(tc + 10 AS DOUBLE) - " +
+        "(nr + 1) / CAST(tr + 10 AS DOUBLE)) * " +
+        "ln(((nc + 1) / CAST(tc + 10 AS DOUBLE)) / " +
+        "((nr + 1) / CAST(tr + 10 AS DOUBLE))) * 1000000000.0", 0)}
+       |    AS BIGINT) AS tq FROM ptt),
+       |ku AS (SELECT coalesce(gr.thr, gc.thr) AS thr,
+       |      coalesce(gr.n, 0) AS nr, coalesce(gc.n, 0) AS nc
+       |  FROM gr FULL OUTER JOIN gc ON gr.thr = gc.thr),
+       |kc AS (SELECT
+       |    sum(nr) OVER (ORDER BY thr ROWS UNBOUNDED PRECEDING) AS ca,
+       |    sum(nc) OVER (ORDER BY thr ROWS UNBOUNDED PRECEDING) AS cb,
+       |    sum(nr) OVER () AS ta, sum(nc) OVER () AS tb FROM ku)
+       |SELECT metric, value FROM (
+       |  SELECT 'auc_ref' AS metric, ${sqlRound(
+      "(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)",
+      6)} AS value FROM aar
+       |  UNION ALL
+       |  SELECT 'auc_cur' AS metric, ${sqlRound(
+      "(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)",
+      6)} AS value FROM aac
+       |  UNION ALL
+       |  SELECT 'ece_cur' AS metric, ${sqlRound(
+      "sum(abs(pb * 1000000 - sk)) / (1000000.0 * nullif(sum(nb), 0))",
+      6)} AS value FROM eb
+       |  UNION ALL
+       |  SELECT 'brier_cur' AS metric, ${sqlRound(
+      "CAST(skk - 2000000 * skp + 1000000000000 * CAST(p_all AS HUGEINT)" +
+        " AS DOUBLE) / (1000000000000.0 * nullif(nn, 0))",
+      6)} AS value FROM bag
+       |  UNION ALL
+       |  SELECT 'psi' AS metric, ${sqlRound(
+      "CAST(sum(tq) AS DOUBLE) / 1000000000.0", 6)} AS value FROM ptm
+       |  UNION ALL
+       |  SELECT 'ks' AS metric, ${sqlRound(
+      "CAST(max(abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))" +
+        " AS DOUBLE) / (CAST(nullif(max(ta), 0) AS DOUBLE) *" +
+        " CAST(nullif(max(tb), 0) AS DOUBLE))", 6)} AS value FROM kc
+       |) ORDER BY metric""".stripMargin
+
   /** The grouped operating-point oracle for `q_threshold_f1_grouped`:
     * the grouped PR fold + per-shard F1 argmax with the larger-thr
     * tie rule (arg_max over the (fbeta, thr) pair). */
@@ -2520,6 +2607,16 @@ object ExtQueries {
     "q_drift_ks_incremental" -> ((s, dir) =>
       graft.ops.CalibrationIndex.driftKs(s, calibFixture(s, dir) + "/idx",
         Seq("hist"), Seq("daily"))),
+
+    // The whole dashboard row in ONE store read: per-window AUC,
+    // current-window ECE + Brier, and both drift statistics between
+    // the hist/daily tag windows, as long-format (metric, value) —
+    // the read an alert rule actually runs. Pure unions of bounded
+    // folds; no joins.
+    "q_monitor_report" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.monitorReport(s,
+          calibFixture(s, dir) + "/idx", Seq("hist"), Seq("daily"))
+        .orderBy("metric")),
 
     // PER-SOURCE drift: PSI within each ingestion shard (doc_id % 4),
     // windows split by (doc_id % 8 < 4) so every shard holds both
@@ -5276,6 +5373,7 @@ object ExtQueries {
     "q_drift_ks_incremental" -> driftKsOracle,
     "q_threshold_f1_grouped" -> thresholdGroupedOracle,
     "q_drift_ks_grouped" -> driftKsGroupedOracle,
+    "q_monitor_report" -> monitorReportOracle,
     "q_drift_psi_grouped" -> driftGroupedOracle,
     "q_filter_ab" -> filterAbOracle,
 

@@ -143,6 +143,37 @@ object CalibrationIndex {
       windowAggregate(spark, indexPath, refTags),
       windowAggregate(spark, indexPath, curTags), bins)
 
+  /** The MONITORING REPORT — the whole deployed-filter dashboard row
+    * in ONE store read: ranking quality on each window (AUC), honesty
+    * and sharpness on the current window (ECE, Brier), and both
+    * drift statistics between the windows (PSI, KS), as long-format
+    * `(metric, value)` rows — the shape a dashboard or alert rule
+    * consumes directly. Pure unions of the one-row metric reads (no
+    * joins — every branch folds the bounded tag-window aggregates);
+    * a null value surfaces an undefined metric (one-class AUC, an
+    * empty window's KS) instead of a fabricated number. */
+  def monitorReport(spark: SparkSession, indexPath: String,
+                    refTags: Seq[String], curTags: Seq[String],
+                    bins: Int = 10): DataFrame = {
+    val ref = windowAggregate(spark, indexPath, refTags)
+    val cur = windowAggregate(spark, indexPath, curTags)
+    def one(name: String, df: DataFrame, v: String) =
+      df.select(lit(name).as("metric"),
+        col(v).cast("double").as("value"))
+    one("auc_ref", Classifier.rocAucFromAggregate(ref), "auc")
+      .unionByName(
+        one("auc_cur", Classifier.rocAucFromAggregate(cur), "auc"))
+      .unionByName(
+        one("ece_cur", Classifier.eceFromAggregate(cur, bins), "ece"))
+      .unionByName(
+        one("brier_cur", Classifier.brierFromAggregate(cur), "brier"))
+      .unionByName(
+        one("psi", Classifier.driftFromAggregates(ref, cur, bins),
+          "psi"))
+      .unionByName(
+        one("ks", Classifier.ksFromAggregates(ref, cur), "ks"))
+  }
+
   /** Kolmogorov–Smirnov drift ([[Classifier.scoreDriftKs]]) between
     * two tag windows — the binning-free two-sample test, derived from
     * the same accreted aggregates. */

@@ -74,6 +74,25 @@ class CalibrationIndexSpec extends SparkSpec {
       b2.toDF("id", "p", "y"), "p").collect().head.toSeq
     assert(fromStore == oneShot,
       s"store-window drift diverged: $fromStore vs $oneShot")
+    // the composite dashboard read returns every metric, long-format,
+    // each equal to its individually-derived value over the windows
+    val report = CalibrationIndex.monitorReport(spark, idx,
+        Seq("w1"), Seq("w2"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val d1 = b1.toDF("id", "p", "y"); val d2 = b2.toDF("id", "p", "y")
+    def v(df: org.apache.spark.sql.DataFrame, c: String): Any = {
+      val r = df.select(c).collect().head
+      if (r.isNullAt(0)) null else r.getDouble(0)
+    }
+    assert(report == Map(
+      "auc_ref" -> v(Classifier.rocAuc(d1, "p", "y"), "auc"),
+      "auc_cur" -> v(Classifier.rocAuc(d2, "p", "y"), "auc"),
+      "ece_cur" -> v(Classifier.calibrationError(d2, "p", "y"), "ece"),
+      "brier_cur" -> v(Classifier.brierScore(d2, "p", "y"), "brier"),
+      "psi" -> v(Classifier.scoreDrift(d1, d2, "p"), "psi"),
+      "ks" -> v(Classifier.scoreDriftKs(d1, d2, "p"), "ks")),
+      s"monitor report diverged: $report")
     // the KS statistic derives from the same windows
     assert(CalibrationIndex.driftKs(spark, idx, Seq("w1"), Seq("w2"))
         .collect().head.toSeq ==

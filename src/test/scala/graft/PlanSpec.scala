@@ -319,6 +319,11 @@ class PlanSpec extends SparkSpec {
       // curve windows; per-shard KS adds the merged (shard, thr)
       // sort-merge spine
       "q_threshold_f1_grouped" -> 3, "q_drift_ks_grouped" -> 6,
+      // r16: the composite dashboard read — six metric branches, each
+      // its own chain of store-bounded folds (the store is batches x
+      // <= 10^6+1 rows; NO branch touches a corpus); the union itself
+      // is exchange-free
+      "q_monitor_report" -> 27,
       "q_pr_curve_grouped_incremental" -> 3,
       "q_roc_auc_grouped_incremental" -> 3,
       "q_ece_grouped_incremental" -> 4,
