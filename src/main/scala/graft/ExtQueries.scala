@@ -670,7 +670,17 @@ object ExtQueries {
     * fit reuse ONE computation per corpus instead of each re-paying
     * the three full-corpus gradient scans in a Verify/Bench pass.
     * Values are identical by construction; the driver memory is
-    * d + 1 doubles per distinct dir. */
+    * d + 1 doubles per distinct dir.
+    *
+    * DIR-IMMUTABILITY ASSUMPTION: the memo key is the sf-dir STRING,
+    * so the corpus at that path must not change within one JVM's
+    * lifetime — regenerating a fixture dir in place (or re-pointing a
+    * reused path at re-scaled data) would leave ~15 scoring keys on
+    * stale weights and fail the hash gate far from the cause. The
+    * driver's testdata dirs are write-once and ScaleLand lands each
+    * scale at its own path, so the assumption holds everywhere this
+    * memo is reachable; a caller that rebuilds a dir in place must
+    * restart the JVM (or clear the memo). */
   private val fitMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
   private def classifierWeights(s: SparkSession,
@@ -762,12 +772,12 @@ object ExtQueries {
     * caps nothing leaves the state unchanged, so extra passes are
     * no-ops — running a fixed unroll then one final distribution is
     * exactly the driver loop. */
-  private def waterfillPassSql(i: Int): String =
+  private def waterfillPassSql(total: Long)(i: Int): String =
     s"""wf$i AS (SELECT lang, sup,
        |  CASE WHEN fixed IS NOT NULL THEN fixed
        |       WHEN cnt > 0 AND sup <= lft // cnt THEN sup END AS fixed
        |  FROM (SELECT lang, sup, fixed,
-       |      least($waterfillTotal, sum(sup) OVER ()) -
+       |      least($total, sum(sup) OVER ()) -
        |        sum(coalesce(fixed, 0)) OVER () AS lft,
        |      sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END) OVER ()
        |        AS cnt
@@ -1209,11 +1219,13 @@ object ExtQueries {
        |    AS psi
        |FROM tm GROUP BY shard ORDER BY shard""".stripMargin
 
-  /** The champion/challenger oracle for `q_filter_ab`: both weight
-    * rows from the SAME training chain (w2 is w3's prefix), per-model
-    * Mann–Whitney folds partitioned on the model tag. */
-  private lazy val filterAbOracle: String =
-    s"""WITH $classifierLoopCtes,
+  /** The champion/challenger CTE chain shared VERBATIM by
+    * `q_filter_ab` and `q_ab_promote`: both weight rows from the SAME
+    * training chain (w2 is w3's prefix), per-model Mann–Whitney folds
+    * partitioned on the model tag, ending at the per-model AUC rows
+    * `r`. */
+  private lazy val filterAbCtes: String =
+    s"""$classifierLoopCtes,
        |u AS (
        |  SELECT 'champion_2r' AS model, y, $classifierScoreSql AS p
        |  FROM feats, w2
@@ -1227,12 +1239,409 @@ object ExtQueries {
        |      ROWS UNBOUNDED PRECEDING) - n AS bef
        |  FROM g),
        |a AS (SELECT model, sum(pos * (bef + (n + 1) / 2.0)) AS s,
-       |       sum(pos) AS p_all, sum(n) AS nn FROM c GROUP BY model)
-       |SELECT model, CAST(p_all AS BIGINT) AS pos,
+       |       sum(pos) AS p_all, sum(n) AS nn FROM c GROUP BY model),
+       |r AS (SELECT model, CAST(p_all AS BIGINT) AS pos,
        |  CAST(nn - p_all AS BIGINT) AS neg,
        |  ${sqlRound("(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)", 6)}
        |    AS auc
-       |FROM a ORDER BY model""".stripMargin
+       |  FROM a)""".stripMargin
+
+  private lazy val filterAbOracle: String =
+    s"""WITH $filterAbCtes
+       |SELECT model, pos, neg, auc FROM r ORDER BY model""".stripMargin
+
+  /** The promotion-rule oracle for `q_ab_promote`: the same AUC rows,
+    * one winner — argmax AUC, ties toward the lexicographically first
+    * model name (the replayable total order). */
+  private lazy val abPromoteOracle: String =
+    s"""WITH $filterAbCtes,
+       |rk AS (SELECT model, pos, neg, auc, row_number()
+       |    OVER (ORDER BY auc DESC NULLS LAST, model) AS rn FROM r)
+       |SELECT model, pos, neg, auc FROM rk WHERE rn = 1""".stripMargin
+
+  /** The actuation oracle for `q_recalibrate_gate`: the F1-argmax CTE
+    * (the `q_threshold_f1` fold over the WHOLE scored corpus — which
+    * is exactly what the accreted store's hist+daily windows sum to)
+    * feeding the gate predicate `p >= thr`. */
+  private lazy val recalibrateGateOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT doc_id, y, $classifierScoreSql AS p
+       |           FROM feats, w3),
+       |g AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
+       |      FROM scored GROUP BY 1),
+       |c AS (SELECT thr,
+       |    sum(pos) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+       |      AS tp,
+       |    sum(n) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+       |      AS nge,
+       |    sum(pos) OVER () AS p_all
+       |  FROM g),
+       |f AS (SELECT thr, CAST(tp AS BIGINT) AS tp,
+       |    CAST(nge - tp AS BIGINT) AS fp,
+       |    CAST(p_all - tp AS BIGINT) AS fn FROM c),
+       |s AS (SELECT thr, tp, fp, fn,
+       |    ${sqlRound("(2.0 * tp) / (2.0 * tp + 1.0 * fn + fp)", 6)}
+       |      AS fbeta FROM f),
+       |pick AS (SELECT thr FROM s
+       |         ORDER BY fbeta DESC, thr DESC LIMIT 1)
+       |SELECT doc_id, y, p FROM scored, pick
+       |WHERE p >= pick.thr ORDER BY doc_id""".stripMargin
+
+  /** The grouped Brier oracle, shared by `q_brier_grouped` and its
+    * grouped-store read: the exact integer expansion per shard. */
+  private lazy val brierGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |$groupedScoredCtes,
+       |gk AS (SELECT shard, CAST(${sqlRound("thr * 1000000.0", 0)}
+       |    AS BIGINT) AS k, n, pos FROM g),
+       |a AS (SELECT shard, sum(n) AS nn,
+       |    sum(CAST(n AS HUGEINT) * k * k) AS skk,
+       |    sum(CAST(pos AS HUGEINT) * k) AS skp,
+       |    sum(pos) AS p_all FROM gk GROUP BY shard)
+       |SELECT shard, CAST(nn AS BIGINT) AS n,
+       |  ${sqlRound(
+      "CAST(skk - 2000000 * skp + 1000000000000 * CAST(p_all AS HUGEINT)" +
+        " AS DOUBLE) / (1000000000000.0 * nullif(nn, 0))",
+      6)} AS brier
+       |FROM a ORDER BY shard""".stripMargin
+
+  /** The grouped reliability oracle (100 bins), shared by
+    * `q_reliability_grouped` and its grouped-store read. */
+  private lazy val reliabilityGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |$groupedScoredCtes,
+       |gk AS (SELECT shard, CAST(${sqlRound("thr * 1000000.0", 0)}
+       |    AS BIGINT) AS k, n, pos FROM g),
+       |b AS (SELECT shard, least((k * 100) // 1000000, 99) AS bin,
+       |    sum(n) AS nb, sum(pos) AS pb, sum(n * k) AS sk
+       |  FROM gk GROUP BY 1, 2)
+       |SELECT shard, bin, CAST(nb AS BIGINT) AS n,
+       |  ${sqlRound("sk / (1000000.0 * nb)", 6)} AS confidence,
+       |  ${sqlRound("pb / CAST(nb AS DOUBLE)", 6)} AS accuracy,
+       |  ${sqlRound("(pb * 1000000 - sk) / (1000000.0 * nb)", 6)}
+       |    AS gap
+       |FROM b ORDER BY shard, bin""".stripMargin
+
+  /** The grouped monitoring-report oracle for
+    * `q_monitor_report_grouped`: every per-source metric's
+    * established fold replayed over the two PER-SHARD window
+    * aggregates (ref = doc_id % 8 < 4 = the grouped store's "hist"
+    * window, cur = the rest = "daily"), emitted long-format via
+    * UNION ALL with the shard carried — mirroring the engine's
+    * join-free grouped union. */
+  private lazy val monitorReportGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT doc_id, doc_id % 4 AS shard, y,
+       |    $classifierScoreSql AS p FROM feats, w3),
+       |gr AS (SELECT shard, p AS thr, count(*) AS n,
+       |       CAST(sum(y) AS BIGINT) AS pos FROM scored
+       |       WHERE doc_id % 8 < 4 GROUP BY 1, 2),
+       |gc AS (SELECT shard, p AS thr, count(*) AS n,
+       |       CAST(sum(y) AS BIGINT) AS pos FROM scored
+       |       WHERE doc_id % 8 >= 4 GROUP BY 1, 2),
+       |awr AS (SELECT shard, thr, n, pos,
+       |    sum(n) OVER (PARTITION BY shard ORDER BY thr ASC
+       |      ROWS UNBOUNDED PRECEDING) - n AS bef FROM gr),
+       |aar AS (SELECT shard, sum(pos * (bef + (n + 1) / 2.0)) AS s,
+       |        sum(pos) AS p_all, sum(n) AS nn FROM awr
+       |        GROUP BY shard),
+       |awc AS (SELECT shard, thr, n, pos,
+       |    sum(n) OVER (PARTITION BY shard ORDER BY thr ASC
+       |      ROWS UNBOUNDED PRECEDING) - n AS bef FROM gc),
+       |aac AS (SELECT shard, sum(pos * (bef + (n + 1) / 2.0)) AS s,
+       |        sum(pos) AS p_all, sum(n) AS nn FROM awc
+       |        GROUP BY shard),
+       |egk AS (SELECT shard, CAST(${sqlRound("thr * 1000000.0", 0)}
+       |    AS BIGINT) AS k, n, pos FROM gc),
+       |eb AS (SELECT shard, least((k * 10) // 1000000, 9) AS bin,
+       |    sum(n) AS nb, sum(pos) AS pb, sum(n * k) AS sk
+       |  FROM egk GROUP BY 1, 2),
+       |bag AS (SELECT shard, sum(n) AS nn,
+       |    sum(CAST(n AS HUGEINT) * k * k) AS skk,
+       |    sum(CAST(pos AS HUGEINT) * k) AS skp,
+       |    sum(pos) AS p_all FROM egk GROUP BY shard),
+       |pbr AS (SELECT shard, least((CAST(${sqlRound("thr * 1000000.0", 0)}
+       |      AS BIGINT) * 10) // 1000000, 9) AS bin, sum(n) AS nb
+       |  FROM gr GROUP BY 1, 2),
+       |pbc AS (SELECT shard, least((CAST(${sqlRound("thr * 1000000.0", 0)}
+       |      AS BIGINT) * 10) // 1000000, 9) AS bin, sum(n) AS nb
+       |  FROM gc GROUP BY 1, 2),
+       |gsh AS (SELECT shard FROM gr UNION SELECT shard FROM gc),
+       |psp AS (SELECT gsh.shard AS shard, rr.range AS bin
+       |        FROM gsh, range(10) rr),
+       |pj AS (SELECT psp.shard AS shard, psp.bin AS bin,
+       |      coalesce(pbr.nb, 0) AS nr, coalesce(pbc.nb, 0) AS nc
+       |  FROM psp
+       |    LEFT JOIN pbr ON pbr.shard = psp.shard AND pbr.bin = psp.bin
+       |    LEFT JOIN pbc ON pbc.shard = psp.shard AND pbc.bin = psp.bin),
+       |ptt AS (SELECT shard, nr, nc,
+       |        sum(nr) OVER (PARTITION BY shard) AS tr,
+       |        sum(nc) OVER (PARTITION BY shard) AS tc FROM pj),
+       |ptm AS (SELECT shard, CAST(${sqlRound(
+      "((nc + 1) / CAST(tc + 10 AS DOUBLE) - " +
+        "(nr + 1) / CAST(tr + 10 AS DOUBLE)) * " +
+        "ln(((nc + 1) / CAST(tc + 10 AS DOUBLE)) / " +
+        "((nr + 1) / CAST(tr + 10 AS DOUBLE))) * 1000000000.0", 0)}
+       |    AS BIGINT) AS tq FROM ptt),
+       |ku AS (SELECT coalesce(gr.shard, gc.shard) AS shard,
+       |      coalesce(gr.thr, gc.thr) AS thr,
+       |      coalesce(gr.n, 0) AS nr, coalesce(gc.n, 0) AS nc
+       |  FROM gr FULL OUTER JOIN gc
+       |    ON gr.shard = gc.shard AND gr.thr = gc.thr),
+       |kc AS (SELECT shard,
+       |    sum(nr) OVER (PARTITION BY shard ORDER BY thr
+       |      ROWS UNBOUNDED PRECEDING) AS ca,
+       |    sum(nc) OVER (PARTITION BY shard ORDER BY thr
+       |      ROWS UNBOUNDED PRECEDING) AS cb,
+       |    sum(nr) OVER (PARTITION BY shard) AS ta,
+       |    sum(nc) OVER (PARTITION BY shard) AS tb FROM ku)
+       |SELECT shard, metric, value FROM (
+       |  SELECT shard, 'auc_ref' AS metric, ${sqlRound(
+      "(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)",
+      6)} AS value FROM aar
+       |  UNION ALL
+       |  SELECT shard, 'auc_cur' AS metric, ${sqlRound(
+      "(s - p_all*(p_all + 1.0)/2.0) / nullif(p_all*(nn - p_all), 0.0)",
+      6)} AS value FROM aac
+       |  UNION ALL
+       |  SELECT shard, 'ece_cur' AS metric, ${sqlRound(
+      "sum(abs(pb * 1000000 - sk)) / (1000000.0 * nullif(sum(nb), 0))",
+      6)} AS value FROM eb GROUP BY shard
+       |  UNION ALL
+       |  SELECT shard, 'brier_cur' AS metric, ${sqlRound(
+      "CAST(skk - 2000000 * skp + 1000000000000 * CAST(p_all AS HUGEINT)" +
+        " AS DOUBLE) / (1000000000000.0 * nullif(nn, 0))",
+      6)} AS value FROM bag
+       |  UNION ALL
+       |  SELECT shard, 'psi' AS metric, ${sqlRound(
+      "CAST(sum(tq) AS DOUBLE) / 1000000000.0", 6)} AS value FROM ptm
+       |    GROUP BY shard
+       |  UNION ALL
+       |  SELECT shard, 'ks' AS metric, ${sqlRound(
+      "CAST(max(abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))" +
+        " AS DOUBLE) / (CAST(nullif(max(ta), 0) AS DOUBLE) *" +
+        " CAST(nullif(max(tb), 0) AS DOUBLE))", 6)} AS value FROM kc
+       |    GROUP BY shard
+       |) ORDER BY shard, metric""".stripMargin
+
+  /** The FULL-funnel CTE chain shared VERBATIM by `q_curate_full` and
+    * the capstone `q_pipeline_full` — the q_c4_filters line synthesis
+    * + C4 rules, the q_gopher_quality signal replay on clean_text
+    * (relaxed thresholds 10/1), the frozen classifier quality gate at
+    * the in-batch median, the heuristic quality CTE at 0.2 (now also
+    * carrying each survivor's clean-text token count for the
+    * capstone's mix stage), the q_dsir poly-bucket log-ratio +
+    * quantile_cont gate on clean_text, min-per-clean_text dedup, and
+    * the q_curate shingle decontamination. Ends at `dq` (the deduped
+    * gated survivors) and `contaminated`; callers append their final
+    * select (and, for the capstone, the mix + pack stages). */
+  private lazy val curateCtes: String = {
+    val qexpr = sqlRound(
+      "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
+      "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)
+    val gstops = TextOps.gopherStopwords.map(w => s"'$w'")
+      .mkString("[", ",", "]")
+    s"""$classifierLoopCtes,
+         |corpus AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 50 <> 0 AND text IS NOT NULL),
+         |dtok AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |         FROM corpus),
+         |l0 AS (SELECT doc_id,
+         |  list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+         |    i -> array_to_string(toks[(i*10+1):(i*10+10)], ' ') ||
+         |         CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
+         |    AS lines0
+         |  FROM dtok),
+         |t1 AS (SELECT doc_id, array_to_string(lines0, chr(10)) AS text
+         |       FROM l0),
+         |t2 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text ||
+         |  chr(10) || 'please enable javascript to view this page.'
+         |  ELSE text END AS text FROM t1),
+         |t3 AS (SELECT doc_id, CASE WHEN doc_id % 15 = 0 THEN text ||
+         |  chr(10) || 'we use cookies to improve your experience.'
+         |  ELSE text END AS text FROM t2),
+         |t4 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text ||
+         |  chr(10) || 'function f() { return 1; }'
+         |  ELSE text END AS text FROM t3),
+         |t5 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text ||
+         |  chr(10) || 'lorem ipsum dolor sit amet.'
+         |  ELSE text END AS text FROM t4),
+         |cf AS (SELECT doc_id, string_split(text, chr(10)) AS lines
+         |  FROM t5
+         |  WHERE NOT contains(lower(text), '{')
+         |    AND NOT contains(lower(text), 'lorem ipsum')),
+         |ck AS (SELECT doc_id,
+         |  list_filter(lines, l ->
+         |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+         |    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+         |    AND NOT contains(lower(l), 'javascript')
+         |    AND NOT contains(lower(l), 'cookie')) AS kept
+         |  FROM cf),
+         |c4 AS MATERIALIZED (SELECT doc_id, array_to_string(kept, chr(10))
+         |    AS clean_text
+         |  FROM ck WHERE len(kept) >= 1),
+         |gw AS (SELECT doc_id, clean_text,
+         |  list_filter(regexp_split_to_array(clean_text, '\\s+'),
+         |    x -> x <> '') AS words,
+         |  string_split(clean_text, chr(10)) AS lines FROM c4),
+         |gs AS (SELECT doc_id, clean_text,
+         |  len(words) AS nw,
+         |  length(regexp_replace(clean_text, '\\s+', '', 'g')) AS wchars,
+         |  length(clean_text) - length(replace(clean_text, '#', ''))
+         |    AS hashes,
+         |  len(regexp_extract_all(clean_text, '\\.\\.\\.')) AS ell,
+         |  len(lines) AS nl,
+         |  len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %')) AS bl,
+         |  len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+         |    AS el,
+         |  len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+         |    AS aw,
+         |  len(list_intersect(
+         |    list_distinct(list_transform(words, x -> lower(x))),
+         |    $gstops)) AS gstop_hits
+         |  FROM gw),
+         |gm AS (SELECT doc_id, clean_text, CAST(nw AS BIGINT) AS n_words,
+         |  ${sqlRound("wchars / nullif(nw, 0)", 6)} AS mean_word_len,
+         |  ${sqlRound("(hashes + ell) / nullif(nw, 0)", 6)} AS symbol_ratio,
+         |  ${sqlRound("bl / nullif(nl, 0)", 6)} AS bullet_frac,
+         |  ${sqlRound("el / nullif(nl, 0)", 6)} AS ellipsis_frac,
+         |  ${sqlRound("aw / nullif(nw, 0)", 6)} AS alpha_frac,
+         |  CAST(gstop_hits AS BIGINT) AS gstop_hits
+         |  FROM gs),
+         |gp AS (SELECT doc_id, clean_text FROM gm
+         |  WHERE coalesce(n_words >= 10 AND n_words <= 100000 AND
+         |    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |    symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
+         |    ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND
+         |    gstop_hits >= 1, FALSE)),
+         |lf AS (SELECT doc_id, clean_text,
+         |  string_split(clean_text, ' ') AS ltoks,
+         |  length(clean_text) AS lnch,
+         |  length(clean_text) -
+         |    length(regexp_replace(clean_text, '[.,!?;]', '', 'g'))
+         |    AS lpunct
+         |  FROM gp),
+         |lx AS (SELECT doc_id, clean_text,
+         |  least(1.0, len(ltoks)/100.0) AS f_len,
+         |  len(list_filter(ltoks, x -> list_contains($stopList, x)))
+         |    / CAST(nullif(len(ltoks), 0) AS DOUBLE) AS f_stop,
+         |  lpunct / CAST(nullif(lnch, 0) AS DOUBLE) AS f_punct
+         |  FROM lf),
+         |ls AS MATERIALIZED (SELECT doc_id, clean_text,
+         |  $classifierScoreSql AS p FROM lx, w3),
+         |lthr AS (SELECT ${sqlRound("quantile_cont(p, 0.5)", 6)} AS t
+         |         FROM ls),
+         |lg AS (SELECT doc_id, clean_text FROM ls, lthr WHERE p >= t),
+         |qt AS (SELECT doc_id, clean_text,
+         |  string_split(clean_text, ' ') AS toks,
+         |  length(clean_text) AS nch,
+         |  length(clean_text) -
+         |    length(regexp_replace(clean_text, '[.,!?;]', '', 'g'))
+         |    AS punct
+         |  FROM lg),
+         |qh AS (SELECT doc_id, clean_text, len(toks) AS n_tokens,
+         |  len(list_filter(toks, x -> list_contains($stopList, x)))
+         |    AS stop_hits,
+         |  punct, nch FROM qt),
+         |q AS MATERIALIZED (SELECT doc_id, clean_text, $qexpr AS quality,
+         |    CAST(n_tokens AS BIGINT) AS n_tokens FROM qh
+         |  WHERE $qexpr >= 0.2),
+         |dw AS (SELECT doc_id, unnest(string_split(clean_text, ' '))
+         |    AS _w FROM q),
+         |dwf AS (SELECT doc_id, _w FROM dw WHERE _w <> ''),
+         |db AS (SELECT doc_id, _w,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(_w) + 1),
+         |        i -> CAST(unicode(_w[i]) AS BIGINT))),
+         |    (a, c) -> (a * 31 + c) % 1048576) % 256 AS _b
+         |  FROM dwf),
+         |rc AS (SELECT _b, count(*) AS c FROM db GROUP BY 1),
+         |tc AS (SELECT _b, count(*) AS c FROM db
+         |       WHERE doc_id % 10 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c) FROM rc) AS rtot,
+         |               (SELECT coalesce(sum(c), 0) FROM tc) AS ttot),
+         |lw AS (SELECT rc._b,
+         |    ln((coalesce(tc.c, 0) + 0.5) / (ttot + 0.5 * 256)) -
+         |    ln((rc.c + 0.5) / (rtot + 0.5 * 256)) AS _lw
+         |  FROM rc LEFT JOIN tc ON rc._b = tc._b, tot),
+         |dcnt AS (SELECT doc_id, _b, count(*) AS c FROM db GROUP BY 1, 2),
+         |wts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |    ${sqlRound("sum(c * CAST(" + sqlRound("_lw * 1000000000.0", 0) + " AS BIGINT)) / 1000000000.0", 6)} AS logweight
+         |  FROM dcnt JOIN lw USING (_b) GROUP BY doc_id),
+         |thr AS (SELECT ${sqlRound("quantile_cont(logweight, 0.5)", 6)}
+         |          AS t FROM wts),
+         |gated AS MATERIALIZED (SELECT q.doc_id, q.clean_text, q.quality,
+         |    q.n_tokens, wts.n_feats, wts.logweight
+         |  FROM q JOIN wts USING (doc_id), thr
+         |  WHERE wts.logweight >= thr.t),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM gated
+         |         GROUP BY clean_text),
+         |dq AS MATERIALIZED (SELECT g.* FROM gated g JOIN reps USING (doc_id)),
+         |dsh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+         |  FROM (SELECT doc_id, string_split(clean_text, ' ') AS toks
+         |        FROM dq)),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(range(1, len(toks) - 1),
+         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |        WHERE doc_id % 50 = 0)),
+         |contaminated AS (SELECT DISTINCT doc_id
+         |                 FROM dsh JOIN bsh USING (sh))""".stripMargin
+  }
+
+  private lazy val curateFullOracle: String =
+    s"""WITH $curateCtes
+       |SELECT dq.doc_id, dq.quality, dq.n_feats, dq.logweight FROM dq
+       |WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |  AND (dq.doc_id * 2654435761) % 100 < 50
+       |ORDER BY dq.doc_id""".stripMargin
+
+  /** The CAPSTONE oracle: the curate CTE chain verbatim, then the
+    * water-fill allocation CTEs ([[waterfillAllocCtes]]) over the
+    * survivors joined back to their language, the selection, the
+    * q_mix_epochs replication replay, and the q_pack_sequences
+    * sharded running-sum replay over composite (doc, epoch) items. */
+  private lazy val pipelineFullOracle: String =
+    s"""WITH $curateCtes,
+       |surv AS (SELECT dq.doc_id, dq.quality, dq.n_tokens FROM dq
+       |  WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND (dq.doc_id * 2654435761) % 100 < 50),
+       |pq AS (SELECT s.doc_id, d.lang, s.quality, s.n_tokens
+       |       FROM surv s JOIN documents d USING (doc_id)
+       |       WHERE d.lang IS NOT NULL),
+       |${waterfillAllocCtes("pq", pipelineTokenTarget)},
+       |sel AS (SELECT c.doc_id, c.lang, c.quality, c.n_tokens
+       |  FROM c JOIN bud USING (lang)
+       |  WHERE c.cum <= bud.budget),
+       |e AS (SELECT doc_id, lang, n_tokens,
+       |    ${mixEpochsCaseSql("lang")} AS pct
+       |  FROM sel),
+       |cp AS (SELECT doc_id, n_tokens,
+       |    (pct // 100) +
+       |    CASE WHEN (doc_id * 2654435761) % 100 < pct % 100
+       |         THEN 1 ELSE 0 END AS cp
+       |  FROM e WHERE pct >= 0),
+       |mixx AS (SELECT doc_id, n_tokens,
+       |    CAST(unnest(range(0, cp)) AS INT) AS epoch
+       |  FROM cp WHERE cp >= 1),
+       |it AS (SELECT doc_id, epoch, n_tokens,
+       |    doc_id * 100 + epoch AS item_id FROM mixx),
+       |pk AS (SELECT doc_id, epoch, n_tokens,
+       |    (item_id * 2654435761) % 8 AS shard,
+       |    sum(n_tokens) OVER (PARTITION BY (item_id * 2654435761) % 8
+       |      ORDER BY item_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM it)
+       |SELECT doc_id, epoch, n_tokens, shard,
+       |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+       |  CAST(cum - n_tokens - floor((cum - n_tokens) / 512) * 512
+       |    AS BIGINT) AS offset
+       |FROM pk ORDER BY doc_id, epoch""".stripMargin
 
   /** The q_pr_curve_incremental / q_roc_auc_incremental shared store:
     * the frozen classifier scores the corpus ONCE, the even-doc_id
@@ -1289,6 +1698,133 @@ object ExtQueries {
     fx
   }
 
+  /** The FULL curation funnel shared by `q_curate_full` and the
+    * capstone `q_pipeline_full` — every quality stage composed in the
+    * order a 100 TB pipeline runs them: C4 line cleanup FIRST (it
+    * produces clean_text; the doc-level stages must score what
+    * survives, not raw boilerplate), then the Gopher A1.1 document
+    * rules, the frozen LEARNED classifier gate (fitLogistic weights,
+    * median-calibrated — the production stack's learned filter, the
+    * same stage the streaming twin runs), the heuristic quality gate,
+    * the DSIR target-likeness gate, canonical exact dedup, benchmark
+    * decontamination, and the deterministic 50% hash draw. Gopher
+    * runs with relaxed thresholds (minWords=10, minStopHits=1 — C4's
+    * terminal-punct rule keeps ~1/3 of the synthesized lines, and the
+    * tiny synthetic vocabulary carries one Gopher stopword); the
+    * thresholds are parameters, the COMPOSITION is what the graded
+    * keys lock. Scale shape: c4 + gopher + quality are one map-side
+    * projection chain; DSIR is two bucket-bounded exchanges + a
+    * broadcast model join; dedup shuffles a 32-byte digest;
+    * decontamination shuffles shingle hashes with the benchmark side
+    * broadcast; the draw is map-side — document text never shuffles
+    * end to end.
+    *
+    * Returns the final keep set with the survivor detail the callers
+    * project from: (doc_id, clean_text, quality, n_tokens, n_feats,
+    * logweight).
+    *
+    * Memoized per (application, dir) — the deployment shape: curate
+    * ONCE, then fan the survivor set out to every downstream consumer
+    * (the flagship key and the capstone both read it; unmemoized,
+    * each would re-pay the regex-heavy c4+gopher+classifier chain).
+    * The memo holds localCheckpoint-backed frames, so it is keyed by
+    * applicationId too — a restarted context never sees another
+    * context's dead blocks. Same dir-immutability contract as
+    * [[fitMemo]]. */
+  private val curateMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def curateFullFunnel(s: SparkSession, dir: String): DataFrame =
+    curateMemo.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => curateFullFunnelImpl(s, dir))
+
+  private def curateFullFunnelImpl(s: SparkSession,
+                                   dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      .filter(col("text").isNotNull)
+    val bench = all.filter(col("doc_id") % 50 === 0)
+    val c4 = TextOps.c4Filters(c4SynthText(corpus), "text", "doc_id")
+    val gq = TextOps.gopherQuality(c4, "clean_text",
+        minWords = 10, minStopHits = 1)
+      .filter(col("gopher_keep"))
+      .select("doc_id", "clean_text")
+    // frozen LEARNED quality gate (the streaming funnel's logit
+    // stage, EventStream.curateSink): weights fit OFFLINE on the
+    // labeled raw corpus (the q_quality_classifier regime —
+    // lang == 'en' target over the canonical text-feature triple),
+    // then ONE map-side sigmoid over the gopher survivors'
+    // clean_text. The keep threshold is the in-batch MEDIAN score
+    // (the q_dsir quantile stance): the 3-round fit's scores sit in
+    // a scale-dependent band, so a fixed minP does not travel
+    // across corpus scales while a calibrated quantile does — and
+    // at 100 TB "keep the most-target-like half" is the production
+    // calibration anyway. (The deployed-stream counterpart keeps a
+    // FROZEN minP for batch-to-batch gate stability, and
+    // `q_recalibrate_gate` grades the bridge between the two:
+    // re-freeze the gate from the monitoring store's measured
+    // operating point — see [[graft.ops.Classifier.bestThreshold]].)
+    // Scored frame pinned before the quantile + gate jobs re-scan it
+    // (the regex-heavy c4+gopher chain must not re-execute per job).
+    val lgW = classifierWeights(s, dir)
+    val lgScored = graft.ops.Classifier.scoreLogistic(
+        graft.ops.Classifier.textFeatures(gq, "clean_text"),
+        graft.ops.Classifier.textFeatureCols, lgW.toSeq)
+      .select("doc_id", "clean_text", "p")
+      .localCheckpoint(true)
+    val lgThr = graft.ops.Quantiles.exactQuantiles(lgScored, "p",
+      Seq(0.5), scale = 6).select("q").head().getDouble(0)
+    val lg = lgScored.filter(col("p") >= lit(lgThr))
+      .select("doc_id", "clean_text")
+    // the survivor frame is PINNED before the DSIR stage: the model
+    // fit, the weight scan, the quantile-threshold jobs and the
+    // gate join each re-scan it, and the upstream c4 + gopher +
+    // quality chain is regex-heavy — unpinned, the chain re-executes
+    // per scan (~10 recomputes measured: 79 s vs ~4 s pinned). This
+    // IS the 100 TB shape: persist the funnel's survivor set once,
+    // then fit/score against the materialization.
+    val q = TextOps.qualityScore(lg, "clean_text")
+      .filter(col("quality") >= 0.2)
+      .select(col("doc_id"), col("clean_text"), col("quality"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    // DSIR gate against the doc_id % 10 == 0 slice of the survivors
+    // (the q_dsir regime applied mid-funnel)
+    val gated = q.join(
+      graft.ops.Mixing.importanceResample(q,
+          q.filter(col("doc_id") % 10 === 0), "clean_text", "doc_id",
+          frac = 0.5, buckets = 256, portable = true)
+        .select("doc_id", "n_feats", "logweight"),
+      Seq("doc_id"))
+      .localCheckpoint(true) // re-scanned by dedup + decontam + join
+    // canonical exact dedup AFTER the per-doc gates: duplicates have
+    // identical clean_text, hence identical scores — same keep set
+    // as dedup-first, one window exchange on the digest
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("clean_text"), 256)).orderBy(col("doc_id"))
+    val deduped = gated.withColumn("_rk", row_number().over(wd))
+      .filter(col("_rk") === 1).drop("_rk")
+    // exactRecount: the survivor set here is funnel-thinned (tiny
+    // next to the corpus), so the collision-proof exact-string
+    // second pass is near-free — the flagship pipeline must not let
+    // a 64-bit shingle collision drop a clean document
+    val contaminated = DedupOps.contaminationScan(
+        deduped.withColumnRenamed("clean_text", "text"), bench,
+        "text", "doc_id", w = 3, exactRecount = true)
+      .select("doc_id")
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(hashMod(col("doc_id"), 100) < 50)
+  }
+
+  /** The capstone pipeline's global token target: sized to BIND at
+    * every tested scale (the curated survivors' per-lang token supply
+    * — 92 tokens at sf0.001, 118 at sf0.01, growing with the corpus —
+    * exceeds the uncapped langs' even shares, so the water-fill
+    * selection genuinely selects; an unbinding target would grade
+    * selection as identity). One definition shared by engine and
+    * oracle. */
+  private val pipelineTokenTarget = 60L
+
   /** The water-fill selection CTE body, shared VERBATIM by
     * `q_token_budget_waterfill` and the composed
     * `q_mix_budget_epochs`: the quality/token projection, per-lang
@@ -1312,13 +1848,23 @@ object ExtQueries {
        |  FROM h),
        |qq AS (SELECT doc_id, lang, quality, n_tokens FROM q
        |       WHERE quality IS NOT NULL),
-       |supply AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS sup
-       |           FROM qq GROUP BY lang),
+       |${waterfillAllocCtes("qq", waterfillTotal)}""".stripMargin
+
+  /** The water-fill ALLOCATION CTE chain parameterized over its
+    * source CTE (columns doc_id, lang, quality, n_tokens) and the
+    * global token target — the re-usable half of [[waterfillCtes]],
+    * composed a second time by the capstone `q_pipeline_full` oracle
+    * over the CURATED survivors instead of the raw corpus. Emits
+    * `bud` (per-lang budgets) and `c` (the per-lang greedy-prefix
+    * running sum the selection filters against `bud`). */
+  private def waterfillAllocCtes(src: String, total: Long): String =
+    s"""supply AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS sup
+       |           FROM $src GROUP BY lang),
        |wf0 AS (SELECT lang, sup, CAST(NULL AS BIGINT) AS fixed
        |        FROM supply),
-       |${(1 to 6).map(waterfillPassSql).mkString(",\n")},
+       |${(1 to 6).map(waterfillPassSql(total)).mkString(",\n")},
        |fin AS (SELECT lang, sup, fixed,
-       |    least($waterfillTotal, sum(sup) OVER ()) -
+       |    least($total, sum(sup) OVER ()) -
        |      sum(coalesce(fixed, 0)) OVER () AS lft,
        |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END) OVER () AS cnt,
        |    sum(CASE WHEN fixed IS NULL THEN 1 ELSE 0 END)
@@ -1335,7 +1881,7 @@ object ExtQueries {
        |    sum(n_tokens) OVER (PARTITION BY lang
        |      ORDER BY quality DESC, doc_id
        |      ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM qq)""".stripMargin
+       |  FROM $src)""".stripMargin
 
   /** The q_mix_budget_epochs per-source epoch table (integer percent —
     * 230 = 2.3 epochs), covering every corpus language so the
@@ -2685,6 +3231,74 @@ object ExtQueries {
         .orderBy("model")
     }),
 
+    // The PROMOTION rule closing the champion/challenger loop: the
+    // model with the higher exact AUC wins; ties break toward the
+    // lexicographically first model name (replayable — both engines
+    // walk the same total order). One row — the model a deploy step
+    // freezes next.
+    "q_ab_promote" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val cols = graft.ops.Classifier.textFeatureCols
+      val w2 = graft.ops.Classifier.fitLogistic(feats, cols, "y",
+        iters = 2, lr = 0.5)
+      val w3 = classifierWeights(s, dir)
+      graft.ops.Classifier.rocAucBy(
+          graft.ops.Classifier.scoreLogistic(feats, cols, w2.toSeq)
+            .withColumn("model", lit("champion_2r"))
+            .unionByName(
+              graft.ops.Classifier.scoreLogistic(feats, cols, w3.toSeq)
+                .withColumn("model", lit("challenger_3r"))),
+          "model", "p", "y")
+        .orderBy(col("auc").desc_nulls_last, col("model"))
+        .limit(1) // 2-row sort — the grouped fold is still bounded
+    }),
+
+    // DEPLOY-LOOP ACTUATION — the arrow the monitoring store exists
+    // for: read the F1-optimal operating point from the ACCRETED
+    // calibration store (batch evidence, never a corpus re-scan),
+    // freeze that threshold as the gate's new minP, re-gate the
+    // scored corpus, and pin the keep set. The threshold collect is
+    // ONE bounded row (the q_curate_full quantile stance); the gate
+    // itself is a map-side filter against the frozen literal.
+    "q_recalibrate_gate" -> ((s, dir) => {
+      val fx = calibFixture(s, dir)
+      val newMinP = graft.ops.CalibrationIndex
+        .bestThreshold(s, fx + "/idx")
+        .select("thr").head().getDouble(0)
+      val feats = classifierFeats(s, dir)
+      val w = classifierWeights(s, dir)
+      graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq)
+        .filter(col("p") >= lit(newMinP))
+        .select(col("doc_id"), col("y"), col("p"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source Brier / reliability — the remaining one-shot grouped
+    // monitoring metrics (same exact-integer folds, partitioned on
+    // the ingestion shard).
+    "q_brier_grouped" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = classifierWeights(s, dir)
+      graft.ops.Classifier.brierScoreBy(
+          graft.ops.Classifier.scoreLogistic(feats,
+            graft.ops.Classifier.textFeatureCols, w.toSeq)
+            .withColumn("shard", col("doc_id") % 4),
+          "shard", "p", "y")
+        .orderBy("shard")
+    }),
+
+    "q_reliability_grouped" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val w = classifierWeights(s, dir)
+      graft.ops.Classifier.reliabilityBy(
+          graft.ops.Classifier.scoreLogistic(feats,
+            graft.ops.Classifier.textFeatureCols, w.toSeq)
+            .withColumn("shard", col("doc_id") % 4),
+          "shard", "p", "y", bins = 100)
+        .orderBy("shard", "bin")
+    }),
+
     // The same three reads over the ACCRETED CalibrationIndex store
     // (hist = even doc_ids, daily = odd): reliability and threshold
     // fold the whole store (oracles shared verbatim — the monoid
@@ -2730,6 +3344,42 @@ object ExtQueries {
           calibFixtureBy(s, dir) + "/idx", "shard",
           Seq("hist"), Seq("daily"))
         .orderBy("shard")),
+
+    // ... and the COMPLETE grouped read surface over the same store:
+    // per-source operating points (the multi-source recalibration
+    // read), per-source KS between the tag windows, per-source Brier
+    // and reliability — each identical to its one-shot grouped twin
+    // (oracles shared VERBATIM; the grouped monoid fold on read).
+    "q_threshold_f1_grouped_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.bestThresholdBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard")
+        .orderBy("shard")),
+
+    "q_drift_ks_grouped_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.driftKsBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard",
+          Seq("hist"), Seq("daily"))
+        .orderBy("shard")),
+
+    "q_brier_grouped_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.brierBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard")
+        .orderBy("shard")),
+
+    "q_reliability_grouped_incremental" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.reliabilityBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard", bins = 100)
+        .orderBy("shard", "bin")),
+
+    // The per-source DASHBOARD in one store read: monitorReport's
+    // grouped twin — one row per (shard, metric), the six-metric
+    // union with every fold partitioned on the shard and the two
+    // grouped window folds pinned once.
+    "q_monitor_report_grouped" -> ((s, dir) =>
+      graft.ops.CalibrationIndex.monitorReportBy(s,
+          calibFixtureBy(s, dir) + "/idx", "shard",
+          Seq("hist"), Seq("daily"))
+        .orderBy("shard", "metric")),
 
     // INCREMENTAL calibration monitoring: the per-score aggregate is
     // an additive monoid, so per-batch aggregates accreted in a
@@ -2966,97 +3616,50 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // The FULL curation funnel — every quality stage composed in the
-    // order a 100 TB pipeline runs them: C4 line cleanup FIRST (it
-    // produces clean_text; the doc-level stages must score what
-    // survives, not raw boilerplate), then the Gopher A1.1 document
-    // rules, the frozen LEARNED classifier gate (fitLogistic weights,
-    // median-calibrated — the production stack's learned filter, the
-    // same stage the streaming twin runs), the heuristic quality
-    // gate, the DSIR target-likeness gate, canonical exact dedup,
-    // benchmark decontamination, and the deterministic 50% hash draw. Gopher runs with relaxed thresholds
-    // (minWords=10, minStopHits=1 — C4's terminal-punct rule keeps
-    // ~1/3 of the synthesized lines, and the tiny synthetic vocabulary
-    // carries one Gopher stopword); the thresholds are parameters, the
-    // COMPOSITION is what this key locks. Scale shape: c4 + gopher +
-    // quality are one map-side projection chain; DSIR is two bucket-
-    // bounded exchanges + a broadcast model join; dedup shuffles a
-    // 32-byte digest; decontamination shuffles shingle hashes with the
-    // benchmark side broadcast; the draw is map-side — document text
-    // never shuffles end to end.
-    "q_curate_full" -> ((s, dir) => {
-      val all = docs(s, dir)
-      val corpus = all.filter(col("doc_id") % 50 =!= 0)
-        .filter(col("text").isNotNull)
-      val bench = all.filter(col("doc_id") % 50 === 0)
-      val c4 = TextOps.c4Filters(c4SynthText(corpus), "text", "doc_id")
-      val gq = TextOps.gopherQuality(c4, "clean_text",
-          minWords = 10, minStopHits = 1)
-        .filter(col("gopher_keep"))
-        .select("doc_id", "clean_text")
-      // frozen LEARNED quality gate (the streaming funnel's logit
-      // stage, EventStream.curateSink): weights fit OFFLINE on the
-      // labeled raw corpus (the q_quality_classifier regime —
-      // lang == 'en' target over the canonical text-feature triple),
-      // then ONE map-side sigmoid over the gopher survivors'
-      // clean_text. The keep threshold is the in-batch MEDIAN score
-      // (the q_dsir quantile stance): the 3-round fit's scores sit in
-      // a scale-dependent band, so a fixed minP does not travel
-      // across corpus scales while a calibrated quantile does — and
-      // at 100 TB "keep the most-target-like half" is the production
-      // calibration anyway. Scored frame pinned before the quantile +
-      // gate jobs re-scan it (the regex-heavy c4+gopher chain must
-      // not re-execute per job).
-      val lgW = classifierWeights(s, dir)
-      val lgScored = graft.ops.Classifier.scoreLogistic(
-          graft.ops.Classifier.textFeatures(gq, "clean_text"),
-          graft.ops.Classifier.textFeatureCols, lgW.toSeq)
-        .select("doc_id", "clean_text", "p")
-        .localCheckpoint(true)
-      val lgThr = graft.ops.Quantiles.exactQuantiles(lgScored, "p",
-        Seq(0.5), scale = 6).select("q").head().getDouble(0)
-      val lg = lgScored.filter(col("p") >= lit(lgThr))
-        .select("doc_id", "clean_text")
-      // the survivor frame is PINNED before the DSIR stage: the model
-      // fit, the weight scan, the quantile-threshold jobs and the
-      // gate join each re-scan it, and the upstream c4 + gopher +
-      // quality chain is regex-heavy — unpinned, the chain re-executes
-      // per scan (~10 recomputes measured: 79 s vs ~4 s pinned). This
-      // IS the 100 TB shape: persist the funnel's survivor set once,
-      // then fit/score against the materialization.
-      val q = TextOps.qualityScore(lg, "clean_text")
-        .filter(col("quality") >= 0.2)
-        .select("doc_id", "clean_text", "quality")
-        .localCheckpoint(true)
-      // DSIR gate against the doc_id % 10 == 0 slice of the survivors
-      // (the q_dsir regime applied mid-funnel)
-      val gated = q.join(
-        graft.ops.Mixing.importanceResample(q,
-            q.filter(col("doc_id") % 10 === 0), "clean_text", "doc_id",
-            frac = 0.5, buckets = 256, portable = true)
-          .select("doc_id", "n_feats", "logweight"),
-        Seq("doc_id"))
-        .localCheckpoint(true) // re-scanned by dedup + decontam + join
-      // canonical exact dedup AFTER the per-doc gates: duplicates have
-      // identical clean_text, hence identical scores — same keep set
-      // as dedup-first, one window exchange on the digest
-      val wd = org.apache.spark.sql.expressions.Window
-        .partitionBy(sha2(col("clean_text"), 256)).orderBy(col("doc_id"))
-      val deduped = gated.withColumn("_rk", row_number().over(wd))
-        .filter(col("_rk") === 1).drop("_rk")
-      // exactRecount: the survivor set here is funnel-thinned (tiny
-      // next to the corpus), so the collision-proof exact-string
-      // second pass is near-free — the flagship pipeline must not let
-      // a 64-bit shingle collision drop a clean document
-      val contaminated = DedupOps.contaminationScan(
-          deduped.withColumnRenamed("clean_text", "text"), bench,
-          "text", "doc_id", w = 3, exactRecount = true)
-        .select("doc_id")
-      deduped.join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(hashMod(col("doc_id"), 100) < 50)
+    // The FULL curation funnel ([[curateFullFunnel]] — every quality
+    // stage a 100 TB pipeline runs, composed in production order);
+    // this key locks the funnel's keep set and survivor detail.
+    "q_curate_full" -> ((s, dir) =>
+      curateFullFunnel(s, dir)
         .select(col("doc_id"), col("quality"), col("n_feats"),
           col("logweight"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // THE CAPSTONE: the three pillars composed end to end exactly as
+    // the production pipeline runs them — CURATE (the full funnel
+    // above), MIX (water-fill the global token target across the
+    // survivors' languages, select each language's best docs to its
+    // derived budget, replicate by per-source epoch counts), PACK
+    // (greedy sharded sequence packing of the replicated stream into
+    // 512-token bins). Scale shape: the funnel's survivor set is
+    // pinned once; the lang join broadcasts the thinned survivors;
+    // selection is the two-pass bounded-histogram machinery; epoch
+    // replication is a map-side explode; packing shuffles 16-byte
+    // (item, count) rows — document text never enters the mix/pack
+    // exchanges at all ([[TextOps.packSequencesByTokens]]).
+    "q_pipeline_full" -> ((s, dir) => {
+      val surv = curateFullFunnel(s, dir)
+      val withLang = surv
+        .select("doc_id", "quality", "n_tokens")
+        .join(docs(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+        .filter(col("lang").isNotNull)
+      val sel = graft.ops.Mixing.selectToBudgetWaterFill(withLang,
+        "lang", "quality", "n_tokens", "doc_id",
+        total = pipelineTokenTarget, naiveBelow = 0L)
+      val mixed = graft.ops.Mixing.replicateEpochs(sel, "lang",
+        "doc_id", mixBudgetEpochsPct)
+      // each (doc, epoch) replica is one packed sequence item; the
+      // composite item id keeps the portable hash + ordering replayable
+      // (epoch < 100 by the epochsPct <= 10000 contract)
+      val items = mixed.withColumn("item_id",
+        col("doc_id") * lit(100L) + col("epoch"))
+      TextOps.packSequencesByTokens(items, "n_tokens", "item_id",
+          capacity = 512, shards = 8)
+        .select(
+          floor(col("item_id") / lit(100L)).cast("long").as("doc_id"),
+          (col("item_id") % lit(100L)).cast("int").as("epoch"),
+          col("n_tokens"), col("shard"), col("bin"), col("offset"))
+        .orderBy("doc_id", "epoch")
     }),
 
     // Boilerplate 5-grams: shingles shared by >= 3 distinct docs across
@@ -4421,168 +5024,9 @@ object ExtQueries {
     // quality CTE at 0.2, the q_dsir poly-bucket log-ratio +
     // quantile_cont gate on clean_text, min-per-clean_text dedup, the
     // q_curate shingle decontamination, and the hash draw.
-    "q_curate_full" -> {
-      val qexpr = sqlRound(
-        "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
-        "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)
-      val gstops = TextOps.gopherStopwords.map(w => s"'$w'")
-        .mkString("[", ",", "]")
-      s"""WITH $classifierLoopCtes,
-         |corpus AS (SELECT doc_id, text FROM documents
-         |  WHERE doc_id % 50 <> 0 AND text IS NOT NULL),
-         |dtok AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |         FROM corpus),
-         |l0 AS (SELECT doc_id,
-         |  list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
-         |    i -> array_to_string(toks[(i*10+1):(i*10+10)], ' ') ||
-         |         CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
-         |    AS lines0
-         |  FROM dtok),
-         |t1 AS (SELECT doc_id, array_to_string(lines0, chr(10)) AS text
-         |       FROM l0),
-         |t2 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text ||
-         |  chr(10) || 'please enable javascript to view this page.'
-         |  ELSE text END AS text FROM t1),
-         |t3 AS (SELECT doc_id, CASE WHEN doc_id % 15 = 0 THEN text ||
-         |  chr(10) || 'we use cookies to improve your experience.'
-         |  ELSE text END AS text FROM t2),
-         |t4 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text ||
-         |  chr(10) || 'function f() { return 1; }'
-         |  ELSE text END AS text FROM t3),
-         |t5 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text ||
-         |  chr(10) || 'lorem ipsum dolor sit amet.'
-         |  ELSE text END AS text FROM t4),
-         |cf AS (SELECT doc_id, string_split(text, chr(10)) AS lines
-         |  FROM t5
-         |  WHERE NOT contains(lower(text), '{')
-         |    AND NOT contains(lower(text), 'lorem ipsum')),
-         |ck AS (SELECT doc_id,
-         |  list_filter(lines, l ->
-         |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
-         |    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
-         |    AND NOT contains(lower(l), 'javascript')
-         |    AND NOT contains(lower(l), 'cookie')) AS kept
-         |  FROM cf),
-         |c4 AS MATERIALIZED (SELECT doc_id, array_to_string(kept, chr(10))
-         |    AS clean_text
-         |  FROM ck WHERE len(kept) >= 1),
-         |gw AS (SELECT doc_id, clean_text,
-         |  list_filter(regexp_split_to_array(clean_text, '\\s+'),
-         |    x -> x <> '') AS words,
-         |  string_split(clean_text, chr(10)) AS lines FROM c4),
-         |gs AS (SELECT doc_id, clean_text,
-         |  len(words) AS nw,
-         |  length(regexp_replace(clean_text, '\\s+', '', 'g')) AS wchars,
-         |  length(clean_text) - length(replace(clean_text, '#', ''))
-         |    AS hashes,
-         |  len(regexp_extract_all(clean_text, '\\.\\.\\.')) AS ell,
-         |  len(lines) AS nl,
-         |  len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %')) AS bl,
-         |  len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
-         |    AS el,
-         |  len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
-         |    AS aw,
-         |  len(list_intersect(
-         |    list_distinct(list_transform(words, x -> lower(x))),
-         |    $gstops)) AS gstop_hits
-         |  FROM gw),
-         |gm AS (SELECT doc_id, clean_text, CAST(nw AS BIGINT) AS n_words,
-         |  ${sqlRound("wchars / nullif(nw, 0)", 6)} AS mean_word_len,
-         |  ${sqlRound("(hashes + ell) / nullif(nw, 0)", 6)} AS symbol_ratio,
-         |  ${sqlRound("bl / nullif(nl, 0)", 6)} AS bullet_frac,
-         |  ${sqlRound("el / nullif(nl, 0)", 6)} AS ellipsis_frac,
-         |  ${sqlRound("aw / nullif(nw, 0)", 6)} AS alpha_frac,
-         |  CAST(gstop_hits AS BIGINT) AS gstop_hits
-         |  FROM gs),
-         |gp AS (SELECT doc_id, clean_text FROM gm
-         |  WHERE coalesce(n_words >= 10 AND n_words <= 100000 AND
-         |    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
-         |    symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
-         |    ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND
-         |    gstop_hits >= 1, FALSE)),
-         |lf AS (SELECT doc_id, clean_text,
-         |  string_split(clean_text, ' ') AS ltoks,
-         |  length(clean_text) AS lnch,
-         |  length(clean_text) -
-         |    length(regexp_replace(clean_text, '[.,!?;]', '', 'g'))
-         |    AS lpunct
-         |  FROM gp),
-         |lx AS (SELECT doc_id, clean_text,
-         |  least(1.0, len(ltoks)/100.0) AS f_len,
-         |  len(list_filter(ltoks, x -> list_contains($stopList, x)))
-         |    / CAST(nullif(len(ltoks), 0) AS DOUBLE) AS f_stop,
-         |  lpunct / CAST(nullif(lnch, 0) AS DOUBLE) AS f_punct
-         |  FROM lf),
-         |ls AS MATERIALIZED (SELECT doc_id, clean_text,
-         |  $classifierScoreSql AS p FROM lx, w3),
-         |lthr AS (SELECT ${sqlRound("quantile_cont(p, 0.5)", 6)} AS t
-         |         FROM ls),
-         |lg AS (SELECT doc_id, clean_text FROM ls, lthr WHERE p >= t),
-         |qt AS (SELECT doc_id, clean_text,
-         |  string_split(clean_text, ' ') AS toks,
-         |  length(clean_text) AS nch,
-         |  length(clean_text) -
-         |    length(regexp_replace(clean_text, '[.,!?;]', '', 'g'))
-         |    AS punct
-         |  FROM lg),
-         |qh AS (SELECT doc_id, clean_text, len(toks) AS n_tokens,
-         |  len(list_filter(toks, x -> list_contains($stopList, x)))
-         |    AS stop_hits,
-         |  punct, nch FROM qt),
-         |q AS MATERIALIZED (SELECT doc_id, clean_text, $qexpr AS quality FROM qh
-         |  WHERE $qexpr >= 0.2),
-         |dw AS (SELECT doc_id, unnest(string_split(clean_text, ' '))
-         |    AS _w FROM q),
-         |dwf AS (SELECT doc_id, _w FROM dw WHERE _w <> ''),
-         |db AS (SELECT doc_id, _w,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, length(_w) + 1),
-         |        i -> CAST(unicode(_w[i]) AS BIGINT))),
-         |    (a, c) -> (a * 31 + c) % 1048576) % 256 AS _b
-         |  FROM dwf),
-         |rc AS (SELECT _b, count(*) AS c FROM db GROUP BY 1),
-         |tc AS (SELECT _b, count(*) AS c FROM db
-         |       WHERE doc_id % 10 = 0 GROUP BY 1),
-         |tot AS (SELECT (SELECT sum(c) FROM rc) AS rtot,
-         |               (SELECT coalesce(sum(c), 0) FROM tc) AS ttot),
-         |lw AS (SELECT rc._b,
-         |    ln((coalesce(tc.c, 0) + 0.5) / (ttot + 0.5 * 256)) -
-         |    ln((rc.c + 0.5) / (rtot + 0.5 * 256)) AS _lw
-         |  FROM rc LEFT JOIN tc ON rc._b = tc._b, tot),
-         |dcnt AS (SELECT doc_id, _b, count(*) AS c FROM db GROUP BY 1, 2),
-         |wts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-         |    ${sqlRound("sum(c * CAST(" + sqlRound("_lw * 1000000000.0", 0) + " AS BIGINT)) / 1000000000.0", 6)} AS logweight
-         |  FROM dcnt JOIN lw USING (_b) GROUP BY doc_id),
-         |thr AS (SELECT ${sqlRound("quantile_cont(logweight, 0.5)", 6)}
-         |          AS t FROM wts),
-         |gated AS MATERIALIZED (SELECT q.doc_id, q.clean_text, q.quality,
-         |    wts.n_feats, wts.logweight
-         |  FROM q JOIN wts USING (doc_id), thr
-         |  WHERE wts.logweight >= thr.t),
-         |reps AS (SELECT min(doc_id) AS doc_id FROM gated
-         |         GROUP BY clean_text),
-         |dq AS MATERIALIZED (SELECT g.* FROM gated g JOIN reps USING (doc_id)),
-         |dsh AS (SELECT doc_id, unnest(list_distinct(
-         |    CASE WHEN len(toks) >= 3
-         |         THEN list_transform(range(1, len(toks) - 1),
-         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
-         |  FROM (SELECT doc_id, string_split(clean_text, ' ') AS toks
-         |        FROM dq)),
-         |bsh AS (SELECT DISTINCT unnest(list_distinct(
-         |    CASE WHEN len(toks) >= 3
-         |         THEN list_transform(range(1, len(toks) - 1),
-         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
-         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
-         |        WHERE doc_id % 50 = 0)),
-         |contaminated AS (SELECT DISTINCT doc_id
-         |                 FROM dsh JOIN bsh USING (sh))
-         |SELECT dq.doc_id, dq.quality, dq.n_feats, dq.logweight FROM dq
-         |WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
-         |  AND (dq.doc_id * 2654435761) % 100 < 50
-         |ORDER BY dq.doc_id""".stripMargin
-    },
+    "q_curate_full" -> curateFullOracle,
+
+    "q_pipeline_full" -> pipelineFullOracle,
 
     "q_boilerplate" ->
       """WITH base AS (
@@ -5374,17 +5818,26 @@ object ExtQueries {
     "q_threshold_f1_grouped" -> thresholdGroupedOracle,
     "q_drift_ks_grouped" -> driftKsGroupedOracle,
     "q_monitor_report" -> monitorReportOracle,
+    "q_monitor_report_grouped" -> monitorReportGroupedOracle,
     "q_drift_psi_grouped" -> driftGroupedOracle,
+    "q_brier_grouped" -> brierGroupedOracle,
+    "q_reliability_grouped" -> reliabilityGroupedOracle,
     "q_filter_ab" -> filterAbOracle,
+    "q_ab_promote" -> abPromoteOracle,
+    "q_recalibrate_gate" -> recalibrateGateOracle,
 
     // grouped-store reads fold to the one-shot grouped metrics — the
-    // same four oracles verbatim (the grouped monoid identity; the
+    // same oracles verbatim (the grouped monoid identity; the
     // store's hist/daily windows union to the whole corpus, and ARE
-    // the grouped drift key's window split)
+    // the grouped drift/KS keys' window split)
     "q_pr_curve_grouped_incremental" -> prCurveGroupedOracle,
     "q_roc_auc_grouped_incremental" -> rocAucGroupedOracle,
     "q_ece_grouped_incremental" -> eceGroupedOracle,
     "q_drift_psi_grouped_incremental" -> driftGroupedOracle,
+    "q_threshold_f1_grouped_incremental" -> thresholdGroupedOracle,
+    "q_drift_ks_grouped_incremental" -> driftKsGroupedOracle,
+    "q_brier_grouped_incremental" -> brierGroupedOracle,
+    "q_reliability_grouped_incremental" -> reliabilityGroupedOracle,
 
     // grouped calibration: identical machinery with every window /
     // fold partitioned on the ingestion shard; the incremental

@@ -15,6 +15,7 @@ object PlanProbe {
       val n = p.linesIterator
         .count(_.matches(raw"\(\d+\) Exchange( .*)?"))
       println(s"PLANPROBE $k exchanges=$n")
+      if (sys.env.contains("PLANPROBE_FULL")) println(p)
     }
     spark.stop()
   }

@@ -83,7 +83,7 @@ object ScaleProbe {
       "components_star", "dedup_exact_incremental", "ann_recall",
       "embed_recall", "token_budget", "token_budget_naive", "dsir",
       "decontam_fuzzy", "decontam_matrix", "novelty", "split_leakfree",
-      "logreg", "pr_curve", "calibration")
+      "logreg", "pr_curve", "calibration", "calibration_grouped")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -652,6 +652,40 @@ object ScaleProbe {
         }
       }
       scrub()
+      // GROUPED calibration store: the grouped monoid's exchanges
+      // carry a groups multiplier (groups x <= 10^scale + 1 rows) the
+      // ungrouped family doesn't — this row prices it. Same two
+      // tagged window appends, then the per-source read surface:
+      // grouped curve, per-source operating points, window PSI and
+      // KS — the q_*_grouped_incremental keys' store shape. The
+      // group is an 8-way source shard (source-cardinality by the
+      // appendBy contract).
+      val tCalibBy = if (!want("calibration_grouped")) -1.0 else {
+        val scored = d.select(
+          concat(lit("src_"), pmod(col("doc_id"), lit(8)))
+            .as("src"),
+          (pmod(col("doc_id"), lit(2)) === 0).cast("double").as("y"),
+          (pmod(xxhash64(col("text")), lit(1000000)) / 1000000.0)
+            .as("p"))
+        val idx = s"$root/calibby_${tag}_$scale"
+        best2 {
+          graft.ops.CalibrationIndex.appendBy(spark,
+            scored.filter(col("p") < 0.5), idx,
+            "src", "p", "y", batchTag = Some("b1"))
+          graft.ops.CalibrationIndex.appendBy(spark,
+            scored.filter(col("p") >= 0.5), idx,
+            "src", "p", "y", batchTag = Some("b2"))
+          graft.ops.CalibrationIndex.prCurveBy(spark, idx, "src").count()
+          graft.ops.CalibrationIndex.bestThresholdBy(spark, idx, "src")
+            .count()
+          graft.ops.CalibrationIndex.driftBy(spark, idx, "src",
+            Seq("b1"), Seq("b2")).count()
+          graft.ops.CalibrationIndex.driftKsBy(spark, idx, "src",
+            Seq("b1"), Seq("b2")).count()
+          ()
+        }
+      }
+      scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
         budgetRows.withColumn("_cum",
             sum(col("toks")).over(org.apache.spark.sql.expressions.Window
@@ -764,7 +798,8 @@ object ScaleProbe {
         "decontam_matrix" -> tMatrix,
         "novelty" -> tNovelty, "split_leakfree" -> tSplit,
         "logreg" -> tLogreg, "pr_curve" -> tPrCurve,
-        "calibration" -> tCalib)
+        "calibration" -> tCalib,
+        "calibration_grouped" -> tCalibBy)
         .filter(_._2 >= 0)
     }
 

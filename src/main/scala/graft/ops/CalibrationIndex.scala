@@ -33,7 +33,17 @@ object CalibrationIndex {
   private def aggPath(p: String) = p + "/scoreagg"
 
   /** Append one batch's per-score aggregate. An empty (or all-null)
-    * batch writes nothing — never a schema-less directory. */
+    * batch writes nothing — never a schema-less directory.
+    *
+    * Tag semantics: production callers (the streaming sinks) pass an
+    * explicit `batchTag` (appId-batchId) — ALWAYS do the same for
+    * repeated appends. The default tag hashes the RAW batch's rows
+    * over ALL its columns, so id-bearing batches that merely share a
+    * score/label aggregate land under distinct tags and accrete; two
+    * batches identical in EVERY column still collapse to one tag
+    * (indistinguishable content = the replay-idempotence contract),
+    * so a caller that genuinely re-observes identical batches and
+    * wants them double-counted must tag them apart explicitly. */
   def append(spark: SparkSession, batch: DataFrame, indexPath: String,
              score: String, label: String, scale: Int = 6,
              batchTag: Option[String] = None): Unit = {
@@ -45,7 +55,7 @@ object CalibrationIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Layout.healTable(fs, new Path(aggPath(indexPath)))
     val tag = batchTag.getOrElse(
-      Layout.contentTag(summary, Seq("thr", "n", "pos")))
+      Layout.contentTag(batch, batch.columns.toSeq))
     summary
       .select(lit(tag).as("batch_tag"), col("thr"), col("n"), col("pos"))
       .repartition(1) // one file per batch — the aggregate is tiny
@@ -155,8 +165,14 @@ object CalibrationIndex {
   def monitorReport(spark: SparkSession, indexPath: String,
                     refTags: Seq[String], curTags: Seq[String],
                     bins: Int = 10): DataFrame = {
+    // pin the two window folds (≤ 10^6+1 rows each) before the six
+    // metric branches fan out — unpinned, every branch re-reads the
+    // store parquet (~13 scans per report); pinned, the store is read
+    // exactly twice
     val ref = windowAggregate(spark, indexPath, refTags)
+      .localCheckpoint(true)
     val cur = windowAggregate(spark, indexPath, curTags)
+      .localCheckpoint(true)
     def one(name: String, df: DataFrame, v: String) =
       df.select(lit(name).as("metric"),
         col(v).cast("double").as("value"))
@@ -203,9 +219,19 @@ object CalibrationIndex {
     df.select(col(group), col("thr"), col("n"), col("pos"))
   }
 
+  /** The grouped store's group-cardinality budget: the monoid is
+    * groups × (10^scale + 1) rows, bounded ONLY while the group column
+    * is a source/domain-cardinality key — a URL- or doc-id-valued
+    * group would silently bloat the store (and every read) to corpus
+    * scale. [[appendBy]] enforces it loudly (the
+    * `NoveltyIndex.broadcastMaxGrams` / `Mixing.maxSources` stance). */
+  val maxGroups: Int = 10000
+
   /** Append one batch's PER-SOURCE aggregate
-    * ([[Classifier.scoreAggregateBy]]). Same empty-batch and
-    * tag-partition semantics as [[append]]. */
+    * ([[Classifier.scoreAggregateBy]]). Same empty-batch,
+    * tag-partition, and default-tag semantics as [[append]]. Loud
+    * when the batch carries more than [[maxGroups]] distinct groups —
+    * the group column is per-source by contract. */
   def appendBy(spark: SparkSession, batch: DataFrame, indexPath: String,
                group: String, score: String, label: String,
                scale: Int = 6, batchTag: Option[String] = None): Unit = {
@@ -213,11 +239,18 @@ object CalibrationIndex {
       .scoreAggregateBy(batch, group, score, label, scale)
       .localCheckpoint(true)
     if (summary.isEmpty) return
+    val nGroups = summary.select(col(group)).distinct()
+      .limit(maxGroups + 1).count() // bounded probe of the pinned frame
+    require(nGroups <= maxGroups,
+      s"calibration: group cardinality exceeds budget $maxGroups in " +
+        s"'$group' — monitoring groups are sources/domains by " +
+        "contract; a URL- or id-valued column would bloat the store " +
+        "to groups x lattice rows")
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Layout.healTable(fs, new Path(aggByPath(indexPath)))
     val tag = batchTag.getOrElse(
-      Layout.contentTag(summary, Seq(group, "thr", "n", "pos")))
+      Layout.contentTag(batch, batch.columns.toSeq))
     summary
       .select(lit(tag).as("batch_tag"), col(group), col("thr"),
         col("n"), col("pos"))
@@ -254,6 +287,30 @@ object CalibrationIndex {
     Classifier.eceByFromAggregate(
       readBy(spark, indexPath, group), group, bins)
 
+  /** Per-source Brier score of everything scored so far — identical
+    * to [[Classifier.brierScoreBy]] over the concatenated batches. */
+  def brierBy(spark: SparkSession, indexPath: String,
+              group: String): DataFrame =
+    Classifier.brierByFromAggregate(
+      readBy(spark, indexPath, group), group)
+
+  /** Per-source reliability diagram of everything scored so far —
+    * identical to [[Classifier.reliabilityBy]] over the concatenated
+    * batches. */
+  def reliabilityBy(spark: SparkSession, indexPath: String,
+                    group: String, bins: Int = 10): DataFrame =
+    Classifier.reliabilityByFromAggregate(
+      readBy(spark, indexPath, group), group, bins)
+
+  /** The per-source F_β-optimal operating thresholds over everything
+    * scored so far — the multi-source deploy loop's RE-CALIBRATION
+    * read: each source's frozen `minP` refreshed from its accumulated
+    * production evidence in one store read. */
+  def bestThresholdBy(spark: SparkSession, indexPath: String,
+                      group: String, beta: Double = 1.0): DataFrame =
+    Classifier.bestThresholdByFromAggregate(
+      readBy(spark, indexPath, group), group, beta)
+
   /** The folded grouped aggregate of one tag window (the
     * [[windowAggregate]] discipline: loud on a never-landed tag). */
   def windowAggregateBy(spark: SparkSession, indexPath: String,
@@ -281,6 +338,51 @@ object CalibrationIndex {
     Classifier.driftFromAggregatesBy(
       windowAggregateBy(spark, indexPath, group, refTags),
       windowAggregateBy(spark, indexPath, group, curTags), group, bins)
+
+  /** Per-source KS drift ([[Classifier.scoreDriftKsBy]]) between two
+    * tag windows of the grouped store — the binning-free two-sample
+    * test, per source, from the accreted aggregates. */
+  def driftKsBy(spark: SparkSession, indexPath: String, group: String,
+                refTags: Seq[String], curTags: Seq[String]): DataFrame =
+    Classifier.ksFromAggregatesBy(
+      windowAggregateBy(spark, indexPath, group, refTags),
+      windowAggregateBy(spark, indexPath, group, curTags), group)
+
+  /** [[monitorReport]]'s per-source twin — the multi-source
+    * dashboard: one row per (group, metric) with the same six-metric
+    * union shape (per-window AUC, current ECE + Brier, PSI and KS
+    * between the windows), every fold partitioned on the group. The
+    * two grouped window folds are pinned once (groups × bounded
+    * rows), so the store is read exactly twice per report; a null
+    * value surfaces an undefined per-source metric (a one-class
+    * source's AUC) instead of a fabricated number. */
+  def monitorReportBy(spark: SparkSession, indexPath: String,
+                      group: String, refTags: Seq[String],
+                      curTags: Seq[String], bins: Int = 10): DataFrame = {
+    val ref = windowAggregateBy(spark, indexPath, group, refTags)
+      .localCheckpoint(true)
+    val cur = windowAggregateBy(spark, indexPath, group, curTags)
+      .localCheckpoint(true)
+    def one(name: String, df: DataFrame, v: String) =
+      df.select(col(group), lit(name).as("metric"),
+        col(v).cast("double").as("value"))
+    one("auc_ref", Classifier.rocAucByFromAggregate(ref, group), "auc")
+      .unionByName(
+        one("auc_cur", Classifier.rocAucByFromAggregate(cur, group),
+          "auc"))
+      .unionByName(
+        one("ece_cur", Classifier.eceByFromAggregate(cur, group, bins),
+          "ece"))
+      .unionByName(
+        one("brier_cur", Classifier.brierByFromAggregate(cur, group),
+          "brier"))
+      .unionByName(
+        one("psi",
+          Classifier.driftFromAggregatesBy(ref, cur, group, bins),
+          "psi"))
+      .unionByName(
+        one("ks", Classifier.ksFromAggregatesBy(ref, cur, group), "ks"))
+  }
 
   /** [[compact]] for the grouped store: fold to one row per
     * (group, thr) under `batch_tag=folded`; same stage-and-swap

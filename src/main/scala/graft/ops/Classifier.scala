@@ -417,6 +417,71 @@ object Classifier {
           (lit(1.0e6) * nullif(col("_n"), lit(0L))), 6).as("ece"))
   }
 
+  /** Per-group [[brierScore]]: (group, n, brier) — the per-source
+    * proper scoring rule, the same DECIMAL(38,0) exact-integer fold
+    * run within each group (a filter can hold a good corpus-wide
+    * Brier while one source's forecasts rot). */
+  def brierScoreBy(df: DataFrame, group: String, score: String,
+                   label: String, scale: Int = 6): DataFrame =
+    brierByTail(scoreAggregateBy(df, group, score, label, scale), group)
+
+  /** [[brierScoreBy]] from an accreted `(group, thr, n, pos)`
+    * aggregate (fold-first; identity on a folded store). */
+  def brierByFromAggregate(agg: DataFrame, group: String): DataFrame =
+    brierByTail(foldAggregateBy(agg, group), group)
+
+  private def brierByTail(agg: DataFrame, group: String): DataFrame = {
+    val k = latticeOf(col("thr"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    agg.groupBy(col(group))
+      .agg(
+        sum(col("n")).as("_n"),
+        sum(col("n").cast(dec) * (k * k)).as("_skk"),
+        sum(col("pos").cast(dec) * k).as("_skp"),
+        sum(col("pos")).as("_p"))
+      .select(col(group), col("_n").cast("long").as("n"),
+        roundHalfUp(
+          (col("_skk") - lit(2000000L) * col("_skp") +
+            lit(1000000000000L) * col("_p").cast(dec)).cast("double") /
+            (lit(1.0e12) * nullif(col("_n"), lit(0L))), 6).as("brier"))
+  }
+
+  /** Per-group [[reliability]]: one row per non-empty (group, bin) —
+    * WHICH confidence region of WHICH source went dishonest, the
+    * drill-down behind a moving per-source ECE. Same exact-integer
+    * numerators, grouped. */
+  def reliabilityBy(df: DataFrame, group: String, score: String,
+                    label: String, bins: Int = 10,
+                    scale: Int = 6): DataFrame =
+    reliabilityByTail(scoreAggregateBy(df, group, score, label, scale),
+      group, bins)
+
+  /** [[reliabilityBy]] from an accreted `(group, thr, n, pos)`
+    * aggregate (fold-first; identity on a folded store). */
+  def reliabilityByFromAggregate(agg: DataFrame, group: String,
+                                 bins: Int = 10): DataFrame =
+    reliabilityByTail(foldAggregateBy(agg, group), group, bins)
+
+  private def reliabilityByTail(agg: DataFrame, group: String,
+                                bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000000,
+      s"classifier: bins must be in [1, 10^6]: $bins")
+    val k = latticeOf(col("thr"))
+    val bin = least(
+      floor((k * lit(bins.toLong)) / lit(1000000L)).cast("long"),
+      lit(bins.toLong - 1))
+    agg.groupBy(col(group), bin.as("bin"))
+      .agg(sum(col("n")).as("_nb"), sum(col("pos")).as("_pb"),
+        sum(col("n") * k).as("_sk"))
+      .select(col(group), col("bin"), col("_nb").cast("long").as("n"),
+        roundHalfUp(col("_sk") /
+          (lit(1.0e6) * col("_nb")), 6).as("confidence"),
+        roundHalfUp(col("_pb") / col("_nb").cast("double"), 6)
+          .as("accuracy"),
+        roundHalfUp((col("_pb") * lit(1000000L) - col("_sk")) /
+          (lit(1.0e6) * col("_nb")), 6).as("gap"))
+  }
+
   /** [[scoreDriftBy]] from two accreted `(group, thr, n, ...)`
     * aggregates — per-source drift between two store windows on
     * read; labels are ignored if present. */
@@ -609,12 +674,25 @@ object Classifier {
     * (group, thr, tp, fp, fn, fbeta). */
   def bestThresholdBy(df: DataFrame, group: String, score: String,
                       label: String, beta: Double = 1.0,
-                      scale: Int = 6): DataFrame = {
+                      scale: Int = 6): DataFrame =
+    bestThresholdByTail(scoreAggregateBy(df, group, score, label, scale),
+      group, beta)
+
+  /** [[bestThresholdBy]] from an accreted `(group, thr, n, pos)`
+    * aggregate — the per-source RE-CALIBRATION read of a deployed
+    * multi-source gate: each source's F_β-optimal `minP` derived from
+    * its accumulated production batches ([[graft.ops.CalibrationIndex
+    * .bestThresholdBy]]), without re-scanning a scored row. */
+  def bestThresholdByFromAggregate(agg: DataFrame, group: String,
+                                   beta: Double = 1.0): DataFrame =
+    bestThresholdByTail(foldAggregateBy(agg, group), group, beta)
+
+  private def bestThresholdByTail(agg: DataFrame, group: String,
+                                  beta: Double): DataFrame = {
     require(beta > 0, s"classifier: beta must be > 0: $beta")
     val c1 = 1.0 + beta * beta
     val c2 = beta * beta
-    prCurveByTail(scoreAggregateBy(df, group, score, label, scale),
-        group)
+    prCurveByTail(agg, group)
       .withColumn("fbeta", roundHalfUp(
         (lit(c1) * col("tp")) /
           (lit(c1) * col("tp") + lit(c2) * col("fn") + col("fp")), 6))
@@ -631,9 +709,24 @@ object Classifier {
     * only one window read `ks` null (a one-sided KS is undefined,
     * surfaced instead of 0 or 1). */
   def scoreDriftKsBy(ref: DataFrame, cur: DataFrame, group: String,
-                     score: String, scale: Int = 6): DataFrame = {
-    val refH = scoreHistogramBy(ref, group, score, scale)
-    val curH = scoreHistogramBy(cur, group, score, scale)
+                     score: String, scale: Int = 6): DataFrame =
+    ksTailBy(scoreHistogramBy(ref, group, score, scale),
+      scoreHistogramBy(cur, group, score, scale), group)
+
+  /** [[scoreDriftKsBy]] from two accreted `(group, thr, n, ...)`
+    * aggregates — per-source KS between two [[graft.ops
+    * .CalibrationIndex]] tag windows on read; labels (a `pos` column)
+    * are ignored if present. */
+  def ksFromAggregatesBy(refAgg: DataFrame, curAgg: DataFrame,
+                         group: String): DataFrame = {
+    def fold(a: DataFrame) = a
+      .groupBy(col(group), inUnitInterval(col("thr")).as("thr"))
+      .agg(sum(col("n")).as("n"))
+    ksTailBy(fold(refAgg), fold(curAgg), group)
+  }
+
+  private def ksTailBy(refH: DataFrame, curH: DataFrame,
+                       group: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(group)).orderBy(col("thr"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -314,13 +314,25 @@ object TextOps {
     * (id, shard, n_tokens, bin, offset) with offset = the doc's start
     * position inside its bin. */
   def packSequences(df: DataFrame, text: String, id: String,
-                    capacity: Int, shards: Int): DataFrame = {
+                    capacity: Int, shards: Int): DataFrame =
+    packSequencesByTokens(
+      df.select(col(id),
+        size(tokens(col(text))).cast("long").as("n_tokens")),
+      "n_tokens", id, capacity, shards)
+
+  /** [[packSequences]] over PRE-COMPUTED token counts — the
+    * composed-pipeline form: when an upstream stage already carries
+    * `n_tokens` (curation, budget selection), packing needs only
+    * (id, count) and the document text never enters the exchange —
+    * at 100 TB the pack shuffle moves 16 bytes a row, not documents.
+    * Same sharded running-sum semantics, same output columns. */
+  def packSequencesByTokens(df: DataFrame, nTokens: String, id: String,
+                            capacity: Int, shards: Int): DataFrame = {
     require(capacity > 0 && shards > 0)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(id),
-        size(tokens(col(text))).cast("long").as("n_tokens"),
+    df.select(col(id), col(nTokens).cast("long").as("n_tokens"),
         graft.functions.PortableHash.hashMod(col(id), shards.toLong)
           .as("shard"))
       .withColumn("_cum", sum("n_tokens").over(w))

@@ -315,7 +315,21 @@ object EventStream {
     *     sigmoid against offline-fit [[graft.ops.Classifier
     *     .fitLogistic]] weights, keep `p ≥ minP`. The weights must
     *     come from a fit over the SAME textFeatures projection
-    *     (weight order = bias :: textFeatureCols);
+    *     (weight order = bias :: textFeatureCols). GATE CALIBRATION:
+    *     this stage freezes an ABSOLUTE `minP` — correct for a
+    *     deployed stream, where batch-to-batch gate stability is the
+    *     contract (a per-batch quantile would let each micro-batch's
+    *     mix move the bar). The BATCH funnel (`q_curate_full`)
+    *     instead calibrates at the in-batch MEDIAN score — correct
+    *     for exploratory one-shot curation, where the fit's score
+    *     band is corpus-scale-dependent and a fixed minP does not
+    *     travel. The production bridge between the two is
+    *     [[graft.ops.Classifier.bestThreshold]] read from the
+    *     accreted [[graft.ops.CalibrationIndex]] store: monitor the
+    *     deployed gate's scored+labeled feedback, then re-freeze
+    *     `minP` at the measured F_β-optimal operating point (graded
+    *     as `q_recalibrate_gate`; the StreamingSpec actuation drill
+    *     walks the full loop);
     *  0b. (optional, `dsir = Some((model, minLogweight))`) DSIR
     *     domain-relevance gate: score each doc against a FROZEN
     *     [[graft.ops.Mixing.importanceModel]] (fit once on samples,
@@ -330,7 +344,15 @@ object EventStream {
     *     history (O(batch) pruned probe) and accretes the store;
     *  3. decontamination: shingle overlap against the (bounded,
     *     broadcast) `benchmark` set drops any doc sharing a w-gram
-    *     with an eval document ([[graft.ops.DedupOps.contaminationScan]]);
+    *     with an eval document ([[graft.ops.DedupOps.contaminationScan]]).
+    *     The scan runs with `exactRecount = true` (collision-proofed
+    *     since the r16 upgrade): a stream RESTARTED across that
+    *     upgrade may emit marginally different keep decisions on
+    *     replayed batches than its pre-upgrade history did — docs a
+    *     64-bit shingle collision used to drop are now correctly
+    *     kept. This is the intended direction (a replay is more
+    *     correct, never less), but operators diffing replayed batch
+    *     output against pre-upgrade output should expect it;
     *  3b. (optional, `fuzzy = Some((fw, threshold))`) FUZZY
     *     decontamination: w-gram Jaccard against the same broadcast
     *     benchmark ([[graft.ops.DedupOps.fuzzyContamination]]) at its

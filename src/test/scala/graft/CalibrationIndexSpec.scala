@@ -142,6 +142,15 @@ class CalibrationIndexSpec extends SparkSpec {
       assert(rows(CalibrationIndex.eceBy(spark, idx, "g")) ==
         rows(Classifier.calibrationErrorBy(both, "g", "p", "y")),
         "grouped store ECE diverged")
+      assert(rows(CalibrationIndex.brierBy(spark, idx, "g")) ==
+        rows(Classifier.brierScoreBy(both, "g", "p", "y")),
+        "grouped store Brier diverged")
+      assert(rows(CalibrationIndex.reliabilityBy(spark, idx, "g")) ==
+        rows(Classifier.reliabilityBy(both, "g", "p", "y")),
+        "grouped store reliability diverged")
+      assert(rows(CalibrationIndex.bestThresholdBy(spark, idx, "g")) ==
+        rows(Classifier.bestThresholdBy(both, "g", "p", "y")),
+        "grouped store operating points diverged")
     }
     checkAll()
     // the two window tags drift per source, equal to the one-shot
@@ -150,6 +159,35 @@ class CalibrationIndexSpec extends SparkSpec {
       rows(Classifier.scoreDriftBy(g1.toDF("id", "g", "p", "y"),
         g2.toDF("id", "g", "p", "y"), "g", "p")),
       "grouped window drift diverged from the one-shot")
+    assert(rows(CalibrationIndex.driftKsBy(spark, idx, "g",
+        Seq("w1"), Seq("w2"))) ==
+      rows(Classifier.scoreDriftKsBy(g1.toDF("id", "g", "p", "y"),
+        g2.toDF("id", "g", "p", "y"), "g", "p")),
+      "grouped window KS diverged from the one-shot")
+    // the per-source dashboard: one row per (group, metric), each
+    // equal to its individually-derived grouped value
+    val d1 = g1.toDF("id", "g", "p", "y")
+    val d2 = g2.toDF("id", "g", "p", "y")
+    def metricMap(df: org.apache.spark.sql.DataFrame, v: String,
+                  name: String) =
+      df.collect().map(r => (r.getString(0), name) ->
+        (if (r.isNullAt(r.fieldIndex(v))) null
+         else r.getAs[Any](v))).toMap
+    val report = CalibrationIndex.monitorReportBy(spark, idx, "g",
+        Seq("w1"), Seq("w2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    val expected =
+      metricMap(Classifier.rocAucBy(d1, "g", "p", "y"), "auc", "auc_ref") ++
+      metricMap(Classifier.rocAucBy(d2, "g", "p", "y"), "auc", "auc_cur") ++
+      metricMap(Classifier.calibrationErrorBy(d2, "g", "p", "y"), "ece",
+        "ece_cur") ++
+      metricMap(Classifier.brierScoreBy(d2, "g", "p", "y"), "brier",
+        "brier_cur") ++
+      metricMap(Classifier.scoreDriftBy(d1, d2, "g", "p"), "psi", "psi") ++
+      metricMap(Classifier.scoreDriftKsBy(d1, d2, "g", "p"), "ks", "ks")
+    assert(report == expected,
+      s"grouped monitor report diverged: $report vs $expected")
     // a wrong group column name is loud, not a schema surprise
     val e = intercept[IllegalArgumentException] {
       CalibrationIndex.prCurveBy(spark, idx, "source")
@@ -162,6 +200,37 @@ class CalibrationIndexSpec extends SparkSpec {
       .count() ==
       Classifier.scoreAggregateBy(both, "g", "p", "y").count(),
       "compactBy must fold to one row per (group, thr)")
+  }
+
+  test("default content tags are id-bearing: two distinct batches sharing a score/label aggregate ACCRETE, not overwrite") {
+    val idx = tmpDir() + "/cali"
+    // identical (p, y) multisets, different ids — before the id-bearing
+    // tag these collapsed to one partition and the store undercounted
+    CalibrationIndex.append(spark, b1.toDF("id", "p", "y"), idx, "p", "y")
+    CalibrationIndex.append(spark,
+      b1.map { case (i, p, y) => (i + 100L, p, y) }.toDF("id", "p", "y"),
+      idx, "p", "y")
+    val oneShot = Classifier.prCurve(
+      (b1 ++ b1.map { case (i, p, y) => (i + 100L, p, y) })
+        .toDF("id", "p", "y"), "p", "y")
+      .orderBy("thr").collect().map(_.toSeq).toSeq
+    assert(curveOf(idx) == oneShot,
+      "distinct id-bearing batches with equal aggregates must accrete")
+  }
+
+  test("appendBy is loud on a group column above the cardinality budget") {
+    val idx = tmpDir() + "/calbud"
+    val wide = spark.range(CalibrationIndex.maxGroups + 1)
+      .select(concat(lit("url_"), col("id")).as("g"),
+        lit(0.5).as("p"), lit(1.0).as("y"))
+    val e = intercept[IllegalArgumentException] {
+      CalibrationIndex.appendBy(spark, wide, idx, "g", "p", "y",
+        batchTag = Some("b1"))
+    }
+    assert(e.getMessage.contains("group cardinality"), e.getMessage)
+    // nothing landed — the guard fires before the write
+    assert(!new java.io.File(s"$idx/scoreaggby").exists(),
+      "a rejected batch must not create the store")
   }
 
   test("an all-null batch writes nothing; the store stays readable") {

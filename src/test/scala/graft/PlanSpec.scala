@@ -322,13 +322,40 @@ class PlanSpec extends SparkSpec {
       // r16: the composite dashboard read — six metric branches, each
       // its own chain of store-bounded folds (the store is batches x
       // <= 10^6+1 rows; NO branch touches a corpus); the union itself
-      // is exchange-free
-      "q_monitor_report" -> 27,
+      // is exchange-free. r17: the two window folds are pinned
+      // (localCheckpoint) before the branches fan out, so the store
+      // is read twice, not ~13x — budget 27 -> 19
+      "q_monitor_report" -> 19,
       "q_pr_curve_grouped_incremental" -> 3,
       "q_roc_auc_grouped_incremental" -> 3,
       "q_ece_grouped_incremental" -> 4,
       "q_drift_psi_grouped_incremental" -> 9,
-      "q_decontam_matrix" -> 5)
+      "q_decontam_matrix" -> 5,
+      // r17: the COMPLETE grouped store read surface — every exchange
+      // carries batches x groups x bounded-aggregate rows (the store,
+      // never a corpus): threshold/brier/reliability = store fold +
+      // grouped tail + presentation sort; grouped-window KS adds the
+      // two pruned window folds + the merged (group, thr) spine
+      "q_threshold_f1_grouped_incremental" -> 3,
+      "q_brier_grouped" -> 3, "q_brier_grouped_incremental" -> 3,
+      "q_reliability_grouped" -> 3,
+      "q_reliability_grouped_incremental" -> 3,
+      "q_drift_ks_grouped_incremental" -> 8,
+      // r17: the per-source dashboard — the grouped monitorReport
+      // union over the two PINNED grouped window folds (store read
+      // twice; six branches of groups x bounded rows)
+      "q_monitor_report_grouped" -> 21,
+      // r17: deploy-loop actuation — the operating point collects
+      // eagerly from the bounded store fold (one driver row); the
+      // lazy plan is the map-side re-gate + the presentation sort.
+      // Promotion: the 2-row grouped AUC fold + the 2-row sort
+      "q_recalibrate_gate" -> 1, "q_ab_promote" -> 2,
+      // r17: the capstone. The funnel's localCheckpoint cuts hide the
+      // curate stages (budgeted via q_curate_full); this plan is the
+      // survivor-lang broadcast join, the selection's boundary-bin
+      // window, the map-side replication explode, the 16-byte-row
+      // pack window, and the presentation sort — plus AQE slack
+      "q_pipeline_full" -> 21)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,

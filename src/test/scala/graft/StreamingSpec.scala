@@ -892,6 +892,82 @@ class StreamingSpec extends SparkSpec {
       "the monitored curve must equal the batch metric over the flow")
   }
 
+  test("deploy-loop ACTUATION: batch-1 monitoring recalibrates the gate for batch 2 and the keep set provably shifts") {
+    // the arrow the monitoring store exists for: the deployed gate's
+    // scores + ground-truth labels accrete in the calibration store;
+    // the measured F1-optimal operating point is read back and FROZEN
+    // as the gate's new minP; a doc the old gate mis-kept now drops.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val good1 = ("the cat sat on the mat and looked at the dog " * 4).trim
+    val good2 = ("a bird is in the tree and sings to the sun " * 4).trim
+    val mixed = ("the cat zorp blick grum flarn plim vex quux corge " * 4).trim
+    val bad = ("zorp blick grum flarn plim vex quux corge grault " * 4).trim
+    val train = graft.ops.Classifier.textFeatures(
+      Seq((1L, good1, 1.0), (2L, good2, 1.0), (3L, bad, 0.0),
+        (4L, bad + " extra", 0.0)).toDF("doc_id", "text", "y"), "text")
+    val w = graft.ops.Classifier.fitLogistic(train,
+      graft.ops.Classifier.textFeatureCols, "y", iters = 30, lr = 0.5)
+    def scoreOf(t: String): Double = graft.ops.Classifier.scoreLogistic(
+        graft.ops.Classifier.textFeatures(
+          Seq((0L, t)).toDF("doc_id", "text"), "text"),
+        graft.ops.Classifier.textFeatureCols, w.toSeq)
+      .select("p").head().getDouble(0)
+    val (pG1, pG2, pMix, pBad) =
+      (scoreOf(good1), scoreOf(good2), scoreOf(mixed), scoreOf(bad))
+    val oldMinP = 0.5
+    // the mixed doc is the gate's mistake: above the deployed 0.5 but
+    // labeled negative in production feedback
+    assert(pG1 >= oldMinP && pG2 >= oldMinP && pMix >= oldMinP &&
+      pMix < math.min(pG1, pG2) && pBad < oldMinP,
+      s"fixture drifted: $pG1 $pG2 $pMix $pBad")
+    // batch 1: labeled production feedback streams through the SAME
+    // frozen weights into the calibration store
+    val mem1 = MemoryStream[(Long, String, Double)]
+    val scored1 = graft.ops.Classifier.scoreLogistic(
+      graft.ops.Classifier.textFeatures(
+        mem1.toDF().toDF("doc_id", "text", "y"), "text"),
+      graft.ops.Classifier.textFeatureCols, w.toSeq)
+    val q1 = EventStream.calibrationSink(
+        scored1.select("doc_id", "p", "y"), s"$dir/calib", "p", "y",
+        appId = "spec-recal-mon")
+      .option("checkpointLocation", s"$dir/ckptM").start()
+    try {
+      mem1.addData((11L, good1, 1.0), (12L, good2, 1.0),
+        (13L, mixed, 0.0), (14L, bad, 0.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // ACTUATION: the store's measured operating point becomes the new
+    // frozen minP (the q_recalibrate_gate read)
+    val newMinP = graft.ops.CalibrationIndex
+      .bestThreshold(spark, s"$dir/calib")
+      .select("thr").head().getDouble(0)
+    assert(newMinP > pMix && newMinP <= math.min(pG1, pG2),
+      s"the recalibrated gate must exclude the mis-kept doc: $newMinP")
+    // batch 2 through the OLD gate and through the RE-FROZEN gate
+    def runGate(minP: Double, sub: String): Set[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStream.curateSink(mem.toDF().toDF("doc_id", "text"),
+          s"$dir/$sub/didx", s"$dir/$sub/kept", "text", "doc_id",
+          appId = s"spec-recal-$sub", minQuality = 0.0, samplePct = 100,
+          benchmark = Seq((900L, "benchmark phrase sharing nothing else"))
+            .toDF("doc_id", "text"),
+          logit = Some((w.toSeq, minP)))
+        .option("checkpointLocation", s"$dir/$sub/ckpt").start()
+      try {
+        mem.addData((21L, good1), (22L, mixed), (23L, bad))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$dir/$sub/kept")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(runGate(oldMinP, "old") == Set(21L, 22L),
+      "the pre-upgrade gate keeps the mis-scored doc")
+    assert(runGate(newMinP, "new") == Set(21L),
+      "the recalibrated gate must drop exactly the mis-kept doc")
+  }
+
   test("streaming calibration sink: accumulated aggregate derives the one-shot prCurve and rocAuc; replay changes nothing") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
