@@ -1287,6 +1287,36 @@ object ExtQueries {
        |SELECT doc_id, y, p FROM scored, pick
        |WHERE p >= pick.thr ORDER BY doc_id""".stripMargin
 
+  /** The grouped actuation oracle for `q_recalibrate_gate_grouped`:
+    * the per-shard F1-argmax (the `q_threshold_f1_grouped` fold over
+    * the whole scored corpus — exactly what the grouped store's
+    * hist+daily windows sum to) joined back as each shard's gate. */
+  private lazy val recalibrateGateGroupedOracle: String =
+    s"""WITH $classifierLoopCtes,
+       |scored AS (SELECT doc_id, doc_id % 4 AS shard, y,
+       |    $classifierScoreSql AS p FROM feats, w3),
+       |g AS (SELECT shard, p AS thr, count(*) AS n,
+       |      CAST(sum(y) AS BIGINT) AS pos FROM scored GROUP BY 1, 2),
+       |c AS (SELECT shard, thr,
+       |    sum(pos) OVER (PARTITION BY shard ORDER BY thr DESC
+       |      ROWS UNBOUNDED PRECEDING) AS tp,
+       |    sum(n) OVER (PARTITION BY shard ORDER BY thr DESC
+       |      ROWS UNBOUNDED PRECEDING) AS nge,
+       |    sum(pos) OVER (PARTITION BY shard) AS p_all
+       |  FROM g),
+       |f AS (SELECT shard, thr, CAST(tp AS BIGINT) AS tp,
+       |    CAST(nge - tp AS BIGINT) AS fp,
+       |    CAST(p_all - tp AS BIGINT) AS fn FROM c),
+       |s AS (SELECT shard, thr,
+       |    ${sqlRound("(2.0 * tp) / (2.0 * tp + 1.0 * fn + fp)", 6)}
+       |      AS fbeta FROM f),
+       |r AS (SELECT shard, thr, row_number() OVER (PARTITION BY shard
+       |      ORDER BY fbeta DESC, thr DESC) AS rk FROM s),
+       |pick AS (SELECT shard, thr FROM r WHERE rk = 1)
+       |SELECT scored.doc_id, scored.shard, scored.y, scored.p
+       |FROM scored JOIN pick USING (shard)
+       |WHERE scored.p >= pick.thr ORDER BY doc_id""".stripMargin
+
   /** The grouped Brier oracle, shared by `q_brier_grouped` and its
     * grouped-store read: the exact integer expansion per shard. */
   private lazy val brierGroupedOracle: String =
@@ -1602,6 +1632,101 @@ object ExtQueries {
        |  AND (dq.doc_id * 2654435761) % 100 < 50
        |ORDER BY dq.doc_id""".stripMargin
 
+  /** The daily-increment funnel CTE chain shared VERBATIM by
+    * `q_curate_incremental` and `q_pipeline_incremental`: the raw-
+    * text quality gate at 0.3 (now also carrying each survivor's
+    * token count for the incremental capstone's mix stage), the
+    * min-per-text dedup (the digest store's order-free fold), and
+    * the q_curate shingle decontamination. Ends at `dq` and
+    * `contaminated`. */
+  private lazy val curateIncCtes: String = {
+    val qexpr = sqlRound(
+      "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
+      "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)
+    s"""corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+       |t AS (
+       |  SELECT doc_id, text, lang, string_split(text, ' ') AS toks,
+       |         length(text) AS nch,
+       |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
+       |  FROM corpus),
+       |h AS (
+       |  SELECT doc_id, text, lang, len(toks) AS n_tokens,
+       |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+       |         punct, nch
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    $qexpr AS quality FROM h
+       |  WHERE $qexpr >= 0.3),
+       |reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+       |dq AS (SELECT q.* FROM q JOIN reps USING (doc_id)),
+       |dsh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3
+       |         THEN list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+       |         ELSE CAST([] AS VARCHAR[]) END AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM dq)),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(list_distinct(
+       |    CASE WHEN len(toks) >= 3
+       |         THEN list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
+       |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+       |        WHERE doc_id % 50 = 0)),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM
+       |    (SELECT doc_id, unnest(list_distinct(s)) AS sh FROM dsh) c
+       |    JOIN bsh USING (sh))""".stripMargin
+  }
+
+  private lazy val curateIncrementalOracle: String =
+    s"""WITH $curateIncCtes
+       |SELECT dq.doc_id, dq.lang, dq.quality FROM dq
+       |WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |  AND (dq.doc_id * 2654435761) % 100 < 50
+       |ORDER BY dq.doc_id""".stripMargin
+
+  /** The INCREMENTAL capstone oracle: the daily-increment funnel CTEs
+    * verbatim, then the same water-fill + replication + packing tail
+    * as [[pipelineFullOracle]] over the funnel's survivors (lang is
+    * native to the raw-text funnel — no join back). */
+  private lazy val pipelineIncrementalOracle: String =
+    s"""WITH $curateIncCtes,
+       |surv AS (SELECT dq.doc_id, dq.lang, dq.quality, dq.n_tokens
+       |  FROM dq
+       |  WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND (dq.doc_id * 2654435761) % 100 < 50
+       |    AND dq.lang IS NOT NULL),
+       |${waterfillAllocCtes("surv", pipelineIncTokenTarget)},
+       |sel AS (SELECT c.doc_id, c.lang, c.quality, c.n_tokens
+       |  FROM c JOIN bud USING (lang)
+       |  WHERE c.cum <= bud.budget),
+       |e AS (SELECT doc_id, lang, n_tokens,
+       |    ${mixEpochsCaseSql("lang")} AS pct
+       |  FROM sel),
+       |cp AS (SELECT doc_id, n_tokens,
+       |    (pct // 100) +
+       |    CASE WHEN (doc_id * 2654435761) % 100 < pct % 100
+       |         THEN 1 ELSE 0 END AS cp
+       |  FROM e WHERE pct >= 0),
+       |mixx AS (SELECT doc_id, n_tokens,
+       |    CAST(unnest(range(0, cp)) AS INT) AS epoch
+       |  FROM cp WHERE cp >= 1),
+       |it AS (SELECT doc_id, epoch, n_tokens,
+       |    doc_id * 100 + epoch AS item_id FROM mixx),
+       |pk AS (SELECT doc_id, epoch, n_tokens,
+       |    (item_id * 2654435761) % 8 AS shard,
+       |    sum(n_tokens) OVER (PARTITION BY (item_id * 2654435761) % 8
+       |      ORDER BY item_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM it)
+       |SELECT doc_id, epoch, n_tokens, shard,
+       |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+       |  CAST(cum - n_tokens - floor((cum - n_tokens) / 512) * 512
+       |    AS BIGINT) AS offset
+       |FROM pk ORDER BY doc_id, epoch""".stripMargin
+
   /** The CAPSTONE oracle: the curate CTE chain verbatim, then the
     * water-fill allocation CTEs ([[waterfillAllocCtes]]) over the
     * survivors joined back to their language, the selection, the
@@ -1816,6 +1941,55 @@ object ExtQueries {
       .filter(hashMod(col("doc_id"), 100) < 50)
   }
 
+  /** The daily-increment funnel shared by `q_curate_incremental` and
+    * the incremental capstone `q_pipeline_incremental`: quality-
+    * passing batches accrete the persisted digest store (only passers
+    * enter), representatives resolve from the store's order-free min
+    * fold — the SAME keep set as q_curate's one-shot window, any
+    * batch order — then the decontamination scan and the hash draw
+    * run unchanged. The incremental win: a daily batch re-runs
+    * quality map-side and probes O(batch) digests; history is never
+    * re-read. Returns the keep set with (doc_id, lang, quality,
+    * n_tokens) — the survivor detail both callers project from. */
+  private def curateIncrementalFunnel(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    val bench = all.filter(col("doc_id") % 50 === 0)
+    val q = TextOps.qualityScore(corpus, "text")
+      .filter(col("quality") >= 0.3)
+    val fx = graft.Fixtures.ensure("curate_didx",
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.Fixtures.contentKey(s"curate_didx|$dir", all, "doc_id", "text")) { p =>
+      graft.ops.DigestIndex.appendAndDedup(s,
+        q.filter(col("doc_id") % 2 === 0), p + "/idx",
+        "text", "doc_id", batchTag = Some("hist"))
+      ()
+    }
+    graft.ops.DigestIndex.appendAndDedup(s,
+      q.filter(col("doc_id") % 2 =!= 0), fx + "/idx",
+      "text", "doc_id", batchTag = Some("daily"))
+    val reps = graft.ops.DigestIndex.currentGroups(s, fx + "/idx")
+      .select(col("id").as("doc_id"))
+    // pin the dedup survivors (funnel-thinned, tiny next to the
+    // corpus): the contamination scan's exactRecount pass, the anti
+    // join, and — for the incremental capstone — the selection's
+    // supply/histogram/gate jobs each re-scan this frame; unpinned,
+    // the quality chain + store probe re-execute per job (measured
+    // 13.7 s vs ~6 s pinned at sf0.1). The q_curate_full stance:
+    // materialize the daily keep set once, fan out.
+    val deduped = q.join(reps, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val contaminated = DedupOps
+      .contaminationScan(deduped, bench, "text", "doc_id", w = 3,
+        exactRecount = true)
+      .select("doc_id")
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(hashMod(col("doc_id"), 100) < 50)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("n_tokens").cast("long").as("n_tokens"))
+  }
+
   /** The capstone pipeline's global token target: sized to BIND at
     * every tested scale (the curated survivors' per-lang token supply
     * — 92 tokens at sf0.001, 118 at sf0.01, growing with the corpus —
@@ -1824,6 +1998,16 @@ object ExtQueries {
     * selection as identity). One definition shared by engine and
     * oracle. */
   private val pipelineTokenTarget = 60L
+
+  /** The INCREMENTAL capstone's token target — sized for the
+    * raw-text funnel's survivors (per-lang supply 621-1476 tokens at
+    * sf0.001, 272-1744 at sf0.01, growing with the corpus): an even
+    * share of 300/lang binds every language while staying above the
+    * largest single document, so the selection is genuine at every
+    * scale (the full capstone's 60-token target sits below one raw
+    * document and would select nothing here — clean_text docs are
+    * ~10 tokens, raw docs 11-120). */
+  private val pipelineIncTokenTarget = 1500L
 
   /** The water-fill selection CTE body, shared VERBATIM by
     * `q_token_budget_waterfill` and the composed
@@ -3274,6 +3458,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ... and the actuation's MULTI-SOURCE twin: each ingestion shard
+    // re-freezes its OWN gate at its store-measured operating point
+    // (one global minP over-filters the source whose score
+    // distribution sits low — the bestThresholdBy rationale, actuated).
+    // The per-source thresholds are a groups-bounded frame BROADCAST
+    // to the scored corpus; the gate itself stays map-side.
+    "q_recalibrate_gate_grouped" -> ((s, dir) => {
+      val fx = calibFixtureBy(s, dir)
+      val thr = graft.ops.CalibrationIndex
+        .bestThresholdBy(s, fx + "/idx", "shard")
+        .select(col("shard"), col("thr").as("min_p"))
+      val feats = classifierFeats(s, dir)
+      val w = classifierWeights(s, dir)
+      graft.ops.Classifier.scoreLogistic(feats,
+          graft.ops.Classifier.textFeatureCols, w.toSeq)
+        .withColumn("shard", col("doc_id") % 4)
+        .join(broadcast(thr), Seq("shard"))
+        .filter(col("p") >= col("min_p"))
+        .select(col("doc_id"), col("shard"), col("y"), col("p"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source Brier / reliability — the remaining one-shot grouped
     // monitoring metrics (same exact-integer folds, partitioned on
     // the ingestion shard).
@@ -3586,34 +3792,39 @@ object ExtQueries {
     // — then the decontamination scan and the hash draw run unchanged.
     // The incremental win: a daily batch re-runs quality map-side and
     // probes O(batch) digests; history is never re-read.
-    "q_curate_incremental" -> ((s, dir) => {
-      val all = docs(s, dir)
-      val corpus = all.filter(col("doc_id") % 50 =!= 0)
-      val bench = all.filter(col("doc_id") % 50 === 0)
-      val q = TextOps.qualityScore(corpus, "text")
-        .filter(col("quality") >= 0.3)
-      val fx = graft.Fixtures.ensure("curate_didx",
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-          graft.Fixtures.contentKey(s"curate_didx|$dir", all, "doc_id", "text")) { p =>
-        graft.ops.DigestIndex.appendAndDedup(s,
-          q.filter(col("doc_id") % 2 === 0), p + "/idx",
-          "text", "doc_id", batchTag = Some("hist"))
-        ()
-      }
-      graft.ops.DigestIndex.appendAndDedup(s,
-        q.filter(col("doc_id") % 2 =!= 0), fx + "/idx",
-        "text", "doc_id", batchTag = Some("daily"))
-      val reps = graft.ops.DigestIndex.currentGroups(s, fx + "/idx")
-        .select(col("id").as("doc_id"))
-      val deduped = q.join(reps, Seq("doc_id"), "left_semi")
-      val contaminated = DedupOps
-        .contaminationScan(deduped, bench, "text", "doc_id", w = 3,
-          exactRecount = true)
-        .select("doc_id")
-      deduped.join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(hashMod(col("doc_id"), 100) < 50)
+    "q_curate_incremental" -> ((s, dir) =>
+      curateIncrementalFunnel(s, dir)
         .select(col("doc_id"), col("lang"), col("quality"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // The INCREMENTAL capstone: the daily-increment funnel (digest-
+    // store dedup, O(batch) probe) feeding the SAME mix + pack tail
+    // as q_pipeline_full — the production pipeline's steady state,
+    // where each day's curated increment re-derives the mixture
+    // against the accumulated corpus and packs the training shard.
+    // The funnel carries lang natively (raw-text curation), so the
+    // mix stage needs no join at all; text never enters the mix/pack
+    // exchanges.
+    "q_pipeline_incremental" -> ((s, dir) => {
+      val surv = curateIncrementalFunnel(s, dir)
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tokens"))
+        .localCheckpoint(true) // selection re-scans: supply + 2-pass + gate
+      val sel = graft.ops.Mixing.selectToBudgetWaterFill(surv,
+        "lang", "quality", "n_tokens", "doc_id",
+        total = pipelineIncTokenTarget, naiveBelow = 0L)
+      val mixed = graft.ops.Mixing.replicateEpochs(sel, "lang",
+        "doc_id", mixBudgetEpochsPct)
+      val items = mixed.withColumn("item_id",
+        col("doc_id") * lit(100L) + col("epoch"))
+      TextOps.packSequencesByTokens(items, "n_tokens", "item_id",
+          capacity = 512, shards = 8)
+        .select(
+          floor(col("item_id") / lit(100L)).cast("long").as("doc_id"),
+          (col("item_id") % lit(100L)).cast("int").as("epoch"),
+          col("n_tokens"), col("shard"), col("bin"), col("offset"))
+        .orderBy("doc_id", "epoch")
     }),
 
     // The FULL curation funnel ([[curateFullFunnel]] — every quality
@@ -4970,50 +5181,9 @@ object ExtQueries {
 
     // The incremental funnel resolves the SAME keep set: reps from the
     // digest store's min fold == the one-shot min-per-text window.
-    "q_curate_incremental" -> {
-      val qexpr = sqlRound(
-        "greatest(0.0, least(1.0, least(1.0, n_tokens / 100.0) * 0.5 + " +
-        "(stop_hits / nullif(n_tokens, 0)) * 2.0 - (punct / nullif(nch, 0)) * 0.5))", 4)
-      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
-         |t AS (
-         |  SELECT doc_id, text, lang, string_split(text, ' ') AS toks,
-         |         length(text) AS nch,
-         |         length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS punct
-         |  FROM corpus),
-         |h AS (
-         |  SELECT doc_id, text, lang, len(toks) AS n_tokens,
-         |         len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
-         |         punct, nch
-         |  FROM t),
-         |q AS (
-         |  SELECT doc_id, text, lang, $qexpr AS quality FROM h
-         |  WHERE $qexpr >= 0.3),
-         |reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
-         |dq AS (SELECT q.* FROM q JOIN reps USING (doc_id)),
-         |dsh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) >= 3
-         |         THEN list_transform(range(1, len(toks) - 1),
-         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-         |         ELSE CAST([] AS VARCHAR[]) END AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM dq)),
-         |bsh AS (
-         |  SELECT DISTINCT unnest(list_distinct(
-         |    CASE WHEN len(toks) >= 3
-         |         THEN list_transform(range(1, len(toks) - 1),
-         |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-         |         ELSE CAST([] AS VARCHAR[]) END)) AS sh
-         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
-         |        WHERE doc_id % 50 = 0)),
-         |contaminated AS (
-         |  SELECT DISTINCT doc_id FROM
-         |    (SELECT doc_id, unnest(list_distinct(s)) AS sh FROM dsh) c
-         |    JOIN bsh USING (sh))
-         |SELECT dq.doc_id, dq.lang, dq.quality FROM dq
-         |WHERE dq.doc_id NOT IN (SELECT doc_id FROM contaminated)
-         |  AND (dq.doc_id * 2654435761) % 100 < 50
-         |ORDER BY dq.doc_id""".stripMargin
-    },
+    "q_curate_incremental" -> curateIncrementalOracle,
+
+    "q_pipeline_incremental" -> pipelineIncrementalOracle,
 
     // The FULL funnel replayed stage for stage: the q_c4_filters line
     // synthesis + C4 rules, the q_gopher_quality signal replay on
@@ -5825,6 +5995,7 @@ object ExtQueries {
     "q_filter_ab" -> filterAbOracle,
     "q_ab_promote" -> abPromoteOracle,
     "q_recalibrate_gate" -> recalibrateGateOracle,
+    "q_recalibrate_gate_grouped" -> recalibrateGateGroupedOracle,
 
     // grouped-store reads fold to the one-shot grouped metrics — the
     // same oracles verbatim (the grouped monoid identity; the

@@ -249,7 +249,10 @@ class PlanSpec extends SparkSpec {
       // reps semi + contamination hash join + presentation sort; the
       // quality stage itself is map-side, one exchange fewer than
       // q_curate's in-plan window dedup
-      "q_curate_incremental" -> 8, // r16: +3, the exactRecount pass
+      // r17: the dedup survivors pin (localCheckpoint) hides the
+      // store fold + semi join from this single-plan view — the
+      // lazy tail is the contamination chain + anti join + sort
+      "q_curate_incremental" -> 5,
       // r15: the FULL composed funnel. Its two localCheckpoint cuts
       // (survivors before DSIR, gated before dedup) hide the upstream
       // stages from this single-plan view, so the budget pins the
@@ -350,12 +353,22 @@ class PlanSpec extends SparkSpec {
       // lazy plan is the map-side re-gate + the presentation sort.
       // Promotion: the 2-row grouped AUC fold + the 2-row sort
       "q_recalibrate_gate" -> 1, "q_ab_promote" -> 2,
+      // ... and its multi-source twin: the per-shard operating points
+      // (store fold + grouped curve window + argmax) derive INSIDE
+      // the broadcast side; the gate itself stays map-side
+      "q_recalibrate_gate_grouped" -> 3,
       // r17: the capstone. The funnel's localCheckpoint cuts hide the
       // curate stages (budgeted via q_curate_full); this plan is the
       // survivor-lang broadcast join, the selection's boundary-bin
       // window, the map-side replication explode, the 16-byte-row
       // pack window, and the presentation sort — plus AQE slack
-      "q_pipeline_full" -> 21)
+      "q_pipeline_full" -> 21,
+      // r17: the incremental capstone — the survivor frame pins
+      // before selection (the funnel is budgeted via
+      // q_curate_incremental), so this plan is the selection's
+      // boundary-bin window + the map-side explode + the pack window
+      // + the presentation sort
+      "q_pipeline_incremental" -> 3)
     for ((key, maxEx) <- budgets) {
       val p = planOf(key)
       assert(count(p, "Exchange") <= maxEx,

@@ -902,7 +902,7 @@ class StreamingSpec extends SparkSpec {
     val dir = tmpDir()
     val good1 = ("the cat sat on the mat and looked at the dog " * 4).trim
     val good2 = ("a bird is in the tree and sings to the sun " * 4).trim
-    val mixed = ("the cat zorp blick grum flarn plim vex quux corge " * 4).trim
+    val mixed = ("the cat sat on the mat zorp blick grum vex " * 4).trim
     val bad = ("zorp blick grum flarn plim vex quux corge grault " * 4).trim
     val train = graft.ops.Classifier.textFeatures(
       Seq((1L, good1, 1.0), (2L, good2, 1.0), (3L, bad, 0.0),
