@@ -689,6 +689,19 @@ object ExtQueries {
       graft.ops.Classifier.fitLogistic(classifierFeats(s, dir),
         graft.ops.Classifier.textFeatureCols, "y", iters = 3, lr = 0.5))
 
+  /** The CHAMPION (2-round) fit's weights, memoized like
+    * [[classifierWeights]] — the A/B keys (`q_filter_ab`,
+    * `q_ab_promote`, `q_promote_gate`) share one frozen champion per
+    * corpus instead of each re-paying two gradient scans; the 2-round
+    * trajectory is the 3-round chain's prefix (deterministic GD), so
+    * the value is fixed by the dir exactly as the 3-round one is.
+    * Same dir-immutability contract. */
+  private def championWeights(s: SparkSession,
+                              dir: String): Array[Double] =
+    fitMemo.computeIfAbsent(dir + "|iters=2", _ =>
+      graft.ops.Classifier.fitLogistic(classifierFeats(s, dir),
+        graft.ops.Classifier.textFeatureCols, "y", iters = 2, lr = 0.5))
+
   private def classifierFeats(s: SparkSession, dir: String): DataFrame =
     graft.ops.Classifier.textFeatures(
         docs(s, dir).filter(col("text").isNotNull && col("lang").isNotNull),
@@ -1227,11 +1240,11 @@ object ExtQueries {
   private lazy val filterAbCtes: String =
     s"""$classifierLoopCtes,
        |u AS (
-       |  SELECT 'champion_2r' AS model, y, $classifierScoreSql AS p
-       |  FROM feats, w2
+       |  SELECT doc_id, 'champion_2r' AS model, y,
+       |    $classifierScoreSql AS p FROM feats, w2
        |  UNION ALL
-       |  SELECT 'challenger_3r' AS model, y, $classifierScoreSql AS p
-       |  FROM feats, w3),
+       |  SELECT doc_id, 'challenger_3r' AS model, y,
+       |    $classifierScoreSql AS p FROM feats, w3),
        |g AS (SELECT model, p AS thr, count(*) AS n, sum(y) AS pos
        |      FROM u GROUP BY 1, 2),
        |c AS (SELECT model, thr, n, pos,
@@ -1258,6 +1271,37 @@ object ExtQueries {
        |rk AS (SELECT model, pos, neg, auc, row_number()
        |    OVER (ORDER BY auc DESC NULLS LAST, model) AS rn FROM r)
        |SELECT model, pos, neg, auc FROM rk WHERE rn = 1""".stripMargin
+
+  /** The promotion-actuated oracle for `q_promote_gate`: the winner
+    * derives IN SQL from the shared AB chain (argmax AUC, the
+    * q_ab_promote total order), then the winner's own F1-argmax
+    * threshold gates the winner's scored rows. */
+  private lazy val promoteGateOracle: String =
+    s"""WITH $filterAbCtes,
+       |rk AS (SELECT model, row_number()
+       |    OVER (ORDER BY auc DESC NULLS LAST, model) AS rn FROM r),
+       |win AS (SELECT model FROM rk WHERE rn = 1),
+       |ws AS (SELECT u.doc_id, u.model, u.y, u.p
+       |       FROM u JOIN win USING (model)),
+       |wg AS (SELECT p AS thr, count(*) AS n, sum(y) AS pos
+       |       FROM ws GROUP BY 1),
+       |wc AS (SELECT thr,
+       |    sum(pos) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+       |      AS tp,
+       |    sum(n) OVER (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)
+       |      AS nge,
+       |    sum(pos) OVER () AS p_all
+       |  FROM wg),
+       |wf AS (SELECT thr, CAST(tp AS BIGINT) AS tp,
+       |    CAST(nge - tp AS BIGINT) AS fp,
+       |    CAST(p_all - tp AS BIGINT) AS fn FROM wc),
+       |wsx AS (SELECT thr,
+       |    ${sqlRound("(2.0 * tp) / (2.0 * tp + 1.0 * fn + fp)", 6)}
+       |      AS fbeta FROM wf),
+       |pick AS (SELECT thr FROM wsx
+       |         ORDER BY fbeta DESC, thr DESC LIMIT 1)
+       |SELECT ws.doc_id, ws.model, ws.y, ws.p FROM ws, pick
+       |WHERE ws.p >= pick.thr ORDER BY doc_id""".stripMargin
 
   /** The actuation oracle for `q_recalibrate_gate`: the F1-argmax CTE
     * (the `q_threshold_f1` fold over the WHOLE scored corpus — which
@@ -3402,8 +3446,7 @@ object ExtQueries {
     "q_filter_ab" -> ((s, dir) => {
       val feats = classifierFeats(s, dir)
       val cols = graft.ops.Classifier.textFeatureCols
-      val w2 = graft.ops.Classifier.fitLogistic(feats, cols, "y",
-        iters = 2, lr = 0.5)
+      val w2 = championWeights(s, dir)
       val w3 = classifierWeights(s, dir)
       graft.ops.Classifier.rocAucBy(
           graft.ops.Classifier.scoreLogistic(feats, cols, w2.toSeq)
@@ -3423,8 +3466,7 @@ object ExtQueries {
     "q_ab_promote" -> ((s, dir) => {
       val feats = classifierFeats(s, dir)
       val cols = graft.ops.Classifier.textFeatureCols
-      val w2 = graft.ops.Classifier.fitLogistic(feats, cols, "y",
-        iters = 2, lr = 0.5)
+      val w2 = championWeights(s, dir)
       val w3 = classifierWeights(s, dir)
       graft.ops.Classifier.rocAucBy(
           graft.ops.Classifier.scoreLogistic(feats, cols, w2.toSeq)
@@ -3435,6 +3477,35 @@ object ExtQueries {
           "model", "p", "y")
         .orderBy(col("auc").desc_nulls_last, col("model"))
         .limit(1) // 2-row sort — the grouped fold is still bounded
+    }),
+
+    // ... and the promotion ACTUATED: the winning model (argmax AUC,
+    // the q_ab_promote rule) is re-frozen into the gate at ITS
+    // F1-optimal operating point — the full swap a deploy loop
+    // executes after a shadow-mode A/B. Every driver-side collect is
+    // bounded (2 AUC rows, 1 threshold row); the gate is map-side.
+    "q_promote_gate" -> ((s, dir) => {
+      val feats = classifierFeats(s, dir)
+      val cols = graft.ops.Classifier.textFeatureCols
+      val w2 = championWeights(s, dir)
+      val w3 = classifierWeights(s, dir)
+      val winner = graft.ops.Classifier.rocAucBy(
+          graft.ops.Classifier.scoreLogistic(feats, cols, w2.toSeq)
+            .withColumn("model", lit("champion_2r"))
+            .unionByName(
+              graft.ops.Classifier.scoreLogistic(feats, cols, w3.toSeq)
+                .withColumn("model", lit("challenger_3r"))),
+          "model", "p", "y")
+        .orderBy(col("auc").desc_nulls_last, col("model"))
+        .select("model").head().getString(0)
+      val wWin = if (winner == "challenger_3r") w3.toSeq else w2.toSeq
+      val scored = graft.ops.Classifier.scoreLogistic(feats, cols, wWin)
+      val minP = graft.ops.Classifier.bestThreshold(scored, "p", "y")
+        .select("thr").head().getDouble(0)
+      scored.filter(col("p") >= lit(minP))
+        .select(col("doc_id"), lit(winner).as("model"), col("y"),
+          col("p"))
+        .orderBy("doc_id")
     }),
 
     // DEPLOY-LOOP ACTUATION — the arrow the monitoring store exists
@@ -5994,6 +6065,7 @@ object ExtQueries {
     "q_reliability_grouped" -> reliabilityGroupedOracle,
     "q_filter_ab" -> filterAbOracle,
     "q_ab_promote" -> abPromoteOracle,
+    "q_promote_gate" -> promoteGateOracle,
     "q_recalibrate_gate" -> recalibrateGateOracle,
     "q_recalibrate_gate_grouped" -> recalibrateGateGroupedOracle,
 

@@ -353,6 +353,10 @@ class PlanSpec extends SparkSpec {
       // lazy plan is the map-side re-gate + the presentation sort.
       // Promotion: the 2-row grouped AUC fold + the 2-row sort
       "q_recalibrate_gate" -> 1, "q_ab_promote" -> 2,
+      // promotion actuated: winner + threshold collect eagerly
+      // (bounded rows); the lazy plan is the winner's map-side
+      // re-gate + the presentation sort
+      "q_promote_gate" -> 1,
       // ... and its multi-source twin: the per-shard operating points
       // (store fold + grouped curve window + argmax) derive INSIDE
       // the broadcast side; the gate itself stays map-side

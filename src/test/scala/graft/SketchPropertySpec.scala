@@ -226,6 +226,66 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: every grouped calibration metric row == the ungrouped metric on that group's slice") {
+    // the grouped family's defining identity: partitioning the fold
+    // on the group must change NOTHING about each group's answer —
+    // for any data, not just the 4-shard fixtures
+    import graft.ops.Classifier
+    import org.apache.spark.sql.functions.col
+    val ptsGen: Gen[List[(String, Double, Double)]] =
+      Gen.nonEmptyListOf(for {
+        g <- Gen.oneOf("a", "b", "c")
+        y <- Gen.oneOf(0.0, 1.0)
+        sc <- Gen.choose(0, 20).map(_ / 20.0)
+      } yield (g, y, sc))
+    for (s <- 1L to 8L) {
+      val pts = sample(ptsGen, s + 1500)
+      val df = pts.zipWithIndex
+        .map { case ((g, y, sc), i) => (i.toLong, g, y, sc) }
+        .toDF("id", "g", "y", "s")
+      def slice(g: String) = df.filter(col("g") === g)
+      val groups = pts.map(_._1).distinct.sorted
+      def byGroup(rows: Array[org.apache.spark.sql.Row]) =
+        rows.groupBy(_.getString(0)).view
+          .mapValues(_.map(_.toSeq.drop(1)).toSeq.sortBy(_.toString))
+          .toMap
+      val brierBy = byGroup(
+        Classifier.brierScoreBy(df, "g", "s", "y").collect())
+      val relBy = byGroup(
+        Classifier.reliabilityBy(df, "g", "s", "y").collect())
+      val thrBy = byGroup(
+        Classifier.bestThresholdBy(df, "g", "s", "y").collect())
+      val aucBy = byGroup(
+        Classifier.rocAucBy(df, "g", "s", "y").collect())
+      for (g <- groups) {
+        assert(brierBy(g) ==
+          Seq(Classifier.brierScore(slice(g), "s", "y").head().toSeq),
+          s"seed=$s g=$g: grouped Brier != slice Brier")
+        assert(relBy(g) ==
+          Classifier.reliability(slice(g), "s", "y").collect()
+            .map(_.toSeq).toSeq.sortBy(_.toString),
+          s"seed=$s g=$g: grouped reliability != slice reliability")
+        assert(thrBy(g) ==
+          Classifier.bestThreshold(slice(g), "s", "y").collect()
+            .map(_.toSeq).toSeq,
+          s"seed=$s g=$g: grouped operating point != slice argmax")
+        assert(aucBy(g) ==
+          Seq(Classifier.rocAuc(slice(g), "s", "y").head().toSeq),
+          s"seed=$s g=$g: grouped AUC != slice AUC")
+      }
+      // grouped KS between the even/odd id windows == per-slice KS
+      val even = df.filter(col("id") % 2 === 0)
+      val odd = df.filter(col("id") % 2 =!= 0)
+      val ksBy = byGroup(
+        Classifier.scoreDriftKsBy(even, odd, "g", "s").collect())
+      for (g <- ksBy.keys)
+        assert(ksBy(g) == Seq(Classifier.scoreDriftKs(
+            even.filter(col("g") === g), odd.filter(col("g") === g),
+            "s").head().toSeq),
+          s"seed=$s g=$g: grouped KS != slice KS")
+    }
+  }
+
   test("property: distributed BPE == reference Sennrich on random corpora") {
     // a,b,c,d words of length <= 6: dense pair collisions, frequent
     // left==right runs, frequent early fusion — the adversarial zone
