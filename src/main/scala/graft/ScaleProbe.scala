@@ -83,7 +83,8 @@ object ScaleProbe {
       "components_star", "dedup_exact_incremental", "ann_recall",
       "embed_recall", "token_budget", "token_budget_naive", "dsir",
       "decontam_fuzzy", "decontam_matrix", "novelty", "split_leakfree",
-      "logreg", "pr_curve", "calibration", "calibration_grouped")
+      "logreg", "pr_curve", "calibration", "calibration_grouped",
+      "pipeline")
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { o =>
       val unknown = o -- opNames
@@ -686,6 +687,48 @@ object ScaleProbe {
         }
       }
       scrub()
+      // THE CAPSTONE COMPOSITION at scale: curate (quality scan ->
+      // one digest-window dedup exchange -> shingle decontamination
+      // against a broadcast benchmark -> map-side draw) -> water-fill
+      // selection (budget ∝ scale so the selection BINDS at a
+      // constant fraction and output stays ∝ N) -> epoch-replication
+      // explode -> sharded 16-byte-row packing. Survivors pin once
+      // (the q_pipeline_* localCheckpoint stance). Expected growth
+      // ~N: every exchange carries digests, hashes, or (id, count)
+      // rows — document text crosses no exchange after the scan.
+      val tPipeline = if (!want("pipeline")) -1.0 else best2 {
+        val corpus = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        val bench = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+        val q = graft.ops.TextOps.qualityScore(corpus, "text")
+          .filter(col("quality") >= 0.0)
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+        val deduped = q.withColumn("_rk",
+            org.apache.spark.sql.functions.row_number().over(wd))
+          .filter(col("_rk") === 1).drop("_rk")
+        val contaminated = graft.ops.DedupOps
+          .contaminationScan(deduped, bench, "text", "doc_id", w = 3)
+          .select("doc_id")
+        val surv = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+          .filter(graft.functions.PortableHash
+            .hashMod(col("doc_id"), 100) < 50)
+          .withColumn("lang", pmod(col("doc_id"), lit(5)).cast("string"))
+          .select(col("doc_id"), col("lang"), col("quality"),
+            col("n_tokens").cast("long").as("n_tokens"))
+          .localCheckpoint(true)
+        val sel = graft.ops.Mixing.selectToBudgetWaterFill(surv,
+          "lang", "quality", "n_tokens", "doc_id",
+          total = 100000L * scale, naiveBelow = 0L)
+        val mixed = graft.ops.Mixing.replicateEpochs(sel, "lang",
+          "doc_id", Map("0" -> 230, "1" -> 150, "2" -> 100,
+            "3" -> 50, "4" -> 300))
+        graft.ops.TextOps.packSequencesByTokens(
+          mixed.withColumn("item_id",
+            col("doc_id") * lit(100L) + col("epoch")),
+          "n_tokens", "item_id", capacity = 512, shards = 64).count()
+        ()
+      }
+      scrub()
       val tBudgetNaive = if (!want("token_budget_naive")) -1.0 else best2 {
         budgetRows.withColumn("_cum",
             sum(col("toks")).over(org.apache.spark.sql.expressions.Window
@@ -799,7 +842,8 @@ object ScaleProbe {
         "novelty" -> tNovelty, "split_leakfree" -> tSplit,
         "logreg" -> tLogreg, "pr_curve" -> tPrCurve,
         "calibration" -> tCalib,
-        "calibration_grouped" -> tCalibBy)
+        "calibration_grouped" -> tCalibBy,
+        "pipeline" -> tPipeline)
         .filter(_._2 >= 0)
     }
 
