@@ -193,6 +193,11 @@ class CalibrationIndexSpec extends SparkSpec {
       CalibrationIndex.prCurveBy(spark, idx, "source")
     }
     assert(e.getMessage.contains("no group column"), e.getMessage)
+    // ... and so is a never-landed window tag on the grouped reads
+    val e2 = intercept[IllegalArgumentException] {
+      CalibrationIndex.driftKsBy(spark, idx, "g", Seq("w1"), Seq("nope"))
+    }
+    assert(e2.getMessage.contains("no landed batch"), e2.getMessage)
     // compact folds to one row per (group, thr); every answer holds
     CalibrationIndex.compactBy(spark, idx, "g")
     checkAll()
