@@ -330,6 +330,20 @@ object EventStream {
     *     `minP` at the measured F_β-optimal operating point (graded
     *     as `q_recalibrate_gate`; the StreamingSpec actuation drill
     *     walks the full loop);
+    *  0a'. (optional, `logitBy = Some((weights, groupCol, minPBy))`)
+    *     the PER-SOURCE frozen gate — the multi-source deployment's
+    *     reality: each ingestion source keeps its own `minP` (one
+    *     global threshold over-filters the source whose score
+    *     distribution sits low), frozen from the grouped store's
+    *     measured operating points ([[graft.ops.CalibrationIndex
+    *     .bestThresholdBy]], graded as `q_recalibrate_gate_grouped`).
+    *     The threshold map unrolls to a map-side CASE over the
+    *     bounded source set; a source absent from the map DROPS
+    *     wholesale (an uncalibrated source must not pass ungated —
+    *     the absent-source contract). The grouped StreamingSpec
+    *     actuation drill walks store → per-source re-freeze → gate;
+    *  0a''. if both `logit` and `logitBy` are set they compose (the
+    *     global gate first) — normally exactly one is deployed;
     *  0b. (optional, `dsir = Some((model, minLogweight))`) DSIR
     *     domain-relevance gate: score each doc against a FROZEN
     *     [[graft.ops.Mixing.importanceModel]] (fit once on samples,
@@ -386,7 +400,8 @@ object EventStream {
                  dsirBuckets: Int = 256, dsirPortable: Boolean = false,
                  fuzzy: Option[(Int, Double)] = None,
                  c4: Boolean = false,
-                 logit: Option[(Seq[Double], Double)] = None)
+                 logit: Option[(Seq[Double], Double)] = None,
+                 logitBy: Option[(Seq[Double], String, Map[String, Double])] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docsStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val tag = s"$appId-$batchId"
@@ -411,13 +426,35 @@ object EventStream {
       // the frozen-DSIR stage): the canonical text-feature triple +
       // one map-side sigmoid against offline-fit weights — weights
       // MUST come from a fit over the same textFeatures projection
-      val gated = logit match {
+      val gated0 = logit match {
         case None => pre
         case Some((wts, minP)) =>
           graft.ops.Classifier.scoreLogistic(
               graft.ops.Classifier.textFeatures(pre, text),
               graft.ops.Classifier.textFeatureCols, wts)
             .filter(col("p") >= minP)
+            .drop("p")
+            .drop(graft.ops.Classifier.textFeatureCols: _*)
+      }
+      // PER-SOURCE learned gate: each source keeps its own frozen
+      // minP (the bestThresholdBy / q_recalibrate_gate_grouped
+      // semantics deployed) — the threshold map unrolls to a map-side
+      // CASE over the bounded source set (no join, no broadcast
+      // frame), and a doc whose source has NO calibrated threshold
+      // drops wholesale (the replicateEpochs absent-source contract:
+      // an uncalibrated source must not pass ungated)
+      val gated = logitBy match {
+        case None => gated0
+        case Some((wts, groupCol, minPBy)) =>
+          require(minPBy.nonEmpty,
+            "curateSink: logitBy threshold map must be non-empty")
+          val thr = minPBy.toSeq.sortBy(_._1)
+            .foldLeft(lit(null).cast("double")) { case (acc, (g, p)) =>
+              when(col(groupCol) === g, lit(p)).otherwise(acc) }
+          graft.ops.Classifier.scoreLogistic(
+              graft.ops.Classifier.textFeatures(gated0, text),
+              graft.ops.Classifier.textFeatureCols, wts)
+            .filter(col("p") >= thr) // null thr (absent source) drops
             .drop("p")
             .drop(graft.ops.Classifier.textFeatureCols: _*)
       }

@@ -968,6 +968,94 @@ class StreamingSpec extends SparkSpec {
       "the recalibrated gate must drop exactly the mis-kept doc")
   }
 
+  test("deploy-loop actuation PER SOURCE: grouped store -> per-source re-freeze -> each source gated at ITS threshold") {
+    // the multi-source actuation loop: batch-1 labeled feedback lands
+    // PER SOURCE in the grouped store; bestThresholdBy reads each
+    // source's F1-optimal operating point; the per-source map freezes
+    // into the gate (logitBy) and batch 2 gates each source at its
+    // OWN bar — including a source with no calibrated threshold,
+    // which must drop wholesale.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val good1 = ("the cat sat on the mat and looked at the dog " * 4).trim
+    val good2 = ("a bird is in the tree and sings to the sun " * 4).trim
+    val mixed = ("the cat sat on the mat zorp blick grum vex " * 4).trim
+    val bad = ("zorp blick grum flarn plim vex quux corge grault " * 4).trim
+    val train = graft.ops.Classifier.textFeatures(
+      Seq((1L, good1, 1.0), (2L, good2, 1.0), (3L, bad, 0.0),
+        (4L, bad + " extra", 0.0)).toDF("doc_id", "text", "y"), "text")
+    val w = graft.ops.Classifier.fitLogistic(train,
+      graft.ops.Classifier.textFeatureCols, "y", iters = 30, lr = 0.5)
+    // batch 1, two sources with DIFFERENT label regimes: source A's
+    // feedback says the mixed band is bad (argmax sits above pMix);
+    // source B's says the mixed band is good (argmax sits at/below
+    // pMix) — so the recalibrated gates must genuinely differ
+    val mem1 = MemoryStream[(Long, String, String, Double)]
+    val scored1 = graft.ops.Classifier.scoreLogistic(
+      graft.ops.Classifier.textFeatures(
+        mem1.toDF().toDF("doc_id", "src", "text", "y"), "text"),
+      graft.ops.Classifier.textFeatureCols, w.toSeq)
+    val q1 = EventStream.calibrationSinkBy(
+        scored1.select("doc_id", "src", "p", "y"), s"$dir/calib",
+        "src", "p", "y", appId = "spec-recalg-mon")
+      .option("checkpointLocation", s"$dir/ckptM").start()
+    try {
+      mem1.addData(
+        (11L, "A", good1, 1.0), (12L, "A", good2, 1.0),
+        (13L, "A", mixed, 0.0), (14L, "A", bad, 0.0),
+        (15L, "B", good1, 1.0), (16L, "B", mixed, 1.0),
+        (17L, "B", bad, 0.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // per-source re-freeze: read each source's measured operating
+    // point from the grouped store (the q_recalibrate_gate_grouped
+    // read), collect the bounded map
+    val minPBy = graft.ops.CalibrationIndex
+      .bestThresholdBy(spark, s"$dir/calib", "src")
+      .select("src", "thr").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def scoreOf(t: String): Double = graft.ops.Classifier.scoreLogistic(
+        graft.ops.Classifier.textFeatures(
+          Seq((0L, t)).toDF("doc_id", "text"), "text"),
+        graft.ops.Classifier.textFeatureCols, w.toSeq)
+      .select("p").head().getDouble(0)
+    val pMix = scoreOf(mixed)
+    assert(minPBy("A") > pMix && minPBy("B") <= pMix,
+      s"fixture drifted: per-source gates must differ: $minPBy pMix=$pMix")
+    // batch 2: B and C carry text-DISTINCT variants (exact dedup
+    // would otherwise collapse cross-source copies to first arrival)
+    // suffixed with a STOPWORD — the suffix nudges scores UP, the
+    // safe direction for B's keep decision (asserted below)
+    assert(scoreOf(mixed + " the") >= minPBy("B") &&
+      scoreOf(bad + " the") < minPBy("B") &&
+      scoreOf(good1 + " the") >= minPBy("B"),
+      "fixture drifted: suffixed B docs must sit on the same side")
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = EventStream.curateSink(
+        mem2.toDF().toDF("doc_id", "src", "text"),
+        s"$dir/didx", s"$dir/kept", "text", "doc_id",
+        appId = "spec-recalg", minQuality = 0.0, samplePct = 100,
+        benchmark = Seq((900L, "benchmark phrase sharing nothing else"))
+          .toDF("doc_id", "text"),
+        logitBy = Some((w.toSeq, "src", minPBy)))
+      .option("checkpointLocation", s"$dir/ckptG").start()
+    try {
+      mem2.addData(
+        (21L, "A", good1), (22L, "A", mixed), (23L, "A", bad),
+        (24L, "B", good1 + " the"), (25L, "B", mixed + " the"),
+        (26L, "B", bad + " the"),
+        (27L, "C", good1 + " the the"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    // A drops its mixed doc (strict gate), B keeps it (lenient gate),
+    // C — no calibrated threshold — drops wholesale
+    assert(kept == Set(21L, 24L, 25L),
+      s"per-source gates must differ per source: $kept")
+  }
+
   test("streaming calibration sink: accumulated aggregate derives the one-shot prCurve and rocAuc; replay changes nothing") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
