@@ -21,6 +21,16 @@ object ExtQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
+  /** [[docs]] with the scan-parallelism floor hint
+    * ([[graft.io.Tables.read]]): used by the SINGLE-PASS map-kernel
+    * keys (shingle/anchor/digest/regex chains), where the floor's one
+    * small exchange buys full-core kernel parallelism on an
+    * otherwise-1-task local scan. Multi-pass consumers keep [[docs]] —
+    * they re-pay the exchange per pass and measured slower with it
+    * (interleaved A/B, OPTIMIZATION_r18.md). */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents", floorHint = true)
+
   /** The q_c4_filters line synthesis, shared with the composed funnel
     * (q_curate_full): the corpus docs are single-line, so C4's line
     * rules need deterministic structure — tokens chunked 10 per line,
@@ -55,6 +65,7 @@ object ExtQueries {
   }
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
+
 
   /** Embeddings plus deterministic affine mutants (vec_id + 1,000,000,
     * each component x*1.1 + 0.01 re-cast to float32): the planted
@@ -96,6 +107,12 @@ object ExtQueries {
 
   private def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
+    withPrefixMutants(d, d)
+  }
+
+  /** [[docsWithMutants]] over the floor-hinted scan — see [[docsPar]]. */
+  private def docsWithMutantsPar(s: SparkSession, dir: String): DataFrame = {
+    val d = docsPar(s, dir).select("doc_id", "text")
     withPrefixMutants(d, d)
   }
 
@@ -1909,7 +1926,7 @@ object ExtQueries {
 
   private def curateFullFunnelImpl(s: SparkSession,
                                    dir: String): DataFrame = {
-    val all = docs(s, dir)
+    val all = docsPar(s, dir)
     val corpus = all.filter(col("doc_id") % 50 =!= 0)
       .filter(col("text").isNotNull)
     val bench = all.filter(col("doc_id") % 50 === 0)
@@ -2010,7 +2027,7 @@ object ExtQueries {
     * n_tokens) — the survivor detail both callers project from. */
   private def curateIncrementalFunnel(s: SparkSession,
                                       dir: String): DataFrame = {
-    val all = docs(s, dir)
+    val all = docsPar(s, dir)
     val corpus = all.filter(col("doc_id") % 50 =!= 0)
     val bench = all.filter(col("doc_id") % 50 === 0)
     val q = TextOps.qualityScore(corpus, "text")
@@ -2516,7 +2533,7 @@ object ExtQueries {
     "q_line_dedup" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       val nLines = ceil(size(toks) / lit(10.0)).cast("int")
-      val withLines = docsWithMutants(s, dir).withColumn("text",
+      val withLines = docsWithMutantsPar(s, dir).withColumn("text",
         concat_ws("\n", transform(sequence(lit(0), nLines - 1),
           i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))))
       TextOps.removeRepeatedLines(withLines, "text", "doc_id", minDocs = 2)
@@ -3090,7 +3107,7 @@ object ExtQueries {
     // grams — the contribution signal that catches copies without
     // pair mining.
     "q_novelty" -> ((s, dir) =>
-      DedupOps.noveltyScore(docsWithMutants(s, dir), "text", "doc_id")
+      DedupOps.noveltyScore(docsWithMutantsPar(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
     // Novelty MAINTAINED incrementally over the persisted gram-
@@ -3161,7 +3178,7 @@ object ExtQueries {
     // oracle replays the synthesis and the exact distinct-shingle
     // Jaccard.
     "q_decontam_fuzzy" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("text").isNotNull)
+      val d = docsPar(s, dir).filter(col("text").isNotNull)
       val toks = split(col("text"), " ")
       val bench = d.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + lit(5000000L)).as("bench_id"),
@@ -3825,7 +3842,7 @@ object ExtQueries {
     // corpus (doc_id % 50 != 0) and a held-out "benchmark" slice —
     // 8-byte shingle hashes shuffle, never text; bench side broadcasts.
     "q_decontaminate" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsPar(s, dir)
       DedupOps.contaminationScan(
           d.filter(col("doc_id") % 50 =!= 0),
           d.filter(col("doc_id") % 50 === 0), "text", "doc_id", w = 3)
@@ -3838,7 +3855,7 @@ object ExtQueries {
     // collision-proof exact recount on. The benchmark side is
     // (bench, hash) rows over the whole suite, still broadcast-sized.
     "q_decontam_matrix" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsPar(s, dir)
       DedupOps.contaminationMatrix(
           d.filter(col("doc_id") % 50 =!= 0),
           d.filter(col("doc_id") % 50 === 0)
@@ -3975,14 +3992,14 @@ object ExtQueries {
     // docs+mutants (mutants guarantee shared prefixes). Per-doc distinct
     // arrays make count(*) the distinct-doc count — one exchange.
     "q_boilerplate" -> ((s, dir) =>
-      DedupOps.boilerplateNgrams(docsWithMutants(s, dir), "text",
+      DedupOps.boilerplateNgrams(docsWithMutantsPar(s, dir), "text",
           w = 5, minDocs = 3)
         .orderBy("shingle")),
 
     // Cross-doc repeated 8-grams with occurrence counts — the
     // exact-substring dedup signal (fixed-width ExactSubstr approximation).
     "q_repeated_ngrams" -> ((s, dir) =>
-      DedupOps.repeatedNgrams(docs(s, dir), "text", "doc_id",
+      DedupOps.repeatedNgrams(docsPar(s, dir), "text", "doc_id",
           w = 8, minDocs = 2)
         .orderBy("gram")),
 
@@ -3993,7 +4010,7 @@ object ExtQueries {
     // first-argmin anchor selection, the bucket cap, the gram-text
     // collision guard, and the char-exact affix extension.
     "q_exact_substr" -> ((s, dir) =>
-      DedupOps.exactSubstrSpans(docsWithMutants(s, dir), "text", "doc_id",
+      DedupOps.exactSubstrSpans(docsWithMutantsPar(s, dir), "text", "doc_id",
           k = esK, w = esW, maxExt = esExt, minLen = esMinLen,
           maxBucket = esMaxBucket)
         .select(col("id_a"), col("id_b"), col("n_anchors"),
@@ -4035,7 +4052,7 @@ object ExtQueries {
     // the canonical occurrence. Oracled end-to-end including the
     // interval merge and the spliced text.
     "q_exact_substr_apply" -> ((s, dir) =>
-      DedupOps.exactSubstrApply(docsWithMutants(s, dir), "text", "doc_id",
+      DedupOps.exactSubstrApply(docsWithMutantsPar(s, dir), "text", "doc_id",
           k = esK, w = esW, maxExt = esExt, minLen = esMinLen,
           maxBucket = esMaxBucket)
         // always-true guard referencing the join-derived columns: the

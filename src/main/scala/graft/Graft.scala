@@ -28,6 +28,15 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Always use the unified sort shuffle writer. The bypass-merge
+      // writer (default for ≤200 reduce partitions, i.e. ONLY in
+      // small/local runs — at production partition counts it never
+      // fires) opens one file per reduce partition per map task:
+      // measured locally that file open/write/concat/delete churn
+      // dominated every small exchange (~250 ms CPU per task of pure
+      // file metadata ops). Forcing the sort path makes local runs
+      // take exactly the one-file-per-map-task path a cluster takes.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     // getOrCreate can return a pre-existing session whose builder ran
     // without the extensions conf — make adoption idempotent
@@ -46,6 +55,11 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // unified sort shuffle writer — see Graft.session: the bypass-
+      // merge writer's per-(map task × reduce partition) file churn
+      // dominates small exchanges locally, and production partition
+      // counts never take that path anyway
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       // AQE stays OFF here, deliberately diverging from the adoption
       // path (Graft.session, AQE+skew on — the 100 TB-correct setting):
       // measured at sf0.1/local[32], adaptive re-planning costs +28%

@@ -18,7 +18,69 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Scan-parallelism floor (guide: "input skew — one huge unsplittable
+    * file … repartition immediately after the read"): when a table's
+    * ENTIRE byte size fits inside one scan split (≤
+    * `spark.sql.files.maxPartitionBytes`) and it has fewer files than
+    * the session has cores, the parquet scan plans 1-ish tasks and
+    * every downstream map-side kernel (digest, anchor, shingle, regex
+    * chains — the operators this engine deliberately keeps
+    * exchange-free) runs single-threaded. A round-robin repartition to
+    * `defaultParallelism` immediately after such a scan costs one
+    * exchange of a ≤128 MB table and buys full-core parallelism for
+    * the map chain above it.
+    *
+    * SCALE-ADAPTIVE BY CONSTRUCTION: the trigger is measured input
+    * layout, not a constant — any production-sized input (multi-file,
+    * or single files above one split) skips the floor entirely, so at
+    * 100 TB this is a no-op and the "text never shuffles" plan shapes
+    * are unchanged. Decisions are memoized per (path, parallelism);
+    * the testdata dirs are immutable by contract (the [[graft.Fixtures]]
+    * stance). Opt out per session with
+    * `spark.graft.scanParallelismFloor=false` — PlanSpec does, to pin
+    * the at-scale plan shapes the floor would mask at test scale. */
+  private val floorMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def withScanFloor(spark: SparkSession, path: String,
+                            df: DataFrame): DataFrame = {
+    if (!spark.conf.get("spark.graft.scanParallelismFloor",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_FLOOR", "true")).toBoolean)
+      return df
+    val par = spark.sparkContext.defaultParallelism
+    val under = floorMemo.computeIfAbsent(s"$path|$par", _ => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes",
+        s"${128L << 20}").replaceAll("[^0-9]", "") match {
+        case "" => 128L << 20
+        case n  => n.toLong
+      }
+      try {
+        val it = fs.listFiles(p, true)
+        var bytes = 0L; var files = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && !f.getPath.getName.startsWith("_")) {
+            bytes += f.getLen; files += 1
+          }
+        }
+        files > 0 && files < par && bytes <= maxSplit
+      } catch { case _: java.io.IOException => false }
+    })
+    if (under) df.repartition(par) else df
+  }
+
+  /** `floorHint = true` marks a read whose consumer is a SINGLE-PASS
+    * map-kernel-heavy chain (digest/anchor/shingle/regex over text) —
+    * the measured floor winners. Multi-pass consumers (Lloyd rounds,
+    * BPE merge rounds, two-pass quantiles) re-execute the floor's
+    * exchange on every pass and measured strictly SLOWER with it, so
+    * the floor is hint-scoped rather than blanket (interleaved A/B,
+    * OPTIMIZATION_r18.md: e.g. q_novelty 4.6→2.2 s median WITH the
+    * floor vs q_kmeans_pp 1.7→3.2 s — same session, alternating
+    * reps). */
+  def read(spark: SparkSession, sfDir: String, name: String,
+           floorHint: Boolean = false): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) (TESTDATA.md fixture), which
     // Spark's reader rejects outright. Read nanos as raw Long and convert
     // to a microsecond timestamp with integer arithmetic (the data is
@@ -30,14 +92,16 @@ object Tables {
     // at DataFrame creation, so save-and-restore here would break the
     // deferred read. Engine-wide contract: ns-precision parquet columns
     // surface as Long and callers convert explicitly (as done here).
-    if (name == "events") {
+    val path = s"$sfDir/$name.parquet"
+    val raw = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = spark.read.parquet(path)
       if (df.schema("ts").dataType == LongType)
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
       else df
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else spark.read.parquet(path)
+    if (floorHint) withScanFloor(spark, path, raw) else raw
   }
 
   /** Dimension-table schema mirroring the reference's company CSV

@@ -14,6 +14,12 @@ object TestSpark {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
+    // suites pin the AT-SCALE plan shapes (PlanSpec exchange budgets):
+    // the scan-parallelism floor is a small-single-file layout
+    // adaptation that is a no-op on production inputs, so keep it out
+    // of the pinned plans; TablesScanFloorSpec flips it on explicitly
+    // to cover the floor itself
+    .config("spark.graft.scanParallelismFloor", "false")
     .getOrCreate()
 }
 
