@@ -197,13 +197,22 @@ object DedupOps {
     * corpus order — the "contribution" signal of the dedup
     * literature: a verbatim copy of earlier content scores 0, fresh
     * content scores 1, boilerplate-heavy pages score low without any
-    * pair mining. Shape: one (gram → min id) aggregate and one
-    * gram-keyed join back — both partial-aggregated. With the default
-    * `hashKeys = true` BOTH exchanges carry 8-byte `xxhash64(gram)`
-    * keys instead of the gram text (the output carries no gram text,
-    * so nothing downstream needs it): at 100 TB that is the difference
-    * between shuffling the corpus's n-gram text twice and shuffling
-    * longs. min(id) attribution is exact over hashed keys up to the
+    * pair mining. Shape: ONE gram-keyed aggregate (gram → min id,
+    * partial-aggregated) plus two doc-keyed aggregates — the gram
+    * table is never joined back onto itself. The algebra: a gram's
+    * min-id holder is the ONLY document it is novel for, and that
+    * document contains it by construction, so grouping the
+    * first-attribution table by its min id IS the per-doc novel
+    * count; the per-doc distinct-gram count is a direct aggregate of
+    * the gram table. The gram-scale join-back the previous shape paid
+    * (grams ⋈ firstSeen, then a third gram-volume aggregate) is
+    * algebraically redundant — at 100 TB that join was a second full
+    * shuffle of the corpus's gram rows and the dominant memory
+    * resident of the whole operator. With the default
+    * `hashKeys = true` the one gram exchange carries 8-byte
+    * `xxhash64(gram)` keys instead of the gram text (the output
+    * carries no gram text, so nothing downstream needs it).
+    * min(id) attribution is exact over hashed keys up to the
     * same 64-bit-collision stance [[fuzzyContamination]] documents (a
     * collision could merge two grams' first-attributions — never
     * observed at graded scale; the text-keyed twin is bit-exact and
@@ -219,13 +228,14 @@ object DedupOps {
     val grams =
       if (hashKeys) raw.select(col(id), xxhash64(col("_gram")).as("_gk"))
       else raw.withColumnRenamed("_gram", "_gk")
-    val firstSeen = grams.groupBy(col("_gk"))
+    val perDoc = grams.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("_gk"))
       .agg(min(col(id)).as("_first"))
-    grams.join(firstSeen, Seq("_gk"))
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("_first") === col(id), lit(1L)).otherwise(lit(0L)))
-          .as("n_novel"))
+      .groupBy(col("_first"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, perDoc(id) === novel("_first"), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty", graft.functions.Rounding.roundHalfUp(
         col("n_novel").cast("double") / col("n_grams"), 6))
   }

@@ -70,16 +70,18 @@ object NoveltyIndex {
     * (id, n_grams, n_novel, novelty·6dp) — the
     * [[DedupOps.noveltyScore]] schema.
     *
-    * MEGA-BATCH routing: the history probe and the attribution
-    * join-back normally BROADCAST the batch's gram-hash side (8 bytes
-    * per distinct gram — the fast path for daily-batch footprints).
-    * A batch whose distinct-gram count exceeds `broadcastMaxGrams`
-    * auto-switches BOTH joins to shuffled hash joins instead of
-    * forcing an over-budget broadcast — the routing count is the
-    * summary materialization the method already pays, so the switch
-    * is free, and the two paths are bit-identical (same joins, same
-    * min folds; NoveltyIndexSpec pins it). The directory-level `gb`
-    * prune still bounds how much history is read either way. */
+    * MEGA-BATCH routing: the history probe normally BROADCASTS the
+    * batch's gram-hash side (8 bytes per distinct gram — the fast
+    * path for daily-batch footprints). A batch whose distinct-gram
+    * count exceeds `broadcastMaxGrams` auto-switches that join to a
+    * shuffled hash join instead of forcing an over-budget broadcast —
+    * the routing count is the summary materialization the method
+    * already pays, so the switch is free, and the two paths are
+    * bit-identical (same join, same min folds; NoveltyIndexSpec pins
+    * it). The per-doc scoring fold needs no broadcast at all (see the
+    * attribution algebra at the `firsts` derivation below). The
+    * directory-level `gb` prune still bounds how much history is read
+    * either way. */
   def appendAndScore(spark: SparkSession, batch: DataFrame,
                      indexPath: String, text: String, id: String,
                      w: Int = 3, batchTag: Option[String] = None,
@@ -125,18 +127,26 @@ object NoveltyIndex {
             .join(bcast(summary.select("gh")), Seq("gh"), "left_semi")
             .groupBy(col("gh")).agg(min(col("first")).as("_hfirst"))
         }
-      // global first per gram = min(history, batch); both sides are
-      // batch-gram-bounded, so the attribution table broadcasts back
-      // onto the batch's gram rows — scoring shuffles only (id) keys
+      // global first per gram = min(history, batch). The per-doc fold
+      // then needs NO join back onto the batch's gram rows (the
+      // [[DedupOps.noveltyScore]] algebra): a gram's _first can only
+      // equal a BATCH doc's id when that doc is the gram's batch-min
+      // holder (ids are globally unique, so a history id never
+      // collides), and that doc contains the gram by construction —
+      // so grouping the gram-bounded attribution table by _first IS
+      // the per-doc novel count, and historical attributions drop out
+      // in the doc-keyed left join below. n_grams is a direct
+      // doc-keyed aggregate of the (persisted) gram table.
       val firsts = summary.join(hist, Seq("gh"), "left")
         .select(col("gh"),
           least(col("first"), coalesce(col("_hfirst"), col("first")))
             .as("_first"))
-      val out = grams.join(bcast(firsts), Seq("gh"))
-        .groupBy(col(id))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("_first") === col(id), lit(1L)).otherwise(lit(0L)))
-            .as("n_novel"))
+      val perDoc = grams.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+      val novel = firsts.groupBy(col("_first"))
+        .agg(count(lit(1)).as("n_novel"))
+      val out = perDoc.join(novel, perDoc(id) === novel("_first"), "left")
+        .select(col(id), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty", graft.functions.Rounding.roundHalfUp(
           col("n_novel").cast("double") / col("n_grams"), 6))
         .localCheckpoint(true) // pin before the store mutates
