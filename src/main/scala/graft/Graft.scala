@@ -39,7 +39,19 @@ object Graft {
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     // getOrCreate can return a pre-existing session whose builder ran
-    // without the extensions conf — make adoption idempotent
+    // without the extensions conf — make adoption idempotent. NOTE:
+    // bypassMergeThreshold above is a CORE SparkConf setting, fixed at
+    // SparkContext creation — on this adoption path the pre-existing
+    // context keeps whatever writer it started with (for ≤200-partition
+    // exchanges that is the bypass-merge writer, measurably slower
+    // locally); only the SQL confs can be re-applied after the fact.
+    if (spark.sparkContext.getConf
+        .get("spark.shuffle.sort.bypassMergeThreshold", "200") != "0")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft: adopted SparkContext keeps the bypass-merge shuffle " +
+          "writer (spark.shuffle.sort.bypassMergeThreshold unset at " +
+          "context creation); small-exchange performance will differ " +
+          "from a Graft-built session")
     ext.GraftExtensions.registerAll(spark)
     spark
   }
@@ -58,8 +70,11 @@ object Graft {
       // unified sort shuffle writer — see Graft.session: the bypass-
       // merge writer's per-(map task × reduce partition) file churn
       // dominates small exchanges locally, and production partition
-      // counts never take that path anyway
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // counts never take that path anyway. Env-overridable for
+      // interleaved A/B measurement only (a core SparkConf setting —
+      // fixed at context creation, so a same-JVM toggle is impossible).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
       // AQE stays OFF here, deliberately diverging from the adoption
       // path (Graft.session, AQE+skew on — the 100 TB-correct setting):
       // measured at sf0.1/local[32], adaptive re-planning costs +28%

@@ -36,7 +36,10 @@ object Tables {
     * 100 TB this is a no-op and the "text never shuffles" plan shapes
     * are unchanged. Decisions are memoized per (path, parallelism);
     * the testdata dirs are immutable by contract (the [[graft.Fixtures]]
-    * stance). Opt out per session with
+    * stance), and `maxPartitionBytes` is deliberately NOT part of the
+    * memo key — the decision snapshots the conf at first read for the
+    * JVM's lifetime (a mid-session split-size change is not a
+    * supported way to retune the floor; restart the session). Opt out per session with
     * `spark.graft.scanParallelismFloor=false` — PlanSpec does, to pin
     * the at-scale plan shapes the floor would mask at test scale. */
   private val floorMemo =
@@ -50,17 +53,23 @@ object Tables {
     val under = floorMemo.computeIfAbsent(s"$path|$par", _ => {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes",
-        s"${128L << 20}").replaceAll("[^0-9]", "") match {
-        case "" => 128L << 20
-        case n  => n.toLong
-      }
+      // size-suffixed conf values ("128m", "1g") must parse as Spark
+      // parses them — a digits-only strip would read "128m" as 128
+      // BYTES and silently disable the floor (ADVICE r18)
+      val maxSplit = try {
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes",
+            s"${128L << 20}"))
+      } catch { case _: NumberFormatException => 128L << 20 }
       try {
         val it = fs.listFiles(p, true)
         var bytes = 0L; var files = 0
         while (it.hasNext) {
           val f = it.next()
-          if (f.isFile && !f.getPath.getName.startsWith("_")) {
+          // mirror Spark's hidden-file filter ("_" AND "."): local-FS
+          // ".part-*.crc" checksums must not inflate the census
+          val n = f.getPath.getName
+          if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) {
             bytes += f.getLen; files += 1
           }
         }

@@ -10,6 +10,9 @@ object FloorAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(6)
+    require(reps >= 2,
+      "FloorAB: reps must be >= 2 — rep 1 is excluded as warm-up, so " +
+        "reps=1 would measure nothing and fail only after the full loop")
     val keys = args.lift(2).map(_.split(',').toSeq).getOrElse(Seq(
       "q_novelty", "q_decontam_matrix", "q_repeated_ngrams",
       "q_exact_substr", "q_kmeans_pp", "q_ann_pq", "q_quantile_sketch",
