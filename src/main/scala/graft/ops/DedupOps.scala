@@ -919,13 +919,23 @@ object DedupOps {
     var i = 0
     while (!converged && i < maxIter) {
       val viaEdges = edges.join(labels, edges("s") === labels("id"))
-        .select(col("t").as("id"), col("label"))
-      val next = cut(labels.select("id", "label").unionByName(viaEdges)
-        .groupBy("id").agg(min(col("label")).as("label")))
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+        .select(col("t").as("id"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("_old"))
+      // carry each id's previous label through the min fold (every id
+      // has exactly ONE labels row, so min(_old) ignores the viaEdges
+      // nulls and recovers it): the convergence probe then reads the
+      // checkpointed result with a filter instead of re-joining the
+      // two label frames — one cached scan per round replaces a full
+      // join job. Labels only ever decrease, so "nothing changed" ≡
+      // "label == previous label on every row".
+      val next = cut(labels.select(col("id"), col("label"),
+          col("label").as("_old"))
+        .unionByName(viaEdges)
+        .groupBy("id").agg(min(col("label")).as("label"),
+          min(col("_old")).as("_old")))
+      converged = next.filter(col("label") =!= col("_old")).isEmpty
       freeCheckpoint(labels) // superseded by next; convergence check is done
-      labels = next
+      labels = next.select("id", "label")
       i += 1
     }
     val out = labels.select(col("id"), col("label").as("component"))
